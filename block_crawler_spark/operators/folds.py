@@ -1,0 +1,191 @@
+"""Entity-state folds (reference A1–A3, ``nft/evm/consumers.py``).
+
+The reference folds a collection's whole event history through mutable dicts
+keyed by token id (``consumers.py:211-213, 460``).  Re-expressed as Spark
+group-bys, the per-collection sequential folds become one shuffle each over
+``(blockchain, collection_id, token_id_hex)`` — the canonical "inverted" plan
+from SURVEY §3.2.  ``max_by``/``min_by`` on the total event order
+(``attribute_version``) replace every "apply if newer" guard
+(``consumers.py:84-88, 385-388``), which makes the folds order-insensitive:
+applying the same transfers in any order yields the same state.  That is the
+engine's late-data story (ST4) — no watermark drops, versions win.
+
+Input contract: a decoded-transfers DataFrame as produced by
+``operators.decode.decode_token_transfers`` with columns
+``blockchain, collection_id, specification, token_id_hex, transaction_type,
+from_, to_, quantity (Decimal38), attribute_version (long),
+attribute_version_hex, block_number, timestamp?``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hexint import ZERO_ADDRESS
+from ..schemas import SPEC_ERC721, TX_BURN, TX_MINT, TX_TRANSFER
+
+
+def _null_if_any_overflow(sum_expr, qty_col="quantity"):
+    """Engine-wide clamp policy: if any contributing quantity overflowed to
+    NULL, the aggregate is NULL (plain SQL sum would silently skip it)."""
+    any_null = F.max(F.col(qty_col).isNull().cast("int")) == 1
+    return F.when(any_null, F.lit(None).cast("decimal(38,0)")).otherwise(sum_expr)
+
+
+def fold_token_state(transfers: DataFrame, uri_updates: DataFrame | None = None) -> DataFrame:
+    """A1 — one row per token: quantity, original/current owner, mint info.
+
+    * ``quantity`` = Σ mint − Σ burn (transfers don't change supply).
+    * ``original_owner`` = recipient of the lowest-version mint.
+    * ``current_owner`` (ERC-721 only; ERC-1155 ⇒ NULL, reference
+      ``consumers.py:90-91``) = recipient of the highest-version
+      mint/transfer event.
+    * ``metadata_url`` = highest-version URI event for the token, if any.
+
+    One shuffle on the token key; URI updates join on the same key (shuffle
+    reused under AQE) — no per-collection loops.
+    """
+    is_mint = F.col("transaction_type") == TX_MINT
+    is_burn = F.col("transaction_type") == TX_BURN
+    own_event = F.col("transaction_type").isin(TX_MINT, TX_TRANSFER)
+
+    # signed supply delta; NULL only when a mint/burn quantity overflowed —
+    # a transfer's quantity never affects supply, so it cannot poison the sum
+    t = transfers.withColumn(
+        "_signed",
+        F.when(is_mint, F.col("quantity"))
+        .when(is_burn, -F.col("quantity"))
+        .otherwise(F.lit(0).cast("decimal(38,0)")),
+    )
+
+    folded = t.groupBy("blockchain", "collection_id", "token_id_hex").agg(
+        F.first("specification").alias("specification"),
+        _null_if_any_overflow(F.sum("_signed"), "_signed").alias("quantity"),
+        F.min_by(F.when(is_mint, F.col("to_")), F.when(is_mint, F.col("attribute_version"))).alias("original_owner"),
+        F.min(F.when(is_mint, F.col("block_number"))).alias("mint_block"),
+        F.min(F.when(is_mint, F.col("timestamp"))).alias("mint_timestamp")
+        if "timestamp" in t.columns
+        else F.lit(None).cast("long").alias("mint_timestamp"),
+        F.max_by(F.when(own_event, F.col("to_")), F.when(own_event, F.col("attribute_version"))).alias("_last_recipient"),
+        F.max(F.when(own_event, F.col("attribute_version"))).alias("_owner_version"),
+    )
+
+    folded = (
+        folded.withColumn(
+            "current_owner",
+            F.when(F.col("specification") == SPEC_ERC721, F.col("_last_recipient")),
+        )
+        .withColumn(
+            "current_owner_version_hex",
+            F.when(
+                F.col("specification") == SPEC_ERC721,
+                F.lpad(F.lower(F.hex(F.col("_owner_version"))), 40, "0"),
+            ),
+        )
+        .drop("_last_recipient", "_owner_version")
+    )
+
+    if uri_updates is not None:
+        latest_uri = uri_updates.groupBy("collection_id", "token_id_hex").agg(
+            F.max_by("metadata_url", "attribute_version").alias("metadata_url"),
+            F.lpad(F.lower(F.hex(F.max("attribute_version"))), 40, "0").alias("metadata_url_version_hex"),
+        )
+        folded = folded.join(latest_uri, ["collection_id", "token_id_hex"], "left")
+    else:
+        folded = folded.withColumn("metadata_url", F.lit(None).cast("string")).withColumn(
+            "metadata_url_version_hex", F.lit(None).cast("string")
+        )
+    return folded
+
+
+def fold_erc721_owners(transfers: DataFrame) -> DataFrame:
+    """A2 — last-writer-wins owner per ERC-721 token; burn deletes the row.
+
+    ``max_by(struct(...), version)`` replaces the reference's per-event
+    "newer version?" guard (``consumers.py:385-388``); the burn-delete is the
+    post-fold filter the reference applies at flush (``:504-508``-style).
+    """
+    t = transfers.filter(F.col("specification") == SPEC_ERC721)
+    last = t.groupBy("blockchain", "collection_id", "token_id_hex").agg(
+        F.max_by(F.struct("to_", "transaction_type"), F.col("attribute_version")).alias("last"),
+    )
+    return (
+        last.filter(F.col("last.transaction_type") != TX_BURN)
+        .select(
+            "blockchain",
+            F.col("last.to_").alias("account"),
+            "collection_id",
+            "token_id_hex",
+            F.lit(1).cast("decimal(38,0)").alias("quantity"),
+        )
+    )
+
+
+def fold_erc1155_balances(transfers: DataFrame) -> DataFrame:
+    """A3 — additive balances per (token, account); zero balances dropped.
+
+    Each transfer explodes into ±quantity rows (the reference builds the same
+    ± pairs at ``nft/consumers.py:162-172``): +qty to the recipient unless it
+    is the zero address (burn), −qty from the sender unless it is the zero
+    address (mint).  One shuffle on (collection, token, account).
+    """
+    t = transfers.filter(F.col("specification") != SPEC_ERC721)
+    zero = F.lit(ZERO_ADDRESS)
+    deltas = t.select(
+        "blockchain",
+        "collection_id",
+        "token_id_hex",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.col("to_").alias("account"), F.col("quantity").alias("delta")),
+                    F.struct(F.col("from_").alias("account"), (-F.col("quantity")).alias("delta")),
+                ),
+                lambda s: s["account"] != zero,
+            )
+        ).alias("d"),
+    ).select("blockchain", "collection_id", "token_id_hex", "d.account", "d.delta")
+
+    balances = deltas.groupBy("blockchain", "collection_id", "token_id_hex", "account").agg(
+        _null_if_any_overflow(F.sum("delta"), "delta").alias("quantity")
+    )
+    return balances.filter(F.col("quantity").isNull() | (F.col("quantity") != 0)).select(
+        "blockchain", "account", "collection_id", "token_id_hex", "quantity"
+    )
+
+
+def fold_owners(transfers: DataFrame) -> DataFrame:
+    """A2 ∪ A3 — the unified ``owner`` silver table."""
+    return fold_erc721_owners(transfers).unionByName(fold_erc1155_balances(transfers))
+
+
+def transfers_to_silver(transfers: DataFrame, data_version: int, blockchain: str | None = None) -> DataFrame:
+    """Decoded transfers → ``tokentransfers`` silver rows (K6 idempotent shape).
+
+    Dedup key = (collection, attribute_version_hex, token_id_hex, batch_index)
+    — identical to the reference's idempotent put key plus the 1155-batch
+    disambiguator used by J2 (``verify.py:810-817``).
+    """
+    t = transfers
+    if blockchain is not None and "blockchain" not in t.columns:
+        t = t.withColumn("blockchain", F.lit(blockchain))
+    return (
+        t.dropDuplicates(["blockchain", "collection_id", "attribute_version_hex", "token_id_hex", "batch_index"])
+        .select(
+            "blockchain",
+            "collection_id",
+            "attribute_version_hex",
+            "token_id_hex",
+            *( [F.col("timestamp")] if "timestamp" in t.columns else [F.lit(None).cast("long").alias("timestamp")] ),
+            F.col("block_number").alias("block_id"),
+            "transaction_hash",
+            "transaction_index",
+            "log_index",
+            "transaction_type",
+            "from_",
+            "to_",
+            "quantity_hex",
+            F.lit(data_version).alias("data_version"),
+        )
+    )
