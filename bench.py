@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Each query is forced end-to-end with a noop sink (full column computation,
+no driver collect overhead).  Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from block_crawler_spark.plans.registry import all_queries
+from block_crawler_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "agg_orders_monthly",
+    "evt_token_state_fold",
+    "evt_json_balances",
+    "evt_window_hourly",
+    "evt_sessionize",
+    "doc_quality_ppm",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "emb_topk_cosine",
+    "emb_knn_join",
+    "emb_lsh_buckets",
+    "nft_token_state_from_lineitem",
+    "nft_owners_from_lineitem",
+    "nft_transfers_decode_from_lineitem",
+    "nft_1155_balances_from_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the JVM/codegen path once with a cheap query
+    registry["tpch_q6_revenue_forecast"][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (noop sink), sum over queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

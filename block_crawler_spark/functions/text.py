@@ -1,0 +1,129 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure built-in column expressions (JVM-side, codegen-friendly): tokenize,
+token/char statistics, quality scoring, stopword-based language ID, and
+document fingerprinting.  Each has an exact DuckDB-SQL equivalent (the
+driver's correctness oracle), which is why hashing is md5-based: md5 is the
+one hash both engines share, and on fixed-width lowercase hex strings the
+*lexicographic* min/order equals the numeric one, so signatures stay
+portable strings end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and hard-coded so the SQL oracle can inline
+# the identical lists.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "los", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "un", "est"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + punctuation marks
+PUNCT_PATTERN = r"""[.,;:!?'"()\[\]{}-]"""
+PUNCT_PATTERN_SQL = PUNCT_PATTERN.replace("'", "''")  # single quotes doubled for SQL literals
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pattern (words + punctuation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length as decimal(18,4) (exact, portable)."""
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0).cast("decimal(18,0)"), lambda acc, x: acc + F.length(x))
+    return (total.cast("decimal(18,4)") / F.size(t)).cast("decimal(18,4)")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars, decimal(18,6)."""
+    punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
+    return (punct.cast("decimal(18,6)") / F.length(text)).cast("decimal(18,6)")
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return (stopword_hits(text, lang).cast("decimal(18,6)") / n_tokens(text)).cast("decimal(18,6)")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]-ish space, decimal(18,6).
+
+    score = 0.4·min(n_tokens/100, 1) + 0.4·stopword_ratio(en) + 0.2·(1 − punct_ratio)
+    — the standard length/stopword/punctuation shape used by web-scale
+    corpus filters, kept simple enough for an exact SQL oracle.
+    """
+    length_term = F.least(n_tokens(text).cast("decimal(18,6)") / 100, F.lit(1).cast("decimal(18,6)"))
+    score = (
+        F.lit(0.4).cast("decimal(18,6)") * length_term
+        + F.lit(0.4).cast("decimal(18,6)") * stopword_ratio(text, "en")
+        + F.lit(0.2).cast("decimal(18,6)") * (F.lit(1).cast("decimal(18,6)") - punct_ratio(text))
+    )
+    return score.cast("decimal(18,6)")
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in STOPWORDS]
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hit counts.
+
+    Deterministic tie-break: languages are tested in reverse code order
+    (zh, fr, es, en, de), so a tie resolves to the lexicographically last
+    code — trivially mirrored in the SQL oracle as a CASE chain.
+    """
+    scores = dict(lang_scores(text))
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(scores, reverse=True):
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct, sorted) — the dedup/similarity unit set.
+
+    Built with ``zip_with`` over shifted copies of the token array instead of
+    ``transform(sequence, i -> slice(t, i, k))``: the slice-per-index form
+    re-evaluates the tokenization expression once *per shingle* (O(n²) work
+    per row, and enough generated code to break codegen); zip_with evaluates
+    each input array once.  k is fixed at 3 here — the SQL oracle and the
+    LSH layout assume it.
+    """
+    if k != 3:
+        raise ValueError("shingles: only k=3 is supported (oracle parity)")
+    t = tokens(F.lower(text))
+    n = F.size(t)
+    pairs = F.zip_with(t, F.slice(t, 2, F.greatest(n - 1, F.lit(1))), lambda x, y: F.concat_ws(" ", x, y))
+    # concat_ws skips nulls, so guard the tail explicitly via slice below
+    triples = F.zip_with(pairs, F.slice(t, 3, F.greatest(n - 2, F.lit(1))), lambda xy, z: F.concat_ws(" ", xy, z))
+    joined = F.when(n >= k, F.slice(triples, 1, n - k + 1)).otherwise(F.array(F.concat_ws(" ", t)))
+    return F.array_sort(F.array_distinct(joined))

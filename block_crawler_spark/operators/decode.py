@@ -29,7 +29,7 @@ from ..functions.hexint import (
     normalize_hex,
     topic_to_address,
 )
-from ..operators.oracles import attribute_version, attribute_version_hex, classify_transfer
+from ..operators.oracles import attribute_version, attribute_version_hex
 from ..schemas import (
     ERC721_TRANSFER_TOPIC,
     ERC1155_TRANSFER_BATCH_TOPIC,
@@ -41,9 +41,22 @@ from ..schemas import (
 
 _ONE_HEX = "0x" + "1".rjust(UINT256_HEX_WIDTH, "0")
 
+# Topic access uses getItem (GetArrayItem) rather than element_at: Catalyst's
+# SimplifyExtractValueOps collapses GetArrayItem(CreateArray(...), literal)
+# to the single element, so synthetic/constructed topic arrays (tests, the
+# nft_ops oracle queries) don't inline the whole array expression at every
+# use site — with element_at the duplicated expression tree blew past the
+# janino 64KB method limit and silently disabled whole-stage codegen
+# (~6× slower end-to-end at sf0.1).
+
+
+def _topic(i: int):
+    """1-based topic accessor."""
+    return F.col("topics").getItem(i - 1)
+
 
 def _topic0(df: DataFrame):
-    return F.element_at("topics", 1)
+    return _topic(1)
 
 
 def _base_cols(df: DataFrame) -> DataFrame:
@@ -61,9 +74,9 @@ def decode_erc721_transfers(logs: DataFrame) -> DataFrame:
     """ERC-721 Transfer logs → one transfer row each (reference T8)."""
     out = (
         logs.filter((F.size("topics") == 4) & (_topic0(logs) == F.lit(ERC721_TRANSFER_TOPIC)))
-        .withColumn("from_", topic_to_address(F.element_at("topics", 2)))
-        .withColumn("to_", topic_to_address(F.element_at("topics", 3)))
-        .withColumn("token_id_hex", normalize_hex(F.element_at("topics", 4)))
+        .withColumn("from_", topic_to_address(_topic(2)))
+        .withColumn("to_", topic_to_address(_topic(3)))
+        .withColumn("token_id_hex", normalize_hex(_topic(4)))
         .withColumn("quantity_hex", F.lit(_ONE_HEX))
         .withColumn("specification", F.lit(SPEC_ERC721))
     )
@@ -74,8 +87,8 @@ def decode_erc1155_single_transfers(logs: DataFrame) -> DataFrame:
     """ERC-1155 TransferSingle logs → one transfer row each (reference T9)."""
     out = (
         logs.filter((F.size("topics") == 4) & (_topic0(logs) == F.lit(ERC1155_TRANSFER_SINGLE_TOPIC)))
-        .withColumn("from_", topic_to_address(F.element_at("topics", 3)))
-        .withColumn("to_", topic_to_address(F.element_at("topics", 4)))
+        .withColumn("from_", topic_to_address(_topic(3)))
+        .withColumn("to_", topic_to_address(_topic(4)))
         .withColumn("token_id_hex", normalize_hex(word(F.col("data"), 0)))
         .withColumn("quantity_hex", normalize_hex(word(F.col("data"), 1)))
         .withColumn("specification", F.lit(SPEC_ERC1155))
@@ -96,8 +109,8 @@ def decode_erc1155_batch_transfers(logs: DataFrame) -> DataFrame:
     """
     out = (
         logs.filter((F.size("topics") == 4) & (_topic0(logs) == F.lit(ERC1155_TRANSFER_BATCH_TOPIC)))
-        .withColumn("from_", topic_to_address(F.element_at("topics", 3)))
-        .withColumn("to_", topic_to_address(F.element_at("topics", 4)))
+        .withColumn("from_", topic_to_address(_topic(3)))
+        .withColumn("to_", topic_to_address(_topic(4)))
         .withColumn("ids", decode_uint256_array(F.col("data"), 0))
         .withColumn("values", decode_uint256_array(F.col("data"), 1))
         .select(
@@ -113,9 +126,25 @@ def decode_erc1155_batch_transfers(logs: DataFrame) -> DataFrame:
 
 
 def _finish_transfer(df: DataFrame) -> DataFrame:
+    """Shared tail: provenance, version oracle, quantity decode, type oracle.
+
+    Ingest contract: ``address`` and the decoded from_/to_ are canonical
+    lowercase "0x"+40 hex (topic_to_address lowers; sources lower addresses
+    on ingest, reference normalizes at the CLI, ``core/click.py:58-66``), so
+    the mint/burn classification compares them directly instead of routing
+    through ``classify_transfer``'s re-normalization — keeps the generated
+    code comfortably inside whole-stage codegen limits.
+    """
     df = _base_cols(df)
+    zero = F.lit("0x" + "0" * 40)
+    coll = F.lower(F.col("address"))
+    tx_type = (
+        F.when(F.col("to_") == zero, F.lit("burn"))
+        .when(((F.col("from_") == zero) | (F.col("from_") == coll)) & (F.col("to_") != coll), F.lit("mint"))
+        .otherwise(F.lit("transfer"))
+    )
     cols = [
-        F.col("address").alias("collection_id"),
+        coll.alias("collection_id"),
         "specification",
         "block_number",
         "transaction_index",
@@ -128,7 +157,7 @@ def _finish_transfer(df: DataFrame) -> DataFrame:
         "token_id_hex",
         "quantity_hex",
         hex_to_dec(F.col("quantity_hex")).alias("quantity"),
-        classify_transfer(F.col("from_"), F.col("to_"), F.col("address")).alias("transaction_type"),
+        tx_type.alias("transaction_type"),
     ]
     if "batch_index" in df.columns:
         cols.append("batch_index")

@@ -1,0 +1,171 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash group-by), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — each designed Spark-first:
+
+* all signatures are computed with built-in column expressions (md5 +
+  array lambdas), no Python UDFs;
+* candidate generation is a *bucket equi-join* (shuffle on band value),
+  never an O(n²) cross join — the property that keeps MinHash-LSH viable at
+  100 TB: pair count scales with bucket collisions, not documents²;
+* md5 hex strings act as the portable hash domain (lexicographic min on
+  fixed-width hex = numeric min), so every stage has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint; keeps the lowest id.
+
+    One hash-aggregate; at scale this is a single shuffle on the md5 key
+    (map-side partial aggregation applies).
+    """
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of md5(i|s).
+
+    The min of fixed-width lowercase hex strings is the numeric min, so the
+    signature is a portable array<string> of length ``num_hashes``.
+
+    The shingle array is materialized (cached) before the per-seed minhash
+    transforms: otherwise Catalyst inlines the shingle-construction
+    expression once per hash seed and the stage falls out of whole-stage
+    codegen.  At cluster scale the same boundary is where you'd persist the
+    shingle table anyway (it is reused by candidate verification).
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    staged = docs.select(F.col(id_col), F.col(text_col), sh.alias("shingles")).cache()
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+    return staged.select(F.col(id_col), F.col(text_col), F.col("shingles"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: documents sharing any band bucket become candidate pairs.
+
+    Bands are concatenations of ``band_size`` adjacent minhashes; candidates
+    come from a self-equi-join on (band_index, band_value) — a shuffle join
+    on the band key, with ``a.id < b.id`` to de-mirror pairs.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_index"),
+                F.concat_ws("", F.slice(F.col("sig"), b * band_size + 1, band_size)).alias("band_value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_index").alias("band_index"), F.col("band.band_value").alias("band_value")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_index") == F.col(f"b.band_index"))
+            & (F.col(f"a.band_value") == F.col(f"b.band_value"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    signatures: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs on true shingle sets.
+
+    |A∩B| / |A∪B| as decimal(18,6); the join fans the (small) candidate set
+    against the shingle table twice — both joins are hash equi-joins.
+    """
+    sh = signatures.select(F.col(id_col), F.col("shingles"))
+    j = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", (F.col("inter").cast("decimal(18,6)") / F.col("uni")).cast("decimal(18,6)"))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "inter", "uni", "jaccard")
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bucket join → exact
+    Jaccard filter.  Returns (id_a, id_b, inter, uni, jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes).cache()
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, band_size)
+    return jaccard_pairs(sigs, cands, id_col, threshold)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash over word tokens (default 16-bit for oracle portability).
+
+    bit_j(doc) = 1 iff Σ_tokens (2·bit_j(md5(token)) − 1) > 0.  Bits come
+    from the first ``bits/4`` hex digits of each token's md5 — pure column
+    expressions, mirrored 1:1 in SQL.  Near-dups then differ in ≤ d bits of
+    the signature (Hamming); at scale candidates come from equality joins on
+    signature chunks, same banding idea as MinHash-LSH.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    digits = bits // 4
+
+    def bit_sum(j: int):
+        digit_idx = j // 4 + 1
+        bit_in_digit = 3 - (j % 4)
+        digit_val = F.conv(F.substring(F.md5(F.concat(F.lit("s|"), F.col("t"))), digit_idx, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit_val, bit_in_digit).bitwiseAND(F.lit(1))
+        return bit * 2 - 1
+
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("t"))
+    agg = exploded.groupBy(id_col).agg(
+        *[F.sum(bit_sum(j)).alias(f"b{j}") for j in range(bits)]
+    )
+    sig = agg.select(
+        F.col(id_col),
+        sum(
+            [F.when(F.col(f"b{j}") > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0)) for j in range(bits)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig

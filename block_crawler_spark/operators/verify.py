@@ -1,0 +1,110 @@
+"""The `verify` reconciliation engine (reference J1–J5, ``nft/bin/verify.py``).
+
+The reference recomputes truth from chain logs and cross-checks the database
+with an O(n²) in-memory list scan (``verify.py:959-966``).  Here every check
+is a DataFrame join; the transfer reconciliation (J2) is a **full outer
+join** on the event key whose null sides are exactly the two error classes
+("in DB but not in logs" / "in logs but not in DB",
+``verify.py:975-981, 1018-1023``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decode import decode_token_transfers
+from .folds import fold_erc1155_balances, fold_token_state
+
+# J2 match key: (block, tx index, log index) + token for 1155 batch items
+# (verify.py:810-817) + batch_index to disambiguate same-token-twice batches.
+_J2_KEY = ["block_number", "transaction_index", "log_index", "token_id_hex", "batch_index"]
+
+
+def reconcile_transfers(chain_logs: DataFrame, db_transfers: DataFrame) -> DataFrame:
+    """J2 — recompute transfers from logs, full-outer-join the stored table.
+
+    Returns an error-report DataFrame (check, key columns, error) with one
+    row per discrepancy; empty result = clean reconciliation.
+    """
+    recomputed = decode_token_transfers(chain_logs).select(
+        *_J2_KEY,
+        F.col("collection_id").alias("chain_collection_id"),
+        F.col("from_").alias("chain_from"),
+        F.col("to_").alias("chain_to"),
+        F.col("transaction_type").alias("chain_type"),
+        F.col("quantity_hex").alias("chain_quantity_hex"),
+    )
+    stored = db_transfers.select(
+        F.col("block_id").alias("block_number"),
+        "transaction_index",
+        "log_index",
+        "token_id_hex",
+        *(["batch_index"] if "batch_index" in db_transfers.columns else [F.lit(0).alias("batch_index")]),
+        F.col("collection_id").alias("db_collection_id"),
+        F.col("from_").alias("db_from"),
+        F.col("to_").alias("db_to"),
+        F.col("transaction_type").alias("db_type"),
+        F.col("quantity_hex").alias("db_quantity_hex"),
+    )
+    joined = recomputed.join(stored, _J2_KEY, "full_outer")
+
+    field_mismatch = (
+        (F.col("chain_from") != F.col("db_from"))
+        | (F.col("chain_to") != F.col("db_to"))
+        | (F.col("chain_type") != F.col("db_type"))
+        | (F.col("chain_quantity_hex") != F.col("db_quantity_hex"))
+        | (F.col("chain_collection_id") != F.col("db_collection_id"))
+    )
+    return joined.select(
+        *_J2_KEY,
+        F.when(F.col("db_collection_id").isNull(), F.lit("missing_in_db"))
+        .when(F.col("chain_collection_id").isNull(), F.lit("not_in_logs"))
+        .when(field_mismatch, F.lit("field_mismatch"))
+        .alias("error"),
+    ).filter(F.col("error").isNotNull())
+
+
+def reconcile_tokens(chain_logs: DataFrame, db_tokens: DataFrame) -> DataFrame:
+    """J3 — recompute token state from logs; compare quantity/owners."""
+    transfers = decode_token_transfers(chain_logs).withColumn("blockchain", F.lit("_"))
+    expected = fold_token_state(transfers).select(
+        "collection_id",
+        "token_id_hex",
+        F.col("quantity").alias("exp_quantity"),
+        F.col("original_owner").alias("exp_original_owner"),
+        F.col("current_owner").alias("exp_current_owner"),
+    )
+    stored = db_tokens.select(
+        "collection_id", "token_id_hex", "quantity", "original_owner", "current_owner"
+    )
+    joined = expected.join(stored, ["collection_id", "token_id_hex"], "full_outer")
+    return joined.select(
+        "collection_id",
+        "token_id_hex",
+        F.when(F.col("quantity").isNull() & F.col("exp_quantity").isNotNull(), F.lit("missing_in_db"))
+        .when(F.col("exp_quantity").isNull() & F.col("quantity").isNotNull(), F.lit("not_in_logs"))
+        .when(~(F.col("exp_quantity") <=> F.col("quantity")), F.lit("quantity_mismatch"))
+        .when(~(F.col("exp_current_owner") <=> F.col("current_owner")), F.lit("owner_mismatch"))
+        .when(~(F.col("exp_original_owner") <=> F.col("original_owner")), F.lit("original_owner_mismatch"))
+        .alias("error"),
+    ).filter(F.col("error").isNotNull())
+
+
+def reconcile_balances(chain_logs: DataFrame, db_owners: DataFrame) -> DataFrame:
+    """J5-style owner check for ERC-1155: recomputed balances vs stored rows."""
+    transfers = decode_token_transfers(chain_logs).withColumn("blockchain", F.lit("_"))
+    expected = fold_erc1155_balances(transfers).select(
+        "collection_id", "token_id_hex", "account", F.col("quantity").alias("exp_quantity")
+    )
+    stored = db_owners.select("collection_id", "token_id_hex", "account", "quantity")
+    joined = expected.join(stored, ["collection_id", "token_id_hex", "account"], "full_outer")
+    return joined.select(
+        "collection_id",
+        "token_id_hex",
+        "account",
+        F.when(F.col("quantity").isNull() & F.col("exp_quantity").isNotNull(), F.lit("missing_in_db"))
+        .when(F.col("exp_quantity").isNull() & F.col("quantity").isNotNull(), F.lit("not_in_logs"))
+        .when(~(F.col("exp_quantity") <=> F.col("quantity")), F.lit("quantity_mismatch"))
+        .alias("error"),
+    ).filter(F.col("error").isNotNull())

@@ -1,0 +1,130 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+Oracle-checked forms of the ANN operators: brute-force cosine top-k, k-NN
+join, per-label dimension aggregation (the IVF centroid-building primitive),
+and sign-LSH bucketing.  Scores are doubles internally but results expose
+only (id, rank) / counts / exact decimals — rank order is stable because
+random embeddings have cosine gaps many orders of magnitude above any
+engine-level float noise, while raw double output would not hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.ann import cosine, knn_join_brute, lsh_sign_buckets
+from ..sources.tables import load_table
+
+TOPK_K = 10
+KNN_K = 5
+KNN_QUERY_IDS = 8  # queries = vec_id < 8
+LSH_PLANES = 8
+
+
+def topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = emb.select("vec_id", cosine(F.col("embedding"), q).alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(TOPK_K)
+    return top.select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())).alias("rank"),
+    )
+
+
+TOPK_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+  FROM embeddings e, q
+)
+SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+FROM s ORDER BY score DESC, vec_id ASC LIMIT {TOPK_K}
+"""
+
+
+def knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return knn_join_brute(queries, emb, k=KNN_K)
+
+
+KNN_SQL = f"""
+WITH s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {KNN_QUERY_IDS} AND q.vec_id <> c.vec_id
+), r AS (
+  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+  FROM s
+)
+SELECT q_id, c_id, rank FROM r WHERE rank <= {KNN_K}
+"""
+
+
+def dim_sums_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) component sums — the building block of an IVF
+    coarse quantizer (centroid = sum / count).
+
+    Components are fixed-pointed as ``floor(x * 1e6)`` **in double space**
+    before summing: float→decimal casts are rounding-mode-divergent across
+    engines (HALF_UP vs HALF_EVEN), but double multiply+floor is IEEE-exact
+    and identical everywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("dim", F.col("pos") + 1)
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(micro).alias("dim_sum_micro"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+DIM_SUMS_SQL = """
+SELECT label, i AS dim,
+       SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS dim_sum_micro,
+       COUNT(*) AS n
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i
+"""
+
+
+def lsh_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_sign_buckets(emb, num_planes=LSH_PLANES)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def _lsh_sql() -> str:
+    projs = []
+    for p in range(LSH_PLANES):
+        proj = (
+            "list_sum(list_transform(range(len(embedding)), d -> "
+            f"CAST(embedding[d+1] AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef', substr(md5('{p}|' || d), 1, 1)) - 1) & 1 = 1 THEN 1.0 ELSE -1.0 END)))"
+        )
+        projs.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+SELECT CAST({bucket} AS INT) AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+LSH_SQL = _lsh_sql()
+
+QUERIES = {
+    "emb_topk_cosine": (topk_query, TOPK_SQL),
+    "emb_knn_join": (knn_join_query, KNN_SQL),
+    "emb_label_dim_sums": (dim_sums_query, DIM_SUMS_SQL),
+    "emb_lsh_buckets": (lsh_bucket_query, LSH_SQL),
+}

@@ -1,0 +1,239 @@
+"""Operator-inventory analogs over the ``events`` stream table.
+
+Each query here exercises one family from SURVEY §2 with a driver-checkable
+oracle: routing/classification (P-filters + T15), the version oracle (T14),
+last-writer-wins folds (A1/A2, K5), additive ± balance folds (A3, K4/K7),
+JSON extraction, tumbling windows (ST7), and the J2 full-outer
+reconciliation shape.
+
+Determinism rules: the total order is ``event_id`` (the stream's
+attribute_version analog) — never raw ``ts``, whose nanosecond parquet
+precision Spark truncates to µs while DuckDB keeps it; timestamps only ever
+appear through ``date_trunc``; money flows through decimal casts; ratios are
+integer ppm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def classify_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P6 + T15 + T14: predicate routing, when/otherwise classification,
+    and the padded-hex version oracle, on one scan."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "mint")
+        .when(F.col("event_type") == "error", "burn")
+        .otherwise("transfer")
+        .alias("transaction_type"),
+        F.lpad(F.lower(F.hex(F.col("event_id"))), 40, "0").alias("version_hex"),
+    )
+
+
+CLASSIFY_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'purchase' THEN 'mint'
+            WHEN event_type = 'error' THEN 'burn'
+            ELSE 'transfer' END AS transaction_type,
+       lpad(lower(hex(event_id)), 40, '0') AS version_hex
+FROM events
+"""
+
+
+def token_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog: per-user fold — net value of mint/burn flows, first/last
+    event by the total order, event count (max_by/min_by on version)."""
+    e = load_table(spark, sf_dir, "events")
+    signed = (
+        F.when(F.col("event_type") == "purchase", _dec("value"))
+        .when(F.col("event_type") == "error", -_dec("value"))
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    return e.groupBy("user_id").agg(
+        F.sum(signed).cast("decimal(38,2)").alias("net_value"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.count("*").alias("n_events"),
+    )
+
+
+TOKEN_STATE_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                     WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS net_value,
+       arg_min(event_type, event_id) AS first_event_type,
+       arg_max(event_type, event_id) AS last_event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def latest_by_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/K5 analog: last-writer-wins row per key by total order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", _dec("value").alias("value_dec"))
+    )
+
+
+LATEST_SQL = """
+SELECT user_id, event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value_dec
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def json_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog with JSON extraction: each event moves `value` from the
+    counterparty (``props.k``) to the user; explode ± deltas, fold additive
+    balances, drop zeros (K7/K8)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        _dec("value").alias("v"),
+    )
+    deltas = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("user_id").alias("account"), F.col("v").alias("delta")),
+                F.struct(F.col("k").alias("account"), (-F.col("v")).alias("delta")),
+            )
+        ).alias("d")
+    ).select("d.account", "d.delta")
+    return (
+        deltas.groupBy("account")
+        .agg(F.sum("delta").cast("decimal(38,2)").alias("balance"))
+        .filter(F.col("balance") != 0)
+    )
+
+
+JSON_BALANCES_SQL = """
+WITH deltas AS (
+  SELECT user_id AS account, CAST(value AS DECIMAL(18,2)) AS delta FROM events
+  UNION ALL
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS account,
+         -CAST(value AS DECIMAL(18,2)) AS delta FROM events
+)
+SELECT account, CAST(SUM(delta) AS DECIMAL(38,2)) AS balance
+FROM deltas GROUP BY account
+HAVING CAST(SUM(delta) AS DECIMAL(38,2)) <> 0
+"""
+
+
+def window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: tumbling 1-hour window aggregation (batch form of the streaming
+    windowed agg; the foreachBatch tail reuses exactly this plan)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("decimal(38,2)").alias("total_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 shape: two independent per-user derivations, full-outer-joined;
+    null sides become the two error classes, mismatches the third."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.count("*").alias("n_purchases"))
+    clicks = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    j = purchases.join(clicks, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        "n_purchases",
+        "n_clicks",
+        F.when(F.col("n_clicks").isNull(), "missing_in_db")
+        .when(F.col("n_purchases").isNull(), "not_in_logs")
+        .when(F.col("n_purchases") == F.col("n_clicks"), "count_match")
+        .otherwise("count_mismatch")
+        .alias("status"),
+    )
+
+
+RECONCILE_SQL = """
+WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events WHERE event_type='purchase' GROUP BY 1),
+     c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events WHERE event_type='click' GROUP BY 1)
+SELECT COALESCE(p.user_id, c.user_id) AS user_id, n_purchases, n_clicks,
+       CASE WHEN n_clicks IS NULL THEN 'missing_in_db'
+            WHEN n_purchases IS NULL THEN 'not_in_logs'
+            WHEN n_purchases = n_clicks THEN 'count_match'
+            ELSE 'count_mismatch' END AS status
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows by 30-minute inactivity gap — the classic streaming
+    session operator in its batch form (lag + cumulative sum over the
+    per-user event sequence)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts) div 1000000").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = F.when(
+        (F.col("sec") - F.lag("sec", 1).over(w)) > 1800, 1
+    ).otherwise(0)
+    sess = e.withColumn("new_sess", gap).withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH seq AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                   OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM seq
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM sess GROUP BY user_id, session_no
+"""
+
+QUERIES = {
+    "evt_classify_route": (classify_route, CLASSIFY_SQL),
+    "evt_token_state_fold": (token_state_fold, TOKEN_STATE_SQL),
+    "evt_latest_by_version": (latest_by_version, LATEST_SQL),
+    "evt_json_balances": (json_balances, JSON_BALANCES_SQL),
+    "evt_window_hourly": (window_hourly, WINDOW_SQL),
+    "evt_full_outer_reconcile": (full_outer_reconcile, RECONCILE_SQL),
+    "evt_sessionize": (sessionize, SESSIONIZE_SQL),
+}

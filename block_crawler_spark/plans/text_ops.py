@@ -1,0 +1,272 @@
+"""Text-analysis and deduplication queries over ``documents``.
+
+Oracle-checked versions of the training-data-pipeline operators: token
+statistics, quality scoring, language ID, exact dedup, MinHash+LSH near-dup
+pairs, and SimHash signatures.  All ratios are emitted as **integer ppm**
+(``x * 1_000_000 DIV denominator``) — integer division is the one rounding
+rule both engines share bit-for-bit; decimal casts of nonterminating
+fractions are not (half-up vs half-even at the cut digit).
+
+The MinHash/SimHash SQL oracles are generated programmatically so the hash
+layouts (seed prefixes, band widths, bit order) stay provably in lockstep
+with the Spark operators in ``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    PUNCT_PATTERN,
+    PUNCT_PATTERN_SQL,
+    STOPWORDS,
+    TOKEN_PATTERN,
+    fingerprint,
+    lang_id,
+    n_tokens,
+    regex_token_count,
+    stopword_hits,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash64,
+)
+from ..sources.tables import load_table
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+SHINGLE_K = 3
+SIMHASH_BITS = 16
+JACCARD_PPM_THRESHOLD = 100_000  # 0.1
+
+
+# ---------------------------------------------------------------------------
+# token statistics
+# ---------------------------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    total_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("n_tok"),
+        regex_token_count(F.col("text")).alias("n_regex_tok"),
+        total_chars.alias("token_chars"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '\\\\s', '')) * 100 DIV "
+            "size(split(trim(text), '\\\\s+')) AS BIGINT)"
+        ).alias("avg_len_centi"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_regex_tok,
+       length(regexp_replace(text, '\\s', '', 'g')) AS token_chars,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) * 100 // len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS avg_len_centi
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (ppm domain)
+# ---------------------------------------------------------------------------
+
+def quality_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = n_tokens(text)
+    stop = stopword_hits(text, "en")
+    punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
+    scored = d.select(
+        "doc_id",
+        n.alias("n_tok"),
+        stop.alias("n_stop"),
+        punct.alias("n_punct"),
+        F.length(text).alias("n_chars"),
+    )
+    scored = (
+        scored.withColumn("stop_ppm", F.expr("CAST(n_stop * 1000000 DIV n_tok AS BIGINT)"))
+        .withColumn("punct_ppm", F.expr("CAST(n_punct * 1000000 DIV n_chars AS BIGINT)"))
+        .withColumn("len_term_ppm", F.least(F.col("n_tok").cast("long") * 10_000, F.lit(1_000_000).cast("long")))
+        .withColumn(
+            "quality_ppm",
+            F.expr("CAST((4 * len_term_ppm + 4 * stop_ppm + 2 * (1000000 - punct_ppm)) DIV 10 AS BIGINT)"),
+        )
+    )
+    return scored.select("doc_id", "n_tok", "n_stop", "n_punct", "stop_ppm", "punct_ppm", "quality_ppm")
+
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({_EN}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '{PUNCT_PATTERN_SQL}', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), ppm AS (
+  SELECT doc_id, n_tok, n_stop, n_punct,
+         CAST(n_stop * 1000000 // n_tok AS BIGINT) AS stop_ppm,
+         CAST(n_punct * 1000000 // n_chars AS BIGINT) AS punct_ppm,
+         least(CAST(n_tok AS BIGINT) * 10000, 1000000) AS len_term_ppm
+  FROM base
+)
+SELECT doc_id, n_tok, n_stop, n_punct, stop_ppm, punct_ppm,
+       CAST((4 * len_term_ppm + 4 * stop_ppm + 2 * (1000000 - punct_ppm)) // 10 AS BIGINT) AS quality_ppm
+FROM ppm
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in STOPWORDS
+    )
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    best = f"greatest({', '.join('h_' + lang for lang in STOPWORDS)})"
+    case = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs_desc)
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM documents
+)
+SELECT doc_id, lang, CASE {case} END AS lang_pred FROM h
+"""
+
+
+LANG_SQL = _lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K).cache()
+    cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    sh = sigs.select("doc_id", "shingles")
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
+        .withColumn("jaccard_ppm", F.expr("CAST(inter * 1000000 DIV uni AS BIGINT)"))
+    )
+    return j.filter(F.col("jaccard_ppm") >= JACCARD_PPM_THRESHOLD).select(
+        "id_a", "id_b", "inter", "uni", "jaccard_ppm"
+    )
+
+
+def _shingle_sql_expr() -> str:
+    return (
+        "list_sort(list_distinct(CASE WHEN len(t) >= 3 THEN "
+        "list_transform(range(len(t)-2), i -> array_to_string(list_slice(t, i+1, i+3), ' ')) "
+        "ELSE [array_to_string(t, ' ')] END))"
+    )
+
+
+def _minhash_sql() -> str:
+    sig_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), shn AS (
+  SELECT doc_id, {_shingle_sql_expr()} AS sh FROM tk
+), sg AS (
+  SELECT doc_id, sh, [{sig_list}] AS sig FROM shn
+), bands AS (
+  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bv
+  FROM sg, unnest(range({n_bands})) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni
+  FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, inter, uni, CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm
+FROM pairs WHERE inter * 1000000 // uni >= {JACCARD_PPM_THRESHOLD}
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    bit_sums = []
+    for j in range(SIMHASH_BITS):
+        di, bd = j // 4 + 1, 3 - (j % 4)
+        bit_sums.append(
+            f"SUM(2 * (((strpos('0123456789abcdef', substr(md5('s|' || t), {di}, 1)) - 1) >> {bd}) & 1) - 1) AS b{j}"
+        )
+    recompose = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << (SIMHASH_BITS - 1 - j)} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id, {', '.join(bit_sums)}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+QUERIES = {
+    "doc_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_quality_ppm": (quality_ppm, QUALITY_SQL),
+    "doc_lang_id": (lang_id_query, LANG_SQL),
+    "dedup_exact": (exact_dedup_query, EXACT_DEDUP_SQL),
+    "dedup_minhash_lsh_pairs": (minhash_pairs_query, MINHASH_SQL),
+    "dedup_simhash": (simhash_query, SIMHASH_SQL),
+}
