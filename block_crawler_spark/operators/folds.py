@@ -122,31 +122,39 @@ def fold_erc721_owners(transfers: DataFrame) -> DataFrame:
     )
 
 
-def fold_erc1155_balances(transfers: DataFrame) -> DataFrame:
-    """A3 — additive balances per (token, account); zero balances dropped.
+def _signed_delta_rows(t: DataFrame) -> DataFrame:
+    """Transfer events → exploded ± balance deltas, **type-aware**.
 
-    Each transfer explodes into ±quantity rows (the reference builds the same
-    ± pairs at ``nft/consumers.py:162-172``): +qty to the recipient unless it
-    is the zero address (burn), −qty from the sender unless it is the zero
-    address (mint).  One shuffle on (collection, token, account).
+    mint → +qty to the recipient only (a mint from the contract's own
+    address must not debit the contract, ``oracles.py:42-49``); burn → −qty
+    from the sender only; transfer → both sides.  Zero-address sides are
+    additionally dropped defensively.  The reference builds the same ± pairs
+    in its incremental consumers (``nft/consumers.py:162-172``).
     """
-    t = transfers.filter(F.col("specification") != SPEC_ERC721)
     zero = F.lit(ZERO_ADDRESS)
-    deltas = t.select(
+    is_mint = F.col("transaction_type") == TX_MINT
+    is_burn = F.col("transaction_type") == TX_BURN
+    plus = F.struct(F.col("to_").alias("account"), F.col("quantity").alias("delta"))
+    minus = F.struct(F.col("from_").alias("account"), (-F.col("quantity")).alias("delta"))
+    sides = (
+        F.when(is_mint, F.array(plus))
+        .when(is_burn, F.array(minus))
+        .otherwise(F.array(plus, minus))
+    )
+    return t.select(
         "blockchain",
         "collection_id",
         "token_id_hex",
-        F.explode(
-            F.filter(
-                F.array(
-                    F.struct(F.col("to_").alias("account"), F.col("quantity").alias("delta")),
-                    F.struct(F.col("from_").alias("account"), (-F.col("quantity")).alias("delta")),
-                ),
-                lambda s: s["account"] != zero,
-            )
-        ).alias("d"),
+        F.explode(F.filter(sides, lambda s: s["account"] != zero)).alias("d"),
     ).select("blockchain", "collection_id", "token_id_hex", "d.account", "d.delta")
 
+
+def fold_erc1155_balances(transfers: DataFrame) -> DataFrame:
+    """A3 — additive balances per (token, account); zero balances dropped.
+
+    One shuffle on (collection, token, account) after the ± explode.
+    """
+    deltas = _signed_delta_rows(transfers.filter(F.col("specification") != SPEC_ERC721))
     balances = deltas.groupBy("blockchain", "collection_id", "token_id_hex", "account").agg(
         _null_if_any_overflow(F.sum("delta"), "delta").alias("quantity")
     )
@@ -158,6 +166,23 @@ def fold_erc1155_balances(transfers: DataFrame) -> DataFrame:
 def fold_owners(transfers: DataFrame) -> DataFrame:
     """A2 ∪ A3 — the unified ``owner`` silver table."""
     return fold_erc721_owners(transfers).unionByName(fold_erc1155_balances(transfers))
+
+
+def fold_owner_deltas(transfers: DataFrame) -> DataFrame:
+    """A5 — incremental ± owner deltas over ALL transfers (both specs).
+
+    The reference's incremental crawl path applies signed adds per transfer
+    event to the owner table (``nft/consumers.py:153-190``): recipient +qty,
+    sender −qty, zero-address sides skipped.  For ERC-721 this converges to
+    the same ownership as the A2 snapshot fold (each transfer moves a +1),
+    so chunked tail ingestion equals one-shot bulk crawl — tested as the
+    engine's core incremental invariant.
+    """
+    deltas = _signed_delta_rows(transfers)
+    any_null = F.max(F.col("delta").isNull().cast("int")) == 1
+    return deltas.groupBy("blockchain", "account", "collection_id", "token_id_hex").agg(
+        F.when(any_null, F.lit(None).cast("decimal(38,0)")).otherwise(F.sum("delta")).alias("quantity")
+    )
 
 
 def transfers_to_silver(transfers: DataFrame, data_version: int, blockchain: str | None = None) -> DataFrame:
@@ -177,6 +202,7 @@ def transfers_to_silver(transfers: DataFrame, data_version: int, blockchain: str
             "collection_id",
             "attribute_version_hex",
             "token_id_hex",
+            "batch_index",
             *( [F.col("timestamp")] if "timestamp" in t.columns else [F.lit(None).cast("long").alias("timestamp")] ),
             F.col("block_number").alias("block_id"),
             "transaction_hash",

@@ -107,6 +107,75 @@ def additive_upsert(
     return merged
 
 
+def token_state_merge(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """Per-field token-state merge for incremental batches (K2+K4+K5+K3).
+
+    Mirrors the reference's field-level conditional writes on the ``token``
+    table:
+
+    * ``quantity`` — additive within a ``data_version``, SET on a newer one
+      (K4 two-phase ADD/SET); NULL (overflow clamp) poisons.
+    * ``mint_block``/``mint_timestamp``/``original_owner`` — earliest mint
+      wins (K2 writes mint fields once; out-of-order batches pick the lower
+      mint_block).
+    * ``current_owner`` — last-writer-wins on (data_version,
+      current_owner_version_hex) (K5).
+    * ``metadata_url`` — last-writer-wins on (data_version,
+      metadata_url_version_hex) (K3).
+    """
+    keys = ["blockchain", "collection_id", "token_id_hex"]
+    e = existing.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    unioned = e.unionByName(u, allowMissingColumns=True)
+
+    # two-phase ADD/SET: find the winning data_version per key, then sum
+    # quantity contributions at exactly that version (same shape as
+    # additive_upsert — aggregates cannot nest)
+    winner = unioned.groupBy(*keys).agg(F.max("data_version").alias("_win_v"))
+    both = unioned.join(winner, keys, "inner").withColumn(
+        "_is_win", F.col("data_version") == F.col("_win_v")
+    )
+
+    qty_at_win = F.sum(F.when(F.col("_is_win"), F.col("quantity")))
+    qty_poison = F.max((F.col("quantity").isNull() & F.col("_is_win")).cast("int")) == 1
+
+    return both.groupBy(*keys).agg(
+        F.first("specification", ignorenulls=True).alias("specification"),
+        F.when(qty_poison, F.lit(None).cast("decimal(38,0)")).otherwise(qty_at_win).alias("quantity"),
+        F.min_by(
+            F.struct("original_owner", "mint_block", "mint_timestamp"),
+            F.when(F.col("mint_block").isNotNull(), F.col("mint_block")),
+        ).alias("_mint"),
+        F.max_by(
+            F.struct("current_owner", "current_owner_version_hex"),
+            F.when(
+                F.col("current_owner_version_hex").isNotNull(),
+                F.struct(F.col("data_version"), F.col("current_owner_version_hex")),
+            ),
+        ).alias("_own"),
+        F.max_by(
+            F.struct("metadata_url", "metadata_url_version_hex"),
+            F.when(
+                F.col("metadata_url_version_hex").isNotNull(),
+                F.struct(F.col("data_version"), F.col("metadata_url_version_hex")),
+            ),
+        ).alias("_meta"),
+        F.max("data_version").alias("data_version"),
+    ).select(
+        *keys,
+        "specification",
+        "quantity",
+        F.col("_mint.original_owner").alias("original_owner"),
+        F.col("_mint.mint_block").alias("mint_block"),
+        F.col("_mint.mint_timestamp").alias("mint_timestamp"),
+        F.col("_own.current_owner").alias("current_owner"),
+        F.col("_own.current_owner_version_hex").alias("current_owner_version_hex"),
+        F.col("_meta.metadata_url").alias("metadata_url"),
+        F.col("_meta.metadata_url_version_hex").alias("metadata_url_version_hex"),
+        "data_version",
+    )
+
+
 def idempotent_append(
     existing: DataFrame, updates: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -84,9 +84,9 @@ def reconcile_tokens(chain_logs: DataFrame, db_tokens: DataFrame) -> DataFrame:
         "token_id_hex",
         F.when(F.col("quantity").isNull() & F.col("exp_quantity").isNotNull(), F.lit("missing_in_db"))
         .when(F.col("exp_quantity").isNull() & F.col("quantity").isNotNull(), F.lit("not_in_logs"))
-        .when(~(F.col("exp_quantity") <=> F.col("quantity")), F.lit("quantity_mismatch"))
-        .when(~(F.col("exp_current_owner") <=> F.col("current_owner")), F.lit("owner_mismatch"))
-        .when(~(F.col("exp_original_owner") <=> F.col("original_owner")), F.lit("original_owner_mismatch"))
+        .when(~F.col("exp_quantity").eqNullSafe(F.col("quantity")), F.lit("quantity_mismatch"))
+        .when(~F.col("exp_current_owner").eqNullSafe(F.col("current_owner")), F.lit("owner_mismatch"))
+        .when(~F.col("exp_original_owner").eqNullSafe(F.col("original_owner")), F.lit("original_owner_mismatch"))
         .alias("error"),
     ).filter(F.col("error").isNotNull())
 
@@ -105,6 +105,6 @@ def reconcile_balances(chain_logs: DataFrame, db_owners: DataFrame) -> DataFrame
         "account",
         F.when(F.col("quantity").isNull() & F.col("exp_quantity").isNotNull(), F.lit("missing_in_db"))
         .when(F.col("exp_quantity").isNull() & F.col("quantity").isNotNull(), F.lit("not_in_logs"))
-        .when(~(F.col("exp_quantity") <=> F.col("quantity")), F.lit("quantity_mismatch"))
+        .when(~F.col("exp_quantity").eqNullSafe(F.col("quantity")), F.lit("quantity_mismatch"))
         .alias("error"),
     ).filter(F.col("error").isNotNull())

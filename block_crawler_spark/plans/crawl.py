@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.hexint import hex_to_dec
 from ..operators.decode import decode_token_transfers, decode_uri_updates
 from ..operators.folds import (
+    fold_owner_deltas,
     fold_owners,
     fold_token_state,
     transfers_to_silver,
@@ -43,7 +44,8 @@ class SilverTables:
     collections: DataFrame
     tokens: DataFrame
     token_transfers: DataFrame
-    owners: DataFrame
+    owners: DataFrame  # snapshot fold (A2 ∪ A3) — bulk/load path
+    owner_deltas: DataFrame  # ± incremental fold (A5) — tail path
 
 
 def derive_collections(
@@ -137,11 +139,12 @@ def crawl_plan(
 
     tokens = fold_token_state(transfers, uris).withColumn("data_version", F.lit(data_version))
     owners = fold_owners(transfers).withColumn("data_version", F.lit(data_version))
+    owner_deltas = fold_owner_deltas(transfers)
     token_transfers = transfers_to_silver(transfers, data_version)
 
     if collections is None:
         collections = spark.createDataFrame([], "blockchain string, collection_id string")
-    return SilverTables(collections, tokens, token_transfers, owners)
+    return SilverTables(collections, tokens, token_transfers, owners, owner_deltas)
 
 
 def total_supply_check(collections: DataFrame, tokens: DataFrame) -> DataFrame:

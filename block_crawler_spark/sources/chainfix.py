@@ -68,9 +68,9 @@ class FixtureBuilder:
     def _advance(self) -> tuple[int, int, int]:
         pos = (self.block, self.tx, self.log)
         self.log += 1
-        if self.log >= 7:
+        if self.log >= 3:
             self.log, self.tx = 0, self.tx + 1
-        if self.tx >= 5:
+        if self.tx >= 3:
             self.tx, self.block = 0, self.block + 1
         return pos
 
@@ -161,8 +161,22 @@ def standard_scenario(seed: int = 42) -> FixtureBuilder:
     fb.erc1155_single(c1155, op, ZERO, dave, BIG_ID, 3)  # huge token id, small qty
     fb.erc1155_single(c1155, op, ZERO, alice, 12, 1 << 200)  # qty overflows Decimal(38)
 
-    # a little deterministic volume for plan-shape realism
+    # deterministic volume with consistent ownership (mint → transfer from
+    # the actual current owner → occasional burn), so the additive incremental
+    # fold (A5) and the last-writer-wins snapshot fold (A2) agree — the same
+    # consistency a real chain guarantees
+    owner_of: dict[int, str] = {}
     for i in range(50):
-        a, b = addr(10 + rng.randrange(6)), addr(10 + rng.randrange(6))
-        fb.erc721_transfer(c721, ZERO if i % 7 == 0 else a, b if i % 11 else ZERO, 100 + i % 13)
+        token = 100 + i % 13
+        actor = addr(10 + rng.randrange(6))
+        cur = owner_of.get(token)
+        if cur is None:
+            fb.erc721_transfer(c721, ZERO, actor, token)  # mint
+            owner_of[token] = actor
+        elif i % 11 == 0:
+            fb.erc721_transfer(c721, cur, ZERO, token)  # burn
+            del owner_of[token]
+        else:
+            fb.erc721_transfer(c721, cur, actor, token)  # transfer
+            owner_of[token] = actor
     return fb

@@ -1,0 +1,121 @@
+"""Parquet-backed silver store with version-guarded merge semantics.
+
+The reference's sink is DynamoDB with conditional writes (K1–K13); here the
+same semantics run against plain parquet tables via ``operators.merge``.
+On a transactional table format the merge functions map 1:1 onto ``MERGE
+INTO`` (conditions documented per function in ``operators.merge``); the
+parquet fallback rewrites the table — fine for silver-sized entity state,
+and partitioned by ``blockchain`` so a merge touches one partition tree.
+
+Writes break lineage with an eager localCheckpoint before overwriting the
+path being read (classic read-modify-write over the same files).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from ..schemas import (
+    COLLECTION_SCHEMA,
+    CRAWLER_CONFIG_SCHEMA,
+    OWNER_SCHEMA,
+    TOKEN_SCHEMA,
+    TOKEN_TRANSFER_SCHEMA,
+)
+
+_SCHEMAS = {
+    "collections": COLLECTION_SCHEMA,
+    "tokens": TOKEN_SCHEMA,
+    "token_transfers": TOKEN_TRANSFER_SCHEMA,
+    "owners": OWNER_SCHEMA,
+    "crawler_config": CRAWLER_CONFIG_SCHEMA,
+}
+
+KEYS = {
+    "collections": ["blockchain", "collection_id"],
+    "tokens": ["blockchain", "collection_id", "token_id_hex"],
+    "token_transfers": ["blockchain", "collection_id", "attribute_version_hex", "token_id_hex", "batch_index"],
+    "owners": ["blockchain", "account", "collection_id", "token_id_hex"],
+    "crawler_config": ["blockchain"],
+}
+
+
+@dataclass
+class SilverStore:
+    spark: SparkSession
+    root: str
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, table: str) -> DataFrame:
+        path = self._path(table)
+        if not os.path.exists(path):
+            schema = _SCHEMAS[table]
+            if table == "token_transfers":
+                # silver transfers carry the 1155 batch disambiguator
+                return self.spark.createDataFrame([], schema).withColumn("batch_index", F.lit(0).cast("int"))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        out = df.localCheckpoint(eager=True)  # break lineage off the files being replaced
+        out.write.mode("overwrite").parquet(self._path(table))
+
+    # -- merge operations (K1-K9) ------------------------------------------
+    def upsert_collections(self, updates: DataFrame) -> None:
+        self.overwrite("collections", M.versioned_upsert(self.read("collections"), updates, KEYS["collections"]))
+
+    def upsert_tokens(self, updates: DataFrame) -> None:
+        """Per-field merge (K2+K3+K4+K5) — see ``merge.token_state_merge``."""
+        existing = self.read("tokens")
+        if "specification" not in existing.columns:
+            existing = existing.withColumn("specification", F.lit(None).cast("string"))
+        self.overwrite("tokens", M.token_state_merge(existing, updates))
+
+    def append_transfers(self, updates: DataFrame) -> None:
+        self.overwrite(
+            "token_transfers", M.idempotent_append(self.read("token_transfers"), updates, KEYS["token_transfers"])
+        )
+
+    def merge_owner_deltas(self, deltas: DataFrame) -> None:
+        """K7/K8: additive balance merge, zero balances dropped."""
+        self.overwrite(
+            "owners",
+            M.additive_upsert(self.read("owners"), deltas, KEYS["owners"], drop_zero=True),
+        )
+
+    # -- control table (K12) -----------------------------------------------
+    def get_config(self, blockchain: str) -> tuple[int, int | None]:
+        """(data_version, last_block_id) — data_version starts at 1."""
+        rows = self.read("crawler_config").filter(F.col("blockchain") == blockchain).collect()
+        if not rows:
+            return 1, None
+        return rows[0]["data_version"], rows[0]["last_block_id"]
+
+    def set_config(self, blockchain: str, data_version: int, last_block_id: int | None) -> None:
+        updates = self.spark.createDataFrame(
+            [(blockchain, data_version, last_block_id)], CRAWLER_CONFIG_SCHEMA
+        )
+        existing = self.read("crawler_config").filter(F.col("blockchain") != blockchain)
+        self.overwrite("crawler_config", existing.unionByName(updates))
+
+    def increment_data_version(self, blockchain: str) -> int:
+        """Atomic-enough for a single-writer driver: the reference's
+        ``data_version + 1`` run-epoch bump (``shared.py:153-184``)."""
+        dv, last = self.get_config(blockchain)
+        new = dv + 1
+        self.set_config(blockchain, new, last)
+        return new
+
+    def reset(self) -> None:
+        """K13 — drop all tables."""
+        import shutil
+
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)

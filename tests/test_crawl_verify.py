@@ -1,0 +1,133 @@
+"""End-to-end crawl plan + verify reconciliation tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_crawler_spark.operators.verify import (
+    reconcile_balances,
+    reconcile_tokens,
+    reconcile_transfers,
+)
+from block_crawler_spark.plans.crawl import crawl_plan, total_supply_check
+from block_crawler_spark.schemas import (
+    CONTRACT_SCHEMA,
+    LOG_SCHEMA,
+    RECEIPT_SCHEMA,
+)
+from block_crawler_spark.sources.chainfix import addr, standard_scenario
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    fb = standard_scenario()
+    logs = spark.createDataFrame(fb.rows, LOG_SCHEMA)
+    blocks = spark.createDataFrame(fb.blocks(), "number long, hash string, parent_hash string, miner string, timestamp long, gas_limit long, gas_used long, size long, difficulty long, transaction_hashes array<string>")
+    c721, c1155 = addr(0xAA01), addr(0xBB02)
+    receipts = spark.createDataFrame(
+        [
+            ("0x01", 99, 0, addr(0xC0), None, c721, 21000, 21000, 1),
+            ("0x02", 99, 1, addr(0xC1), None, c1155, 21000, 42000, 1),
+            ("0x03", 99, 2, addr(0xC2), None, addr(0xDD), 21000, 63000, 1),  # not a collection
+            ("0x04", 99, 3, addr(0xC3), addr(0xEE), None, 21000, 84000, 1),  # normal tx
+        ],
+        RECEIPT_SCHEMA,
+    )
+    contracts = spark.createDataFrame(
+        [
+            (c721, True, False, "Kitty Cats", "KC", "0x" + "0" * 62 + "0d", addr(0xC0)),
+            (c1155, False, True, "MultiThing", "MT", None, addr(0xC1)),
+            (addr(0xDD), False, False, None, None, None, None),
+        ],
+        CONTRACT_SCHEMA,
+    )
+    return fb, logs, blocks, receipts, contracts
+
+
+@pytest.fixture(scope="module")
+def silver(spark, chain):
+    fb, logs, blocks, receipts, contracts = chain
+    return crawl_plan(
+        spark, logs, blocks, receipts=receipts, transactions=None, contracts=contracts,
+        blockchain="testnet", data_version=7,
+    )
+
+
+def test_collections(spark, silver):
+    cols = {r["collection_id"]: r for r in silver.collections.collect()}
+    assert set(cols) == {addr(0xAA01), addr(0xBB02)}
+    c = cols[addr(0xAA01)]
+    assert c["specification"] == "ERC-721"
+    assert c["name_lower"] == "kitty cats"
+    assert c["creator"] == addr(0xC0)
+    assert c["data_version"] == 7
+    # block 99 is not in the fixture blocks table → no timestamp
+    assert cols[addr(0xBB02)]["specification"] == "ERC-1155"
+
+
+def test_transfers_have_timestamps(spark, silver):
+    t = silver.token_transfers
+    assert t.filter(F.col("timestamp").isNull()).count() == 0
+    assert t.filter(F.col("data_version") != 7).count() == 0
+    # idempotent key is unique
+    n = t.count()
+    assert t.select("collection_id", "attribute_version_hex", "token_id_hex", "batch_index").distinct().count() == n
+
+
+def test_tokens_and_owners_consistent(spark, silver):
+    tokens = silver.tokens
+    owners = silver.owners
+    # every ERC-721 owner row's token exists in the token table
+    j = owners.join(
+        tokens.select("collection_id", "token_id_hex").withColumn("x", F.lit(1)),
+        ["collection_id", "token_id_hex"],
+        "left",
+    )
+    assert j.filter(F.col("x").isNull()).count() == 0
+    # supply check runs and reports per-collection counts
+    report = total_supply_check(silver.collections, tokens).collect()
+    assert len(report) == 2
+
+
+def test_verify_clean_roundtrip(spark, chain, silver):
+    """Silver built from the logs reconciles cleanly against those logs."""
+    fb, logs, *_ = chain
+    assert reconcile_transfers(logs, silver.token_transfers).count() == 0
+    assert (
+        reconcile_tokens(
+            logs, silver.tokens.filter(F.col("collection_id").isin(addr(0xAA01), addr(0xBB02)))
+        ).count()
+        == 0
+    )
+    assert (
+        reconcile_balances(
+            logs, silver.owners.filter(F.col("collection_id") == addr(0xBB02))
+        ).count()
+        == 0
+    )
+
+
+def test_verify_detects_corruption(spark, chain, silver):
+    fb, logs, *_ = chain
+    # corrupt one stored transfer's recipient → field_mismatch
+    t = silver.token_transfers
+    first_key = t.orderBy("attribute_version_hex").first()
+    corrupted = t.withColumn(
+        "to_",
+        F.when(F.col("attribute_version_hex") == first_key["attribute_version_hex"], F.lit(addr(0xBAD))).otherwise(
+            F.col("to_")
+        ),
+    )
+    errs = reconcile_transfers(logs, corrupted).collect()
+    assert any(e["error"] == "field_mismatch" for e in errs)
+
+    # drop a row → missing_in_db
+    dropped = t.filter(F.col("attribute_version_hex") != first_key["attribute_version_hex"])
+    errs2 = reconcile_transfers(logs, dropped).collect()
+    assert any(e["error"] == "missing_in_db" for e in errs2)
+
+    # add a phantom row → not_in_logs
+    phantom = t.limit(1).withColumn("block_id", F.lit(999_999))
+    errs3 = reconcile_transfers(logs, t.unionByName(phantom)).collect()
+    assert any(e["error"] == "not_in_logs" for e in errs3)

@@ -108,9 +108,15 @@ def oracle_fold(transfers, uris):
         # A2 — erc721 last event incl. burn
         if t["spec"] == "ERC-721":
             owners721[key] = (t["to"], t["type"])
-        # A3 — erc1155 ± balances
+        # A3 — erc1155 ± balances (type-aware: mint credits only, burn debits only)
         if t["spec"] == "ERC-1155":
-            for acct, delta in ((t["to"], t["qty"]), (t["frm"], -t["qty"])):
+            if t["type"] == "mint":
+                sides = [(t["to"], t["qty"])]
+            elif t["type"] == "burn":
+                sides = [(t["frm"], -t["qty"])]
+            else:
+                sides = [(t["to"], t["qty"]), (t["frm"], -t["qty"])]
+            for acct, delta in sides:
                 if acct != ZERO:
                     b = balances.setdefault((t["coll"], t["token"], acct), {"sum": 0, "poison": False})
                     if _clamp(delta) is None:
