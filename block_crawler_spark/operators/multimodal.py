@@ -1,0 +1,262 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Large-scale training pipelines treat media as ``BinaryType`` content columns
+with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
+stages — that plumbing (schemas, batch shapes, 1→N frame fanout,
+partitioning) is fully real and tested here.  Only the *codec* decode step
+is environment-gated: with no image/audio libraries in the runtime, "raw"
+payloads are processed with pure numpy, and compressed codecs raise a
+clearly marked ``NotImplementedError`` unless PIL/soundfile happen to be
+installed (import-try, never a hard dependency).
+
+Scale notes: media rows are large (MBs); the stages below never shuffle the
+content column — features/frames project it away as early as possible, and
+fanout stages emit only the slices they keep.  Partition sizing is by bytes,
+not rows: repartition upstream so a partition's content fits executor
+memory (``spark.sql.files.maxPartitionBytes`` governs the scan side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+MEDIA_METADATA = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("codec", StringType(), True),  # 'raw' | 'jpeg' | 'png' | 'pcm16' | 'rawvideo'
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("metadata", MEDIA_METADATA, True),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("byte_histogram", ArrayType(FloatType()), True),  # 16 bins, normalized
+        StructField("mean_intensity", FloatType(), True),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("chunk_rms", ArrayType(FloatType()), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def _decode_image(content: bytes, meta) -> np.ndarray:
+    """Binary → HxWxC uint8 array.  'raw' is real (numpy reshape); codec
+    formats need an image library (stubbed)."""
+    codec = meta["codec"]
+    if codec == "raw":
+        w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"] or 1)
+        return np.frombuffer(content, dtype=np.uint8)[: w * h * c].reshape(h, w, c)
+    if not _HAS_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            f"decoding codec {codec!r} requires an image library not present in this "
+            "runtime; supply 'raw' payloads or install PIL"
+        )
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(content)))  # pragma: no cover
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Per-image features via Arrow-batched mapInPandas (pure numpy).
+
+    Content is consumed inside the stage and never emitted — the output is
+    feature-sized, so downstream shuffles move KBs, not media bytes.
+    """
+    cols = [f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = np.frombuffer(r["content"] or b"", dtype=np.uint8)
+                hist = np.histogram(buf, bins=16, range=(0, 256))[0].astype(np.float64)
+                total = hist.sum() or 1.0
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(buf),
+                        "byte_histogram": (hist / total).astype(np.float32).tolist(),
+                        "mean_intensity": float(buf.mean()) if len(buf) else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize for 'raw' images (pure numpy); codec formats
+    are the stubbed path (`_decode_image`).  Output keeps MEDIA_SCHEMA."""
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["metadata"]
+                img = _decode_image(r["content"], meta)
+                h, w = img.shape[0], img.shape[1]
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = img[yi][:, xi]
+                new_meta = dict(meta.asDict() if hasattr(meta, "asDict") else meta)
+                new_meta.update(width=out_w, height=out_h)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "content": resized.tobytes(),
+                        "metadata": new_meta,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(resize, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame, chunk: int = 1024) -> DataFrame:
+    """PCM16 audio → RMS/peak + per-chunk RMS profile (pure numpy)."""
+    cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["metadata"]
+                if meta["codec"] != "pcm16":
+                    raise NotImplementedError(
+                        f"audio codec {meta['codec']!r} requires an audio library not "
+                        "present in this runtime; supply 'pcm16' payloads"
+                    )
+                samples = np.frombuffer(r["content"] or b"", dtype="<i2").astype(np.float64) / 32768.0
+                n = len(samples)
+                n_chunks = (n + chunk - 1) // chunk
+                crms = [
+                    float(np.sqrt(np.mean(samples[i * chunk : (i + 1) * chunk] ** 2)))
+                    for i in range(n_chunks)
+                ]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_samples": n,
+                        "rms": float(np.sqrt(np.mean(samples**2))) if n else None,
+                        "peak": float(np.abs(samples).max()) if n else None,
+                        "chunk_rms": np.asarray(crms, dtype=np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling: 1 media row → N frame rows (every_n-th frame).
+
+    'rawvideo' = concatenated raw frames of width*height*channels bytes; the
+    fanout happens inside the Arrow batch so only kept frames are emitted.
+    """
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["metadata"]
+                if meta["codec"] != "rawvideo":
+                    raise NotImplementedError(
+                        f"video codec {meta['codec']!r} requires a video library not "
+                        "present in this runtime; supply 'rawvideo' payloads"
+                    )
+                frame_bytes = int(meta["width"]) * int(meta["height"]) * int(meta["channels"] or 1)
+                content = r["content"] or b""
+                n_frames = int(meta["n_frames"] or (len(content) // frame_bytes))
+                for fi in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_index": fi,
+                            "frame": content[fi * frame_bytes : (fi + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(frames, FRAME_SCHEMA)
+
+
+def synthetic_media(spark, n_images: int = 8, n_audio: int = 4, n_video: int = 2):
+    """Deterministic fake media table (seeded bytes) for tests/demos."""
+    rng = np.random.default_rng(42)
+    rows = []
+    mid = 0
+    for _ in range(n_images):
+        w, h, c = 16, 12, 3
+        rows.append(
+            (mid, "image", rng.integers(0, 256, w * h * c, dtype=np.uint8).tobytes(),
+             (w, h, c, None, None, "raw", None))
+        )
+        mid += 1
+    for _ in range(n_audio):
+        n = 4000
+        pcm = (np.sin(np.linspace(0, 440, n)) * 20000).astype("<i2")
+        rows.append((mid, "audio", pcm.tobytes(), (None, None, None, 16000, 250, "pcm16", None)))
+        mid += 1
+    for _ in range(n_video):
+        w, h, c, nf = 8, 6, 1, 10
+        rows.append(
+            (mid, "video", rng.integers(0, 256, w * h * c * nf, dtype=np.uint8).tobytes(),
+             (w, h, c, None, None, "rawvideo", nf))
+        )
+        mid += 1
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
