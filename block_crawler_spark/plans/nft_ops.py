@@ -47,11 +47,10 @@ def _addr(c: Column) -> Column:
 def lineitem_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → bronze ERC-721 Transfer logs, all column expressions.
 
-    The testdata parquet files are single-row-group, so the scan is one
-    task; repartition first so the decode+fold work spreads across all
-    cores (real bronze tables have many row groups and don't need this).
+    The bronze compaction cache (sources.tables) already yields multi-
+    partition scans, so the decode+fold work spreads across all cores.
     """
-    l = load_table(spark, sf_dir, "lineitem").repartition(spark.sparkContext.defaultParallelism)
+    l = load_table(spark, sf_dir, "lineitem")
     owner_id = F.lit(OWNER_BASE) + F.col("l_orderkey") * 100 + F.col("l_linenumber")
     from_topic = F.when(F.col("l_linenumber") == 1, F.lit(ZERO_TOPIC)).otherwise(_topic(owner_id - 1))
     to_topic = F.when(F.col("l_returnflag") == "R", F.lit(ZERO_TOPIC)).otherwise(_topic(owner_id))
@@ -155,7 +154,7 @@ FROM ev
 
 def erc1155_balances_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → TransferSingle blobs → real 1155 decode → A3 balance fold."""
-    e = load_table(spark, sf_dir, "events").repartition(spark.sparkContext.defaultParallelism)
+    e = load_table(spark, sf_dir, "events")
     user_acct = F.col("user_id") + 1000
     cp_acct = F.get_json_object("props", "$.k").cast("long") + 2000
     from_topic = F.when(F.col("event_type") == "signup", F.lit(ZERO_TOPIC)).otherwise(_topic(user_acct))
