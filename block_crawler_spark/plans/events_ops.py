@@ -228,8 +228,37 @@ SELECT user_id, session_no, COUNT(*) AS n_events,
 FROM sess GROUP BY user_id, session_no
 """
 
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attaches the user's most recent signup
+    event at-or-before it (operators.asof — single-shuffle union+window;
+    oracle = DuckDB's native ASOF JOIN)."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", F.col("event_id").alias("signup_event_id")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        order_col="event_id",
+        payload_cols=["signup_event_id"],
+    )
+    return out.select("event_id", "user_id", F.col("asof_signup_event_id").alias("signup_event_id"))
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+FROM (SELECT event_id, user_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.event_id >= s.event_id
+"""
+
 QUERIES = {
     "evt_classify_route": (classify_route, CLASSIFY_SQL),
+    "join_asof_last_signup": (asof_last_signup, ASOF_SQL),
     "evt_token_state_fold": (token_state_fold, TOKEN_STATE_SQL),
     "evt_latest_by_version": (latest_by_version, LATEST_SQL),
     "evt_json_balances": (json_balances, JSON_BALANCES_SQL),

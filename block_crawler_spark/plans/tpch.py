@@ -11,7 +11,7 @@ result is exact and engine-independent (double summation order is not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -229,8 +229,82 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
 
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16-style distinct aggregate: suppliers per brand."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"), F.count_distinct("l_partkey").alias("n_parts"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22-style: above-average-balance customers with no orders.
+
+    The scalar-average predicate is evaluated exactly as
+    ``balance * N > total`` in decimal space — no division, so both engines
+    agree bit-for-bit on boundary rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("total"),
+        F.count("*").alias("n"),
+    )
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("total"))
+        .select("c_custkey", _dec("c_acctbal").alias("acctbal"))
+    )
+    return rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+
+
+Q22_SQL = """
+WITH stats AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def cheapest_part_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2-style correlated-min: parts matching the minimum retail price of
+    their size class (window min instead of a correlated subquery)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_size")
+    return (
+        p.withColumn("min_price", F.min(_dec("p_retailprice")).over(w))
+        .filter(_dec("p_retailprice") == F.col("min_price"))
+        .select("p_size", "p_partkey", "p_brand", _dec("p_retailprice").alias("price"))
+    )
+
+
+Q2_SQL = """
+SELECT p_size, p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+FROM part p
+WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
+  SELECT MIN(CAST(p_retailprice AS DECIMAL(18,2))) FROM part p2 WHERE p2.p_size = p.p_size
+)
+"""
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "tpch_q16_brand_supplier_counts": (brand_supplier_counts, Q16_SQL),
+    "tpch_q22_rich_idle_customers": (rich_idle_customers, Q22_SQL),
+    "tpch_q2_cheapest_part_per_size": (cheapest_part_per_size, Q2_SQL),
     "tpch_q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "tpch_q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "tpch_q6_revenue_forecast": (q6_revenue_forecast, Q6_SQL),

@@ -1,0 +1,90 @@
+"""Real Structured Streaming tests: watermark windows + foreachBatch tail."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_crawler_spark.plans.crawl import crawl_plan
+from block_crawler_spark.schemas import LOG_SCHEMA
+from block_crawler_spark.sources.chainfix import standard_scenario
+from block_crawler_spark.sources.tables import load_table
+from block_crawler_spark.streaming.store import SilverStore
+from block_crawler_spark.streaming.tail import TableChainSource
+from block_crawler_spark.streaming.windows import (
+    read_events_stream,
+    stream_tail,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    """availableNow stream over chunked files == batch windowed agg."""
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "chunks")
+    # write as several chunk files to force multiple input splits
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src)
+    assert stream.isStreaming
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    exp = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == exp and len(got) > 10
+
+
+def test_stream_tail_matches_bulk(spark, tmp_path):
+    """foreachBatch streaming tail over chunked bronze == bulk crawl."""
+    fb = standard_scenario()
+    logs = spark.createDataFrame(fb.rows, LOG_SCHEMA)
+    blocks = spark.createDataFrame(
+        fb.blocks(),
+        "number long, hash string, parent_hash string, miner string, timestamp long, "
+        "gas_limit long, gas_used long, size long, difficulty long, transaction_hashes array<string>",
+    )
+    bronze = str(tmp_path / "bronze_logs")
+    logs.repartition(5).write.parquet(bronze)
+
+    store = SilverStore(spark, str(tmp_path / "silver"))
+    store.set_config("testnet", 1, None)
+    q = stream_tail(
+        spark, bronze, blocks, store, str(tmp_path / "ckpt"), blockchain="testnet",
+        max_files_per_trigger=2,  # force several micro-batches over the 5 files
+    )
+    q.awaitTermination(180)
+
+    bulk = crawl_plan(spark, logs, blocks, blockchain="testnet", data_version=1)
+    got_owners = {
+        (r["account"], r["collection_id"], r["token_id_hex"]): r["quantity"]
+        for r in store.read("owners").collect()
+    }
+    exp_owners = {
+        (r["account"], r["collection_id"], r["token_id_hex"]): r["quantity"]
+        for r in bulk.owners.collect()
+    }
+    assert got_owners == exp_owners
+    assert store.read("token_transfers").count() == bulk.token_transfers.count()
+
+    # restart from checkpoint with no new files → no further batches, state intact
+    q2 = stream_tail(spark, bronze, blocks, store, str(tmp_path / "ckpt"), blockchain="testnet")
+    q2.awaitTermination(60)
+    assert store.read("token_transfers").count() == bulk.token_transfers.count()
