@@ -152,3 +152,59 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: each vector → its nearest centroid's id.
+
+    ``centroids`` is a small (centroid_id, vector) table — broadcast, scored
+    JVM-side, argmin via one window.  At scale the centroid table comes from
+    sampled k-means; here any deterministic seed set works (see
+    ``plans.embed_ops`` which seeds with the first k corpus vectors).
+    """
+    c = F.broadcast(centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")))
+    scored = vectors.crossJoin(c).withColumn("sim", cosine(F.col(vec_col), F.col("c_vec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search (nprobe=1): score only the query's own centroid cell.
+
+    Candidate generation is an equi-join on centroid_id — the inverted-file
+    analog of the LSH bucket join; recall trades against the cross join the
+    brute-force path pays.
+    """
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    )
+    scored = (
+        qa.join(ca, "centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank")
+    )

@@ -53,12 +53,14 @@ def minhash_signatures(
     """
     sh = shingles(F.col(text_col), shingle_k)
     staged = docs.select(F.col(id_col), F.col(text_col), sh.alias("shingles")).cache()
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def seeded_min(seed: str):
+        # NB: the lambda must be single-argument — F.transform dispatches on
+        # arity, and a second parameter (even a defaulted one) would be bound
+        # to the array-index column, silently replacing the seed.
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(seed), s))))
+
+    sig = F.array(*[seeded_min(f"{i}|") for i in range(num_hashes)])
     return staged.select(F.col(id_col), F.col(text_col), F.col("shingles"), sig.alias("sig"))
 
 

@@ -108,3 +108,41 @@ def reconcile_balances(chain_logs: DataFrame, db_owners: DataFrame) -> DataFrame
         .when(~F.col("exp_quantity").eqNullSafe(F.col("quantity")), F.lit("quantity_mismatch"))
         .alias("error"),
     ).filter(F.col("error").isNotNull())
+
+
+def reconcile_collections(db_collections: DataFrame, contracts: DataFrame) -> DataFrame:
+    """J1 — stored collection rows vs (re-)probed contract state.
+
+    ``contracts`` is CONTRACT_SCHEMA shaped — a fixture table offline or
+    ``sources.rpc.probe_contracts`` output live.  Field-by-field compare of
+    name/symbol/owner/total_supply + recomputed ``name_lower`` + the
+    ERC-165 spec classification (reference ``verify.py:453-571``).
+    """
+    probed = contracts.select(
+        F.col("address").alias("collection_id"),
+        F.when(F.col("supports_erc721"), F.lit("ERC-721"))
+        .when(F.col("supports_erc1155"), F.lit("ERC-1155"))
+        .alias("exp_specification"),
+        F.col("name").alias("exp_name"),
+        F.col("symbol").alias("exp_symbol"),
+        F.col("owner").alias("exp_owner"),
+        F.col("total_supply_hex").alias("exp_total_supply_hex"),
+    )
+    joined = db_collections.join(probed, "collection_id", "full_outer")
+    checks = [
+        ("not_a_collection", F.col("exp_specification").isNull() & F.col("specification").isNotNull()),
+        ("missing_in_db", F.col("specification").isNull() & F.col("exp_specification").isNotNull()),
+        ("spec_mismatch", ~F.col("specification").eqNullSafe(F.col("exp_specification"))),
+        ("name_mismatch", ~F.col("name").eqNullSafe(F.col("exp_name"))),
+        (
+            "name_lower_mismatch",
+            ~F.col("name_lower").eqNullSafe(F.substring(F.lower(F.col("exp_name")), 1, 1024)),
+        ),
+        ("symbol_mismatch", ~F.col("symbol").eqNullSafe(F.col("exp_symbol"))),
+        ("owner_mismatch", ~F.col("owner").eqNullSafe(F.col("exp_owner"))),
+        ("total_supply_mismatch", ~F.col("total_supply_hex").eqNullSafe(F.col("exp_total_supply_hex"))),
+    ]
+    err = None
+    for label, cond in checks:
+        err = F.when(cond, F.lit(label)) if err is None else err.when(cond, F.lit(label))
+    return joined.select("collection_id", err.alias("error")).filter(F.col("error").isNotNull())

@@ -158,3 +158,58 @@ def total_supply_check(collections: DataFrame, tokens: DataFrame) -> DataFrame:
         .withColumn("token_count", F.coalesce("token_count", F.lit(0)))
         .withColumn("matches", F.col("token_count") == F.col("total_supply"))
     )
+
+
+def force_load_collection(
+    spark: SparkSession,
+    transport,
+    collection_id: str,
+    creation_tx_hash: str,
+    blockchain: str,
+    data_version: int,
+    default_specification: str | None = None,
+) -> DataFrame:
+    """T13 — manual collection bootstrap from a known creation transaction.
+
+    Mirrors ``EvmForceLoadContractTransformer`` (reference
+    ``nft/evm/transformers.py:434-569``): fetch the creation receipt and its
+    block, probe interfaces/metadata, fall back to the CLI-supplied
+    specification when ERC-165 answers nothing.  Operates on one row —
+    driver-side orchestration reusing the distributed probe stage.
+    """
+    from ..sources.rpc import fetch_blocks, fetch_receipts, probe_contracts
+
+    receipt = fetch_receipts(spark.createDataFrame([(creation_tx_hash,)], ["h"]), transport)
+    probed = probe_contracts(spark.createDataFrame([(collection_id,)], ["address"]), transport)
+    r = receipt.collect()
+    p = probed.collect()[0]
+    creator = r[0]["from_"] if r else None
+    block_created = r[0]["block_number"] if r else None
+    timestamp = None
+    if block_created is not None:
+        b = fetch_blocks(spark, block_created, block_created, transport).collect()
+        timestamp = b[0]["timestamp"] if b else None
+    spec = (
+        SPEC_ERC721
+        if p["supports_erc721"]
+        else SPEC_ERC1155
+        if p["supports_erc1155"]
+        else default_specification
+    )
+    row = (
+        blockchain,
+        collection_id,
+        creator,
+        p["owner"],
+        p["name"],
+        (p["name"] or "").lower()[:1024] or None,
+        p["symbol"],
+        p["total_supply_hex"],
+        spec,
+        block_created,
+        timestamp,
+        data_version,
+    )
+    from ..schemas import COLLECTION_SCHEMA
+
+    return spark.createDataFrame([row], COLLECTION_SCHEMA)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.ann import cosine, knn_join_brute, lsh_sign_buckets
+from ..operators.ann import cosine, ivf_topk, knn_join_brute, lsh_sign_buckets
 from ..sources.tables import load_table
 
 TOPK_K = 10
@@ -122,8 +122,87 @@ FROM embeddings GROUP BY 1
 
 LSH_SQL = _lsh_sql()
 
+NEAR_DUP_PLANES = 4
+NEAR_DUP_THRESHOLD = 0.45
+IVF_CENTROIDS = 16
+
+
+def cosine_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH buckets (dedup family).
+
+    Candidates come from a 4-plane bucket equi-join (16 buckets) — never a
+    cross join; pairs above the cosine threshold are emitted as ids only.
+    The SQL oracle replicates the identical bucketing, so recall limits
+    match by construction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_sign_buckets(emb, num_planes=NEAR_DUP_PLANES)
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= NEAR_DUP_THRESHOLD)
+    )
+    return pairs.select("id_a", "id_b")
+
+
+def _near_dup_sql() -> str:
+    projs = []
+    for p in range(NEAR_DUP_PLANES):
+        proj = (
+            "list_sum(list_transform(range(len(embedding)), d -> "
+            f"CAST(embedding[d+1] AS DOUBLE) * (CASE WHEN (strpos('0123456789abcdef', substr(md5('{p}|' || d), 1, 1)) - 1) & 1 = 1 THEN 1.0 ELSE -1.0 END)))"
+        )
+        projs.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=1) approximate k-NN join; centroids = first k corpus
+    vectors (deterministic seed set — sampled k-means at real scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivf_topk(queries, emb, centroids, k=KNN_K)
+
+
+IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS sim
+  FROM embeddings e, cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM scored)
+  WHERE rn = 1
+),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score
+  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {KNN_QUERY_IDS}
+)
+SELECT q_id, c_id, rank
+FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank FROM cand)
+WHERE rank <= {KNN_K}
+"""
+
 QUERIES = {
     "emb_topk_cosine": (topk_query, TOPK_SQL),
+    "dedup_embedding_cosine_pairs": (cosine_near_dup_query, _near_dup_sql()),
+    "emb_ivf_topk": (ivf_topk_query, IVF_SQL),
     "emb_knn_join": (knn_join_query, KNN_SQL),
     "emb_label_dim_sums": (dim_sums_query, DIM_SUMS_SQL),
     "emb_lsh_buckets": (lsh_bucket_query, LSH_SQL),

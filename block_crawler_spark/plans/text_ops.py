@@ -262,8 +262,75 @@ SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
 
 SIMHASH_SQL = _simhash_sql()
 
+def char_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard over the MinHash-LSH candidate pairs —
+    the n-gram flavor of near-dup verification (shingle flavor is
+    ``dedup_minhash_lsh_pairs``).  Grams are built JVM-side from a plain
+    column reference (no re-evaluation blowup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K).cache()
+    cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+
+    text = F.lower(F.trim(F.col("text")))
+    grams = F.array_sort(
+        F.array_distinct(
+            F.when(
+                F.length(text) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text) - 2),
+                    lambda i: F.substring(text, i.cast("int"), F.lit(3)),
+                ),
+            ).otherwise(F.array(text))
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams")).cache()
+    j = (
+        cands.join(g.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
+        .join(g.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")).cast("long"))
+        .withColumn("uni", F.size(F.array_union("g_a", "g_b")).cast("long"))
+        .withColumn("cjaccard_ppm", F.expr("CAST(inter * 1000000 DIV uni AS BIGINT)"))
+    )
+    return j.select("id_a", "id_b", "inter", "uni", "cjaccard_ppm")
+
+
+def _char_ngram_sql() -> str:
+    sig_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    grams = (
+        "list_sort(list_distinct(CASE WHEN length(lower(trim(text))) >= 3 THEN "
+        "list_transform(range(length(lower(trim(text))) - 2), i -> substr(lower(trim(text)), i+1, 3)) "
+        "ELSE [lower(trim(text))] END))"
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), shn AS (
+  SELECT doc_id, text, {_shingle_sql_expr()} AS sh FROM tk
+), sg AS (
+  SELECT doc_id, [{sig_list}] AS sig FROM shn
+), bands AS (
+  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bv
+  FROM sg, unnest(range({n_bands})) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM documents
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter,
+       CAST(len(list_distinct(list_concat(x.grams, y.grams))) AS BIGINT) AS uni,
+       CAST(CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) * 1000000 // len(list_distinct(list_concat(x.grams, y.grams))) AS BIGINT) AS cjaccard_ppm
+FROM cand JOIN g x ON x.doc_id = id_a JOIN g y ON y.doc_id = id_b
+"""
+
+
 QUERIES = {
     "doc_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),
     "doc_lang_id": (lang_id_query, LANG_SQL),
     "dedup_exact": (exact_dedup_query, EXACT_DEDUP_SQL),

@@ -423,3 +423,35 @@ def probe_contracts(addresses: DataFrame, transport: RpcTransport) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return addresses.mapInPandas(probe, CONTRACT_SCHEMA)
+
+
+from ..schemas import SELECTOR_TOKEN_URI  # noqa: E402
+
+
+def fetch_token_uris(tokens: DataFrame, transport: RpcTransport) -> DataFrame:
+    """A4/T12 — ``tokenURI(id)`` backfill for ERC-721 tokens.
+
+    Input needs (collection_id, token_id_hex); output (collection_id,
+    token_id_hex, metadata_url) with NULL where the contract has no
+    tokenURI function or reverts — the reference tolerates -32000/-3/decode
+    errors the same way (``nft/evm/consumers.py:328-374``).  The reference
+    pins the call to the mint block; this stage calls "latest" (documented
+    divergence — historical state needs an archive node either way).
+    """
+    out_schema = "collection_id string, token_id_hex string, metadata_url string"
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = SELECTOR_TOKEN_URI + r["token_id_hex"][2:]
+                rows.append(
+                    {
+                        "collection_id": r["collection_id"],
+                        "token_id_hex": r["token_id_hex"],
+                        "metadata_url": _dec_string(_try_call(transport, r["collection_id"], data)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["collection_id", "token_id_hex", "metadata_url"])
+
+    return tokens.select("collection_id", "token_id_hex").mapInPandas(fetch, out_schema)
