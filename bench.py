@@ -36,6 +36,9 @@ HEADLINE = [
     "emb_topk_cosine",
     "emb_knn_join",
     "emb_lsh_buckets",
+    "emb_ivf_topk",
+    "dedup_embedding_cosine_pairs",
+    "join_asof_last_signup",
     "nft_token_state_from_lineitem",
     "nft_owners_from_lineitem",
     "nft_transfers_decode_from_lineitem",
