@@ -213,3 +213,65 @@ QUERIES = {
     "nft_transfers_decode_from_lineitem": (transfers_decode_query, TRANSFERS_SQL),
     "nft_1155_balances_from_events": (erc1155_balances_query, BALANCES_SQL),
 }
+
+
+def holding_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token holding-period stats via ``applyInPandas`` grouped processing.
+
+    The analog of the reference's per-collection consumers (SURVEY §2.10):
+    each (collection, token) group's transfer history is processed as one
+    pandas frame — the escape hatch for sequential per-group logic that
+    column expressions can't express.  (These particular stats COULD be a
+    window ``lead``; using the grouped-pandas path here keeps the API
+    oracle-checked: the DuckDB mirror recomputes with window functions.)
+
+    Output: intervals between consecutive ownership events per token.
+    """
+    import pandas as pd
+
+    logs = lineitem_logs(spark, sf_dir)
+    transfers = decode_erc721_transfers(logs).select(
+        "collection_id", "token_id_hex", "attribute_version", "transaction_type"
+    )
+    own = transfers.filter(F.col("transaction_type").isin("mint", "transfer"))
+
+    schema = (
+        "collection_id string, token_id_hex string, n_holds long, "
+        "total_gap long, max_gap long"
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("attribute_version")
+        v = pdf["attribute_version"].to_numpy()
+        gaps = (v[1:] - v[:-1]) if len(v) > 1 else []
+        return pd.DataFrame(
+            [
+                {
+                    "collection_id": pdf["collection_id"].iloc[0],
+                    "token_id_hex": pdf["token_id_hex"].iloc[0],
+                    "n_holds": len(v),
+                    "total_gap": int(sum(gaps)) if len(v) > 1 else 0,
+                    "max_gap": int(max(gaps)) if len(v) > 1 else 0,
+                }
+            ]
+        )
+
+    return own.groupBy("collection_id", "token_id_hex").applyInPandas(stats, schema)
+
+
+HOLDING_SQL = f"""
+WITH ev AS ({_EV_BASE_SQL}),
+own AS (SELECT collection_id, token_id_hex, version FROM ev WHERE type IN ('mint','transfer')),
+gaps AS (
+  SELECT collection_id, token_id_hex, version,
+         version - lag(version) OVER (PARTITION BY collection_id, token_id_hex ORDER BY version) AS gap
+  FROM own
+)
+SELECT collection_id, token_id_hex,
+       COUNT(*) AS n_holds,
+       COALESCE(CAST(SUM(gap) AS BIGINT), 0) AS total_gap,
+       COALESCE(CAST(MAX(gap) AS BIGINT), 0) AS max_gap
+FROM gaps GROUP BY collection_id, token_id_hex
+"""
+
+QUERIES["nft_holding_stats"] = (holding_stats_query, HOLDING_SQL)

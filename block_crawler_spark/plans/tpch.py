@@ -300,8 +300,84 @@ WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
 )
 """
 
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4-style: orders with at least one late lineitem (left-semi join)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+def shipmode_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12-style conditional aggregation over a join."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18-style: group + HAVING on an aggregate, join back to dimension."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey", "total_qty")
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 150
+)
+SELECT c_custkey, c_name, l_orderkey, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "tpch_q4_order_priority_semi": (order_priority_semi, Q4_SQL),
+    "tpch_q12_shipmode_conditional": (shipmode_conditional, Q12_SQL),
+    "tpch_q18_big_orders_having": (big_orders_having, Q18_SQL),
     "tpch_q16_brand_supplier_counts": (brand_supplier_counts, Q16_SQL),
     "tpch_q22_rich_idle_customers": (rich_idle_customers, Q22_SQL),
     "tpch_q2_cheapest_part_per_size": (cheapest_part_per_size, Q2_SQL),
