@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .decode import decode_token_transfers
-from .folds import fold_erc1155_balances, fold_token_state
+from .folds import fold_owner_deltas, fold_token_state
 
 # J2 match key: (block, tx index, log index) + token for 1155 batch items
 # (verify.py:810-817) + batch_index to disambiguate same-token-twice batches.
@@ -92,10 +92,18 @@ def reconcile_tokens(chain_logs: DataFrame, db_tokens: DataFrame) -> DataFrame:
 
 
 def reconcile_balances(chain_logs: DataFrame, db_owners: DataFrame) -> DataFrame:
-    """J5-style owner check for ERC-1155: recomputed balances vs stored rows."""
+    """J5-style owner check: recomputed ± balances vs stored owner rows.
+
+    Recomputes with the A5 delta fold over ALL transfers (both specs) —
+    exactly what the owner sinks apply — so a freshly-ingested store
+    reconciles cleanly regardless of which path (bulk A2∪A3 snapshot or
+    incremental deltas) wrote it; for consistent chains the two coincide.
+    """
     transfers = decode_token_transfers(chain_logs).withColumn("blockchain", F.lit("_"))
-    expected = fold_erc1155_balances(transfers).select(
-        "collection_id", "token_id_hex", "account", F.col("quantity").alias("exp_quantity")
+    recomputed = fold_owner_deltas(transfers)
+    expected = (
+        recomputed.filter(F.col("quantity").isNull() | (F.col("quantity") != 0))
+        .select("collection_id", "token_id_hex", "account", F.col("quantity").alias("exp_quantity"))
     )
     stored = db_owners.select("collection_id", "token_id_hex", "account", "quantity")
     joined = expected.join(stored, ["collection_id", "token_id_hex", "account"], "full_outer")

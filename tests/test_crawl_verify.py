@@ -100,12 +100,8 @@ def test_verify_clean_roundtrip(spark, chain, silver):
         ).count()
         == 0
     )
-    assert (
-        reconcile_balances(
-            logs, silver.owners.filter(F.col("collection_id") == addr(0xBB02))
-        ).count()
-        == 0
-    )
+    # full owners table (both specs) reconciles against the A5 recompute
+    assert reconcile_balances(logs, silver.owners).count() == 0
 
 
 def test_verify_detects_corruption(spark, chain, silver):

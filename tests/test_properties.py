@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+SURVEY 'hard parts' #2: correctness under retries/out-of-order hinges on the
+version-guarded merge semantics — 'apply transfers in random order ⇒
+identical final state'.  These properties generate random event histories
+and random batchings/permutations and assert convergence.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from block_crawler_spark.operators.decode import decode_erc721_transfers
+from block_crawler_spark.operators.folds import fold_owner_deltas, fold_token_state
+from block_crawler_spark.operators.merge import additive_upsert, token_state_merge, versioned_upsert
+from block_crawler_spark.schemas import ERC721_TRANSFER_TOPIC, LOG_SCHEMA
+from block_crawler_spark.sources.chainfix import ZERO, addr, topic_addr, topic_uint
+
+# --- strategies -------------------------------------------------------------
+
+_accounts = st.integers(min_value=1, max_value=5).map(addr)
+_tokens = st.integers(min_value=1, max_value=4)
+
+
+@st.composite
+def event_history(draw):
+    """A consistent ERC-721 history: mint → transfers → maybe burn, per token."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    owner: dict[int, str] = {}
+    rows = []
+    pos = 0
+    for _ in range(n):
+        tok = draw(_tokens)
+        actor = draw(_accounts)
+        cur = owner.get(tok)
+        if cur is None:
+            frm, to = ZERO, actor
+            owner[tok] = actor
+        elif draw(st.booleans()):
+            frm, to = cur, actor
+            owner[tok] = actor
+        else:
+            frm, to = cur, ZERO
+            del owner[tok]
+        rows.append(
+            {
+                "block_number": 100 + pos // 3,
+                "transaction_index": pos % 3,
+                "log_index": 0,
+                "transaction_hash": "0x" + f"{pos:064x}",
+                "address": addr(0xAA),
+                "topics": [ERC721_TRANSFER_TOPIC, topic_addr(frm), topic_addr(to), topic_uint(tok)],
+                "data": "0x",
+                "removed": False,
+            }
+        )
+        pos += 1
+    return rows
+
+
+# --- properties -------------------------------------------------------------
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=event_history(), seed=st.integers(min_value=0, max_value=2**16))
+@SPARK_SETTINGS
+def test_fold_is_order_insensitive(spark, rows, seed):
+    import random
+
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+
+    def state(rws):
+        logs = spark.createDataFrame(rws, LOG_SCHEMA)
+        t = decode_erc721_transfers(logs).withColumn("blockchain", F.lit("p"))
+        return {
+            (r["collection_id"], r["token_id_hex"]): (
+                r["quantity"], r["original_owner"], r["current_owner"],
+            )
+            for r in fold_token_state(t).collect()
+        }
+
+    assert state(rows) == state(shuffled)
+
+
+@given(rows=event_history(), cut=st.integers(min_value=0, max_value=12))
+@SPARK_SETTINGS
+def test_chunked_additive_merge_equals_bulk(spark, rows, cut):
+    """Owner deltas applied in two chunks == one bulk fold (A5 invariant)."""
+    cut = min(cut, len(rows))
+    a, b = rows[:cut], rows[cut:]
+
+    def deltas(rws):
+        if not rws:
+            return None
+        logs = spark.createDataFrame(rws, LOG_SCHEMA)
+        t = decode_erc721_transfers(logs).withColumn("blockchain", F.lit("p"))
+        return fold_owner_deltas(t).withColumn("data_version", F.lit(1))
+
+    keys = ["blockchain", "account", "collection_id", "token_id_hex"]
+    merged = None
+    for chunk in (a, b):
+        d = deltas(chunk)
+        if d is None:
+            continue
+        merged = d if merged is None else additive_upsert(merged, d, keys, drop_zero=False)
+    got = (
+        {}
+        if merged is None
+        else {
+            (r["account"], r["token_id_hex"]): r["quantity"]
+            for r in merged.collect()
+            if r["quantity"] != 0
+        }
+    )
+    bulk = deltas(rows)
+    exp = (
+        {}
+        if bulk is None
+        else {
+            (r["account"], r["token_id_hex"]): r["quantity"]
+            for r in bulk.collect()
+            if r["quantity"] != 0
+        }
+    )
+    assert got == exp
+
+
+@given(
+    updates=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(1, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=8,
+    ),
+    seed=st.integers(0, 2**16),
+)
+@SPARK_SETTINGS
+def test_versioned_upsert_is_permutation_invariant(spark, updates, seed):
+    """Applying versioned upserts in any order yields the same final rows
+    when (version, value) pairs are unique per key (LWW determinism)."""
+    import random
+
+    # make (key, version) unique so LWW has a well-defined winner
+    dedup = {}
+    for k, v, val in updates:
+        dedup[(k, v)] = val
+    seq = [(k, val, v) for (k, v), val in dedup.items()]
+    shuffled = list(seq)
+    random.Random(seed).shuffle(shuffled)
+
+    def apply(seq_rows):
+        df = spark.createDataFrame([(seq_rows[0][0], seq_rows[0][1], seq_rows[0][2])], ["k", "val", "data_version"])
+        for k, val, v in seq_rows[1:]:
+            upd = spark.createDataFrame([(k, val, v)], ["k", "val", "data_version"])
+            df = versioned_upsert(df, upd, ["k"])
+        return {r["k"]: (r["val"], r["data_version"]) for r in df.collect()}
+
+    assert apply(seq) == apply(shuffled)
