@@ -373,8 +373,99 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
 """
 
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7-style: revenue between supplier-nation/customer-nation pairs by year."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(revenue.alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT)*1 AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14-style: share of revenue from 'promo'-typed parts, in integer ppm
+    (LIKE predicate + conditional aggregate ratio)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.col("p_type").startswith("PROMO") | F.col("p_type").contains("BRASS")
+    return j.agg(
+        F.sum(F.when(promo, rev)).cast("decimal(38,4)").alias("promo_revenue"),
+        F.sum(rev).cast("decimal(38,4)").alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' OR p_type LIKE '%BRASS%'
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def disjunctive_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19-style disjunctive predicate bundle (OR across brand/size/qty bands)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "tpch_q7_nation_trade_flows": (nation_trade_flows, Q7_SQL),
+    "tpch_q14_promo_revenue": (promo_revenue_ratio, Q14_SQL),
+    "tpch_q19_disjunctive_quantities": (disjunctive_quantities, Q19_SQL),
     "tpch_q4_order_priority_semi": (order_priority_semi, Q4_SQL),
     "tpch_q12_shipmode_conditional": (shipmode_conditional, Q12_SQL),
     "tpch_q18_big_orders_having": (big_orders_having, Q18_SQL),
