@@ -22,7 +22,6 @@ from ..functions.text import (
     PUNCT_PATTERN_SQL,
     STOPWORDS,
     TOKEN_PATTERN,
-    fingerprint,
     lang_id,
     n_tokens,
     regex_token_count,

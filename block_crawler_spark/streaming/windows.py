@@ -53,8 +53,6 @@ def windowed_event_counts(
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-based streaming source over events parquet chunks (µs ts)."""
-    from ..sources.tables import load_table  # reuse schema handling
-
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     return spark.readStream.schema(schema).parquet(source_dir)
 
