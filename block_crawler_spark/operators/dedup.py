@@ -140,6 +140,22 @@ def minhash_dedup_pairs(
     return jaccard_pairs(sigs, cands, id_col, threshold)
 
 
+def dedup_assignments(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs → keep/drop decision per document.
+
+    Standard LSH-dedup "keep lowest id" rule: any document appearing as the
+    larger id of a near-dup pair is dropped.  (Greedy, not transitive
+    closure — the id_a < id_b convention makes every cluster keep its
+    minimum surviving chain, which is the common web-scale policy; full
+    connected components would need an iterative join loop.)  One
+    broadcast-able anti-join over the (small) drop list.
+    """
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(F.broadcast(drops.withColumn("_drop", F.lit(True))), id_col, "left").select(
+        id_col, F.coalesce(F.col("_drop"), F.lit(False)).alias("is_duplicate")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash over word tokens (default 16-bit for oracle portability).
 

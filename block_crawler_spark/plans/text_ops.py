@@ -28,6 +28,7 @@ from ..functions.text import (
     stopword_hits,
 )
 from ..operators.dedup import (
+    dedup_assignments,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -327,8 +328,29 @@ FROM cand JOIN g x ON x.doc_id = id_a JOIN g y ON y.doc_id = id_b
 """
 
 
+def dedup_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: minhash → LSH → Jaccard ≥ threshold →
+    keep/drop per document (keep-lowest-id rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_query(spark, sf_dir)
+    return dedup_assignments(docs, pairs)
+
+
+def _dedup_keep_sql() -> str:
+    # reuse the minhash pair SQL as a CTE, then apply the keep-lowest-id rule
+    pair_sql = _minhash_sql().strip().rstrip()
+    return f"""
+WITH pairs AS ({pair_sql})
+SELECT d.doc_id,
+       COALESCE(dr.is_dup, FALSE) AS is_duplicate
+FROM documents d
+LEFT JOIN (SELECT DISTINCT id_b AS doc_id, TRUE AS is_dup FROM pairs) dr USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "dedup_minhash_keep": (dedup_keep_query, _dedup_keep_sql()),
     "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),
     "doc_lang_id": (lang_id_query, LANG_SQL),

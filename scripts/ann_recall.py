@@ -1,0 +1,69 @@
+"""Measure, don't guess: recall@k of the approximate ANN paths vs brute force.
+
+Runs the three k-NN join strategies (brute-force, sign-LSH, IVF nprobe=1)
+over the embeddings table and reports recall + candidate-pair counts — the
+quality/cost tradeoff the scale paths buy.  Usage:
+
+    PYTHONPATH=/root/repo python scripts/ann_recall.py [--sf DIR] [--k 5] [--queries 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from block_crawler_spark.operators.ann import ivf_topk, knn_join_brute, lsh_topk  # noqa: E402
+from block_crawler_spark.session import get_spark  # noqa: E402
+from block_crawler_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--planes", type=int, default=8)
+    ap.add_argument("--centroids", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = get_spark("ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, args.sf, "embeddings").cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < args.queries)
+
+    truth = {
+        (r["q_id"], r["c_id"]) for r in knn_join_brute(queries, emb, k=args.k).collect()
+    }
+
+    def recall(approx_df):
+        got = {(r["q_id"], r["c_id"]) for r in approx_df.collect()}
+        return round(len(got & truth) / len(truth), 4), len(got)
+
+    lsh_r, lsh_n = recall(lsh_topk(queries, emb, k=args.k, num_planes=args.planes))
+    cent = emb.filter(F.col("vec_id") < args.centroids)
+    ivf_r, ivf_n = recall(ivf_topk(queries, emb, cent, k=args.k))
+
+    brute_pairs = args.queries * (n - 1)
+    print(
+        json.dumps(
+            {
+                "corpus": n,
+                "k": args.k,
+                "queries": args.queries,
+                "brute_scored_pairs": brute_pairs,
+                "lsh": {"recall": lsh_r, "results": lsh_n, "planes": args.planes},
+                "ivf": {"recall": ivf_r, "results": ivf_n, "centroids": args.centroids},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
