@@ -100,3 +100,21 @@ def stream_tail(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes — the streaming form of the engine's idempotent-append
+    sink (K6): duplicate deliveries inside the watermark horizon are dropped
+    exactly once, state never grows unboundedly.  For the chain-tail path
+    the natural key is ``attribute_version_hex`` (+ batch_index); for event
+    streams, the event id.
+    """
+    return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -61,3 +61,30 @@ def test_late_data_dropped_in_append_mode(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     hour0 = [r for r in rows if r["wstart"] == base and r["event_type"] == "click"]
     assert len(hour0) == 1 and hour0[0]["n"] == 2  # late row did not resurrect the window
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from block_crawler_spark.streaming.windows import stream_dedup
+
+    src = str(tmp_path / "dsrc")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m), u, "click", 1.0) for m, u in [(1, 1), (2, 2), (3, 3)]
+    ]
+    df = _mk(spark, rows)
+    # duplicate every row (same event_ids) — a redelivered micro-batch
+    df.unionByName(df).write.mode("append").parquet(src)
+
+    from block_crawler_spark.streaming.windows import read_events_stream
+
+    q = (
+        stream_dedup(read_events_stream(spark, src), ["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id, count(*) c from dedup_out group by 1").collect()
+    assert len(got) == 3 and all(r["c"] == 1 for r in got)
