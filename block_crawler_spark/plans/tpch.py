@@ -461,8 +461,128 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
 """
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13-style: distribution of customers by order count (left join + double agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+Q13_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15-style: supplier(s) matching the maximum revenue (max-subquery)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17-style correlated-average: lineitems under 50% of their part's mean
+    quantity.  The per-part threshold compares division-free in decimal
+    space (2·n·qty < Σqty) so both engines agree on boundaries."""
+    l = load_table(spark, sf_dir, "lineitem")
+    part_stats = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+    j = l.join(part_stats, l.l_partkey == part_stats.pk)
+    cond = _dec("l_quantity") * F.col("n") * 2 < F.col("sum_qty")
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q17_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN ps ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * n * 2 < sum_qty
+"""
+
+
+def lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21-style semi + anti combination: suppliers with late lines on orders
+    where no OTHER supplier was late."""
+    l = load_table(spark, sf_dir, "lineitem")
+    late = l.filter(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l1 = late.alias("l1")
+    other_late = late.alias("l2")
+    has_other = l1.join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey")) & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_anti",
+    )
+    return has_other.groupBy(F.col("l1.l_suppkey").alias("s_key")).agg(F.count("*").alias("n_lone_late"))
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_shipdate > TIMESTAMP '1999-01-01'
+)
+SELECT l_suppkey AS s_key, COUNT(*) AS n_lone_late
+FROM late l1
+WHERE NOT EXISTS (
+  SELECT 1 FROM late l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+GROUP BY l_suppkey
+"""
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "tpch_q13_order_distribution": (customer_order_distribution, Q13_SQL),
+    "tpch_q15_top_revenue_suppliers": (top_revenue_suppliers, Q15_SQL),
+    "tpch_q17_small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
+    "tpch_q21_lone_late_suppliers": (lone_late_suppliers, Q21_SQL),
     "tpch_q7_nation_trade_flows": (nation_trade_flows, Q7_SQL),
     "tpch_q14_promo_revenue": (promo_revenue_ratio, Q14_SQL),
     "tpch_q19_disjunctive_quantities": (disjunctive_quantities, Q19_SQL),
