@@ -1,0 +1,174 @@
+"""Spark 4 Python DataSource exposing EVM chain data as named formats.
+
+The mapInPandas stages in ``sources.rpc`` are the workhorse; this wraps the
+same fetch logic in the public ``pyspark.sql.datasource.DataSource`` API so
+chain data reads like any other source:
+
+    spark.read.format("evm_logs")
+        .option("start", 100).option("end", 2_000_000)
+        .option("endpoints", "http://node-a:8545,http://node-b:8545")
+        .option("topic0", ERC721_TRANSFER_TOPIC)
+        .option("chunk_size", 100_000)
+        .load()
+
+Partition planning mirrors the reference's block-chunking: one input
+partition per ``chunk_size`` block range (``nft/bin/crawl.py:179-203``'s
+chunk loop, distributed).  The topic/address options are *pushed into the
+RPC request* by each partition reader — source-level predicate pushdown.
+
+Offline mode (``mode=fixture``) serves the deterministic synthetic chain
+from ``sources.chainfix`` so the DataSource path is testable without a
+node; the partition/read machinery is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..schemas import BLOCK_SCHEMA, LOG_SCHEMA
+
+
+class _BlockRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _make_transport(options: dict):
+    if options.get("mode", "rpc") == "fixture":
+        from .chainfix import standard_scenario
+        from .rpc import FakeChainTransport
+
+        fb = standard_scenario(seed=int(options.get("seed", "42")))
+        logs = [
+            {
+                "blockNumber": hex(r["block_number"]),
+                "transactionIndex": hex(r["transaction_index"]),
+                "logIndex": hex(r["log_index"]),
+                "transactionHash": r["transaction_hash"],
+                "address": r["address"],
+                "topics": r["topics"],
+                "data": r["data"],
+                "removed": False,
+                "block_number": r["block_number"],
+            }
+            for r in fb.rows
+        ]
+        blocks = {
+            b["number"]: {
+                "number": hex(b["number"]),
+                "hash": b["hash"],
+                "parentHash": b["parent_hash"],
+                "miner": b["miner"],
+                "timestamp": hex(b["timestamp"]),
+                "gasLimit": hex(b["gas_limit"]),
+                "gasUsed": hex(b["gas_used"]),
+                "size": hex(b["size"]),
+                "difficulty": hex(b["difficulty"]),
+                "transactions": [],
+            }
+            for b in fb.blocks()
+        }
+        return FakeChainTransport(blocks=blocks, logs=logs)
+    from .rpc import HttpRpcTransport
+
+    endpoints = tuple(e.strip() for e in options["endpoints"].split(",") if e.strip())
+    rate = options.get("rate_per_second")
+    return HttpRpcTransport(endpoints=endpoints, rate_per_second=float(rate) if rate else None)
+
+
+class _RangePlanner:
+    """Shared partition planning: one partition per chunk of blocks."""
+
+    def __init__(self, options: dict, default_chunk: int):
+        self.options = dict(options)
+        self.start = int(options.get("start", "0"))
+        self.end = int(options["end"])
+        self.chunk = int(options.get("chunk_size", str(default_chunk)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _BlockRange(lo, min(lo + self.chunk - 1, self.end))
+            for lo in range(self.start, self.end + 1, self.chunk)
+        ]
+
+
+class EvmLogsReader(_RangePlanner, DataSourceReader):
+    def __init__(self, options: dict):
+        _RangePlanner.__init__(self, options, default_chunk=100_000)
+
+    def read(self, partition: _BlockRange) -> Iterator[tuple]:
+        from .rpc import _get_logs_adaptive, _hx
+
+        transport = _make_transport(self.options)
+        topics = [self.options["topic0"]] if self.options.get("topic0") else None
+        address = self.options.get("address")
+        for lg in _get_logs_adaptive(transport, partition.start, partition.end, topics, address):
+            yield (
+                _hx(lg.get("blockNumber", lg.get("block_number"))),
+                _hx(lg.get("transactionIndex", lg.get("transaction_index"))),
+                _hx(lg.get("logIndex", lg.get("log_index"))),
+                lg.get("transactionHash", lg.get("transaction_hash")),
+                (lg.get("address") or "").lower() or None,
+                lg.get("topics"),
+                lg.get("data"),
+                bool(lg.get("removed", False)),
+            )
+
+
+class EvmBlocksReader(_RangePlanner, DataSourceReader):
+    def __init__(self, options: dict):
+        _RangePlanner.__init__(self, options, default_chunk=10_000)
+
+    def read(self, partition: _BlockRange) -> Iterator[tuple]:
+        from .rpc import _hx
+
+        transport = _make_transport(self.options)
+        for num in range(partition.start, partition.end + 1):
+            blk = transport.call("eth_getBlockByNumber", hex(num), False)
+            if blk is None:
+                continue
+            yield (
+                _hx(blk.get("number")),
+                blk.get("hash"),
+                blk.get("parentHash"),
+                (blk.get("miner") or "").lower() or None,
+                _hx(blk.get("timestamp")),
+                _hx(blk.get("gasLimit")),
+                _hx(blk.get("gasUsed")),
+                _hx(blk.get("size")),
+                _hx(blk.get("difficulty")),
+                blk.get("transactions") or [],
+            )
+
+
+class EvmLogsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "evm_logs"
+
+    def schema(self):
+        return LOG_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return EvmLogsReader(self.options)
+
+
+class EvmBlocksDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "evm_blocks"
+
+    def reader(self, schema) -> DataSourceReader:
+        return EvmBlocksReader(self.options)
+
+    def schema(self):
+        return BLOCK_SCHEMA
+
+
+def register(spark) -> None:
+    """Register both formats on a session: ``spark.read.format('evm_logs')``."""
+    spark.dataSource.register(EvmLogsDataSource)
+    spark.dataSource.register(EvmBlocksDataSource)

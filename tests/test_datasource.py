@@ -1,0 +1,69 @@
+"""Spark 4 Python DataSource formats: partition planning + pushdown options."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_crawler_spark.operators.decode import decode_token_transfers
+from block_crawler_spark.schemas import ERC721_TRANSFER_TOPIC
+from block_crawler_spark.sources.chainfix import standard_scenario
+from block_crawler_spark.sources.datasource import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def test_logs_format_reads_fixture_chain(spark):
+    fb = standard_scenario()
+    lo = min(r["block_number"] for r in fb.rows)
+    hi = max(r["block_number"] for r in fb.rows)
+    df = (
+        spark.read.format("evm_logs")
+        .option("mode", "fixture")
+        .option("start", lo)
+        .option("end", hi)
+        .option("chunk_size", 3)  # several partitions
+        .load()
+    )
+    assert df.count() == len(fb.rows)
+    assert df.rdd.getNumPartitions() > 1
+    # and it feeds the standard decode pipeline unchanged
+    transfers = decode_token_transfers(df).withColumn("blockchain", F.lit("x"))
+    assert transfers.count() > 0
+
+
+def test_logs_format_topic_pushdown(spark):
+    fb = standard_scenario()
+    lo = min(r["block_number"] for r in fb.rows)
+    hi = max(r["block_number"] for r in fb.rows)
+    df = (
+        spark.read.format("evm_logs")
+        .option("mode", "fixture")
+        .option("start", lo)
+        .option("end", hi)
+        .option("topic0", ERC721_TRANSFER_TOPIC)
+        .load()
+    )
+    got = df.collect()
+    exp = [r for r in fb.rows if r["topics"][0] == ERC721_TRANSFER_TOPIC]
+    assert len(got) == len(exp)
+    assert all(r["topics"][0] == ERC721_TRANSFER_TOPIC for r in got)
+
+
+def test_blocks_format(spark):
+    fb = standard_scenario()
+    nums = sorted({r["block_number"] for r in fb.rows})
+    df = (
+        spark.read.format("evm_blocks")
+        .option("mode", "fixture")
+        .option("start", nums[0])
+        .option("end", nums[-1])
+        .option("chunk_size", 2)
+        .load()
+    )
+    rows = {r["number"]: r for r in df.collect()}
+    assert set(rows) == set(nums)
+    assert rows[nums[0]]["timestamp"] == 1_600_000_000 + 13 * nums[0]
