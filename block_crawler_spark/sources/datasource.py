@@ -168,7 +168,81 @@ class EvmBlocksDataSource(DataSource):
         return BLOCK_SCHEMA
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader: readStream.format("evm_logs") — the tail lifecycle (ST1)
+# through the public source API. Offsets are block heights, so Spark's
+# checkpoint IS the last_block_id control record (ST3); trail_blocks applies
+# the reference's confirmation lag (ST2).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class EvmLogsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.trail = int(options.get("trail_blocks", "1"))
+        self.start = int(options.get("start", "0"))
+
+    def initialOffset(self) -> dict:
+        return {"next_block": self.start}
+
+    def _height(self, transport) -> int:
+        return int(transport.call("eth_blockNumber"), 16)
+
+    def _fetch(self, lo: int, hi: int):
+        from .rpc import _get_logs_adaptive, _hx
+
+        transport = _make_transport(self.options)
+        topics = [self.options["topic0"]] if self.options.get("topic0") else None
+        address = self.options.get("address")
+        for lg in _get_logs_adaptive(transport, lo, hi, topics, address):
+            yield (
+                _hx(lg.get("blockNumber", lg.get("block_number"))),
+                _hx(lg.get("transactionIndex", lg.get("transaction_index"))),
+                _hx(lg.get("logIndex", lg.get("log_index"))),
+                lg.get("transactionHash", lg.get("transaction_hash")),
+                (lg.get("address") or "").lower() or None,
+                lg.get("topics"),
+                lg.get("data"),
+                bool(lg.get("removed", False)),
+            )
+
+    def read(self, start: dict):
+        # rows must be an ITERATOR (the engine calls next() on it) whose
+        # contents the prefetch cache can PICKLE (generators can't) —
+        # a list_iterator satisfies both
+        transport = _make_transport(self.options)
+        lo = start["next_block"]
+        hi = self._height(transport) - self.trail
+        if hi < lo:
+            return iter([]), start
+        return iter(list(self._fetch(lo, hi))), {"next_block": hi + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._fetch(start["next_block"], end["next_block"] - 1)))
+
+
+class EvmLogsStreamDataSource(DataSource):
+    """Separate name so batch and streaming intents stay explicit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "evm_logs_stream"
+
+    def schema(self):
+        return LOG_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return EvmLogsStreamReader(self.options)
+
+
 def register(spark) -> None:
-    """Register both formats on a session: ``spark.read.format('evm_logs')``."""
+    """Register the formats: ``spark.read.format('evm_logs' | 'evm_blocks')``
+    and ``spark.readStream.format('evm_logs_stream')``."""
     spark.dataSource.register(EvmLogsDataSource)
     spark.dataSource.register(EvmBlocksDataSource)
+    spark.dataSource.register(EvmLogsStreamDataSource)

@@ -67,3 +67,32 @@ def test_blocks_format(spark):
     rows = {r["number"]: r for r in df.collect()}
     assert set(rows) == set(nums)
     assert rows[nums[0]]["timestamp"] == 1_600_000_000 + 13 * nums[0]
+
+
+def test_streaming_format_tail(spark, tmp_path):
+    """readStream.format('evm_logs_stream'): block-height offsets drive the
+    tail; one availableNow run ingests to height−trail exactly once."""
+    fb = standard_scenario()
+    lo = min(r["block_number"] for r in fb.rows)
+    hi = max(r["block_number"] for r in fb.rows)
+    stream = (
+        spark.readStream.format("evm_logs_stream")
+        .option("mode", "fixture")
+        .option("start", lo)
+        .option("trail_blocks", 1)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ds_tail").collect()
+    exp = [r for r in fb.rows if r["block_number"] <= hi - 1]  # trail lag
+    assert len(got) == len(exp)
+    assert max(r["block_number"] for r in got) == hi - 1
