@@ -577,8 +577,126 @@ WHERE NOT EXISTS (
 GROUP BY l_suppkey
 """
 
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9-style: profit by supplier nation and year for a part-name family."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        - _dec("l_quantity") * _dec("p_retailprice")
+    ).cast("decimal(38,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(profit.alias("profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11-style: part value share above a global-threshold fraction,
+    compared division-free (value * 1800 > total, i.e. >1.11x the mean)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("value")
+    )
+    total = per_part.agg(F.sum("value").cast("decimal(38,2)").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1800 > F.col("total"))
+        .select("l_partkey", "value")
+    )
+
+
+Q11_SQL = """
+WITH pp AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value FROM pp
+WHERE value * 1800 > (SELECT CAST(SUM(value) AS DECIMAL(38,2)) FROM pp)
+"""
+
+
+def eligible_suppliers_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20-style nested IN: suppliers of parts that shipped in volume."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    busy_parts = (
+        l.groupBy("l_partkey").agg(F.sum(_dec("l_quantity")).alias("q")).filter(F.col("q") > 50).select("l_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    supp_of_busy = l.join(busy_parts, "l_partkey", "left_semi").select("l_suppkey").distinct()
+    return s.join(supp_of_busy, s.s_suppkey == supp_of_busy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_partkey IN (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+    )
+)
+"""
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations having BUILDING customers EXCEPT nations
+    having MACHINERY suppliers... expressed with intersect/except."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey").distinct()
+    both = building.intersect(auto).withColumn("relation", F.lit("both"))
+    only_building = building.exceptAll(auto).withColumn("relation", F.lit("building_only"))
+    return both.unionByName(only_building)
+
+
+SET_OPS_SQL = """
+SELECT c_nationkey, 'both' AS relation FROM (
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+UNION ALL
+SELECT c_nationkey, 'building_only' AS relation FROM (
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+"""
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "tpch_q9_profit_by_nation_year": (profit_by_nation_year, Q9_SQL),
+    "tpch_q11_important_stock": (important_stock, Q11_SQL),
+    "tpch_q20_nested_in_suppliers": (eligible_suppliers_nested_in, Q20_SQL),
+    "set_ops_segments": (segment_set_ops, SET_OPS_SQL),
     "tpch_q13_order_distribution": (customer_order_distribution, Q13_SQL),
     "tpch_q15_top_revenue_suppliers": (top_revenue_suppliers, Q15_SQL),
     "tpch_q17_small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
