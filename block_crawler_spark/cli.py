@@ -1,16 +1,21 @@
 """Command-line lifecycle — the reference's ``nft``/``evm`` CLI re-expressed.
 
     python -m block_crawler_spark crawl  --logs DIR --blocks DIR --silver DIR [--blockchain X]
+    python -m block_crawler_spark load   --logs DIR --blocks DIR --silver DIR --height N
+                                         [--increment-data-version]
+    python -m block_crawler_spark force-load --silver DIR --collection 0x… --tx 0x…
+                                         [--rpc URL | --fixture] [--spec ERC-721]
     python -m block_crawler_spark tail   --logs DIR --blocks DIR --silver DIR [--trail-blocks N] [--once]
     python -m block_crawler_spark verify --logs DIR --silver DIR
     python -m block_crawler_spark seed   --silver DIR --last-block N
     python -m block_crawler_spark reset  --silver DIR
     python -m block_crawler_spark function-digest 'transfer(address,uint256)' [--topic]
 
-Maps to the reference commands (``nft crawl/tail/seed/verify``, ``reset-db``,
-``evm function-digest`` — ``evm/bin.py:18-35``).  Bronze inputs are parquet
-directories; the live-RPC path constructs a transport and uses
-``sources.rpc`` fetch stages instead (see streaming.tail.ChainSource).
+Maps to the reference commands (``nft crawl/load/force/tail/seed/verify``,
+``reset-db``, ``evm function-digest`` — ``nft/bin/nft.py:118-137``,
+``evm/bin.py:18-35``).  Bronze inputs are parquet directories; the live-RPC
+path constructs a transport and uses ``sources.rpc`` fetch stages instead
+(see streaming.tail.ChainSource).
 """
 
 from __future__ import annotations
@@ -28,10 +33,35 @@ def _spark(app: str):
     return s
 
 
-def cmd_crawl(args) -> int:
+def _bulk_crawl(spark, store, logs, blocks, blockchain: str, data_version: int, height: int | None):
+    """Shared crawl/load body: run the one-pass plan over bronze (optionally
+    clipped to ``height``), apply the idempotent sinks, commit progress."""
     from pyspark.sql import functions as F
 
+    from .operators.folds import owner_balances_from_silver
     from .plans.crawl import crawl_plan
+
+    if height is not None:
+        logs = logs.filter(F.col("block_number") <= height)
+        blocks = blocks.filter(F.col("number") <= height)
+    silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
+    store.append_transfers(silver.token_transfers)
+    store.upsert_tokens(silver.tokens)
+    # retry-safe owners rebuild (see streaming.tail) — a re-run over the
+    # same range must not double-count additive balances
+    touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
+    store.rebuild_owners(
+        owner_balances_from_silver(store.read("token_transfers"), touched).withColumn(
+            "data_version", F.lit(data_version)
+        ),
+        touched,
+    )
+    top = height if height is not None else blocks.agg({"number": "max"}).collect()[0][0]
+    store.set_config(blockchain, data_version, top)
+    return top
+
+
+def cmd_crawl(args) -> int:
     from .streaming.store import SilverStore
 
     spark = _spark("crawl")
@@ -39,13 +69,78 @@ def cmd_crawl(args) -> int:
     blocks = spark.read.parquet(args.blocks)
     store = SilverStore(spark, args.silver)
     dv, _ = store.get_config(args.blockchain)
-    silver = crawl_plan(spark, logs, blocks, blockchain=args.blockchain, data_version=dv)
-    store.append_transfers(silver.token_transfers)
-    store.upsert_tokens(silver.tokens)
-    store.merge_owner_deltas(silver.owner_deltas.withColumn("data_version", F.lit(dv)))
-    top = blocks.agg({"number": "max"}).collect()[0][0]
-    store.set_config(args.blockchain, dv, top)
+    top = _bulk_crawl(spark, store, logs, blocks, args.blockchain, dv, height=None)
     print(json.dumps({"crawled_to": top, "transfers": store.read("token_transfers").count()}))
+    return 0
+
+
+def cmd_load(args) -> int:
+    """Bulk backfill to a FIXED height (reference ``nft load``,
+    ``nft/bin/load.py:202-280``).
+
+    The reference discovers collections in reverse from HEIGHT and replays
+    each collection's history with its own RPC scan; the Spark plan is the
+    superseded-by-design one-pass form (SURVEY §3.2): decode everything once,
+    fold by token key — same silver, one shuffle.  ``--height`` pins the
+    upper block bound so a concurrent tail can take over exactly at
+    HEIGHT+1; ``--increment-data-version`` starts a fresh run epoch first
+    (the reference's ``increment-data-version`` flag, load.py:232-240).
+    """
+    from .streaming.store import SilverStore
+
+    spark = _spark("load")
+    logs = spark.read.parquet(args.logs)
+    blocks = spark.read.parquet(args.blocks)
+    store = SilverStore(spark, args.silver)
+    dv, _ = store.get_config(args.blockchain)
+    if args.increment_data_version:
+        dv = store.increment_data_version(args.blockchain)
+    top = _bulk_crawl(spark, store, logs, blocks, args.blockchain, dv, height=args.height)
+    print(
+        json.dumps(
+            {
+                "loaded_to": top,
+                "data_version": dv,
+                "transfers": store.read("token_transfers").count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_force_load(args) -> int:
+    """T13 — manual collection bootstrap (reference ``nft force``,
+    ``nft/bin/force.py``): fetch the creation receipt + block, probe the
+    contract, upsert one collections row."""
+    from .plans.crawl import force_load_collection
+    from .streaming.store import SilverStore
+
+    spark = _spark("force-load")
+    if args.fixture:
+        from .sources.datasource import _make_transport
+
+        transport = _make_transport({"mode": "fixture", "seed": str(args.seed)})
+    else:
+        from .sources.rpc import HttpRpcTransport
+
+        if not args.rpc:
+            print(json.dumps({"error": "one of --rpc or --fixture is required"}))
+            return 2
+        transport = HttpRpcTransport(endpoints=tuple(args.rpc))
+    store = SilverStore(spark, args.silver)
+    dv, _ = store.get_config(args.blockchain)
+    row = force_load_collection(
+        spark,
+        transport,
+        collection_id=args.collection,
+        creation_tx_hash=args.tx,
+        blockchain=args.blockchain,
+        data_version=dv,
+        default_specification=args.spec,
+    )
+    store.upsert_collections(row)
+    out = row.collect()[0].asDict()
+    print(json.dumps({"collection": out["collection_id"], "specification": out["specification"]}))
     return 0
 
 
@@ -117,6 +212,21 @@ def main(argv=None) -> int:
         sp.add_argument("--blockchain", default="ethereum-mainnet")
 
     sp = sub.add_parser("crawl"); common(sp); sp.set_defaults(fn=cmd_crawl)
+    sp = sub.add_parser("load"); common(sp)
+    sp.add_argument("--height", type=int, required=True, help="fixed upper block bound (LastBlockFloor)")
+    sp.add_argument("--increment-data-version", action="store_true",
+                    help="start a fresh run epoch before loading (reference load.py:232-240)")
+    sp.set_defaults(fn=cmd_load)
+    sp = sub.add_parser("force-load")
+    sp.add_argument("--silver", required=True)
+    sp.add_argument("--blockchain", default="ethereum-mainnet")
+    sp.add_argument("--collection", required=True, help="contract address to bootstrap")
+    sp.add_argument("--tx", required=True, help="creation transaction hash")
+    sp.add_argument("--rpc", action="append", help="JSON-RPC endpoint (repeatable)")
+    sp.add_argument("--fixture", action="store_true", help="use the offline fixture chain")
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--spec", default=None, help="fallback specification when ERC-165 probes answer nothing")
+    sp.set_defaults(fn=cmd_force_load)
     sp = sub.add_parser("tail"); common(sp)
     sp.add_argument("--trail-blocks", type=int, default=1)
     sp.add_argument("--process-interval", type=float, default=10.0)

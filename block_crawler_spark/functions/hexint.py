@@ -49,8 +49,15 @@ def normalize_hex(col: Column, width: int = UINT256_HEX_WIDTH, prefix: bool = Tr
 
     Padding guarantees lexicographic order == numeric order, the engine's
     substitute for native uint256 ordering.
+
+    Over-width input keeps the RIGHTMOST ``width`` nibbles (the low-order
+    bytes) — the same truncation ``topic_to_address`` applies to a 64-char
+    topic.  ``lpad`` alone would keep the *leftmost* chars, turning a
+    zero-padded topic into all zeros and misclassifying it as the zero
+    address (ADVICE r1, hexint.py:53).
     """
-    body = F.lpad(strip0x(col), width, "0")
+    s = strip0x(col)
+    body = F.when(F.length(s) > width, F.substring(s, -width, width)).otherwise(F.lpad(s, width, "0"))
     return F.concat(F.lit("0x"), body) if prefix else body
 
 

@@ -52,9 +52,14 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
+    # Final xxhash64(_payload) tiebreaker (ADVICE r1, asof.py:58): when the
+    # right side has several rows at the same (on, order_col), `last()` must
+    # not depend on shuffle arrival order — ties resolve to the max-hash
+    # payload, deterministically.  NULL payloads (left rows) sort first and
+    # never win ties against right rows.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(order_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(order_col).asc(), F.col("_side").asc(), F.xxhash64(F.col("_payload")).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_carried", F.last("_payload", ignorenulls=True).over(w))

@@ -185,6 +185,42 @@ def fold_owner_deltas(transfers: DataFrame) -> DataFrame:
     )
 
 
+def owner_balances_from_silver(transfers_silver: DataFrame, touched_keys: DataFrame | None = None) -> DataFrame:
+    """Recompute owner balances from the IDEMPOTENT silver ``token_transfers``
+    table — the retry-safe owners path (ADVICE r1, tail.py:84).
+
+    Re-adding per-batch ± deltas is not idempotent: a crash between the
+    owners merge and the ``last_block_id`` commit re-applies the batch and
+    double-counts additive quantities.  Deriving balances from the deduped
+    transfers table instead makes the owners write a pure function of
+    committed history — re-running it after any crash rewrites the same
+    values.  ``touched_keys`` (distinct ``blockchain, collection_id,
+    token_id_hex`` of the batch) restricts the recompute to affected tokens
+    via a left-semi join, so per-batch cost scales with the touched tokens'
+    history, not the whole table.
+
+    For ERC-721's linear mint→transfer→burn histories the additive ± fold
+    converges to the same ownership as the LWW snapshot fold, so one uniform
+    recompute serves both specs.  Caveat (documented contract): balances are
+    correct relative to the history PRESENT in ``token_transfers`` — seeding
+    a tail mid-chain without backfilling transfers under-counts, exactly as
+    the delta path did.
+    """
+    from ..functions.hexint import hex_to_dec
+
+    t = transfers_silver
+    if touched_keys is not None:
+        t = t.join(touched_keys, ["blockchain", "collection_id", "token_id_hex"], "left_semi")
+    t = t.withColumn("quantity", hex_to_dec(F.col("quantity_hex")))
+    deltas = _signed_delta_rows(t)
+    balances = deltas.groupBy("blockchain", "collection_id", "token_id_hex", "account").agg(
+        _null_if_any_overflow(F.sum("delta"), "delta").alias("quantity")
+    )
+    return balances.filter(F.col("quantity").isNull() | (F.col("quantity") != 0)).select(
+        "blockchain", "account", "collection_id", "token_id_hex", "quantity"
+    )
+
+
 def transfers_to_silver(transfers: DataFrame, data_version: int, blockchain: str | None = None) -> DataFrame:
     """Decoded transfers → ``tokentransfers`` silver rows (K6 idempotent shape).
 

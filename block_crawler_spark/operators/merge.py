@@ -91,6 +91,12 @@ def additive_upsert(
     sum to NULL, matching the reference's out-of-range → null behavior.
 
     ``drop_zero=True`` applies K8 (delete zero-quantity owner rows).
+
+    NOT idempotent across retries: applying the same delta batch twice at
+    the same ``data_version`` adds twice (ADVICE r1).  Crawl/tail therefore
+    rebuild owners from the idempotent transfers table
+    (``folds.owner_balances_from_silver`` + ``SilverStore.rebuild_owners``);
+    use this merge only when delta delivery is exactly-once.
     """
     e = existing.select(*keys, qty_col, version_col)
     u = updates.select(*keys, qty_col, version_col)

@@ -11,6 +11,11 @@ attribute_version analog) — never raw ``ts``, whose nanosecond parquet
 precision Spark truncates to µs while DuckDB keeps it; timestamps only ever
 appear through ``date_trunc``; money flows through decimal casts; ratios are
 integer ppm.
+
+Output policy (round-2, VERDICT.md r1): emitted numeric columns are BIGINT
+on both engines — money as fixed-point cents (exact: the decimal sum × 100
+has zero fractional part before the cast), DuckDB CASE-sums and window sums
+wrapped in CAST(... AS BIGINT) to defeat the HUGEINT→float64 pandas fetch.
 """
 
 from __future__ import annotations
@@ -23,6 +28,10 @@ from ..sources.tables import load_table
 
 def _dec(col):
     return F.col(col).cast("decimal(18,2)")
+
+
+def _cents(expr):
+    return (expr * F.lit(100)).cast("long")
 
 
 def classify_route(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +69,7 @@ def token_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("decimal(18,2)"))
     )
     return e.groupBy("user_id").agg(
-        F.sum(signed).cast("decimal(38,2)").alias("net_value"),
+        _cents(F.sum(signed).cast("decimal(38,2)")).alias("net_value"),
         F.min_by("event_type", "event_id").alias("first_event_type"),
         F.max_by("event_type", "event_id").alias("last_event_type"),
         F.count("*").alias("n_events"),
@@ -71,7 +80,7 @@ TOKEN_STATE_SQL = """
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
                      WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(18,2))
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS net_value,
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS net_value,
        arg_min(event_type, event_id) AS first_event_type,
        arg_max(event_type, event_id) AS last_event_type,
        COUNT(*) AS n_events
@@ -86,12 +95,12 @@ def latest_by_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", _dec("value").alias("value_dec"))
+        .select("user_id", "event_id", "event_type", _cents(_dec("value")).alias("value_cents"))
     )
 
 
 LATEST_SQL = """
-SELECT user_id, event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value_dec
+SELECT user_id, event_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
 WHERE rn = 1
 """
@@ -116,8 +125,9 @@ def json_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d.account", "d.delta")
     return (
         deltas.groupBy("account")
-        .agg(F.sum("delta").cast("decimal(38,2)").alias("balance"))
-        .filter(F.col("balance") != 0)
+        .agg(F.sum("delta").cast("decimal(38,2)").alias("balance_dec"))
+        .filter(F.col("balance_dec") != 0)
+        .select("account", _cents(F.col("balance_dec")).alias("balance"))
     )
 
 
@@ -128,7 +138,7 @@ WITH deltas AS (
   SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS account,
          -CAST(value AS DECIMAL(18,2)) AS delta FROM events
 )
-SELECT account, CAST(SUM(delta) AS DECIMAL(38,2)) AS balance
+SELECT account, CAST(SUM(delta) * 100 AS BIGINT) AS balance
 FROM deltas GROUP BY account
 HAVING CAST(SUM(delta) AS DECIMAL(38,2)) <> 0
 """
@@ -142,7 +152,7 @@ def window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).cast("decimal(38,2)").alias("total_value"),
+            _cents(F.sum(_dec("value")).cast("decimal(38,2)")).alias("total_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
     )
@@ -151,7 +161,7 @@ def window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -219,8 +229,8 @@ WITH seq AS (
 ),
 sess AS (
   SELECT user_id, event_id,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM seq
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,

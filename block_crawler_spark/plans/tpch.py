@@ -7,6 +7,15 @@ anti-joins — each paired with an exact DuckDB oracle.
 
 Float policy: every aggregate casts to decimal **before** summing, so the
 result is exact and engine-independent (double summation order is not).
+
+Output policy (round-2, VERDICT.md r1): the driver hashes pandas-fetched
+frames, where DuckDB DECIMAL/HUGEINT become float64 while Spark Decimals
+stay Decimal — so *emitted* numeric columns must be BIGINT on both engines.
+Money is emitted as fixed-point integer (cents for scale-2, ten-thousandths
+for scale-4 intermediates): the decimal sum is exact, then ``sum * 10^s``
+has zero fractional part, so the BIGINT cast is exact on both engines
+(sidestepping DuckDB round-half-up vs Spark truncate on decimal→int casts).
+Decimal arithmetic stays internal; only the final projection changes.
 """
 
 from __future__ import annotations
@@ -21,6 +30,13 @@ def _dec(col, p=18, s=2):
     return F.col(col).cast(f"decimal({p},{s})")
 
 
+def _fixed(expr, scale_pow: int):
+    """Exact decimal → BIGINT fixed-point: multiply by 10^scale_pow (making
+    the value integral) then cast.  Exact on both engines because the
+    fractional part is zero after the multiply."""
+    return (expr * F.lit(10**scale_pow)).cast("long")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
@@ -29,10 +45,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            _fixed(F.sum(_dec("l_quantity")).cast("decimal(38,2)"), 2).alias("sum_qty"),
+            _fixed(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)"), 2).alias("sum_base_price"),
+            _fixed(F.sum(disc_price).cast("decimal(38,4)"), 4).alias("sum_disc_price"),
+            _fixed(F.sum(charge).cast("decimal(38,6)"), 6).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -40,10 +56,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -55,8 +71,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
-    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(38,4)"
+    revenue = _fixed(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(38,4)"),
+        4,
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -70,7 +87,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -92,8 +109,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     l = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(38,4)"
+    revenue = _fixed(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(38,4)"),
+        4,
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -108,7 +126,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -130,12 +148,12 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(38,4)").alias("revenue"))
+        .agg(_fixed(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(38,4)"), 4).alias("revenue"))
     )
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
@@ -147,8 +165,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(38,4)"
+    revenue = _fixed(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(38,4)"),
+        4,
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -163,7 +182,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
@@ -177,18 +196,20 @@ LIMIT 20
 def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy(F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"))
+        o.groupBy(F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+            _fixed(F.sum(_dec("o_totalprice")).cast("decimal(38,2)"), 2).alias("total"),
         )
     )
 
 
+# month as a STRING: a DATE column reaches pandas as datetime.date from
+# Spark but datetime64 from DuckDB ("1995-01-01" vs "1995-01-01 00:00:00").
 ORDERS_MONTHLY_SQL = """
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
 FROM orders GROUP BY 1
 """
 
@@ -213,8 +234,8 @@ def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty"),
+            _fixed(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)"), 2).alias("revenue"),
+            _fixed(F.sum(_dec("l_quantity")).cast("decimal(38,2)"), 2).alias("qty"),
             F.count("*").alias("n_items"),
         )
     )
@@ -222,8 +243,8 @@ def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PART_BRAND_SQL = """
 SELECT p_brand,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -263,7 +284,7 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = (
         c.crossJoin(F.broadcast(stats))
         .filter(_dec("c_acctbal") * F.col("n") > F.col("total"))
-        .select("c_custkey", _dec("c_acctbal").alias("acctbal"))
+        .select("c_custkey", _fixed(_dec("c_acctbal"), 2).alias("acctbal"))
     )
     return rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
 
@@ -273,7 +294,7 @@ WITH stats AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total, COUNT(*) AS n
   FROM customer WHERE c_acctbal > 0
 )
-SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal
 FROM customer, stats
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -288,12 +309,12 @@ def cheapest_part_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.withColumn("min_price", F.min(_dec("p_retailprice")).over(w))
         .filter(_dec("p_retailprice") == F.col("min_price"))
-        .select("p_size", "p_partkey", "p_brand", _dec("p_retailprice").alias("price"))
+        .select("p_size", "p_partkey", "p_brand", _fixed(_dec("p_retailprice"), 2).alias("price"))
     )
 
 
 Q2_SQL = """
-SELECT p_size, p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+SELECT p_size, p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
 FROM part p
 WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
   SELECT MIN(CAST(p_retailprice AS DECIMAL(18,2))) FROM part p2 WHERE p2.p_size = p.p_size
@@ -336,10 +357,12 @@ def shipmode_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST(SUM(...) AS BIGINT): DuckDB SUM(int) yields HUGEINT, which the
+# driver's pandas fetch downgrades to float64 — the cast keeps it int64.
 Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -352,8 +375,9 @@ def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 150)
+        .select("l_orderkey", _fixed(F.col("total_qty_dec"), 2).alias("total_qty"))
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -364,7 +388,7 @@ def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 WITH big AS (
-  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 150
 )
@@ -385,8 +409,9 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(38,4)"
+    revenue = _fixed(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(38,4)"),
+        4,
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -403,7 +428,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT)*1 AS ship_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey
               JOIN customer ON o_custkey = c_custkey
@@ -423,15 +448,15 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
     promo = F.col("p_type").startswith("PROMO") | F.col("p_type").contains("BRASS")
     return j.agg(
-        F.sum(F.when(promo, rev)).cast("decimal(38,4)").alias("promo_revenue"),
-        F.sum(rev).cast("decimal(38,4)").alias("total_revenue"),
+        _fixed(F.sum(F.when(promo, rev)).cast("decimal(38,4)"), 4).alias("promo_revenue"),
+        _fixed(F.sum(rev).cast("decimal(38,4)"), 4).alias("total_revenue"),
     )
 
 
 Q14_SQL = """
 SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' OR p_type LIKE '%BRASS%'
-                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_revenue
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS promo_revenue,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
@@ -447,13 +472,13 @@ def disjunctive_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
     )
     return j.filter(cond).agg(
-        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+        _fixed(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)"), 2).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
 
 Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -491,9 +516,12 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.groupBy("l_suppkey")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
-            .cast("decimal(38,4)")
-            .alias("total_revenue")
+            _fixed(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+                    "decimal(38,4)"
+                ),
+                4,
+            ).alias("total_revenue")
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -508,7 +536,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS total_revenue
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name, total_revenue
@@ -529,7 +557,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(part_stats, l.l_partkey == part_stats.pk)
     cond = _dec("l_quantity") * F.col("n") * 2 < F.col("sum_qty")
     return j.filter(cond).agg(
-        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+        _fixed(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)"), 2).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -541,7 +569,7 @@ WITH ps AS (
          COUNT(*) AS n
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN ps ON l_partkey = pk
 WHERE CAST(l_quantity AS DECIMAL(18,2)) * n * 2 < sum_qty
@@ -584,10 +612,13 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    profit = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-        - _dec("l_quantity") * _dec("p_retailprice")
-    ).cast("decimal(38,4)")
+    profit = _fixed(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            - _dec("l_quantity") * _dec("p_retailprice")
+        ).cast("decimal(38,4)"),
+        4,
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -601,7 +632,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-              - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS profit
+              - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS profit
 FROM lineitem JOIN part ON l_partkey = p_partkey
               JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
@@ -616,13 +647,13 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared division-free (value * 1800 > total, i.e. >1.11x the mean)."""
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
-        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("value")
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("value_dec")
     )
-    total = per_part.agg(F.sum("value").cast("decimal(38,2)").alias("total"))
+    total = per_part.agg(F.sum("value_dec").cast("decimal(38,2)").alias("total"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") * 1800 > F.col("total"))
-        .select("l_partkey", "value")
+        .filter(F.col("value_dec") * 1800 > F.col("total"))
+        .select("l_partkey", _fixed(F.col("value_dec"), 2).alias("value"))
     )
 
 
@@ -631,7 +662,7 @@ WITH pp AS (
   SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, value FROM pp
+SELECT l_partkey, CAST(value * 100 AS BIGINT) AS value FROM pp
 WHERE value * 1800 > (SELECT CAST(SUM(value) AS DECIMAL(38,2)) FROM pp)
 """
 

@@ -72,10 +72,16 @@ def _make_transport(options: dict):
             for b in fb.blocks()
         }
         return FakeChainTransport(blocks=blocks, logs=logs)
-    from .rpc import HttpRpcTransport
-
     endpoints = tuple(e.strip() for e in options["endpoints"].split(",") if e.strip())
     rate = options.get("rate_per_second")
+    if endpoints and endpoints[0].startswith(("ws://", "wss://")):
+        # S7 full parity: multiplexed websocket transport with
+        # reconnect/replay (sources.ws, reference core/rpc.py:104-437)
+        from .ws import WsRpcTransport
+
+        return WsRpcTransport(endpoints=endpoints)
+    from .rpc import HttpRpcTransport
+
     return HttpRpcTransport(endpoints=endpoints, rate_per_second=float(rate) if rate else None)
 
 
@@ -186,6 +192,11 @@ class EvmLogsStreamReader(SimpleDataSourceStreamReader):
         self.options = dict(options)
         self.trail = int(options.get("trail_blocks", "1"))
         self.start = int(options.get("start", "0"))
+        # Cap blocks per micro-batch (ADVICE r1, datasource.py:223): read()
+        # materializes the batch on the driver, so an unbounded catch-up from
+        # far behind chain head could OOM it in one batch.  Catch-up proceeds
+        # at max_blocks_per_batch per trigger instead.
+        self.max_blocks = int(options.get("max_blocks_per_batch", "10000"))
 
     def initialOffset(self) -> dict:
         return {"next_block": self.start}
@@ -220,6 +231,7 @@ class EvmLogsStreamReader(SimpleDataSourceStreamReader):
         hi = self._height(transport) - self.trail
         if hi < lo:
             return iter([]), start
+        hi = min(hi, lo + self.max_blocks - 1)
         return iter(list(self._fetch(lo, hi))), {"next_block": hi + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -7,13 +7,21 @@ INTO`` (conditions documented per function in ``operators.merge``); the
 parquet fallback rewrites the table — fine for silver-sized entity state,
 and partitioned by ``blockchain`` so a merge touches one partition tree.
 
-Writes break lineage with an eager localCheckpoint before overwriting the
-path being read (classic read-modify-write over the same files).
+Durability (round-2, ADVICE r1 store.py:67): each rewrite lands in a fresh
+``v-N`` directory under the table path, then a one-line ``_CURRENT`` pointer
+file is flipped via ``os.replace`` (atomic on POSIX).  A crash or executor
+loss at ANY point leaves the previous complete version readable — the
+mini single-writer equivalent of a transactional table format's snapshot
+commit.  Because the new version is written *beside* the files being read,
+the read-modify-write needs no lineage break (no localCheckpoint, no
+executor-memory copy of the table).  Superseded versions are pruned only
+after the pointer flip succeeds.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,19 +61,42 @@ class SilverStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _current_version(self, table: str) -> str | None:
+        ptr = os.path.join(self._path(table), "_CURRENT")
+        try:
+            with open(ptr) as f:
+                v = f.read().strip()
+            return v or None
+        except OSError:
+            return None
+
     def read(self, table: str) -> DataFrame:
-        path = self._path(table)
-        if not os.path.exists(path):
+        cur = self._current_version(table)
+        if cur is None:
             schema = _SCHEMAS[table]
             if table == "token_transfers":
                 # silver transfers carry the 1155 batch disambiguator
                 return self.spark.createDataFrame([], schema).withColumn("batch_index", F.lit(0).cast("int"))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(os.path.join(self._path(table), cur))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        out = df.localCheckpoint(eager=True)  # break lineage off the files being replaced
-        out.write.mode("overwrite").parquet(self._path(table))
+        """Snapshot-commit rewrite: write ``v-N+1`` beside the current
+        version, flip ``_CURRENT`` atomically, prune old versions after."""
+        base = self._path(table)
+        os.makedirs(base, exist_ok=True)
+        cur = self._current_version(table)
+        nxt = f"v-{(int(cur.split('-')[1]) if cur else 0) + 1}"
+        # The plan may read the current version's files; they stay in place
+        # until after the pointer flip, so no lineage break is needed.
+        df.write.mode("overwrite").parquet(os.path.join(base, nxt))
+        tmp = os.path.join(base, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(nxt)
+        os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic commit point
+        for d in os.listdir(base):
+            if d.startswith("v-") and d != nxt:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- merge operations (K1-K9) ------------------------------------------
     def upsert_collections(self, updates: DataFrame) -> None:
@@ -84,11 +115,26 @@ class SilverStore:
         )
 
     def merge_owner_deltas(self, deltas: DataFrame) -> None:
-        """K7/K8: additive balance merge, zero balances dropped."""
+        """K7/K8: additive balance merge, zero balances dropped.
+
+        NOT retry-safe on its own: re-applying the same batch of deltas
+        double-counts (ADVICE r1).  The crawl/tail paths use
+        :meth:`rebuild_owners` instead; this remains the K7 additive-merge
+        API pin for callers that guarantee exactly-once delta delivery.
+        """
         self.overwrite(
             "owners",
             M.additive_upsert(self.read("owners"), deltas, KEYS["owners"], drop_zero=True),
         )
+
+    def rebuild_owners(self, balances: DataFrame, touched_keys: DataFrame) -> None:
+        """Idempotent owners update (the retry-safe K7 path): replace every
+        owner row of the touched token keys with balances recomputed from the
+        idempotent ``token_transfers`` table.  A retried batch rewrites the
+        same values instead of re-adding deltas."""
+        existing = self.read("owners")
+        kept = existing.join(touched_keys, ["blockchain", "collection_id", "token_id_hex"], "left_anti")
+        self.overwrite("owners", kept.unionByName(balances, allowMissingColumns=True))
 
     # -- control table (K12) -----------------------------------------------
     def get_config(self, blockchain: str) -> tuple[int, int | None]:

@@ -7,10 +7,12 @@ persisting ``last_block_id`` after each block (``nft/bin/tail.py:146-192``).
 Spark-first shape: a ``foreachBatch``-style micro-batch driver — each tick
 computes the batch range ``[last+1, height − trail]``, runs the **same batch
 crawl DAG** (``plans.crawl``) over that slice of bronze, and applies the
-version-guarded merges.  Because every sink is idempotent and
-order-insensitive (ST4), a failed/retried batch is safe — at-least-once
-delivery + versioned merge = effectively-once, exactly the reference's
-contract.  Progress lives in the ``crawler_config`` control table (ST3);
+version-guarded merges.  Every sink is idempotent: transfers append with a
+dedup key (K6), tokens merge version-guarded (K2–K5), and owners are
+REBUILT for the batch's touched tokens from the committed transfers table
+(round-2 fix, ADVICE r1 — additive delta re-application on retry would
+double-count).  At-least-once delivery + idempotent sinks = effectively-
+once.  Progress lives in the ``crawler_config`` control table (ST3);
 ``seed`` overwrites it (ST6).
 
 A ``ChainSource`` abstracts where bronze comes from: fixtures/parquet
@@ -26,6 +28,7 @@ from typing import Protocol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.folds import owner_balances_from_silver
 from ..plans.crawl import crawl_plan
 from .store import SilverStore
 
@@ -83,9 +86,13 @@ class TailRunner:
 
         self.store.append_transfers(silver.token_transfers)
         self.store.upsert_tokens(silver.tokens)
-        # incremental owner path (A5): per-batch ± deltas, additive merge
-        deltas = silver.owner_deltas.withColumn("data_version", F.lit(dv))
-        self.store.merge_owner_deltas(deltas)
+        # Retry-safe owners path (ADVICE r1): recompute the touched tokens'
+        # balances from the idempotent transfers table just committed above —
+        # a crashed-and-retried batch rewrites identical values, where an
+        # additive delta merge would double-count.
+        touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
+        balances = owner_balances_from_silver(self.store.read("token_transfers"), touched)
+        self.store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
         self.store.set_config(self.blockchain, dv, target)
         return (start, target)
 

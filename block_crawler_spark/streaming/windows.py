@@ -71,7 +71,9 @@ def stream_tail(
 
     Each micro-batch runs the identical batch plan over its slice; Spark's
     checkpoint tracks which files were consumed (ST3), retries re-run the
-    batch (ST5) and the version-guarded merges absorb duplicates (ST4).
+    batch (ST5), and every sink is idempotent — keyed transfer append,
+    version-guarded token merge, owners rebuilt from committed transfers —
+    so duplicates and re-runs are absorbed (ST4).
     """
     reader = spark.readStream.schema(LOG_SCHEMA)
     if max_files_per_trigger:
@@ -85,9 +87,14 @@ def stream_tail(
         silver = crawl_plan(store.spark, batch_df, blocks_df, blockchain=blockchain, data_version=dv)
         store.append_transfers(silver.token_transfers)
         store.upsert_tokens(silver.tokens)
-        store.merge_owner_deltas(
-            silver.owner_deltas.withColumn("data_version", F.lit(dv))
-        )
+        # Retry-safe owners rebuild from committed transfers (ADVICE r1):
+        # foreachBatch retries re-run this whole block, so the owners write
+        # must be a pure function of the idempotent transfers table.
+        from ..operators.folds import owner_balances_from_silver
+
+        touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
+        balances = owner_balances_from_silver(store.read("token_transfers"), touched)
+        store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
         top = batch_df.agg(F.max("block_number")).collect()[0][0]
         _, last = store.get_config(blockchain)
         store.set_config(blockchain, dv, max(top, last) if last is not None else top)

@@ -1,8 +1,9 @@
 """Measure, don't guess: recall@k of the approximate ANN paths vs brute force.
 
-Runs the three k-NN join strategies (brute-force, sign-LSH, IVF nprobe=1)
-over the embeddings table and reports recall + candidate-pair counts — the
-quality/cost tradeoff the scale paths buy.  Usage:
+Runs the k-NN join strategies (brute-force oracle, sign-LSH at several plane
+counts, IVF at several nprobe values) over the embeddings table and reports
+recall + scored-pair counts — the quality/cost tradeoff the scale paths buy.
+``cost`` is scored pairs as a fraction of brute force.  Usage:
 
     PYTHONPATH=/root/repo python scripts/ann_recall.py [--sf DIR] [--k 5] [--queries 50]
 """
@@ -28,7 +29,7 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--queries", type=int, default=50)
     ap.add_argument("--planes", type=int, default=8)
-    ap.add_argument("--centroids", type=int, default=16)
+    ap.add_argument("--centroids", type=int, default=64)
     args = ap.parse_args()
 
     spark = get_spark("ann-recall")
@@ -45,23 +46,28 @@ def main() -> int:
         got = {(r["q_id"], r["c_id"]) for r in approx_df.collect()}
         return round(len(got & truth) / len(truth), 4), len(got)
 
-    lsh_r, lsh_n = recall(lsh_topk(queries, emb, k=args.k, num_planes=args.planes))
-    cent = emb.filter(F.col("vec_id") < args.centroids)
-    ivf_r, ivf_n = recall(ivf_topk(queries, emb, cent, k=args.k))
-
     brute_pairs = args.queries * (n - 1)
-    print(
-        json.dumps(
-            {
-                "corpus": n,
-                "k": args.k,
-                "queries": args.queries,
-                "brute_scored_pairs": brute_pairs,
-                "lsh": {"recall": lsh_r, "results": lsh_n, "planes": args.planes},
-                "ivf": {"recall": ivf_r, "results": ivf_n, "centroids": args.centroids},
-            }
-        )
-    )
+    out = {
+        "corpus": n,
+        "k": args.k,
+        "queries": args.queries,
+        "brute_scored_pairs": brute_pairs,
+        "lsh": {},
+        "ivf": {},
+    }
+    for planes in (args.planes, args.planes // 2):
+        r, cnt = recall(lsh_topk(queries, emb, k=args.k, num_planes=planes))
+        # scored pairs ≈ queries × corpus / 2^planes (uniform buckets)
+        out["lsh"][f"planes={planes}"] = {"recall": r, "results": cnt, "cost": round(1 / (1 << planes), 4)}
+    cent = emb.filter(F.col("vec_id") < args.centroids)
+    for nprobe in (1, 2, 4, 8, 16):
+        r, cnt = recall(ivf_topk(queries, emb, cent, k=args.k, nprobe=nprobe))
+        out["ivf"][f"nprobe={nprobe}"] = {
+            "recall": r,
+            "results": cnt,
+            "cost": round(nprobe / args.centroids, 4),
+        }
+    print(json.dumps(out))
     return 0
 
 

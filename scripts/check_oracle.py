@@ -6,6 +6,16 @@ order-insensitive value hash (rows stringified, sorted, md5'd).  Exit code
 != 0 on any mismatch.  Usage:
 
     PYTHONPATH=/root/repo python scripts/check_oracle.py [--sf DIR] [--only name]
+
+IMPORTANT (round-2 finding, VERDICT.md r1): the driver fetches BOTH engines
+through a pandas-style path — DuckDB ``.df()`` and Spark ``.toPandas()`` —
+before hashing.  That fetch turns DuckDB DECIMAL(38,x)/HUGEINT into float64
+("138014.0") while Spark Decimals stay Decimal ("138014.00"), so any
+decimal/hugeint output column hash-fails even when every cell is equal.
+This script therefore fetches through the SAME pandas path, so a local
+ALL OK implies a driver ALL OK.  The engine-side rule is stricter: every
+oracle-checked output column must be int64/string/bool/date on BOTH engines
+(BIGINT fixed-point for money — cents/micros).
 """
 
 from __future__ import annotations
@@ -18,17 +28,34 @@ import time
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 
 def _norm_cell(v) -> str:
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
+        if v != v:  # NaN (pandas null for float columns)
+            return "<NULL>"
         return repr(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "<NULL>" if f != f else repr(f)
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, np.bool_):
+        return str(bool(v))
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, bytes):
         return v.hex()
+    if v is pd.NaT:
+        return "<NULL>"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -69,8 +96,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
+            s_cols = list(s_pdf.columns)
+            s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -79,9 +107,9 @@ def main() -> int:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
             continue
         try:
-            rel = con.sql(sqls[name])
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            d_pdf = con.sql(sqls[name]).df()
+            d_cols = list(d_pdf.columns)
+            d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")

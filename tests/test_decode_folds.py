@@ -210,3 +210,17 @@ def test_erc1155_balances_fold(spark, decoded, fixture_rows):
         for r in fold_erc1155_balances(transfers).collect()
     }
     assert got == exp
+
+
+def test_holding_stats_window_equals_pandas(spark):
+    """The registry `nft_holding_stats` is the JVM window plan; the grouped-
+    pandas form stays as the SURVEY §2.10 API pin.  They must agree, and the
+    registry plan must not contain a FlatMapGroupsInPandas node."""
+    from block_crawler_spark.plans.nft_ops import holding_stats_pandas, holding_stats_query
+
+    sf = "/root/testdata/sf0.001"
+    win = holding_stats_query(spark, sf)
+    assert "FlatMapGroupsInPandas" not in win._jdf.queryExecution().executedPlan().toString()
+    pdf_w = {tuple(r) for r in win.collect()}
+    pdf_p = {tuple(r) for r in holding_stats_pandas(spark, sf).collect()}
+    assert pdf_w == pdf_p

@@ -60,3 +60,15 @@ def test_long_to_hex(spark):
 def test_topic_to_address(spark):
     topic = "0x" + "0" * 24 + "ab" * 20
     assert _eval(spark, hexint.topic_to_address(F.lit(topic))) == "0x" + "ab" * 20
+
+
+def test_normalize_overwidth_keeps_low_order(spark):
+    """ADVICE r1 (hexint.py:53): lpad alone TRUNCATES over-width input to its
+    leftmost (high-order-zero) chars — a 64-char topic normalized to 40 must
+    keep the RIGHTMOST nibbles, like topic_to_address, not become 0x000…0."""
+    topic = "0x" + "0" * 24 + "ab" * 20  # padded 32-byte topic holding an address
+    got = _eval(spark, hexint.normalize_hex(F.lit(topic), hexint.ADDRESS_HEX_WIDTH))
+    assert got == "0x" + "ab" * 20
+    assert _eval(spark, hexint.is_zero_address(F.lit(topic))) is False
+    zero_topic = "0x" + "0" * 64
+    assert _eval(spark, hexint.is_zero_address(F.lit(zero_topic))) is True

@@ -90,9 +90,11 @@ def test_tail_equals_bulk(spark, chain, tmp_path):
 
 
 def test_tail_batch_retry_is_idempotent(spark, chain, tmp_path):
-    """Replaying the same batch (at-least-once delivery) changes nothing:
-    the additive owner merge must not double-apply deltas of a retried
-    batch — ST5's micro-batch retry contract."""
+    """Replaying the same batch (at-least-once delivery) changes NOTHING —
+    ST5's micro-batch retry contract.  Round-2 (ADVICE r1): owners are
+    rebuilt from the idempotent transfers table, so a retried batch at the
+    SAME data_version rewrites identical balances instead of double-adding
+    deltas."""
     fb, logs, blocks = chain
     store = SilverStore(spark, str(tmp_path / "silver"))
     src = TableChainSource(logs, blocks)
@@ -104,9 +106,9 @@ def test_tail_batch_retry_is_idempotent(spark, chain, tmp_path):
     seed(store, "testnet", -1)
     assert runner.run_once() is not None
     after = _owners_set(store.read("owners"))
-    # additive ADD at same data_version double-applies (DynamoDB would too);
-    # the reference's answer is a data_version bump per run epoch: replaying
-    # under a NEW data_version must give exactly the bulk state
+    assert after == before  # the double-count ADVICE r1 flagged is gone
+
+    # a data_version bump (run epoch) must also converge to the bulk state
     store2 = SilverStore(spark, str(tmp_path / "silver2"))
     runner2 = TailRunner(store2, src, blockchain="testnet", trail_blocks=0)
     runner2.run_once()
