@@ -145,15 +145,24 @@ def cmd_force_load(args) -> int:
 
 
 def cmd_tail(args) -> int:
+    from .streaming.stats import StatsService, StatsTicker
     from .streaming.store import SilverStore
     from .streaming.tail import TableChainSource, TailRunner
 
     spark = _spark("tail")
     store = SilverStore(spark, args.silver)
     src = TableChainSource(spark.read.parquet(args.logs), spark.read.parquet(args.blocks))
+    stats = ticker = None
+    if args.stats_interval > 0:
+        # the reference's 60 s stats writer (core/stats.py, crawl.py:72)
+        stats = StatsService()
+        ticker = StatsTicker(stats, interval=args.stats_interval)
+        ticker.start()
     runner = TailRunner(store, src, blockchain=args.blockchain, trail_blocks=args.trail_blocks,
-                        process_interval=args.process_interval)
+                        process_interval=args.process_interval, stats=stats)
     n = runner.run(max_batches=1 if args.once else None, sleep=not args.once)
+    if ticker is not None:
+        ticker.stop(final_line=True)
     print(json.dumps({"batches": n, "config": store.get_config(args.blockchain)}))
     return 0
 
@@ -231,6 +240,8 @@ def main(argv=None) -> int:
     sp.add_argument("--trail-blocks", type=int, default=1)
     sp.add_argument("--process-interval", type=float, default=10.0)
     sp.add_argument("--once", action="store_true")
+    sp.add_argument("--stats-interval", type=float, default=60.0,
+                    help="seconds between STATS lines (reference 60 s ticker); 0 disables")
     sp.set_defaults(fn=cmd_tail)
     sp = sub.add_parser("verify"); common(sp, blocks=False); sp.set_defaults(fn=cmd_verify)
     sp = sub.add_parser("seed")

@@ -70,6 +70,7 @@ class TailRunner:
     blockchain: str = "ethereum-mainnet"
     trail_blocks: int = 1  # reference default, tail.py:34-39
     process_interval: float = 10.0  # reference default, tail.py:41-47
+    stats: "object | None" = None  # streaming.stats.StatsService (optional)
 
     def run_once(self) -> tuple[int, int] | None:
         """One micro-batch: returns the processed (start, end) or None if
@@ -94,6 +95,14 @@ class TailRunner:
         balances = owner_balances_from_silver(self.store.read("token_transfers"), touched)
         self.store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
         self.store.set_config(self.blockchain, dv, target)
+        if self.stats is not None:
+            # reference ticker fields (core/stats.py counters): committed
+            # parquet row counts are metadata-cheap reads
+            self.stats.increment("batches")
+            self.stats.increment("blocks", target - start + 1)
+            for table, key in (("token_transfers", "transfer_rows"), ("tokens", "token_rows"), ("owners", "owner_rows")):
+                snap = self.store.read(table).count()
+                self.stats.increment(key, snap - self.stats.get_count(key))
         return (start, target)
 
     def run(self, max_batches: int | None = None, sleep: bool = False) -> int:
