@@ -24,7 +24,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
+    "tpch_q8_market_share",
     "agg_orders_monthly",
+    "agg_rollup_region_nation",
+    "doc_winnow_fingerprint",
     "evt_token_state_fold",
     "evt_json_balances",
     "evt_window_hourly",

@@ -266,8 +266,87 @@ ASOF LEFT JOIN (SELECT event_id, user_id FROM events WHERE event_type = 'signup'
   ON p.user_id = s.user_id AND p.event_id >= s.event_id
 """
 
+def value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over a grouped aggregate: per event type, the
+    top-5 users by net value with dense_rank + global rank + running count
+    (ntile-free — ntile boundaries are engine-defined on ties)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        _cents(F.sum(_dec("value")).cast("decimal(38,2)")).alias("total_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("total_cents").desc(), F.col("user_id").asc())
+    # dense_rank orders by value ONLY, so ties share a rank (deterministic:
+    # rank depends on the value alone); row_number adds the id tiebreak
+    wd = Window.partitionBy("event_type").orderBy(F.col("total_cents").desc())
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .withColumn("dense", F.dense_rank().over(wd))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "user_id", "total_cents", "rnk", "dense")
+    )
+
+
+VALUE_RANK_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_cents, rnk, dense
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY total_cents DESC, user_id ASC) AS rnk,
+         dense_rank() OVER (PARTITION BY event_type ORDER BY total_cents DESC) AS dense
+  FROM per_user
+)
+WHERE rnk <= 5
+"""
+
+
+def value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per event type (quantile family) without interpolation
+    ambiguity: emit ``median2x`` = value-at-rank (n+1)÷2 plus value-at-rank
+    (n+2)÷2 in cents — always exactly 2×median as a BIGINT, engine-
+    independent (interpolating medians produce .5 fractions whose
+    decimal/float handling differs between engines).  The event_id rank
+    tiebreak does not affect the result: the values at the middle ranks
+    depend only on the sorted multiset."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents(_dec("value")).alias("cents")
+    )
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").asc(), F.col("event_id").asc())
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    j = ranked.join(F.broadcast(counts), "event_type")
+    middle = j.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
+    return middle.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("n") % 2 == 1, F.col("cents") * 2).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("median2x"),
+    )
+
+
+VALUE_MEDIAN_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+), c AS (
+  SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type
+), r AS (
+  SELECT e.*, row_number() OVER (PARTITION BY event_type ORDER BY cents ASC, event_id ASC) AS rn FROM e
+), m AS (
+  SELECT r.event_type, r.cents, c.n FROM r JOIN c USING (event_type)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN n % 2 = 1 THEN cents * 2 ELSE cents END) AS BIGINT) AS median2x
+FROM m GROUP BY event_type
+"""
+
+
 QUERIES = {
     "evt_classify_route": (classify_route, CLASSIFY_SQL),
+    "evt_value_rank": (value_rank, VALUE_RANK_SQL),
+    "evt_value_median": (value_median, VALUE_MEDIAN_SQL),
     "join_asof_last_signup": (asof_last_signup, ASOF_SQL),
     "evt_token_state_fold": (token_state_fold, TOKEN_STATE_SQL),
     "evt_latest_by_version": (latest_by_version, LATEST_SQL),

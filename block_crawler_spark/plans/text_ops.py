@@ -348,8 +348,79 @@ LEFT JOIN (SELECT DISTINCT id_b AS doc_id, TRUE AS is_dup FROM pairs) dr USING (
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling-hash family)
+# ---------------------------------------------------------------------------
+
+WINNOW_WINDOW = 4  # consecutive shingle hashes per winnowing window
+
+
+def winnow_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every ORDERED word 3-gram,
+    slide a window of ``WINNOW_WINDOW`` consecutive hashes, keep each
+    window's minimum, and fingerprint the document with the distinct set of
+    window minima.  Near-identical documents share most fingerprints even
+    under local edits — the guarantee MinHash doesn't give (it is
+    order-blind).
+
+    All column expressions: split → ordered-shingle transform → posexplode →
+    md5 → windowed min over (doc, position) → distinct → per-doc aggregate.
+    md5 hex compares lexicographically == numerically (the engine's shared-
+    hash rule), so MIN over hashes is engine-agnostic.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 3,
+            F.expr("transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"),
+        )
+        .otherwise(F.array(F.array_join("t", " ")))
+        .alias("sh"),
+    )
+    hashed = shingles.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
+        "doc_id", "pos", F.md5("s").alias("hv")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
+    fps = hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+WINNOW_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN len(t) >= 3 THEN array_to_string(list_slice(t, i+1, i+3), ' ')
+              ELSE array_to_string(t, ' ') END AS s
+  FROM tk, unnest(range(CASE WHEN len(t) >= 3 THEN len(t)-2 ELSE 1 END)) AS u(i)
+), h AS (
+  SELECT doc_id, pos, md5(s) AS hv FROM sh
+), wmin AS (
+  SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+  FROM h
+), d AS (
+  SELECT DISTINCT doc_id, fp FROM wmin
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM d GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_winnow_fingerprint": (winnow_fingerprint_query, WINNOW_SQL),
     "dedup_minhash_keep": (dedup_keep_query, _dedup_keep_sql()),
     "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),

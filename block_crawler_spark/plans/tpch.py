@@ -642,6 +642,111 @@ GROUP BY n_name, year(o_orderdate)
 """
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8-style market share: fraction of revenue where the supplier's nation
+    equals the customer's nation ("local" share), per order year.
+
+    The ratio is emitted as integer ppm computed division-free-then-DIV:
+    both revenue sums floor to whole currency units (floor on decimal is
+    exact on both engines, unlike decimal→int casts which round in DuckDB
+    and truncate in Spark), then ``local * 1e6 DIV total`` in int64 space.
+    """
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    local = F.col("supp_nation") == F.col("cust_nation")
+    per_year = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.floor(F.sum(rev).cast("decimal(38,4)")).cast("long").alias("total_units"),
+            F.floor(F.sum(F.when(local, rev)).cast("decimal(38,4)")).cast("long").alias("local_units"),
+        )
+    )
+    return per_year.select(
+        "o_year",
+        "total_units",
+        "local_units",
+        F.expr("CAST(local_units * 1000000 DIV total_units AS BIGINT)").alias("local_share_ppm"),
+    )
+
+
+Q8_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         sn.n_name = cn.n_name AS is_local
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+), y AS (
+  SELECT o_year,
+         CAST(floor(CAST(SUM(rev) AS DECIMAL(38,4))) AS BIGINT) AS total_units,
+         CAST(floor(CAST(SUM(CASE WHEN is_local THEN rev END) AS DECIMAL(38,4))) AS BIGINT) AS local_units
+  FROM j GROUP BY o_year
+)
+SELECT o_year, total_units, local_units,
+       CAST(local_units * 1000000 // total_units AS BIGINT) AS local_share_ppm
+FROM y
+"""
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (the hypertable-rollup family): order counts and
+    revenue at (region, nation), (region), and grand-total levels in one
+    pass.  Subtotal rows surface via '<ALL>' sentinels instead of
+    grouping-id bitmasks (no NULL names exist in the dims, so COALESCE is
+    unambiguous and engine-agnostic)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _fixed(F.sum(_dec("o_totalprice")).cast("decimal(38,2)"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<ALL>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<ALL>")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(r_name, '<ALL>') AS region,
+       COALESCE(n_name, '<ALL>') AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q11-style: part value share above a global-threshold fraction,
     compared division-free (value * 1800 > total, i.e. >1.11x the mean)."""
@@ -733,6 +838,8 @@ QUERIES = {
     "tpch_q17_small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "tpch_q21_lone_late_suppliers": (lone_late_suppliers, Q21_SQL),
     "tpch_q7_nation_trade_flows": (nation_trade_flows, Q7_SQL),
+    "tpch_q8_market_share": (market_share, Q8_SQL),
+    "agg_rollup_region_nation": (rollup_region_nation, ROLLUP_SQL),
     "tpch_q14_promo_revenue": (promo_revenue_ratio, Q14_SQL),
     "tpch_q19_disjunctive_quantities": (disjunctive_quantities, Q19_SQL),
     "tpch_q4_order_priority_semi": (order_priority_semi, Q4_SQL),
