@@ -33,6 +33,7 @@ HEADLINE = [
     "evt_window_hourly",
     "evt_sessionize",
     "doc_quality_ppm",
+    "media_binary_features",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import embed_ops, events_ops, nft_ops, text_ops, tpch
+from . import embed_ops, events_ops, media_ops, nft_ops, text_ops, tpch
 
-_MODULES = (tpch, events_ops, text_ops, embed_ops, nft_ops)
+_MODULES = (tpch, events_ops, text_ops, embed_ops, nft_ops, media_ops)
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -30,12 +30,13 @@ class TinyWsServer(threading.Thread):
     * sends a PING before the first response (client must pong + continue).
     """
 
-    def __init__(self, reverse_batch: int = 0, drop_after: int | None = None):
+    def __init__(self, reverse_batch: int = 0, drop_after: int | None = None, handler=None):
         super().__init__(daemon=True)
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         self.reverse_batch = reverse_batch
         self.drop_after = drop_after
+        self.handler = handler  # optional (method, params) -> result
         self.seen_methods: list[str] = []
         self.connections = 0
         self._stop = False
@@ -110,6 +111,8 @@ class TinyWsServer(threading.Thread):
         self.seen_methods.append(req["method"])
         if req["method"] == "boom":
             body = {"jsonrpc": "2.0", "id": req["id"], "error": {"code": -32000, "message": "boom"}}
+        elif self.handler is not None:
+            body = {"jsonrpc": "2.0", "id": req["id"], "result": self.handler(req["method"], req.get("params", []))}
         else:
             body = {"jsonrpc": "2.0", "id": req["id"], "result": req.get("params")}
         return self._frame(json.dumps(body).encode())
@@ -190,5 +193,53 @@ def test_reconnect_replays_pending():
         assert t.reconnects >= 1
         assert t.pending == {}, "every request answered after replay"
         t.close()
+    finally:
+        s.stop()
+
+
+def test_evm_logs_datasource_over_websocket(spark):
+    """S7 end-to-end: spark.read.format('evm_logs') with a ws:// endpoint
+    routes through WsRpcTransport (executor-side python workers connect to
+    the in-process server)."""
+
+    def eth(method, params):
+        if method == "eth_blockNumber":
+            return hex(5)
+        if method == "eth_getLogs":
+            flt = params[0]
+            lo, hi = int(flt["fromBlock"], 16), int(flt["toBlock"], 16)
+            return [
+                {
+                    "blockNumber": hex(b),
+                    "transactionIndex": "0x0",
+                    "logIndex": "0x0",
+                    "transactionHash": "0x" + f"{b:064x}",
+                    "address": "0x" + "ab" * 20,
+                    "topics": ["0x" + "11" * 32],
+                    "data": "0x",
+                    "removed": False,
+                }
+                for b in range(lo, hi + 1)
+            ]
+        raise AssertionError(f"unexpected method {method}")
+
+    s = TinyWsServer(handler=eth)
+    s.start()
+    try:
+        from block_crawler_spark.sources.datasource import register
+
+        register(spark)
+        df = (
+            spark.read.format("evm_logs")
+            .option("endpoints", f"ws://127.0.0.1:{s.port}")
+            .option("start", 0)
+            .option("end", 5)
+            .option("chunk_size", 100)  # one partition -> one ws connection
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 6
+        assert {r["block_number"] for r in rows} == set(range(6))
+        assert "eth_getLogs" in s.seen_methods
     finally:
         s.stop()
