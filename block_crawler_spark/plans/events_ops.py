@@ -343,10 +343,41 @@ FROM m GROUP BY event_type
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event type.
+
+    The pivot value list is EXPLICIT — with an inferred list Spark runs an
+    extra distinct job and the output schema depends on the data; the
+    explicit list keeps the plan one-pass and the schema stable (and the
+    oracle's FILTER columns provably aligned)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    out = p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+    return out
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "evt_classify_route": (classify_route, CLASSIFY_SQL),
     "evt_value_rank": (value_rank, VALUE_RANK_SQL),
     "evt_value_median": (value_median, VALUE_MEDIAN_SQL),
+    "evt_pivot_type_counts": (pivot_type_counts, PIVOT_SQL),
     "join_asof_last_signup": (asof_last_signup, ASOF_SQL),
     "evt_token_state_fold": (token_state_fold, TOKEN_STATE_SQL),
     "evt_latest_by_version": (latest_by_version, LATEST_SQL),
