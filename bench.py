@@ -43,6 +43,7 @@ HEADLINE = [
     "emb_ivf_topk",
     "dedup_embedding_cosine_pairs",
     "join_asof_last_signup",
+    "join_range_ship_windows",
     "nft_token_state_from_lineitem",
     "nft_owners_from_lineitem",
     "nft_transfers_decode_from_lineitem",

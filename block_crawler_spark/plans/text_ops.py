@@ -418,9 +418,81 @@ FROM d GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 16  # small vocab in the fixture (~31 distinct/source) — k=16 keeps the estimator engaged
+_KMV_HEX_DIGITS = 14  # hash fraction resolution: 16^14 ≈ 7.2e16
+_KMV_SCALE = 16 ** _KMV_HEX_DIGITS  # (k-1)*SCALE ≈ 4.5e18 < int64 max
+
+
+def kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per source (the mergeable-sketch family,
+    Bar-Yossef et al. / DataSketches theta): keep the k smallest hash
+    values of the distinct tokens; estimate distinct ≈ (k−1)/R where R is
+    the k-th minimum as a fraction of hash space.
+
+    Everything here is DETERMINISTIC — the sketch is an exact function of
+    the data (md5, the shared hash domain) and the estimate is integer
+    arithmetic on it — so unlike approx_count_distinct (whose HLL buckets
+    are engine-private) this sketch hash-checks against DuckDB exactly.
+    ``exact_distinct`` rides along so the estimate's error is visible in
+    the output itself.  Sketches merge by unioning hash sets and re-taking
+    the k smallest — the property that makes them partial-aggregate-shaped
+    at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    hashes = toks.select(
+        "source", F.conv(F.substring(F.md5("tok"), 1, _KMV_HEX_DIGITS), 16, 10).cast("long").alias("hv")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    kmin = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    sketch = kmin.groupBy("source").agg(
+        F.max("hv").alias("kth_min"), F.count("*").alias("k_used")
+    )
+    exact = hashes.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    est = (
+        F.when(F.col("k_used") < KMV_K, F.col("exact_distinct"))  # fewer than k values ⇒ exact
+        .otherwise(F.expr(f"(k_used - 1) * CAST({_KMV_SCALE} AS BIGINT) div kth_min"))
+        .cast("long")
+    )
+    return (
+        sketch.join(exact, "source")
+        .select("source", "kth_min", "exact_distinct", est.alias("distinct_est"))
+    )
+
+
+KMV_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+), hx AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(tok), 1, {_KMV_HEX_DIGITS}) AS BIGINT) AS hv
+  FROM toks
+), ranked AS (
+  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hx
+), sk AS (
+  SELECT source, MAX(hv) AS kth_min, COUNT(*) AS k_used FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+), ex AS (
+  SELECT source, COUNT(*) AS exact_distinct FROM hx GROUP BY source
+)
+SELECT sk.source, kth_min, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN k_used < {KMV_K} THEN exact_distinct
+                 ELSE (k_used - 1) * CAST({_KMV_SCALE} AS BIGINT) // kth_min END AS BIGINT) AS distinct_est
+FROM sk JOIN ex USING (source)
+"""
+
+
 QUERIES = {
     "doc_token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_winnow_fingerprint": (winnow_fingerprint_query, WINNOW_SQL),
+    "doc_kmv_distinct": (kmv_distinct_query, KMV_SQL),
     "dedup_minhash_keep": (dedup_keep_query, _dedup_keep_sql()),
     "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),

@@ -747,6 +747,51 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: shipments falling inside the 30-day window
+    after each of the top-100 orders' order dates.
+
+    Uses ``operators.rangejoin.range_join`` — the bucketized equi-join form
+    (quantize points, explode intervals over overlapped buckets, equi-join,
+    exact recheck) instead of the BroadcastNestedLoopJoin a raw BETWEEN
+    predicate plans as.  Coordinates are epoch-day integers (dates are
+    midnight-aligned in this dataset), bucket width = the window length so
+    each interval explodes to ≤2 buckets.
+    """
+    from ..operators.rangejoin import range_join
+
+    epoch = F.lit("1990-01-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders")
+    top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(100)
+    iv = (
+        top.select("o_orderkey", F.datediff(F.col("o_orderdate"), epoch).alias("lo"))
+        .withColumn("hi", F.col("lo") + 30)
+    )
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), epoch).alias("t")
+    )
+    j = range_join(pts, iv, point_col="t", lo_col="lo", hi_col="hi", bucket_width=30)
+    counts = j.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    return (
+        iv.select("o_orderkey")
+        .join(F.broadcast(counts), "o_orderkey", "left")  # ≤100 rows — no SMJ
+        .select("o_orderkey", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_in_window"))
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH topo AS (
+  SELECT o_orderkey, o_orderdate FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+)
+SELECT o_orderkey,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_in_window
+FROM topo LEFT JOIN lineitem
+  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey
+"""
+
+
 def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q11-style: part value share above a global-threshold fraction,
     compared division-free (value * 1800 > total, i.e. >1.11x the mean)."""
@@ -840,6 +885,7 @@ QUERIES = {
     "tpch_q7_nation_trade_flows": (nation_trade_flows, Q7_SQL),
     "tpch_q8_market_share": (market_share, Q8_SQL),
     "agg_rollup_region_nation": (rollup_region_nation, ROLLUP_SQL),
+    "join_range_ship_windows": (range_join_ship_windows, RANGE_JOIN_SQL),
     "tpch_q14_promo_revenue": (promo_revenue_ratio, Q14_SQL),
     "tpch_q19_disjunctive_quantities": (disjunctive_quantities, Q19_SQL),
     "tpch_q4_order_priority_semi": (order_priority_semi, Q4_SQL),
