@@ -451,20 +451,25 @@ def kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = toks.select(
         "source", F.conv(F.substring(F.md5("tok"), 1, _KMV_HEX_DIGITS), 16, 10).cast("long").alias("hv")
     ).distinct()
+    # one agg after the window does everything: max(rn) = exact distinct,
+    # the k-th min and k_used come from the rn<=k slice — and since the
+    # window and the groupBy share the `source` partitioning, the agg adds
+    # no extra Exchange
     w = Window.partitionBy("source").orderBy("hv")
-    kmin = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
-    sketch = kmin.groupBy("source").agg(
-        F.max("hv").alias("kth_min"), F.count("*").alias("k_used")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    in_k = F.col("rn") <= KMV_K
+    stats = ranked.groupBy("source").agg(
+        F.max("rn").alias("exact_distinct"),
+        F.max(F.when(in_k, F.col("hv"))).alias("kth_min"),
+        F.sum(F.when(in_k, 1).otherwise(0)).alias("k_used"),
     )
-    exact = hashes.groupBy("source").agg(F.count("*").alias("exact_distinct"))
     est = (
         F.when(F.col("k_used") < KMV_K, F.col("exact_distinct"))  # fewer than k values ⇒ exact
         .otherwise(F.expr(f"(k_used - 1) * CAST({_KMV_SCALE} AS BIGINT) div kth_min"))
         .cast("long")
     )
-    return (
-        sketch.join(exact, "source")
-        .select("source", "kth_min", "exact_distinct", est.alias("distinct_est"))
+    return stats.select(
+        "source", "kth_min", F.col("exact_distinct").cast("long").alias("exact_distinct"), est.alias("distinct_est")
     )
 
 
