@@ -373,8 +373,37 @@ FROM events GROUP BY user_id
 """
 
 
+def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation under the correctness gate: event totals
+    per event_type — a 5-value key, i.e. a genuinely skewed aggregation key
+    at scale — via ``operators.skew.salted_aggregate`` (two-phase: partials
+    on (key, content-salt), final on key).  Must equal the plain GROUP BY
+    the oracle runs; salting is a physical rewrite, never a semantic one.
+    """
+    from ..operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents(_dec("value")).alias("cents")
+    )
+    out = salted_aggregate(e, ["event_type"], {"cents": "sum", "event_id": "max"}, salt_factor=8)
+    return out.select(
+        "event_type",
+        F.col("sum_cents").cast("long").alias("total_cents"),
+        F.col("max_event_id").alias("max_event_id"),
+    )
+
+
+SALTED_TOTALS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "evt_classify_route": (classify_route, CLASSIFY_SQL),
+    "evt_salted_type_totals": (salted_type_totals, SALTED_TOTALS_SQL),
     "evt_value_rank": (value_rank, VALUE_RANK_SQL),
     "evt_value_median": (value_median, VALUE_MEDIAN_SQL),
     "evt_pivot_type_counts": (pivot_type_counts, PIVOT_SQL),
