@@ -78,20 +78,58 @@ class TokenBucket:
 
 @dataclass
 class HttpRpcTransport:
-    """Plain HTTP JSON-RPC 2.0 transport with retry/backoff.
+    """Plain HTTP JSON-RPC 2.0 transport with retry/backoff and eviction.
 
     One instance per partition; round-robins over endpoints (S7).  Kept
     deliberately minimal and dependency-free (urllib) — the websocket
     multiplexer of the reference is unnecessary when each Spark task owns
     its request stream.
+
+    Dead-endpoint eviction mirrors the reference's pooling client
+    (``evm/rpc.py:380-422``, ``ConnectionPoolingEvmRpcClient`` removes
+    clients whose sockets die): after ``evict_after`` consecutive
+    *transport-level* failures an endpoint leaves the rotation for
+    ``evict_cooldown`` seconds, then is re-admitted for a probe request.
+    Application-level ``RpcError`` responses (the server answered) never
+    count against an endpoint.  If every endpoint is evicted, the one
+    closest to re-admission is used anyway — the pool degrades, it never
+    deadlocks.
     """
 
     endpoints: tuple[str, ...]
     rate_per_second: float | None = None
     max_tries: int = 5
+    evict_after: int = 3
+    evict_cooldown: float = 30.0
     _i: int = 0
     _bucket: TokenBucket | None = None
     _id: int = 0
+    _fails: dict = field(default_factory=dict)  # endpoint → consecutive transport failures
+    _evicted_until: dict = field(default_factory=dict)  # endpoint → monotonic re-admit time
+
+    def evicted(self) -> tuple[str, ...]:
+        now = time.monotonic()
+        return tuple(e for e in self.endpoints if self._evicted_until.get(e, 0.0) > now)
+
+    def _next_endpoint(self) -> str:
+        now = time.monotonic()
+        for _ in range(len(self.endpoints)):
+            ep = self.endpoints[self._i % len(self.endpoints)]
+            self._i += 1
+            if self._evicted_until.get(ep, 0.0) <= now:
+                return ep
+        # all evicted: re-admit the endpoint closest to cooldown expiry
+        ep = min(self.endpoints, key=lambda e: self._evicted_until.get(e, 0.0))
+        self._evicted_until.pop(ep, None)
+        return ep
+
+    def _record_failure(self, endpoint: str) -> None:
+        n = self._fails.get(endpoint, 0) + 1
+        if n >= self.evict_after:
+            self._evicted_until[endpoint] = time.monotonic() + self.evict_cooldown
+            self._fails[endpoint] = 0
+        else:
+            self._fails[endpoint] = n
 
     def call(self, method: str, *params: Any) -> Any:
         if self._bucket is None:
@@ -99,8 +137,7 @@ class HttpRpcTransport:
         delay = 0.5
         for attempt in range(self.max_tries):
             self._bucket.acquire()
-            endpoint = self.endpoints[self._i % len(self.endpoints)]
-            self._i += 1
+            endpoint = self._next_endpoint()
             self._id += 1
             payload = json.dumps(
                 {"jsonrpc": "2.0", "id": self._id, "method": method, "params": list(params)}
@@ -112,11 +149,17 @@ class HttpRpcTransport:
                 with urllib.request.urlopen(req, timeout=30) as resp:
                     body = json.loads(resp.read())
             except Exception:
+                self._record_failure(endpoint)
                 if attempt == self.max_tries - 1:
                     raise
-                time.sleep(delay)
-                delay *= 2
+                # with other endpoints in rotation, fail over immediately;
+                # back off only when this endpoint is the only candidate
+                if len(self.endpoints) - len(self.evicted()) <= 1:
+                    time.sleep(delay)
+                    delay *= 2
                 continue
+            self._fails.pop(endpoint, None)
+            self._evicted_until.pop(endpoint, None)
             if "error" in body and body["error"]:
                 raise RpcError(body["error"].get("code", 0), body["error"].get("message", ""))
             return body.get("result")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
@@ -96,3 +97,77 @@ def test_flaky_endpoint_recovers(server):
     flaky = server("flaky")  # fails twice, then succeeds
     t = HttpRpcTransport(endpoints=(flaky,), max_tries=5)
     assert t.call("m")["echo"] == "m"
+
+
+def _mk(behavior="ok"):
+    handler = type(
+        "H", (_Handler,), {"behavior": behavior, "flaky_state": {"fails_left": 2}, "hits": {"n": 0}}
+    )
+    orig = handler.do_POST
+
+    def counting_post(self):
+        type(self).hits["n"] += 1
+        orig(self)
+
+    handler.do_POST = counting_post
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, handler, f"http://127.0.0.1:{srv.server_port}"
+
+
+def test_dead_endpoint_evicted_mid_batch():
+    """Reference evm/rpc.py:380-422 parity: one of two endpoints dies
+    mid-batch; after eviction the remaining calls never touch it."""
+    srv_a, h_a, url_a = _mk()
+    srv_b, h_b, url_b = _mk()
+    try:
+        t = HttpRpcTransport(endpoints=(url_a, url_b), max_tries=4, evict_after=1, evict_cooldown=60.0)
+        assert t.call("m0")["echo"] == "m0"
+        assert t.call("m1")["echo"] == "m1"
+        srv_a.shutdown()
+        srv_a.server_close()
+        for i in range(10):  # one failed attempt max (the evicting one), then clean
+            assert t.call(f"q{i}")["echo"] == f"q{i}"
+        assert t.evicted() == (url_a,)
+        hits_after_evict = h_b.hits["n"]
+        assert t.call("tail")["echo"] == "tail"
+        assert h_b.hits["n"] == hits_after_evict + 1  # served by b alone
+    finally:
+        srv_b.shutdown()
+
+
+def test_evicted_endpoint_readmitted_after_cooldown():
+    srv_a, h_a, url_a = _mk("flaky")  # fails twice, then healthy again
+    h_a.flaky_state["fails_left"] = 1
+    srv_b, h_b, url_b = _mk()
+    try:
+        t = HttpRpcTransport(endpoints=(url_a, url_b), max_tries=4, evict_after=1, evict_cooldown=0.05)
+        assert t.call("m")["echo"] == "m"  # a fails → evicted; b serves
+        assert t.evicted() == (url_a,)
+        time.sleep(0.1)
+        assert t.evicted() == ()  # cooldown elapsed
+        before = h_a.hits["n"]
+        for i in range(4):
+            assert t.call(f"r{i}")["echo"] == f"r{i}"
+        assert h_a.hits["n"] > before  # a back in rotation and serving
+    finally:
+        srv_a.shutdown()
+        srv_b.shutdown()
+
+
+def test_all_evicted_still_degrades_not_deadlocks(server):
+    bad = server("http500")
+    t = HttpRpcTransport(endpoints=(bad,), max_tries=2, evict_after=1, evict_cooldown=60.0)
+    with pytest.raises(Exception):
+        t.call("m")  # evicted after first failure, fallback still attempts it
+    # single evicted endpoint is re-admitted by the fallback path on demand
+    with pytest.raises(Exception):
+        t.call("m2")
+
+
+def test_rpc_error_does_not_evict(server):
+    url = server("rpc_error")
+    t = HttpRpcTransport(endpoints=(url,), evict_after=1)
+    with pytest.raises(RpcError):
+        t.call("m")
+    assert t.evicted() == ()  # server answered; application error ≠ dead node
