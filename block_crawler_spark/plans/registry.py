@@ -11,13 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import embed_ops, events_ops, media_ops, nft_ops, text_ops, tpch
+from . import embed_ops, events_ops, media_ops, nft_ops, text_ops, tpch, tx_ops
 
-# Module order IS driver-sampling order (dict insertion order is preserved
-# through __spark_entry__.queries()).  The flagship NFT pipeline, the
-# embedding/ANN operators, and the multimodal query lead so a prefix sample
-# always certifies the entry() path first; the long relational tail follows.
-_MODULES = (nft_ops, embed_ops, media_ops, events_ops, text_ops, tpch)
+# Grouped by domain for readability; ordering carries no semantics.
+_MODULES = (nft_ops, tx_ops, events_ops, tpch, embed_ops, text_ops, media_ops)
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

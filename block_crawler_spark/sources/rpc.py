@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import time
+import urllib.error
 import urllib.request
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
@@ -34,7 +35,7 @@ from typing import Any, Protocol
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import BLOCK_SCHEMA, LOG_SCHEMA, RECEIPT_SCHEMA
+from ..schemas import BLOCK_SCHEMA, LOG_SCHEMA, RECEIPT_SCHEMA, TRANSACTION_SCHEMA
 
 
 class RpcError(Exception):
@@ -118,9 +119,12 @@ class HttpRpcTransport:
             self._i += 1
             if self._evicted_until.get(ep, 0.0) <= now:
                 return ep
-        # all evicted: re-admit the endpoint closest to cooldown expiry
+        # all evicted: re-admit the endpoint closest to cooldown expiry —
+        # on probation: one failed probe re-evicts it immediately, instead
+        # of granting a just-declared-dead node evict_after fresh strikes
         ep = min(self.endpoints, key=lambda e: self._evicted_until.get(e, 0.0))
         self._evicted_until.pop(ep, None)
+        self._fails[ep] = self.evict_after - 1
         return ep
 
     def _record_failure(self, endpoint: str) -> None:
@@ -148,13 +152,20 @@ class HttpRpcTransport:
                 )
                 with urllib.request.urlopen(req, timeout=30) as resp:
                     body = json.loads(resp.read())
-            except Exception:
-                self._record_failure(endpoint)
+            except Exception as exc:
+                # HTTP 429 means the server answered and is rate-limiting —
+                # an alive node; retry with backoff but never evict for it
+                if not (isinstance(exc, urllib.error.HTTPError) and exc.code == 429):
+                    self._record_failure(endpoint)
                 if attempt == self.max_tries - 1:
                     raise
-                # with other endpoints in rotation, fail over immediately;
-                # back off only when this endpoint is the only candidate
-                if len(self.endpoints) - len(self.evicted()) <= 1:
+                # with ANOTHER live endpoint in rotation, fail over to it
+                # immediately; back off only when no other candidate exists
+                # (the just-failed endpoint may already be evicted, so it
+                # must not count toward the live total)
+                evicted = self.evicted()
+                others = [e for e in self.endpoints if e != endpoint and e not in evicted]
+                if not others:
                     time.sleep(delay)
                     delay *= 2
                 continue
@@ -188,7 +199,15 @@ class FakeChainTransport:
         if method == "eth_getBlockByNumber":
             num = int(params[0], 16)
             blk = self.blocks.get(num)
-            return None if blk is None else blk
+            if blk is None:
+                return None
+            # second param is the full_transactions flag: fixtures may store
+            # full tx dicts; serve hashes when the caller asked hashes-only
+            full = bool(params[1]) if len(params) > 1 else False
+            txs = blk.get("transactions") or []
+            if txs and isinstance(txs[0], dict) and not full:
+                return dict(blk, transactions=[t["hash"] for t in txs])
+            return blk
         if method == "eth_getTransactionReceipt":
             return self.receipts.get(params[0])
         if method == "eth_getLogs":
@@ -266,6 +285,57 @@ def fetch_blocks(
             yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     return ids.mapInPandas(fetch, BLOCK_SCHEMA)
+
+
+def fetch_transactions(
+    spark: SparkSession,
+    start: int,
+    end: int,
+    transport: RpcTransport,
+    partitions: int | None = None,
+) -> DataFrame:
+    """T3 — block range → full transaction bodies, one RPC per block.
+
+    Mirrors the reference's combined block+transactions fetch
+    (``evm/transformers.py:48-87``,
+    ``EvmBlockIdToEvmBlockAndEvmTransactionAndEvmTransactionHashTransformer``
+    calls ``get_block(block_id, True)`` and fans each ``EvmTransaction`` out;
+    field set from ``evm/types.py:37-55``).  Spark shape: the block-id range
+    is the work list (``spark.range``, no data motion), each partition owns
+    one transport, and the per-block explode happens executor-side inside
+    ``mapInPandas`` — transaction bodies never pass through the driver.
+    """
+    ids = spark.range(start, end + 1, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid in pdf["id"]:
+                blk = transport.call("eth_getBlockByNumber", hex(int(bid)), True)
+                if blk is None:
+                    continue
+                for tx in blk.get("transactions") or []:
+                    if not isinstance(tx, dict):
+                        # reference raises ConsumerError("Block returned did
+                        # not have full transactions!") — same contract here
+                        raise RpcError(0, "block returned without full transactions")
+                    rows.append(
+                        {
+                            "block_number": _hx(tx.get("blockNumber")) or _hx(blk.get("number")),
+                            "transaction_index": _hx(tx.get("transactionIndex")),
+                            "hash": tx.get("hash"),
+                            "from_": (tx.get("from") or "").lower() or None,
+                            "to_": (tx.get("to") or "").lower() or None,
+                            "gas": _hx(tx.get("gas")),
+                            "gas_price": _hx(tx.get("gasPrice")),
+                            "nonce": _hx(tx.get("nonce")),
+                            "value_hex": tx.get("value"),
+                            "input": tx.get("input"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TRANSACTION_SCHEMA.fields])
+
+    return ids.mapInPandas(fetch, TRANSACTION_SCHEMA)
 
 
 def fetch_receipts(tx_hashes: DataFrame, transport: RpcTransport) -> DataFrame:

@@ -38,16 +38,40 @@ _COMPACT_MIN_BYTES = 200 * 1024
 _COMPACT_PARTITIONS = 32
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Surface ``events.ts`` as a timestamp regardless of how the parquet
+    writer encoded it.
+
+    Driver-generated testdata has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (which Spark 4 only reads via the nanos-as-long legacy conf, i.e. as a
+    raw ``bigint`` of epoch-nanos) and as plain ``timestamp[us]``.  Inspect
+    the *loaded* dtype instead of assuming either: only the raw-long case
+    needs the ``timestamp_micros(ts div 1000)`` conversion; a real timestamp
+    column passes through untouched.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        # parquet micros without isAdjustedToUTC loads as TIMESTAMP_NTZ;
+        # downstream plans (and the DuckDB oracle) treat the wall-clock as
+        # UTC instants, so surface the session-tz TIMESTAMP type every other
+        # code path produces (session tz is pinned to UTC in session.py).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-        # default; read it as raw nanos and surface a µs-truncated timestamp
-        # (every oracle-checked query only ever date_truncs or floors it).
+        # Tolerate TIMESTAMP(NANOS) encodings: the conf makes Spark read a
+        # nanos column as bigint instead of refusing the file outright; it is
+        # a no-op for micros/millis encodings.  The dtype check below decides
+        # whether any conversion is actually needed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -62,7 +86,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     cache_dir = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
     success = os.path.join(cache_dir, "_SUCCESS")
-    if not os.path.exists(success):
+    # A cache entry older than its source is stale — the driver regenerates
+    # the testdata between rounds (possibly with a different schema), so a
+    # compaction from a previous generation must be rebuilt, not trusted.
+    stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(src)
+    if stale or not os.path.exists(success):
         _read_raw(spark, sf_dir, name).repartition(_COMPACT_PARTITIONS).write.mode(
             "overwrite"
         ).parquet(cache_dir)

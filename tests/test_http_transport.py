@@ -165,6 +165,37 @@ def test_all_evicted_still_degrades_not_deadlocks(server):
         t.call("m2")
 
 
+def test_rate_limit_429_retries_without_evicting():
+    """A 429 means the server answered and is shedding load — an alive node
+    must not be treated like a dead socket (reference evicts only on socket
+    death, evm/rpc.py:380-422)."""
+    handler = type(
+        "H",
+        (_Handler,),
+        {"behavior": "ok", "flaky_state": {"fails_left": 2}, "rl": {"left": 2}},
+    )
+    orig = handler.do_POST
+
+    def limited_post(self):
+        if type(self).rl["left"] > 0:
+            type(self).rl["left"] -= 1
+            self.send_response(429)
+            self.end_headers()
+            return
+        orig(self)
+
+    handler.do_POST = limited_post
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        t = HttpRpcTransport(endpoints=(url,), max_tries=5, evict_after=1)
+        assert t.call("m")["echo"] == "m"  # retried through both 429s
+        assert t.evicted() == ()  # never counted against the endpoint
+    finally:
+        srv.shutdown()
+
+
 def test_rpc_error_does_not_evict(server):
     url = server("rpc_error")
     t = HttpRpcTransport(endpoints=(url,), evict_after=1)

@@ -21,6 +21,7 @@ from block_crawler_spark.sources.rpc import (
     fetch_blocks,
     fetch_logs,
     fetch_receipts,
+    fetch_transactions,
     get_height,
     probe_contracts,
 )
@@ -173,3 +174,39 @@ def test_token_bucket_rate():
     elapsed = time.monotonic() - t0
     # 60 requests at 50/s with a full initial bucket → ≥ ~0.2s
     assert elapsed >= 0.15
+
+
+def test_fetch_transactions_explodes_full_bodies(spark):
+    """T3 parity: get_block(id, True) fans every tx body out, one row per
+    transaction (reference evm/transformers.py:48-87)."""
+
+    def tx(bn, i, to):
+        return {
+            "blockNumber": hex(bn),
+            "transactionIndex": hex(i),
+            "hash": f"0xt{bn:02x}{i:02x}",
+            "from": addr(0xC0 + i).replace("0x", "0X"),  # mixed case → lowered
+            "to": to,
+            "gas": hex(21000),
+            "gasPrice": hex(10**9),
+            "nonce": hex(i),
+            "value": hex(5),
+            "input": "0x",
+        }
+
+    blocks = {
+        1: {"number": "0x1", "transactions": [tx(1, 0, addr(0xA1)), tx(1, 1, None)]},
+        2: {"number": "0x2", "transactions": []},  # empty block → zero rows
+        3: {"number": "0x3", "transactions": [tx(3, 0, addr(0xA2))]},
+    }
+    t = FakeChainTransport(blocks=blocks)
+    df = fetch_transactions(spark, 1, 3, t, partitions=2)
+    rows = {r["hash"]: r for r in df.collect()}
+    assert len(rows) == 3  # 2 + 0 + 1, pinned explode count
+    assert rows["0xt0101"]["to_"] is None  # NULL to_ ⇒ contract creation
+    assert rows["0xt0100"]["from_"] == addr(0xC0)  # normalized lowercase
+    assert rows["0xt0300"]["block_number"] == 3
+    assert rows["0xt0300"]["gas"] == 21000 and rows["0xt0300"]["gas_price"] == 10**9
+    # the same fixture still serves hashes-only callers (S3 path unchanged)
+    blk = t.call("eth_getBlockByNumber", "0x1", False)
+    assert blk["transactions"] == ["0xt0100", "0xt0101"]
