@@ -48,6 +48,7 @@ HEADLINE = [
     "nft_owners_from_lineitem",
     "nft_transfers_decode_from_lineitem",
     "nft_1155_balances_from_events",
+    "tx_sender_gas_stats",
 ]
 
 

@@ -46,10 +46,10 @@ def _bulk_crawl(spark, store, logs, blocks, blockchain: str, data_version: int, 
         blocks = blocks.filter(F.col("number") <= height)
     silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
     store.append_transfers(silver.token_transfers)
-    store.upsert_tokens(silver.tokens)
-    # retry-safe owners rebuild (see streaming.tail) — a re-run over the
-    # same range must not double-count additive balances
+    # retry-safe tokens + owners rebuilds (see streaming.tail) — a re-run
+    # over the same range must not double-count additive quantities
     touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
+    store.rebuild_tokens(silver.tokens, touched)
     store.rebuild_owners(
         owner_balances_from_silver(store.read("token_transfers"), touched).withColumn(
             "data_version", F.lit(data_version)

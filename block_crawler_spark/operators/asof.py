@@ -54,9 +54,12 @@ def asof_join(
 
     # Final xxhash64(_payload) tiebreaker (ADVICE r1, asof.py:58): when the
     # right side has several rows at the same (on, order_col), `last()` must
-    # not depend on shuffle arrival order — ties resolve to the max-hash
-    # payload, deterministically.  NULL payloads (left rows) sort first and
-    # never win ties against right rows.
+    # not depend on shuffle arrival order — right-side ties resolve to the
+    # max-hash payload, deterministically.  Left rows sort AFTER right rows
+    # at an equal order_col (_side 1 > 0 — that ordering is what gives the
+    # join its asof-≤ semantics), and their NULL payloads can never be
+    # carried because ``last(..., ignorenulls=True)`` skips them — not
+    # because of any sort position of NULL hashes.
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(order_col).asc(), F.col("_side").asc(), F.xxhash64(F.col("_payload")).asc())

@@ -221,6 +221,53 @@ def owner_balances_from_silver(transfers_silver: DataFrame, touched_keys: DataFr
     )
 
 
+def token_state_from_silver(
+    transfers_silver: DataFrame, touched_keys: DataFrame | None = None
+) -> DataFrame:
+    """Recompute the transfer-derived token-state fields (A1) from the
+    IDEMPOTENT silver ``token_transfers`` table — the retry-safe tokens
+    path, exactly parallel to :func:`owner_balances_from_silver`.
+
+    The additive ``quantity`` merge in ``token_state_merge`` double-counts
+    when the same block range is applied twice (a crashed-and-retried
+    batch, or a bulk crawl re-run over the same bronze).  Recomputing from
+    the deduped transfers table makes the tokens write a pure function of
+    committed history.  Only fields derivable from transfers are produced;
+    ``specification``/``metadata_url``/``data_version`` are merged
+    separately (``SilverStore.rebuild_tokens``) because they come from
+    probes and URI events, not the transfer stream.
+
+    The silver table's 40-char zero-padded ``attribute_version_hex`` is the
+    ordering key directly — lexicographic == numeric by construction
+    (``oracles.attribute_version_hex``), so no hex→decimal round trip.
+    """
+    from ..functions.hexint import hex_to_dec
+
+    t = transfers_silver
+    if touched_keys is not None:
+        t = t.join(touched_keys, ["blockchain", "collection_id", "token_id_hex"], "left_semi")
+    is_mint = F.col("transaction_type") == TX_MINT
+    is_burn = F.col("transaction_type") == TX_BURN
+    own_event = F.col("transaction_type").isin(TX_MINT, TX_TRANSFER)
+    qty = hex_to_dec(F.col("quantity_hex"))
+    t = t.withColumn(
+        "_signed",
+        F.when(is_mint, qty).when(is_burn, -qty).otherwise(F.lit(0).cast("decimal(38,0)")),
+    )
+    return t.groupBy("blockchain", "collection_id", "token_id_hex").agg(
+        _null_if_any_overflow(F.sum("_signed"), "_signed").alias("quantity"),
+        F.min_by(F.when(is_mint, F.col("to_")), F.when(is_mint, F.col("attribute_version_hex"))).alias(
+            "original_owner"
+        ),
+        F.min(F.when(is_mint, F.col("block_id"))).alias("mint_block"),
+        F.min(F.when(is_mint, F.col("timestamp"))).alias("mint_timestamp"),
+        F.max_by(F.when(own_event, F.col("to_")), F.when(own_event, F.col("attribute_version_hex"))).alias(
+            "_last_recipient"
+        ),
+        F.max(F.when(own_event, F.col("attribute_version_hex"))).alias("_owner_version_hex"),
+    )
+
+
 def transfers_to_silver(transfers: DataFrame, data_version: int, blockchain: str | None = None) -> DataFrame:
     """Decoded transfers → ``tokentransfers`` silver rows (K6 idempotent shape).
 

@@ -231,10 +231,13 @@ class FakeChainTransport:
             return out
         if method == "eth_call":
             call_obj = params[0]
-            key = (call_obj["to"], call_obj["data"])
-            if key not in self.calls:
-                raise RpcError(-32000, "execution reverted")
-            return self.calls[key]
+            tag = params[1] if len(params) > 1 else "latest"
+            # block-pinned fixtures key on (to, data, tag); fall back to the
+            # tag-less key for state that doesn't vary by block
+            for key in ((call_obj["to"], call_obj["data"], tag), (call_obj["to"], call_obj["data"])):
+                if key in self.calls:
+                    return self.calls[key]
+            raise RpcError(-32000, "execution reverted")
         raise RpcError(-32601, f"method not found: {method}")
 
 
@@ -486,11 +489,11 @@ def _dec_string(result: str | None) -> str | None:
         return None
 
 
-def _try_call(transport: RpcTransport, to: str, data: str) -> str | None:
+def _try_call(transport: RpcTransport, to: str, data: str, tag: str = "latest") -> str | None:
     """eth_call tolerating 'no such function' errors (reference treats
     -32000/revert as 'not supported', ``nft/evm/transformers.py:379-431``)."""
     try:
-        return transport.call("eth_call", {"to": to, "data": data}, "latest")
+        return transport.call("eth_call", {"to": to, "data": data}, tag)
     except RpcError:
         return None
 
@@ -541,30 +544,43 @@ def probe_contracts(addresses: DataFrame, transport: RpcTransport) -> DataFrame:
 from ..schemas import SELECTOR_TOKEN_URI  # noqa: E402
 
 
-def fetch_token_uris(tokens: DataFrame, transport: RpcTransport) -> DataFrame:
+def fetch_token_uris(
+    tokens: DataFrame, transport: RpcTransport, block_tag: str | None = None
+) -> DataFrame:
     """A4/T12 — ``tokenURI(id)`` backfill for ERC-721 tokens.
 
     Input needs (collection_id, token_id_hex); output (collection_id,
     token_id_hex, metadata_url) with NULL where the contract has no
     tokenURI function or reverts — the reference tolerates -32000/-3/decode
-    errors the same way (``nft/evm/consumers.py:328-374``).  The reference
-    pins the call to the mint block; this stage calls "latest" (documented
-    divergence — historical state needs an archive node either way).
+    errors the same way (``nft/evm/consumers.py:328-374``).
+
+    Block pinning matches the reference, which calls ``tokenURI`` at the
+    token's mint block (``nft/evm/consumers.py:328-374``): when ``block_tag``
+    is None and the input carries a ``mint_block`` column, each call is
+    pinned to that row's mint block (historical state needs an archive
+    node, as it does for the reference).  Pass an explicit tag ("latest",
+    "0x...") to override; inputs without ``mint_block`` fall back to
+    "latest".
     """
     out_schema = "collection_id string, token_id_hex string, metadata_url string"
+    use_mint = block_tag is None and "mint_block" in tokens.columns
+    in_cols = ["collection_id", "token_id_hex"] + (["mint_block"] if use_mint else [])
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = SELECTOR_TOKEN_URI + r["token_id_hex"][2:]
+                tag = hex(int(r["mint_block"])) if use_mint else (block_tag or "latest")
                 rows.append(
                     {
                         "collection_id": r["collection_id"],
                         "token_id_hex": r["token_id_hex"],
-                        "metadata_url": _dec_string(_try_call(transport, r["collection_id"], data)),
+                        "metadata_url": _dec_string(
+                            _try_call(transport, r["collection_id"], data, tag)
+                        ),
                     }
                 )
             yield pd.DataFrame(rows, columns=["collection_id", "token_id_hex", "metadata_url"])
 
-    return tokens.select("collection_id", "token_id_hex").mapInPandas(fetch, out_schema)
+    return tokens.select(*in_cols).mapInPandas(fetch, out_schema)

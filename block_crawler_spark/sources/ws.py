@@ -196,10 +196,17 @@ class WsRpcTransport:
 
     def _send(self, rid: int, method: str, params: tuple) -> None:
         raw = json.dumps({"jsonrpc": "2.0", "id": rid, "method": method, "params": list(params)})
-        conn = self._connect()  # BEFORE registering rid: a fresh connection
-        # replays `pending`, and this request must not be replayed AND sent
+        # Register rid BEFORE touching the connection so a failure at ANY
+        # stage — including the connect itself — leaves the request in
+        # `pending` for the next reconnect's replay.  Double-send is avoided
+        # by construction: a FRESH connection replays all of `pending`
+        # (including this request) inside _connect, so only a reused
+        # connection needs the explicit send.
+        had_conn = self._conn is not None
         self.pending[rid] = raw
-        conn.send_text(raw)
+        conn = self._connect()
+        if had_conn:
+            conn.send_text(raw)
 
     def _pump_until(self, rid: int) -> Any:
         """Read frames until ``rid``'s response is in ``answered``; any other

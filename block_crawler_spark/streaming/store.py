@@ -82,7 +82,15 @@ class SilverStore:
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Snapshot-commit rewrite: write ``v-N+1`` beside the current
-        version, flip ``_CURRENT`` atomically, prune old versions after."""
+        version, flip ``_CURRENT`` atomically, prune superseded versions.
+
+        Retention is one commit deep: ``v-N`` (the version current until
+        this flip) survives until the NEXT overwrite, so a concurrent
+        reader — or a lazily-evaluated DataFrame handle taken before the
+        flip — can still scan its files; only ``v-N-1`` and older are
+        deleted now.  The same grace window object stores and table
+        formats give their snapshot readers.
+        """
         base = self._path(table)
         os.makedirs(base, exist_ok=True)
         cur = self._current_version(table)
@@ -95,7 +103,7 @@ class SilverStore:
             f.write(nxt)
         os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic commit point
         for d in os.listdir(base):
-            if d.startswith("v-") and d != nxt:
+            if d.startswith("v-") and d not in (nxt, cur):
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- merge operations (K1-K9) ------------------------------------------
@@ -103,11 +111,72 @@ class SilverStore:
         self.overwrite("collections", M.versioned_upsert(self.read("collections"), updates, KEYS["collections"]))
 
     def upsert_tokens(self, updates: DataFrame) -> None:
-        """Per-field merge (K2+K3+K4+K5) — see ``merge.token_state_merge``."""
+        """Per-field merge (K2+K3+K4+K5) — see ``merge.token_state_merge``.
+
+        NOT retry-safe: the K4 additive quantity double-counts if the same
+        batch is applied twice.  The crawl/tail paths use
+        :meth:`rebuild_tokens` instead; this remains the field-merge API pin
+        for callers that guarantee exactly-once batch delivery.
+        """
         existing = self.read("tokens")
         if "specification" not in existing.columns:
             existing = existing.withColumn("specification", F.lit(None).cast("string"))
         self.overwrite("tokens", M.token_state_merge(existing, updates))
+
+    def rebuild_tokens(self, batch_tokens: DataFrame, touched_keys: DataFrame) -> None:
+        """Idempotent tokens update (the retry-safe A1 path, parallel to
+        :meth:`rebuild_owners`): replace every token row of the touched keys
+        with state recomputed from the idempotent ``token_transfers`` table.
+        A retried batch — or a bulk crawl re-run over the same bronze —
+        rewrites the same values instead of re-adding additive quantities.
+
+        Transfer-derived fields come from
+        ``folds.token_state_from_silver``; ``specification`` (an ERC-165
+        probe result, constant per token) and the ``metadata_url`` pair (K3
+        LWW on (data_version, metadata_url_version_hex)) are merged from
+        existing ∪ batch rows, since they are not functions of the transfer
+        stream.
+        """
+        from ..operators.folds import token_state_from_silver
+        from ..schemas import SPEC_ERC721
+
+        keys = ["blockchain", "collection_id", "token_id_hex"]
+        existing = self.read("tokens")
+        if "specification" not in existing.columns:
+            existing = existing.withColumn("specification", F.lit(None).cast("string"))
+        kept = existing.join(touched_keys, keys, "left_anti")
+
+        recomputed = token_state_from_silver(self.read("token_transfers"), touched_keys)
+        meta_cols = ["specification", "metadata_url", "metadata_url_version_hex", "data_version"]
+        meta_src = existing.join(touched_keys, keys, "left_semi").select(*keys, *meta_cols).unionByName(
+            batch_tokens.select(*keys, *meta_cols)
+        )
+        meta = meta_src.groupBy(*keys).agg(
+            F.max("specification").alias("specification"),
+            F.max_by(
+                F.struct("metadata_url", "metadata_url_version_hex"),
+                F.struct(
+                    F.col("data_version"),
+                    F.coalesce(F.col("metadata_url_version_hex"), F.lit("")),
+                ),
+            ).alias("_meta"),
+            F.max("data_version").alias("data_version"),
+        )
+        rebuilt = (
+            recomputed.join(meta, keys, "left")
+            .withColumn("metadata_url", F.col("_meta.metadata_url"))
+            .withColumn("metadata_url_version_hex", F.col("_meta.metadata_url_version_hex"))
+            .withColumn(
+                "current_owner",
+                F.when(F.col("specification") == SPEC_ERC721, F.col("_last_recipient")),
+            )
+            .withColumn(
+                "current_owner_version_hex",
+                F.when(F.col("specification") == SPEC_ERC721, F.col("_owner_version_hex")),
+            )
+            .drop("_meta", "_last_recipient", "_owner_version_hex")
+        )
+        self.overwrite("tokens", kept.unionByName(rebuilt, allowMissingColumns=True))
 
     def append_transfers(self, updates: DataFrame) -> None:
         self.overwrite(

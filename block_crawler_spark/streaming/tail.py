@@ -86,12 +86,12 @@ class TailRunner:
         silver = crawl_plan(self.store.spark, logs, blocks, blockchain=self.blockchain, data_version=dv)
 
         self.store.append_transfers(silver.token_transfers)
-        self.store.upsert_tokens(silver.tokens)
-        # Retry-safe owners path (ADVICE r1): recompute the touched tokens'
-        # balances from the idempotent transfers table just committed above —
-        # a crashed-and-retried batch rewrites identical values, where an
-        # additive delta merge would double-count.
+        # Retry-safe tokens + owners paths (ADVICE r1): recompute the touched
+        # tokens' state from the idempotent transfers table just committed
+        # above — a crashed-and-retried batch rewrites identical values,
+        # where an additive delta merge would double-count.
         touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
+        self.store.rebuild_tokens(silver.tokens, touched)
         balances = owner_balances_from_silver(self.store.read("token_transfers"), touched)
         self.store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
         self.store.set_config(self.blockchain, dv, target)

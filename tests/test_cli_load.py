@@ -79,3 +79,19 @@ def test_force_load_fixture(spark, tmp_path, capsys):
     store = SilverStore(spark, s)
     rows = store.read("collections").collect()
     assert len(rows) == 1 and rows[0]["collection_id"] == collection
+
+
+def test_recrawl_same_range_is_idempotent(spark, bronze, tmp_path, capsys):
+    """Re-running crawl over the same bronze must rewrite identical silver —
+    the additive token quantity must not double-count (ST5 retry
+    idempotence; caught by `verify` returning token errors after a second
+    crawl)."""
+    logs, blocks, _height = bronze
+    s = str(tmp_path / "twice")
+    for _ in range(2):
+        assert main(["crawl", "--logs", logs, "--blocks", blocks, "--silver", s,
+                     "--blockchain", "testnet"]) == 0
+    capsys.readouterr()
+    assert main(["verify", "--logs", logs, "--silver", s]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["clean"] is True, out

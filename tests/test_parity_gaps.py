@@ -44,6 +44,28 @@ def test_fetch_token_uris(spark):
     assert got["0x" + enc_uint(8)] is None  # revert → NULL, not an error
 
 
+def test_fetch_token_uris_pinned_at_mint_block(spark):
+    """T12 parity: the reference calls tokenURI at the token's mint block
+    (nft/evm/consumers.py:328-374); a mint_block column pins each call."""
+    coll = addr(0xAA01)
+    tid = "0x" + enc_uint(7)
+    data = SELECTOR_TOKEN_URI + tid[2:]
+    t = FakeChainTransport(
+        calls={
+            (coll, data, hex(5)): enc_string("ipfs://at-mint/7"),
+            (coll, data): enc_string("https://latest/7"),  # tag-less fallback
+        }
+    )
+    tokens = spark.createDataFrame(
+        [(coll, tid, 5)], ["collection_id", "token_id_hex", "mint_block"]
+    )
+    pinned = fetch_token_uris(tokens, t).collect()[0]["metadata_url"]
+    assert pinned == "ipfs://at-mint/7"
+    # explicit tag overrides the mint_block column
+    latest = fetch_token_uris(tokens, t, block_tag="latest").collect()[0]["metadata_url"]
+    assert latest == "https://latest/7"
+
+
 def test_force_load_collection(spark):
     coll = addr(0xAA01)
     t = FakeChainTransport(

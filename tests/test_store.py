@@ -26,12 +26,30 @@ def _cfg(spark, blockchain, dv, last):
 
 
 def test_overwrite_versions_and_prunes(spark, tmp_path):
+    """Retention is one commit deep: the just-superseded version survives
+    until the NEXT overwrite (grace window for concurrent readers); older
+    versions are pruned."""
     store = _mk(spark, tmp_path)
     store.overwrite("crawler_config", _cfg(spark, "a", 1, 10))
     store.overwrite("crawler_config", _cfg(spark, "a", 1, 20))
     base = store._path("crawler_config")
-    versions = [d for d in os.listdir(base) if d.startswith("v-")]
-    assert versions == ["v-2"], "superseded versions are pruned after the flip"
+    versions = sorted(d for d in os.listdir(base) if d.startswith("v-"))
+    assert versions == ["v-1", "v-2"], "previous version kept one commit for in-flight readers"
+    store.overwrite("crawler_config", _cfg(spark, "a", 1, 30))
+    versions = sorted(d for d in os.listdir(base) if d.startswith("v-"))
+    assert versions == ["v-2", "v-3"], "v-1 pruned once two commits behind"
+    assert store.get_config("a") == (1, 30)
+
+
+def test_reader_handle_survives_one_overwrite(spark, tmp_path):
+    """A lazily-evaluated DataFrame handle taken before an overwrite must
+    still scan afterwards — its files live until the next commit."""
+    store = _mk(spark, tmp_path)
+    store.overwrite("crawler_config", _cfg(spark, "a", 1, 10))
+    held = store.read("crawler_config")  # plan pinned to v-1 files
+    store.overwrite("crawler_config", _cfg(spark, "a", 1, 20))
+    rows = held.collect()  # v-1 still on disk → no FileNotFound
+    assert rows[0]["last_block_id"] == 10
     assert store.get_config("a") == (1, 20)
 
 

@@ -197,6 +197,34 @@ def test_reconnect_replays_pending():
         s.stop()
 
 
+def test_connect_failure_mid_batch_still_replays(monkeypatch):
+    """A request whose CONNECT (not send) fails must still reach `pending`
+    so the next successful connection replays it — previously only
+    send_text failures were covered and the request was silently lost."""
+    from block_crawler_spark.sources import ws as ws_mod
+
+    s = TinyWsServer()
+    s.start()
+    real = ws_mod._WsConn
+    n = {"made": 0}
+
+    def flaky(*a, **k):
+        n["made"] += 1
+        if n["made"] == 1:
+            raise ConnectionError("refused")  # dies between connect and send
+        return real(*a, **k)
+
+    monkeypatch.setattr(ws_mod, "_WsConn", flaky)
+    try:
+        t = WsRpcTransport(endpoints=(f"ws://127.0.0.1:{s.port}",), timeout=5.0)
+        out = t.call_many([("echo", "a"), ("echo", "b")])
+        assert out == [["a"], ["b"]]
+        assert t.pending == {}, "the connect-failed request was replayed and answered"
+        t.close()
+    finally:
+        s.stop()
+
+
 def test_evm_logs_datasource_over_websocket(spark):
     """S7 end-to-end: spark.read.format('evm_logs') with a ws:// endpoint
     routes through WsRpcTransport (executor-side python workers connect to
