@@ -39,20 +39,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    storage_level=None,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of md5(i|s).
 
     The min of fixed-width lowercase hex strings is the numeric min, so the
     signature is a portable array<string> of length ``num_hashes``.
 
-    The shingle array is materialized (cached) before the per-seed minhash
+    The shingle array is materialized before the per-seed minhash
     transforms: otherwise Catalyst inlines the shingle-construction
     expression once per hash seed and the stage falls out of whole-stage
     codegen.  At cluster scale the same boundary is where you'd persist the
     shingle table anyway (it is reused by candidate verification).
+
+    ``storage_level`` controls that materialization: None → ``cache()``
+    (MEMORY_AND_DISK, spills rather than OOMs); pass
+    ``StorageLevel.DISK_ONLY`` when the shingle table exceeds cluster
+    memory (the 100 TB case — or better, write it to an explicit parquet
+    stage table and read it back, which also survives executor loss).
     """
     sh = shingles(F.col(text_col), shingle_k)
-    staged = docs.select(F.col(id_col), F.col(text_col), sh.alias("shingles")).cache()
+    staged = docs.select(F.col(id_col), F.col(text_col), sh.alias("shingles"))
+    staged = staged.cache() if storage_level is None else staged.persist(storage_level)
 
     def seeded_min(seed: str):
         # NB: the lambda must be single-argument — F.transform dispatches on
@@ -141,18 +149,88 @@ def minhash_dedup_pairs(
 
 
 def dedup_assignments(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs → keep/drop decision per document.
+    """Near-dup pairs → keep/drop decision per document (greedy form).
 
     Standard LSH-dedup "keep lowest id" rule: any document appearing as the
-    larger id of a near-dup pair is dropped.  (Greedy, not transitive
+    larger id of a near-dup pair is dropped.  Greedy, not transitive
     closure — the id_a < id_b convention makes every cluster keep its
-    minimum surviving chain, which is the common web-scale policy; full
-    connected components would need an iterative join loop.)  One
-    broadcast-able anti-join over the (small) drop list.
+    minimum surviving chain, which is the common web-scale policy.  One
+    broadcast-able anti-join over the (small) drop list; for exact
+    per-cluster semantics use :func:`dedup_components` /
+    :func:`dedup_assignments_cc`.
     """
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(F.broadcast(drops.withColumn("_drop", F.lit(True))), id_col, "left").select(
         id_col, F.coalesce(F.col("_drop"), F.lit(False)).alias("is_duplicate")
+    )
+
+
+def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Near-dup edges → connected-component labels, label = min doc id
+    reachable through any chain of near-dup pairs.
+
+    Iterative min-label propagation (the "hash-to-min" scheme): every node
+    starts labeled with itself; each round takes the min of its own label
+    and its neighbors' labels, until a fixed point.  Converges in
+    O(component diameter) rounds — near-dup clusters are shallow (stars and
+    short chains), so a handful of rounds suffices in practice;
+    ``max_iterations`` is a runaway bound, and the loop exits early on the
+    first round with zero label changes.
+
+    Scale shape: each round is one equi-join edges⋈labels + one groupBy min
+    — all shuffles on the node id, no cross products, and the edge set
+    (near-dup pairs, orders of magnitude smaller than the corpus) is the
+    only input.  ``localCheckpoint`` truncates the plan per round so the
+    lineage doesn't grow with iteration count; on a real cluster point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
+    ``checkpoint`` if executor loss during the loop matters.
+
+    Returns (id, comp): one row per node that appears in any pair.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+            .select(F.col("src").alias("id"), "nbr_min")
+        )
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_assignments_cc(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact near-dup assignment by transitive closure: every document maps
+    to its component's minimum id (``keep_id``); everything else in the
+    component is a duplicate.  Fixes the greedy rule's miss where B<C are
+    only linked through pairs (A,B),(A,C): greedy keeps the chain minimum
+    per edge, closure keeps exactly one survivor per cluster.
+    """
+    comp = dedup_components(pairs)
+    return docs.join(
+        comp.select(F.col("id").alias(id_col), F.col("comp")), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("keep_id"),
+        (F.coalesce(F.col("comp"), F.col(id_col)) != F.col(id_col)).alias("is_duplicate"),
     )
 
 

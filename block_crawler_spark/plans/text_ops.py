@@ -29,6 +29,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     dedup_assignments,
+    dedup_assignments_cc,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -348,6 +349,43 @@ LEFT JOIN (SELECT DISTINCT id_b AS doc_id, TRUE AS is_dup FROM pairs) dr USING (
 """
 
 
+def dedup_cc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup assignment by transitive closure: minhash → LSH → Jaccard
+    pairs → iterative connected components → one survivor (the minimum id)
+    per near-dup CLUSTER, not per edge.  The Spark side is the min-label
+    propagation loop of ``operators.dedup.dedup_components``; the oracle
+    recomputes the closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_query(spark, sf_dir)
+    return dedup_assignments_cc(docs, pairs)
+
+
+def _dedup_cc_sql() -> str:
+    # same pattern as _dedup_keep_sql: the full minhash-pair query nests as
+    # one CTE; the transitive closure is a recursive CTE over its edges
+    pair_sql = _minhash_sql().strip()
+    return f"""
+WITH RECURSIVE np AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM np
+  UNION
+  SELECT id_b, id_a FROM np
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.keep_id, d.doc_id) AS keep_id,
+       COALESCE(c.keep_id, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Winnowing document fingerprints (rolling-hash family)
 # ---------------------------------------------------------------------------
@@ -499,6 +537,7 @@ QUERIES = {
     "doc_winnow_fingerprint": (winnow_fingerprint_query, WINNOW_SQL),
     "doc_kmv_distinct": (kmv_distinct_query, KMV_SQL),
     "dedup_minhash_keep": (dedup_keep_query, _dedup_keep_sql()),
+    "dedup_connected_components": (dedup_cc_query, _dedup_cc_sql()),
     "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),
     "doc_lang_id": (lang_id_query, LANG_SQL),
