@@ -27,7 +27,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from ..schemas import BLOCK_SCHEMA, LOG_SCHEMA
+from ..schemas import BLOCK_SCHEMA, LOG_SCHEMA, TRANSACTION_SCHEMA
 
 
 class _BlockRange(InputPartition):
@@ -56,6 +56,25 @@ def _make_transport(options: dict):
             }
             for r in fb.rows
         ]
+        # full tx bodies synthesized from the logs' own (block, tx_index,
+        # hash) triples, so the fixture's transactions are chain-consistent
+        # with the events they emitted; hashes-only callers still get plain
+        # hashes (FakeChainTransport maps dicts → hashes when full=False)
+        txs: dict[int, dict[int, dict]] = {}
+        for r in fb.rows:
+            bn, ti = r["block_number"], r["transaction_index"]
+            txs.setdefault(bn, {})[ti] = {
+                "blockNumber": hex(bn),
+                "transactionIndex": hex(ti),
+                "hash": r["transaction_hash"],
+                "from": "0x" + r["transaction_hash"][-40:],
+                "to": r["address"],
+                "gas": hex(21_000 + ti),
+                "gasPrice": hex(10**9),
+                "nonce": hex(ti),
+                "value": "0x0",
+                "input": "0x",
+            }
         blocks = {
             b["number"]: {
                 "number": hex(b["number"]),
@@ -67,7 +86,7 @@ def _make_transport(options: dict):
                 "gasUsed": hex(b["gas_used"]),
                 "size": hex(b["size"]),
                 "difficulty": hex(b["difficulty"]),
-                "transactions": [],
+                "transactions": [t for _, t in sorted(txs.get(b["number"], {}).items())],
             }
             for b in fb.blocks()
         }
@@ -150,6 +169,39 @@ class EvmBlocksReader(_RangePlanner, DataSourceReader):
             )
 
 
+class EvmTransactionsReader(_RangePlanner, DataSourceReader):
+    """T3 through the DataSource API: one ``get_block(id, True)`` per block,
+    transaction bodies exploded executor-side (reference
+    ``evm/transformers.py:48-87``)."""
+
+    def __init__(self, options: dict):
+        _RangePlanner.__init__(self, options, default_chunk=10_000)
+
+    def read(self, partition: _BlockRange) -> Iterator[tuple]:
+        from .rpc import _hx
+
+        transport = _make_transport(self.options)
+        for num in range(partition.start, partition.end + 1):
+            blk = transport.call("eth_getBlockByNumber", hex(num), True)
+            if blk is None:
+                continue
+            for tx in blk.get("transactions") or []:
+                if not isinstance(tx, dict):
+                    raise ValueError("node returned hashes for a full_transactions request")
+                yield (
+                    _hx(tx.get("blockNumber")) or _hx(blk.get("number")),
+                    _hx(tx.get("transactionIndex")),
+                    tx.get("hash"),
+                    (tx.get("from") or "").lower() or None,
+                    (tx.get("to") or "").lower() or None,
+                    _hx(tx.get("gas")),
+                    _hx(tx.get("gasPrice")),
+                    _hx(tx.get("nonce")),
+                    tx.get("value"),
+                    tx.get("input"),
+                )
+
+
 class EvmLogsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -172,6 +224,18 @@ class EvmBlocksDataSource(DataSource):
 
     def schema(self):
         return BLOCK_SCHEMA
+
+
+class EvmTransactionsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "evm_transactions"
+
+    def reader(self, schema) -> DataSourceReader:
+        return EvmTransactionsReader(self.options)
+
+    def schema(self):
+        return TRANSACTION_SCHEMA
 
 
 
@@ -253,8 +317,9 @@ class EvmLogsStreamDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the formats: ``spark.read.format('evm_logs' | 'evm_blocks')``
-    and ``spark.readStream.format('evm_logs_stream')``."""
+    """Register the formats: ``spark.read.format('evm_logs' | 'evm_blocks' |
+    'evm_transactions')`` and ``spark.readStream.format('evm_logs_stream')``."""
     spark.dataSource.register(EvmLogsDataSource)
     spark.dataSource.register(EvmBlocksDataSource)
+    spark.dataSource.register(EvmTransactionsDataSource)
     spark.dataSource.register(EvmLogsStreamDataSource)

@@ -138,3 +138,40 @@ def test_streaming_max_blocks_per_batch(spark, tmp_path):
     n_batches = len([f for f in os.listdir(str(tmp_path / "ck2" / "offsets")) if not f.startswith(".")])
     span = (hi - 1) - lo + 1
     assert n_batches >= span // 3, f"cap ignored: {n_batches} batches for {span} blocks"
+
+
+def test_transactions_format(spark):
+    """evm_transactions explodes full tx bodies per block; row count equals
+    the fixture's distinct (block, tx) pairs and to_/from_ are normalized."""
+    fb = standard_scenario()
+    lo = min(r["block_number"] for r in fb.rows)
+    hi = max(r["block_number"] for r in fb.rows)
+    df = (
+        spark.read.format("evm_transactions")
+        .option("mode", "fixture")
+        .option("start", lo)
+        .option("end", hi)
+        .option("chunk_size", 4)
+        .load()
+    )
+    expected = len({(r["block_number"], r["transaction_index"]) for r in fb.rows})
+    rows = df.collect()
+    assert len(rows) == expected
+    assert df.rdd.getNumPartitions() > 1
+    by_hash = {r["hash"]: r for r in rows}
+    some = fb.rows[0]
+    tx = by_hash[some["transaction_hash"]]
+    assert tx["block_number"] == some["block_number"]
+    assert tx["to_"] == some["address"]  # emitting contract
+    assert tx["from_"] == "0x" + some["transaction_hash"][-40:]
+    assert tx["gas"] == 21_000 + some["transaction_index"]
+    # the blocks format still serves hashes-only from the same fixture
+    blk = (
+        spark.read.format("evm_blocks")
+        .option("mode", "fixture")
+        .option("start", some["block_number"])
+        .option("end", some["block_number"])
+        .load()
+        .collect()[0]
+    )
+    assert some["transaction_hash"] in blk["transaction_hashes"]
