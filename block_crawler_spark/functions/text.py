@@ -127,3 +127,35 @@ def shingles(text: Column, k: int = 3) -> Column:
     triples = F.zip_with(pairs, F.slice(t, 3, F.greatest(n - 2, F.lit(1))), lambda xy, z: F.concat_ws(" ", xy, z))
     joined = F.when(n >= k, F.slice(triples, 1, n - k + 1)).otherwise(F.array(F.concat_ws(" ", t)))
     return F.array_sort(F.array_distinct(joined))
+
+
+def word_kgrams(text: Column, k: int) -> Column:
+    """ORDERED word k-grams, duplicates retained — the repetition unit.
+
+    Unlike :func:`shingles` (a distinct set for Jaccard), repetition
+    scoring needs every occurrence.  Same zip_with construction (each input
+    array evaluated once, stays in codegen); documents shorter than ``k``
+    words collapse to their single full-text gram.
+    """
+    t = tokens(F.lower(F.trim(text)))
+    n = F.size(t)
+    acc = t
+    for j in range(1, k):
+        # concat_ws skips the nulls past each shifted tail; the final slice
+        # drops those partial grams
+        acc = F.zip_with(
+            acc, F.slice(t, j + 1, F.greatest(n - j, F.lit(1))), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(n >= k, F.slice(acc, 1, n - k + 1)).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def repetition_ppm(text: Column, k: int = 5) -> Column:
+    """Within-document repetition (Gopher-style quality rule): the fraction
+    of word ``k``-grams that are repeats of an earlier gram, in ppm.
+    ``(total - distinct) * 1e6 // total`` — boilerplate-heavy documents
+    (navbars, templated spam) score high and get filtered before training.
+    """
+    g = word_kgrams(text, k)
+    total = F.size(g)
+    distinct = F.size(F.array_distinct(g))
+    return F.floor(((total - distinct).cast("long") * F.lit(1_000_000)) / total).cast("long")

@@ -387,6 +387,88 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Repetition ratio + vocabulary stats (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+REP_K = 5  # word k-gram size for the repetition rule
+TOP_TOKENS_K = 10
+
+
+def repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document within-document repetition: duplicate word 5-grams per
+    million grams.  Zero-shuffle — pure column expressions per row."""
+    from ..functions.text import repetition_ppm, word_kgrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = word_kgrams(F.col("text"), REP_K)
+    return docs.select(
+        "doc_id",
+        F.size(g).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(g)).cast("long").alias("distinct_grams"),
+        repetition_ppm(F.col("text"), REP_K).alias("rep_ppm"),
+    )
+
+
+def _repetition_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {REP_K}
+              THEN list_transform(range(len(t) - {REP_K - 1}),
+                                  i -> array_to_string(list_slice(t, i + 1, i + {REP_K}), ' '))
+              ELSE [array_to_string(t, ' ')] END AS grams
+  FROM tk
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+       CAST((len(grams) - len(list_distinct(grams))) * 1000000 // len(grams) AS BIGINT) AS rep_ppm
+FROM g
+"""
+
+
+def top_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_TOKENS_K} tokens per source — vocabulary stats for tokenizer
+    training.  Explode → two-phase hash count (map-side partials) → per-group
+    top-k window; with a group cardinality this is WindowGroupLimit-eligible,
+    so executors keep only k rows per source before the final sort."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tok(F.lower(F.trim(F.col("text"))))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TOKENS_K)
+        .select("source", "token", "n", "rank")
+    )
+
+
+def _top_tokens_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+)
+SELECT source, token, n, rank FROM (
+  SELECT source, token, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+) WHERE rank <= {TOP_TOKENS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing document fingerprints (rolling-hash family)
 # ---------------------------------------------------------------------------
 
@@ -540,6 +622,8 @@ QUERIES = {
     "dedup_connected_components": (dedup_cc_query, _dedup_cc_sql()),
     "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),
+    "doc_repetition_ppm": (repetition_query, _repetition_sql()),
+    "doc_top_tokens": (top_tokens_query, _top_tokens_sql()),
     "doc_lang_id": (lang_id_query, LANG_SQL),
     "dedup_exact": (exact_dedup_query, EXACT_DEDUP_SQL),
     "dedup_minhash_lsh_pairs": (minhash_pairs_query, MINHASH_SQL),
