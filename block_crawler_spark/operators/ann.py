@@ -234,3 +234,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank")
     )
+
+
+def kmeans_lloyd_fixed(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means in FIXED-POINT integer space — the IVF centroid
+    trainer (``ivf_assign``'s docstring defers to "sampled k-means"; this
+    is it, runnable on a sample or the full corpus).
+
+    Everything that decides an assignment or a centroid is exact int64
+    math, so runs are bit-reproducible across engines and cluster sizes:
+
+    * components are fixed-pointed ``floor(x * scale)`` in double space
+      (the same portability rule as ``plans.embed_ops.dim_sums``);
+    * distances are integer squared-L2; argmin ties break to the lowest
+      centroid id via the single key ``dist * k + cid``;
+    * centroid updates are ``floor(sum / count)`` — floor in double space,
+      exact because sums stay far below 2**53.
+
+    Initialization is deterministic: the ``k`` lowest-id vectors, re-labeled
+    0..k-1 (so any id domain works).  A centroid that loses all members
+    simply drops out (k shrinks) — mirrored by any faithful reimplementation
+    including the SQL oracle, so parity holds.
+
+    Per iteration: one broadcast of the k-row centroid table against the
+    corpus (no shuffle for assignment) + one posexplode/groupBy for the
+    update (shuffle on (cid, dim) — bounded by k × dim rows out).  Returns
+    ``(assignments, centroids)`` where assignments are w.r.t. the FINAL
+    centroids: (vid, cid, dist).
+    """
+    micro = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    vecs = vectors.select(F.col(id_col).alias("vid"), micro.alias("v")).cache()
+    seeds = vecs.orderBy("vid").limit(k)
+    w = Window.orderBy("vid")
+    cents = seeds.select((F.row_number().over(w) - 1).cast("long").alias("cid"), F.col("v").alias("c"))
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        d = vecs.crossJoin(F.broadcast(cents_df)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # argmin with lowest-cid tiebreak packed into one exact int64 key
+        a = d.groupBy("vid").agg(F.min(F.col("dist") * k + F.col("cid")).alias("dc"))
+        return a.select(
+            "vid", (F.col("dc") % k).alias("cid"), F.floor(F.col("dc") / k).cast("long").alias("dist")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        per_dim = a.join(vecs, "vid").select("cid", F.posexplode("v").alias("pos", "val"))
+        upd = per_dim.groupBy("cid", "pos").agg(
+            F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
+        )
+        cents = upd.groupBy("cid").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]).alias("c")
+        )
+    return assign(cents), cents

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import brute_force_topk, cosine, ivf_topk, lsh_sign_buckets, lsh_topk
+from ..operators.ann import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+    kmeans_lloyd_fixed,
+    lsh_sign_buckets,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 
 TOPK_K = 10
@@ -205,8 +212,82 @@ FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY score DES
 WHERE rank <= {KNN_K}
 """
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+_KM_DIM = 64  # embeddings table dimensionality (pinned by the schema contract)
+
+
+def kmeans_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (the IVF centroid trainer): 2 unrolled
+    iterations from a deterministic seed set, then per-cluster member
+    counts, integer inertia, and a centroid checksum — every value exact
+    int64 on both engines, so even the trained CENTROIDS are hash-checked,
+    not just the counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_lloyd_fixed(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    stats = assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.sum("dist").alias("inertia")
+    )
+    checks = cents.select(
+        "cid", F.aggregate("c", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("centroid_checksum")
+    )
+    return (
+        stats.join(checks, "cid")
+        .select(F.col("cid").alias("cluster"), "n_members", "inertia", "centroid_checksum")
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_sql() -> str:
+    K, D, S = KMEANS_K, _KM_DIM, 1_000_000
+    dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    parts = [
+        f"""vecs AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{S}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, v AS c
+  FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT {K})
+)""",
+    ]
+    for n in range(KMEANS_ITERS):
+        parts.append(
+            f"""a{n + 1} AS (
+  SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{n}) GROUP BY vid
+)"""
+        )
+        parts.append(
+            f"""u{n + 1} AS (
+  SELECT cid, i, CAST(floor(CAST(SUM(v[i+1]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
+  FROM a{n + 1} JOIN vecs USING (vid) CROSS JOIN range({D}) t(i)
+  GROUP BY cid, i
+)"""
+        )
+        parts.append(f"c{n + 1} AS (SELECT cid, list(cval ORDER BY i) AS c FROM u{n + 1} GROUP BY cid)")
+    parts.append(
+        f"""af AS (
+  SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid, CAST(MIN(d*{K}+cid) // {K} AS BIGINT) AS dist
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{KMEANS_ITERS}) GROUP BY vid
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cid AS cluster, n_members, inertia, centroid_checksum
+FROM (SELECT cid, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS inertia FROM af GROUP BY cid) s
+JOIN (SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_checksum FROM c{KMEANS_ITERS}) ck USING (cid)
+ORDER BY cluster
+"""
+    )
+
+
 QUERIES = {
     "emb_topk_cosine": (topk_query, TOPK_SQL),
+    "emb_kmeans_stats": (kmeans_stats_query, _kmeans_sql()),
     "dedup_embedding_cosine_pairs": (cosine_near_dup_query, _near_dup_sql()),
     "emb_ivf_topk": (ivf_topk_query, IVF_SQL),
     "emb_knn_join": (knn_join_query, KNN_SQL),
