@@ -238,8 +238,10 @@ def kmeans_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    K, D, S = KMEANS_K, _KM_DIM, 1_000_000
+def _kmeans_cte_chain(k: int, iters: int) -> list[str]:
+    """The unrolled Lloyd CTE list: vecs, c0 (seeds), a{n}/u{n}/c{n} per
+    iteration — ``c{iters}`` is the trained centroid table (cid, c)."""
+    D, S = _KM_DIM, 1_000_000
     dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
     parts = [
         f"""vecs AS (
@@ -249,13 +251,13 @@ def _kmeans_sql() -> str:
 )""",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, v AS c
-  FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT {K})
+  FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT {k})
 )""",
     ]
-    for n in range(KMEANS_ITERS):
+    for n in range(iters):
         parts.append(
             f"""a{n + 1} AS (
-  SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid
+  SELECT vid, CAST(MIN(d*{k}+cid) % {k} AS BIGINT) AS cid
   FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{n}) GROUP BY vid
 )"""
         )
@@ -267,10 +269,18 @@ def _kmeans_sql() -> str:
 )"""
         )
         parts.append(f"c{n + 1} AS (SELECT cid, list(cval ORDER BY i) AS c FROM u{n + 1} GROUP BY cid)")
+    return parts
+
+
+def _kmeans_sql() -> str:
+    K, ITERS = KMEANS_K, KMEANS_ITERS
+    D = _KM_DIM
+    dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    parts = _kmeans_cte_chain(K, ITERS)
     parts.append(
         f"""af AS (
   SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid, CAST(MIN(d*{K}+cid) // {K} AS BIGINT) AS dist
-  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{KMEANS_ITERS}) GROUP BY vid
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{ITERS}) GROUP BY vid
 )"""
     )
     return (
@@ -279,8 +289,64 @@ def _kmeans_sql() -> str:
         + f"""
 SELECT cid AS cluster, n_members, inertia, centroid_checksum
 FROM (SELECT cid, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS inertia FROM af GROUP BY cid) s
-JOIN (SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_checksum FROM c{KMEANS_ITERS}) ck USING (cid)
+JOIN (SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_checksum FROM c{ITERS}) ck USING (cid)
 ORDER BY cluster
+"""
+    )
+
+
+IVF_TRAINED_CELLS = 16
+IVF_TRAINED_NPROBE = 4
+
+
+def ivf_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN pipeline under one hash gate: TRAIN (fixed-point Lloyd
+    k-means, 16 cells) → INDEX (corpus → nearest trained centroid) →
+    SEARCH (nprobe=4 multiprobe k-NN join).  Centroids stay in integer
+    micro space — cosine is scale-invariant, so the micro vectors score
+    directly against the float corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = kmeans_lloyd_fixed(emb, k=IVF_TRAINED_CELLS, iters=KMEANS_ITERS)
+    centroids = cents.select(F.col("cid").alias("vec_id"), F.col("c").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivf_topk(queries, emb, centroids, k=KNN_K, nprobe=IVF_TRAINED_NPROBE)
+
+
+def _ivf_trained_sql() -> str:
+    parts = _kmeans_cte_chain(IVF_TRAINED_CELLS, KMEANS_ITERS)
+    parts.append(
+        f"""scored AS (
+  SELECT e.vec_id, e.embedding, t.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(t.c AS DOUBLE[])) AS sim
+  FROM embeddings e, c{KMEANS_ITERS} t
+)"""
+    )
+    parts.append(
+        """ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM scored
+)"""
+    )
+    parts.append("corpus_cells AS (SELECT vec_id, embedding, cid AS centroid_id FROM ranked WHERE rn = 1)")
+    parts.append(
+        f"""query_probes AS (
+  SELECT vec_id, embedding, cid AS centroid_id FROM ranked
+  WHERE rn <= {IVF_TRAINED_NPROBE} AND vec_id < {KNN_QUERY_IDS}
+)"""
+    )
+    parts.append(
+        """cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score
+  FROM query_probes q JOIN corpus_cells c ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT q_id, c_id, rank
+FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank FROM cand)
+WHERE rank <= {KNN_K}
 """
     )
 
@@ -288,6 +354,7 @@ ORDER BY cluster
 QUERIES = {
     "emb_topk_cosine": (topk_query, TOPK_SQL),
     "emb_kmeans_stats": (kmeans_stats_query, _kmeans_sql()),
+    "emb_ivf_trained_topk": (ivf_trained_topk_query, _ivf_trained_sql()),
     "dedup_embedding_cosine_pairs": (cosine_near_dup_query, _near_dup_sql()),
     "emb_ivf_topk": (ivf_topk_query, IVF_SQL),
     "emb_knn_join": (knn_join_query, KNN_SQL),

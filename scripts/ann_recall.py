@@ -67,6 +67,23 @@ def main() -> int:
             "results": cnt,
             "cost": round(nprobe / args.centroids, 4),
         }
+    # trained centroids (fixed-point Lloyd) vs the naive first-k seed set,
+    # at matched cell counts — the recall k-means actually buys
+    from block_crawler_spark.operators.ann import kmeans_lloyd_fixed
+
+    out["ivf_trained"] = {}
+    for cells in (16, args.centroids):
+        _, cents = kmeans_lloyd_fixed(emb, k=cells, iters=2)
+        trained = cents.select(F.col("cid").alias("vec_id"), F.col("c").alias("embedding"))
+        seeded = emb.filter(F.col("vec_id") < cells)
+        for nprobe in (2, 4, 8):
+            rt, _ = recall(ivf_topk(queries, emb, trained, k=args.k, nprobe=nprobe))
+            rs, _ = recall(ivf_topk(queries, emb, seeded, k=args.k, nprobe=nprobe))
+            out["ivf_trained"][f"cells={cells},nprobe={nprobe}"] = {
+                "recall_trained": rt,
+                "recall_seeded": rs,
+                "cost": round(nprobe / cells, 4),
+            }
     print(json.dumps(out))
     return 0
 
