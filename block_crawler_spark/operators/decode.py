@@ -166,6 +166,17 @@ def _finish_transfer(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _drop_removed(logs: DataFrame) -> DataFrame:
+    """Reorg guard: a websocket subscription can redeliver a log with
+    ``removed=true`` when its block is orphaned — such logs must never
+    reach the folds.  Batch ``eth_getLogs`` over canonical history always
+    carries ``removed=false``, so this predicate prunes nothing there (and
+    pushes to the scan).  Tolerates frames without the column."""
+    if "removed" in logs.columns:
+        return logs.filter(~F.coalesce(F.col("removed"), F.lit(False)))
+    return logs
+
+
 def decode_token_transfers(logs: DataFrame) -> DataFrame:
     """All three transfer families from one logs scan, unioned.
 
@@ -173,6 +184,7 @@ def decode_token_transfers(logs: DataFrame) -> DataFrame:
     parquet scan) — the three branches share identical pushed filters on
     ``topics`` size so Catalyst prunes non-transfer rows early.
     """
+    logs = _drop_removed(logs)
     return (
         decode_erc721_transfers(logs)
         .unionByName(decode_erc1155_single_transfers(logs))
@@ -188,6 +200,7 @@ def decode_uri_updates(logs: DataFrame) -> DataFrame:
     Decimal(38,0) the substitution is skipped (URI kept verbatim) in line
     with the engine-wide clamp-to-null policy.
     """
+    logs = _drop_removed(logs)
     out = (
         logs.filter((F.size("topics") == 2) & (_topic0(logs) == F.lit(ERC1155_URI_TOPIC)))
         .withColumn("token_id_hex", normalize_hex(F.element_at("topics", 2)))

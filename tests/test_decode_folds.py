@@ -224,3 +224,18 @@ def test_holding_stats_window_equals_pandas(spark):
     pdf_w = {tuple(r) for r in win.collect()}
     pdf_p = {tuple(r) for r in holding_stats_pandas(spark, sf).collect()}
     assert pdf_w == pdf_p
+
+
+def test_removed_logs_never_reach_folds(spark, fixture_rows):
+    """Reorg guard: a log redelivered with removed=true (orphaned block)
+    must be dropped by decode; the same log with removed=false decodes."""
+    base = [dict(r) for r in fixture_rows if r["topics"][0] == ERC721_TRANSFER_TOPIC][:3]
+    assert base, "fixture must contain ERC-721 transfers"
+    live = spark.createDataFrame([tuple(r[f.name] for f in LOG_SCHEMA.fields) for r in base], LOG_SCHEMA)
+    n_live = decode_token_transfers(live).count()
+    assert n_live == len(base)
+    orphaned = [dict(r, removed=True) for r in base]
+    mixed = spark.createDataFrame(
+        [tuple(r[f.name] for f in LOG_SCHEMA.fields) for r in base + orphaned], LOG_SCHEMA
+    )
+    assert decode_token_transfers(mixed).count() == n_live  # removed rows pruned
