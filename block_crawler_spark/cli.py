@@ -168,7 +168,12 @@ def cmd_tail(args) -> int:
 
 
 def cmd_verify(args) -> int:
-    from .operators.verify import reconcile_balances, reconcile_tokens, reconcile_transfers
+    from .operators.verify import (
+        reconcile_balances,
+        reconcile_tokens,
+        reconcile_transfers,
+        verify_chain_continuity,
+    )
     from .streaming.store import SilverStore
 
     spark = _spark("verify")
@@ -179,6 +184,8 @@ def cmd_verify(args) -> int:
         "tokens": reconcile_tokens(logs, store.read("tokens")).count(),
         "balances": reconcile_balances(logs, store.read("owners")).count(),
     }
+    if getattr(args, "blocks", None):
+        reports["continuity"] = verify_chain_continuity(spark.read.parquet(args.blocks)).count()
     print(json.dumps({"errors": reports, "clean": all(v == 0 for v in reports.values())}))
     return 0 if all(v == 0 for v in reports.values()) else 1
 
@@ -243,7 +250,9 @@ def main(argv=None) -> int:
     sp.add_argument("--stats-interval", type=float, default=60.0,
                     help="seconds between STATS lines (reference 60 s ticker); 0 disables")
     sp.set_defaults(fn=cmd_tail)
-    sp = sub.add_parser("verify"); common(sp, blocks=False); sp.set_defaults(fn=cmd_verify)
+    sp = sub.add_parser("verify"); common(sp, blocks=False)
+    sp.add_argument("--blocks", help="optional blocks bronze: adds the chain-continuity check")
+    sp.set_defaults(fn=cmd_verify)
     sp = sub.add_parser("seed")
     sp.add_argument("--silver", required=True)
     sp.add_argument("--blockchain", default="ethereum-mainnet")

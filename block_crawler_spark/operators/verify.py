@@ -154,3 +154,29 @@ def reconcile_collections(db_collections: DataFrame, contracts: DataFrame) -> Da
     for label, cond in checks:
         err = F.when(cond, F.lit(label)) if err is None else err.when(cond, F.lit(label))
     return joined.select("collection_id", err.alias("error")).filter(F.col("error").isNotNull())
+
+
+def verify_chain_continuity(blocks: DataFrame) -> DataFrame:
+    """Chain-linkage check over the blocks bronze: every block's
+    ``parent_hash`` must equal the previous block's ``hash`` and heights
+    must be gap-free.  A mismatch is the on-disk signature of an unhandled
+    reorg (the trail-blocks lag makes them rare, not impossible); a gap is
+    a lost batch.  Returns one row per violation:
+    (number, error ∈ {height_gap, parent_mismatch}).
+
+    One window over the full block order — at 100 TB scale run it per
+    recent range (``blocks.filter(number >= N)``): continuity is
+    transitive, so per-range checks with one overlapping block compose.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("number")
+    prev = blocks.select("number", "hash", "parent_hash").withColumn(
+        "prev_number", F.lag("number").over(w)
+    ).withColumn("prev_hash", F.lag("hash").over(w))
+    return prev.filter(F.col("prev_number").isNotNull()).select(
+        "number",
+        F.when(F.col("number") != F.col("prev_number") + 1, F.lit("height_gap"))
+        .when(F.col("parent_hash") != F.col("prev_hash"), F.lit("parent_mismatch"))
+        .alias("error"),
+    ).filter(F.col("error").isNotNull())

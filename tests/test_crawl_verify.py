@@ -127,3 +127,29 @@ def test_verify_detects_corruption(spark, chain, silver):
     phantom = t.limit(1).withColumn("block_id", F.lit(999_999))
     errs3 = reconcile_transfers(logs, t.unionByName(phantom)).collect()
     assert any(e["error"] == "not_in_logs" for e in errs3)
+
+
+def test_verify_chain_continuity(spark):
+    """Linked chain → clean; a gap and a reorged parent hash are flagged."""
+    from block_crawler_spark.operators.verify import verify_chain_continuity
+
+    def blk(n, h, p):
+        return (n, h, p)
+
+    good = spark.createDataFrame(
+        [blk(1, "0xa1", "0xa0"), blk(2, "0xa2", "0xa1"), blk(3, "0xa3", "0xa2")],
+        "number long, hash string, parent_hash string",
+    )
+    assert verify_chain_continuity(good).count() == 0
+
+    bad = spark.createDataFrame(
+        [
+            blk(1, "0xa1", "0xa0"),
+            blk(2, "0xa2", "0xa1"),
+            blk(4, "0xa4", "0xa3"),  # height gap (3 missing)
+            blk(5, "0xa5", "0xdead"),  # parent hash not a4 → reorg signature
+        ],
+        "number long, hash string, parent_hash string",
+    )
+    errs = {r["number"]: r["error"] for r in verify_chain_continuity(bad).collect()}
+    assert errs == {4: "height_gap", 5: "parent_mismatch"}
