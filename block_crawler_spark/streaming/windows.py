@@ -51,6 +51,27 @@ def windowed_event_counts(
     )
 
 
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows per user: Spark's ``session_window`` merges
+    events whose gaps are under ``gap`` into one growing window — the
+    built-in form of the batch ``evt_sessionize`` plan (which computes the
+    same sessions relationally for the DuckDB oracle).  Streaming input
+    gets watermark-bounded state: a session closes (and its state frees)
+    once the watermark passes its end.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(F.session_window("ts", gap).alias("session"), F.col("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-based streaming source over events parquet chunks (µs ts)."""
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"

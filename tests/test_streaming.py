@@ -88,3 +88,33 @@ def test_stream_tail_matches_bulk(spark, tmp_path):
     q2 = stream_tail(spark, bronze, blocks, store, str(tmp_path / "ckpt"), blockchain="testnet")
     q2.awaitTermination(60)
     assert store.read("token_transfers").count() == bulk.token_transfers.count()
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    """Native session_window stream (availableNow) == the same fn on batch.
+
+    Complete output mode so merged sessions re-emit; watermark bounds state
+    on a live stream."""
+    from block_crawler_spark.streaming.windows import session_event_stats
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "sess_chunks")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src)
+    q = (
+        session_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(r):
+        return (r["session"]["start"], r["session"]["end"], r["user_id"])
+
+    got = {key(r): (r["n_events"], r["total_value"]) for r in spark.sql("select * from sess_stats").collect()}
+    exp = {key(r): (r["n_events"], r["total_value"]) for r in session_event_stats(events).collect()}
+    assert got == exp and len(got) > 10
