@@ -166,3 +166,41 @@ def test_versioned_upsert_is_permutation_invariant(spark, updates, seed):
         return {r["k"]: (r["val"], r["data_version"]) for r in df.collect()}
 
     assert apply(seq) == apply(shuffled)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dedup_components_match_union_find(spark, edges):
+    """dedup_components == a pure-Python union-find oracle, for arbitrary
+    edge sets (duplicates, both orientations, chains, stars)."""
+    from block_crawler_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in dedup_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    exp = {x: find(x) for x in parent}
+    assert got == exp
