@@ -83,6 +83,46 @@ SELECT hx.doc_id, CAST(n AS BIGINT) AS n_bytes,
 FROM hx LEFT JOIN s USING (doc_id)
 """
 
+def media_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup candidates: same-length blobs paired by a bucket
+    equi-join on ``n_bytes`` (the scale-safe shape — pair count ∝ length
+    collisions, never blobs²), ranked by content-sum distance with an
+    exact-dup flag from the md5 digest.  Features come from the REAL
+    Arrow-batched multimodal stage; only feature-sized rows are joined —
+    content bytes never shuffle (the perceptual-hash pattern with a
+    deterministic, oracle-checkable signature)."""
+    feats = media_binary_features_query(spark, sf_dir).cache()
+    a = feats.select(
+        F.col("doc_id").alias("id_a"), "n_bytes",
+        F.col("byte_sum").alias("sum_a"), F.col("content_md5").alias("md5_a"),
+    )
+    b = feats.select(
+        F.col("doc_id").alias("id_b"), "n_bytes",
+        F.col("byte_sum").alias("sum_b"), F.col("content_md5").alias("md5_b"),
+    )
+    return (
+        a.join(b, "n_bytes")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_bytes",
+            F.abs(F.col("sum_a") - F.col("sum_b")).alias("sum_delta"),
+            (F.col("md5_a") == F.col("md5_b")).alias("is_exact_dup"),
+        )
+    )
+
+
+MEDIA_NEAR_DUP_SQL = f"""
+WITH feats AS ({MEDIA_FEATURES_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_bytes,
+       CAST(abs(a.byte_sum - b.byte_sum) AS BIGINT) AS sum_delta,
+       a.content_md5 = b.content_md5 AS is_exact_dup
+FROM feats a JOIN feats b ON a.n_bytes = b.n_bytes AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "media_binary_features": (media_binary_features_query, MEDIA_FEATURES_SQL),
+    "media_near_dup_pairs": (media_near_dup_query, MEDIA_NEAR_DUP_SQL),
 }
