@@ -326,6 +326,92 @@ def value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts: |value − median| > 3×MAD, entirely in
+    exact integer space (anomaly-detection family).
+
+    Doubled-rank medians sidestep interpolation: the type median lives in
+    2× cents (``median2x``), absolute deviations in 2× space, and the MAD
+    (median of those deviations) in 4× space (``mad4x``); the outlier test
+    compares ``dev2x × 2 > 3 × mad4x`` — every quantity BIGINT, identical
+    on both engines.  Two rank windows per type, both WindowGroupLimit-free
+    but bounded by the per-type partition; at scale this is the classic
+    two-pass robust-stats shape (medians via ranks, then one more pass)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents(_dec("value")).alias("cents")
+    )
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    w1 = Window.partitionBy("event_type").orderBy(F.col("cents").asc(), F.col("event_id").asc())
+    r1 = e.withColumn("rn", F.row_number().over(w1)).join(F.broadcast(counts), "event_type")
+    med = (
+        r1.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("n") % 2 == 1, F.col("cents") * 2).otherwise(F.col("cents")))
+            .cast("long")
+            .alias("median2x")
+        )
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev2x", F.abs(F.col("cents") * 2 - F.col("median2x"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.col("dev2x").asc(), F.col("event_id").asc())
+    r2 = dev.withColumn("rn", F.row_number().over(w2)).join(F.broadcast(counts), "event_type")
+    mad = (
+        r2.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("n") % 2 == 1, F.col("dev2x") * 2).otherwise(F.col("dev2x")))
+            .cast("long")
+            .alias("mad4x")
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("median2x").alias("median2x"),
+            F.max("mad4x").alias("mad4x"),
+            F.count(F.when(F.col("dev2x") * 2 > 3 * F.col("mad4x"), 1)).alias("n_outliers"),
+        )
+    )
+
+
+OUTLIERS_MAD_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+), c AS (
+  SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type
+), r1 AS (
+  SELECT e.*, row_number() OVER (PARTITION BY event_type ORDER BY cents ASC, event_id ASC) AS rn FROM e
+), med AS (
+  SELECT r1.event_type,
+         CAST(SUM(CASE WHEN c.n % 2 = 1 THEN cents * 2 ELSE cents END) AS BIGINT) AS median2x
+  FROM r1 JOIN c USING (event_type)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY r1.event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, abs(e.cents * 2 - med.median2x) AS dev2x, med.median2x
+  FROM e JOIN med USING (event_type)
+), r2 AS (
+  SELECT dev.*, row_number() OVER (PARTITION BY event_type ORDER BY dev2x ASC, event_id ASC) AS rn FROM dev
+), mad AS (
+  SELECT r2.event_type,
+         CAST(SUM(CASE WHEN c.n % 2 = 1 THEN dev2x * 2 ELSE dev2x END) AS BIGINT) AS mad4x
+  FROM r2 JOIN c USING (event_type)
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY r2.event_type
+)
+SELECT dev.event_type, COUNT(*) AS n,
+       CAST(MAX(dev.median2x) AS BIGINT) AS median2x,
+       CAST(MAX(mad.mad4x) AS BIGINT) AS mad4x,
+       COUNT(*) FILTER (WHERE dev2x * 2 > 3 * mad4x) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
 VALUE_MEDIAN_SQL = """
 WITH e AS (
   SELECT event_type, event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
@@ -406,6 +492,7 @@ QUERIES = {
     "evt_salted_type_totals": (salted_type_totals, SALTED_TOTALS_SQL),
     "evt_value_rank": (value_rank, VALUE_RANK_SQL),
     "evt_value_median": (value_median, VALUE_MEDIAN_SQL),
+    "evt_outliers_mad": (outliers_mad, OUTLIERS_MAD_SQL),
     "evt_pivot_type_counts": (pivot_type_counts, PIVOT_SQL),
     "join_asof_last_signup": (asof_last_signup, ASOF_SQL),
     "evt_token_state_fold": (token_state_fold, TOKEN_STATE_SQL),
