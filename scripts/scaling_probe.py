@@ -1,0 +1,66 @@
+"""Empirical scaling curve: representative queries at sf0.001/0.01/0.1.
+
+The 100 TB argument in docs/SCALE.md is structural (shuffle inventory,
+partition math); this probe adds the measurement: per-query wall-clock at
+three scale factors spanning 100× input growth.  A query whose time grows
+~linearly (or better, sub-linearly while input outpaces overheads) has no
+hidden super-linear stage at these sizes; anything quadratic would already
+bend visibly across 100×.
+
+Each timing is best-of-2 against the noop sink, after a warm-up query per
+SF so scan caches/JIT are comparable.  Usage:
+
+    PYTHONPATH=/root/repo python scripts/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from block_crawler_spark.session import get_spark  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# one representative per operator family, heaviest first
+PROBES = [
+    "nft_token_state_from_lineitem",  # decode + A1 fold (flagship)
+    "tpch_q8_market_share",  # multi-join relational
+    "dedup_minhash_lsh_pairs",  # shingle explosion + band join
+    "join_range_ship_windows",  # bucketized range join
+    "evt_sessionize",  # rank windows
+    "doc_winnow_fingerprint",  # rolling windows per doc
+    "tx_sender_gas_stats",  # single-shuffle hash agg
+]
+
+
+def main() -> int:
+    from block_crawler_spark.plans.registry import all_queries
+
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    out: dict = {"probes": {}, "sfs": SFS}
+    for sf in SFS:
+        # warm-up: touch every table + JIT the common codegen paths
+        registry["tpch_q6_revenue_forecast"][0](spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for name in PROBES:
+            fn, _ = registry[name]
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, sf).write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out["probes"].setdefault(name, {})[sf.rsplit("/", 1)[-1]] = round(best, 3)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
