@@ -269,6 +269,9 @@ def kmeans_lloyd_fixed(
     ``(assignments, centroids)`` where assignments are w.r.t. the FINAL
     centroids: (vid, cid, dist).
     """
+    # NB: the cache lives for the session (storage memory is LRU-evictable,
+    # so it degrades gracefully); callers training many models in one
+    # session can reclaim it eagerly with spark.catalog.clearCache()
     micro = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long"))
     vecs = vectors.select(F.col(id_col).alias("vid"), micro.alias("v")).cache()
     seeds = vecs.orderBy("vid").limit(k)
@@ -284,10 +287,13 @@ def kmeans_lloyd_fixed(
                 lambda acc, x: acc + x,
             ),
         )
-        # argmin with lowest-cid tiebreak packed into one exact int64 key
+        # argmin with lowest-cid tiebreak packed into one exact int64 key;
+        # unpacking uses integer `div`, never double division — floor(x/y)
+        # through double is inexact past 2^53 (round-4 review finding; the
+        # shipped power-of-2 k values escaped, a generic k must not rely on it)
         a = d.groupBy("vid").agg(F.min(F.col("dist") * k + F.col("cid")).alias("dc"))
         return a.select(
-            "vid", (F.col("dc") % k).alias("cid"), F.floor(F.col("dc") / k).cast("long").alias("dist")
+            "vid", (F.col("dc") % k).alias("cid"), F.expr(f"dc div {k}").cast("long").alias("dist")
         )
 
     for _ in range(iters):

@@ -192,6 +192,7 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     )
     edges = edges.distinct().localCheckpoint()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    changed = 1
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(
@@ -214,6 +215,13 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently-wrong labels would split one cluster into several
+        # "survivors" — fail loudly instead (round-4 review finding)
+        raise RuntimeError(
+            f"dedup_components did not reach a fixed point in {max_iterations} "
+            "iterations — a component's diameter exceeds the bound; raise max_iterations"
+        )
     return labels
 
 

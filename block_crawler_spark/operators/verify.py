@@ -206,9 +206,11 @@ def reconcile_tx_receipts(transactions: DataFrame, receipts: DataFrame) -> DataF
         F.col("contract_address"),
     )
     j = t.join(r, "tx_hash", "full_outer")
+    # every field compare is null-SAFE: a NULL block/index on either side is
+    # itself a mismatch signal and must not make the predicate vanish
     mismatch = (
-        (F.col("t_block") != F.col("r_block"))
-        | (F.col("t_index") != F.col("r_index"))
+        ~F.col("t_block").eqNullSafe(F.col("r_block"))
+        | ~F.col("t_index").eqNullSafe(F.col("r_index"))
         | ~F.col("t_from").eqNullSafe(F.col("r_from"))
         | ~F.col("t_to").eqNullSafe(F.col("r_to"))
         # a creation tx (NULL to_) must carry a contract_address and vice versa

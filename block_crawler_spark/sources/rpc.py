@@ -571,7 +571,11 @@ def fetch_token_uris(
             rows = []
             for _, r in pdf.iterrows():
                 data = SELECTOR_TOKEN_URI + r["token_id_hex"][2:]
-                tag = hex(int(r["mint_block"])) if use_mint else (block_tag or "latest")
+                # mint_block is nullable (a token first seen via transfer has
+                # no observed mint) — NULL arrives as NaN here; fall back to
+                # "latest" instead of raising on int(NaN)
+                mb = r["mint_block"] if use_mint else None
+                tag = hex(int(mb)) if use_mint and pd.notna(mb) else (block_tag or "latest")
                 rows.append(
                     {
                         "collection_id": r["collection_id"],

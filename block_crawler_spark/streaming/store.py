@@ -151,13 +151,17 @@ class SilverStore:
         meta_src = existing.join(touched_keys, keys, "left_semi").select(*keys, *meta_cols).unionByName(
             batch_tokens.select(*keys, *meta_cols)
         )
+        # K3 rule (merge.metadata_url_upsert): only rows that CARRY URI data
+        # compete — a NULL ordering key makes max_by skip the row, so a
+        # higher-data_version batch with no URI event can never clobber an
+        # existing metadata_url to NULL (round-4 review finding).
         meta = meta_src.groupBy(*keys).agg(
             F.max("specification").alias("specification"),
             F.max_by(
                 F.struct("metadata_url", "metadata_url_version_hex"),
-                F.struct(
-                    F.col("data_version"),
-                    F.coalesce(F.col("metadata_url_version_hex"), F.lit("")),
+                F.when(
+                    F.col("metadata_url_version_hex").isNotNull(),
+                    F.struct(F.col("data_version"), F.col("metadata_url_version_hex")),
                 ),
             ).alias("_meta"),
             F.max("data_version").alias("data_version"),

@@ -93,8 +93,8 @@ def stream_tail(
     Each micro-batch runs the identical batch plan over its slice; Spark's
     checkpoint tracks which files were consumed (ST3), retries re-run the
     batch (ST5), and every sink is idempotent — keyed transfer append,
-    version-guarded token merge, owners rebuilt from committed transfers —
-    so duplicates and re-runs are absorbed (ST4).
+    tokens AND owners rebuilt from committed transfers — so duplicates and
+    re-runs are absorbed (ST4).
     """
     reader = spark.readStream.schema(LOG_SCHEMA)
     if max_files_per_trigger:
@@ -107,13 +107,15 @@ def stream_tail(
         dv, _last = store.get_config(blockchain)
         silver = crawl_plan(store.spark, batch_df, blocks_df, blockchain=blockchain, data_version=dv)
         store.append_transfers(silver.token_transfers)
-        store.upsert_tokens(silver.tokens)
-        # Retry-safe owners rebuild from committed transfers (ADVICE r1):
-        # foreachBatch retries re-run this whole block, so the owners write
-        # must be a pure function of the idempotent transfers table.
+        # Retry-safe tokens + owners rebuilds from committed transfers
+        # (ADVICE r1, round-4 review): foreachBatch retries re-run this
+        # whole block, so BOTH writes must be pure functions of the
+        # idempotent transfers table — the additive token merge would
+        # double-count quantities on a checkpoint-recovery re-run.
         from ..operators.folds import owner_balances_from_silver
 
         touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
+        store.rebuild_tokens(silver.tokens, touched)
         balances = owner_balances_from_silver(store.read("token_transfers"), touched)
         store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
         top = batch_df.agg(F.max("block_number")).collect()[0][0]

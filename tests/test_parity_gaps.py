@@ -157,3 +157,16 @@ def test_ivf_recall_vs_brute(spark):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_fetch_token_uris_null_mint_block_falls_back_to_latest(spark):
+    """A token first seen via transfer has NULL mint_block — the pinned
+    path must fall back to 'latest', not crash on int(NaN)."""
+    coll = addr(0xAA01)
+    tid = "0x" + enc_uint(9)
+    t = FakeChainTransport(calls={(coll, SELECTOR_TOKEN_URI + tid[2:]): enc_string("https://latest/9")})
+    tokens = spark.createDataFrame(
+        [(coll, tid, None)], "collection_id string, token_id_hex string, mint_block long"
+    )
+    got = fetch_token_uris(tokens, t).collect()[0]["metadata_url"]
+    assert got == "https://latest/9"

@@ -81,3 +81,36 @@ def test_read_modify_write_same_table(spark, tmp_path):
         nxt = cur.withColumn("last_block_id", F.col("last_block_id") + 1)
         store.overwrite("crawler_config", nxt)  # executes the read mid-write
     assert store.get_config("a") == (1, 4)
+
+
+def test_rebuild_tokens_keeps_metadata_across_epochs(spark, tmp_path):
+    """K3 parity in the rebuild path: a higher-data_version batch with NO
+    URI event must not clobber existing metadata_url to NULL."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.schemas import TOKEN_TRANSFER_SCHEMA
+
+    store = _mk(spark, tmp_path)
+    keys = ["blockchain", "collection_id", "token_id_hex"]
+    tr = spark.createDataFrame(
+        [("bc", "0xc", "00" * 19 + "05", "0x" + "07".rjust(64, "0"), 1_600_000_000, 5,
+          "0xabc", 0, 0, "mint", "0x" + "0" * 40, "0xowner1", "0x" + "1".rjust(64, "0"), 1)],
+        TOKEN_TRANSFER_SCHEMA,
+    ).withColumn("batch_index", F.lit(0).cast("int"))
+    store.append_transfers(tr)
+    touched = tr.select(*keys).distinct()
+
+    def tok(dv, url, vhex):
+        return spark.createDataFrame(
+            [("bc", "0xc", "0x" + "07".rjust(64, "0"), "erc721", url, vhex, dv)],
+            "blockchain string, collection_id string, token_id_hex string, specification string, "
+            "metadata_url string, metadata_url_version_hex string, data_version long",
+        )
+
+    store.rebuild_tokens(tok(1, "ipfs://x", "0" * 39 + "5"), touched)
+    assert store.read("tokens").collect()[0]["metadata_url"] == "ipfs://x"
+    # epoch 2 batch carries no URI data → metadata must survive
+    store.rebuild_tokens(tok(2, None, None), touched)
+    row = store.read("tokens").collect()[0]
+    assert row["metadata_url"] == "ipfs://x"
+    assert row["data_version"] == 2
