@@ -316,6 +316,69 @@ class EvmLogsStreamDataSource(DataSource):
         return EvmLogsStreamReader(self.options)
 
 
+class EvmTransactionsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming T3: offsets are block heights (same ST2/ST3 semantics as
+    the logs stream — trail lag, checkpoint = next_block, capped catch-up);
+    each batch fetches its blocks with full bodies and explodes."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.trail = int(options.get("trail_blocks", "1"))
+        self.start = int(options.get("start", "0"))
+        self.max_blocks = int(options.get("max_blocks_per_batch", "10000"))
+
+    def initialOffset(self) -> dict:
+        return {"next_block": self.start}
+
+    def _fetch(self, lo: int, hi: int):
+        from .rpc import _hx
+
+        transport = _make_transport(self.options)
+        for num in range(lo, hi + 1):
+            blk = transport.call("eth_getBlockByNumber", hex(num), True)
+            if blk is None:
+                continue
+            for tx in blk.get("transactions") or []:
+                if not isinstance(tx, dict):
+                    raise ValueError("node returned hashes for a full_transactions request")
+                yield (
+                    _hx(tx.get("blockNumber")) or _hx(blk.get("number")),
+                    _hx(tx.get("transactionIndex")),
+                    tx.get("hash"),
+                    (tx.get("from") or "").lower() or None,
+                    (tx.get("to") or "").lower() or None,
+                    _hx(tx.get("gas")),
+                    _hx(tx.get("gasPrice")),
+                    _hx(tx.get("nonce")),
+                    tx.get("value"),
+                    tx.get("input"),
+                )
+
+    def read(self, start: dict):
+        transport = _make_transport(self.options)
+        lo = start["next_block"]
+        hi = int(transport.call("eth_blockNumber"), 16) - self.trail
+        if hi < lo:
+            return iter([]), start
+        hi = min(hi, lo + self.max_blocks - 1)
+        return iter(list(self._fetch(lo, hi))), {"next_block": hi + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._fetch(start["next_block"], end["next_block"] - 1)))
+
+
+class EvmTransactionsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "evm_transactions_stream"
+
+    def schema(self):
+        return TRANSACTION_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return EvmTransactionsStreamReader(self.options)
+
+
 def register(spark) -> None:
     """Register the formats: ``spark.read.format('evm_logs' | 'evm_blocks' |
     'evm_transactions')`` and ``spark.readStream.format('evm_logs_stream')``."""
@@ -323,3 +386,4 @@ def register(spark) -> None:
     spark.dataSource.register(EvmBlocksDataSource)
     spark.dataSource.register(EvmTransactionsDataSource)
     spark.dataSource.register(EvmLogsStreamDataSource)
+    spark.dataSource.register(EvmTransactionsStreamDataSource)

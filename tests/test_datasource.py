@@ -175,3 +175,36 @@ def test_transactions_format(spark):
         .collect()[0]
     )
     assert some["transaction_hash"] in blk["transaction_hashes"]
+
+
+def test_streaming_transactions_format(spark, tmp_path):
+    """readStream.format('evm_transactions_stream'): full tx bodies stream
+    with the same height-offset/trail semantics as the logs stream."""
+    fb = standard_scenario()
+    lo = min(r["block_number"] for r in fb.rows)
+    hi = max(b["number"] for b in fb.blocks())
+    stream = (
+        spark.readStream.format("evm_transactions_stream")
+        .option("mode", "fixture")
+        .option("start", lo)
+        .option("trail_blocks", 1)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_tx_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_tx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ds_tx_tail").collect()
+    exp = {
+        (r["block_number"], r["transaction_index"])
+        for r in fb.rows
+        if r["block_number"] <= hi - 1  # trail lag
+    }
+    assert {(r["block_number"], r["transaction_index"]) for r in got} == exp
+    assert all(r["gas"] == 21_000 + r["transaction_index"] for r in got)
