@@ -38,24 +38,14 @@ def _bulk_crawl(spark, store, logs, blocks, blockchain: str, data_version: int, 
     clipped to ``height``), apply the idempotent sinks, commit progress."""
     from pyspark.sql import functions as F
 
-    from .operators.folds import owner_balances_from_silver
     from .plans.crawl import crawl_plan
 
     if height is not None:
         logs = logs.filter(F.col("block_number") <= height)
         blocks = blocks.filter(F.col("number") <= height)
     silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
-    store.append_transfers(silver.token_transfers)
-    # retry-safe tokens + owners rebuilds (see streaming.tail) — a re-run
-    # over the same range must not double-count additive quantities
-    touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
-    store.rebuild_tokens(silver.tokens, touched)
-    store.rebuild_owners(
-        owner_balances_from_silver(store.read("token_transfers"), touched).withColumn(
-            "data_version", F.lit(data_version)
-        ),
-        touched,
-    )
+    # the retry-safe sink sequence lives in ONE place — see its docstring
+    store.apply_silver(silver, data_version)
     top = height if height is not None else blocks.agg({"number": "max"}).collect()[0][0]
     store.set_config(blockchain, data_version, top)
     return top

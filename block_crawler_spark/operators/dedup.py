@@ -192,36 +192,44 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     )
     edges = edges.distinct().localCheckpoint()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    changed = 1
-    for _ in range(max_iterations):
+
+    def propagate(cur: DataFrame) -> tuple[DataFrame, int]:
         nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")), "dst"
-            )
+            edges.join(cur.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")), "dst")
             .groupBy("src")
             .agg(F.min("nbr_comp").alias("nbr_min"))
             .select(F.col("src").alias("id"), "nbr_min")
         )
-        new_labels = labels.join(nbr_min, "id", "left").select(
+        nxt = cur.join(nbr_min, "id", "left").select(
             "id", F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp")
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+        moved = (
+            nxt.alias("n")
+            .join(cur.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        return nxt, moved
+
+    changed = 1
+    for _ in range(max_iterations):
+        labels, changed = propagate(labels)
         if changed == 0:
             break
     if changed != 0:
-        # silently-wrong labels would split one cluster into several
-        # "survivors" — fail loudly instead (round-4 review finding)
-        raise RuntimeError(
-            f"dedup_components did not reach a fixed point in {max_iterations} "
-            "iterations — a component's diameter exceeds the bound; raise max_iterations"
-        )
+        # the last permitted round still moved labels — but a diameter of
+        # EXACTLY max_iterations converges on that round, so certify with
+        # one verification round before declaring failure (a converged
+        # state propagates to itself)
+        labels, changed = propagate(labels)
+        if changed != 0:
+            # silently-wrong labels would split one cluster into several
+            # "survivors" — fail loudly instead (round-4 review finding)
+            raise RuntimeError(
+                f"dedup_components did not reach a fixed point in {max_iterations} "
+                "iterations — a component's diameter exceeds the bound; raise max_iterations"
+            )
     return labels
 
 

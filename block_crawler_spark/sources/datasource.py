@@ -169,37 +169,42 @@ class EvmBlocksReader(_RangePlanner, DataSourceReader):
             )
 
 
+def _tx_rows(transport, lo: int, hi: int) -> Iterator[tuple]:
+    """TRANSACTION_SCHEMA tuples for a block range: one
+    ``get_block(id, True)`` per block, bodies exploded (reference
+    ``evm/transformers.py:48-87``).  Shared by the batch and streaming
+    transaction readers so the row mapping has exactly one definition."""
+    from .rpc import _hx
+
+    for num in range(lo, hi + 1):
+        blk = transport.call("eth_getBlockByNumber", hex(num), True)
+        if blk is None:
+            continue
+        for tx in blk.get("transactions") or []:
+            if not isinstance(tx, dict):
+                raise ValueError("node returned hashes for a full_transactions request")
+            yield (
+                _hx(tx.get("blockNumber")) or _hx(blk.get("number")),
+                _hx(tx.get("transactionIndex")),
+                tx.get("hash"),
+                (tx.get("from") or "").lower() or None,
+                (tx.get("to") or "").lower() or None,
+                _hx(tx.get("gas")),
+                _hx(tx.get("gasPrice")),
+                _hx(tx.get("nonce")),
+                tx.get("value"),
+                tx.get("input"),
+            )
+
+
 class EvmTransactionsReader(_RangePlanner, DataSourceReader):
-    """T3 through the DataSource API: one ``get_block(id, True)`` per block,
-    transaction bodies exploded executor-side (reference
-    ``evm/transformers.py:48-87``)."""
+    """T3 through the DataSource API (row mapping in :func:`_tx_rows`)."""
 
     def __init__(self, options: dict):
         _RangePlanner.__init__(self, options, default_chunk=10_000)
 
     def read(self, partition: _BlockRange) -> Iterator[tuple]:
-        from .rpc import _hx
-
-        transport = _make_transport(self.options)
-        for num in range(partition.start, partition.end + 1):
-            blk = transport.call("eth_getBlockByNumber", hex(num), True)
-            if blk is None:
-                continue
-            for tx in blk.get("transactions") or []:
-                if not isinstance(tx, dict):
-                    raise ValueError("node returned hashes for a full_transactions request")
-                yield (
-                    _hx(tx.get("blockNumber")) or _hx(blk.get("number")),
-                    _hx(tx.get("transactionIndex")),
-                    tx.get("hash"),
-                    (tx.get("from") or "").lower() or None,
-                    (tx.get("to") or "").lower() or None,
-                    _hx(tx.get("gas")),
-                    _hx(tx.get("gasPrice")),
-                    _hx(tx.get("nonce")),
-                    tx.get("value"),
-                    tx.get("input"),
-                )
+        yield from _tx_rows(_make_transport(self.options), partition.start, partition.end)
 
 
 class EvmLogsDataSource(DataSource):
@@ -251,16 +256,21 @@ class EvmTransactionsDataSource(DataSource):
 from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
 
 
-class EvmLogsStreamReader(SimpleDataSourceStreamReader):
+class _HeightOffsetStreamReader(SimpleDataSourceStreamReader):
+    """Shared height-offset machinery: offsets are block heights (the
+    checkpoint IS last_block_id, ST3), ``trail_blocks`` applies the
+    confirmation lag (ST2), and ``max_blocks_per_batch`` caps one trigger's
+    catch-up — read() materializes the batch on the driver, so an unbounded
+    catch-up from far behind chain head could OOM it (ADVICE r1).
+    Subclasses define ``_fetch(lo, hi)`` and ``_DEFAULT_MAX_BLOCKS``."""
+
+    _DEFAULT_MAX_BLOCKS = 10_000
+
     def __init__(self, options: dict):
         self.options = dict(options)
         self.trail = int(options.get("trail_blocks", "1"))
         self.start = int(options.get("start", "0"))
-        # Cap blocks per micro-batch (ADVICE r1, datasource.py:223): read()
-        # materializes the batch on the driver, so an unbounded catch-up from
-        # far behind chain head could OOM it in one batch.  Catch-up proceeds
-        # at max_blocks_per_batch per trigger instead.
-        self.max_blocks = int(options.get("max_blocks_per_batch", "10000"))
+        self.max_blocks = int(options.get("max_blocks_per_batch", str(self._DEFAULT_MAX_BLOCKS)))
 
     def initialOffset(self) -> dict:
         return {"next_block": self.start}
@@ -268,6 +278,26 @@ class EvmLogsStreamReader(SimpleDataSourceStreamReader):
     def _height(self, transport) -> int:
         return int(transport.call("eth_blockNumber"), 16)
 
+    def _fetch(self, lo: int, hi: int) -> Iterator[tuple]:
+        raise NotImplementedError
+
+    def read(self, start: dict):
+        # rows must be an ITERATOR (the engine calls next() on it) whose
+        # contents the prefetch cache can PICKLE (generators can't) —
+        # a list_iterator satisfies both
+        transport = _make_transport(self.options)
+        lo = start["next_block"]
+        hi = self._height(transport) - self.trail
+        if hi < lo:
+            return iter([]), start
+        hi = min(hi, lo + self.max_blocks - 1)
+        return iter(list(self._fetch(lo, hi))), {"next_block": hi + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._fetch(start["next_block"], end["next_block"] - 1)))
+
+
+class EvmLogsStreamReader(_HeightOffsetStreamReader):
     def _fetch(self, lo: int, hi: int):
         from .rpc import _get_logs_adaptive, _hx
 
@@ -286,21 +316,6 @@ class EvmLogsStreamReader(SimpleDataSourceStreamReader):
                 bool(lg.get("removed", False)),
             )
 
-    def read(self, start: dict):
-        # rows must be an ITERATOR (the engine calls next() on it) whose
-        # contents the prefetch cache can PICKLE (generators can't) —
-        # a list_iterator satisfies both
-        transport = _make_transport(self.options)
-        lo = start["next_block"]
-        hi = self._height(transport) - self.trail
-        if hi < lo:
-            return iter([]), start
-        hi = min(hi, lo + self.max_blocks - 1)
-        return iter(list(self._fetch(lo, hi))), {"next_block": hi + 1}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._fetch(start["next_block"], end["next_block"] - 1)))
-
 
 class EvmLogsStreamDataSource(DataSource):
     """Separate name so batch and streaming intents stay explicit."""
@@ -316,55 +331,18 @@ class EvmLogsStreamDataSource(DataSource):
         return EvmLogsStreamReader(self.options)
 
 
-class EvmTransactionsStreamReader(SimpleDataSourceStreamReader):
-    """Streaming T3: offsets are block heights (same ST2/ST3 semantics as
-    the logs stream — trail lag, checkpoint = next_block, capped catch-up);
-    each batch fetches its blocks with full bodies and explodes."""
+class EvmTransactionsStreamReader(_HeightOffsetStreamReader):
+    """Streaming T3 (row mapping in :func:`_tx_rows`).  The per-batch cap
+    defaults far lower than the logs stream's: a batch materializes FULL
+    transaction bodies (calldata included) on the driver, so 10k blocks of
+    a busy chain would be the exact unbounded-batch OOM the cap exists to
+    prevent — 500 blocks ≈ 100k txs is a safe default; tune upward for
+    sparse chains via ``max_blocks_per_batch``."""
 
-    def __init__(self, options: dict):
-        self.options = dict(options)
-        self.trail = int(options.get("trail_blocks", "1"))
-        self.start = int(options.get("start", "0"))
-        self.max_blocks = int(options.get("max_blocks_per_batch", "10000"))
-
-    def initialOffset(self) -> dict:
-        return {"next_block": self.start}
+    _DEFAULT_MAX_BLOCKS = 500
 
     def _fetch(self, lo: int, hi: int):
-        from .rpc import _hx
-
-        transport = _make_transport(self.options)
-        for num in range(lo, hi + 1):
-            blk = transport.call("eth_getBlockByNumber", hex(num), True)
-            if blk is None:
-                continue
-            for tx in blk.get("transactions") or []:
-                if not isinstance(tx, dict):
-                    raise ValueError("node returned hashes for a full_transactions request")
-                yield (
-                    _hx(tx.get("blockNumber")) or _hx(blk.get("number")),
-                    _hx(tx.get("transactionIndex")),
-                    tx.get("hash"),
-                    (tx.get("from") or "").lower() or None,
-                    (tx.get("to") or "").lower() or None,
-                    _hx(tx.get("gas")),
-                    _hx(tx.get("gasPrice")),
-                    _hx(tx.get("nonce")),
-                    tx.get("value"),
-                    tx.get("input"),
-                )
-
-    def read(self, start: dict):
-        transport = _make_transport(self.options)
-        lo = start["next_block"]
-        hi = int(transport.call("eth_blockNumber"), 16) - self.trail
-        if hi < lo:
-            return iter([]), start
-        hi = min(hi, lo + self.max_blocks - 1)
-        return iter(list(self._fetch(lo, hi))), {"next_block": hi + 1}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._fetch(start["next_block"], end["next_block"] - 1)))
+        yield from _tx_rows(_make_transport(self.options), lo, hi)
 
 
 class EvmTransactionsStreamDataSource(DataSource):
@@ -381,7 +359,8 @@ class EvmTransactionsStreamDataSource(DataSource):
 
 def register(spark) -> None:
     """Register the formats: ``spark.read.format('evm_logs' | 'evm_blocks' |
-    'evm_transactions')`` and ``spark.readStream.format('evm_logs_stream')``."""
+    'evm_transactions')`` and ``spark.readStream.format('evm_logs_stream' |
+    'evm_transactions_stream')``."""
     spark.dataSource.register(EvmLogsDataSource)
     spark.dataSource.register(EvmBlocksDataSource)
     spark.dataSource.register(EvmTransactionsDataSource)

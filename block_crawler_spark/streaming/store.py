@@ -154,14 +154,21 @@ class SilverStore:
         # K3 rule (merge.metadata_url_upsert): only rows that CARRY URI data
         # compete — a NULL ordering key makes max_by skip the row, so a
         # higher-data_version batch with no URI event can never clobber an
-        # existing metadata_url to NULL (round-4 review finding).
+        # existing metadata_url to NULL (round-4 review finding).  "Carries
+        # URI data" means EITHER field: the A4 backfill (fetch_token_uris)
+        # sets a URL with no version hex, and such a row must still compete
+        # (with an empty version) rather than be silently dropped.
+        carries_uri = F.col("metadata_url").isNotNull() | F.col("metadata_url_version_hex").isNotNull()
         meta = meta_src.groupBy(*keys).agg(
             F.max("specification").alias("specification"),
             F.max_by(
                 F.struct("metadata_url", "metadata_url_version_hex"),
                 F.when(
-                    F.col("metadata_url_version_hex").isNotNull(),
-                    F.struct(F.col("data_version"), F.col("metadata_url_version_hex")),
+                    carries_uri,
+                    F.struct(
+                        F.col("data_version"),
+                        F.coalesce(F.col("metadata_url_version_hex"), F.lit("")),
+                    ),
                 ),
             ).alias("_meta"),
             F.max("data_version").alias("data_version"),
@@ -181,6 +188,32 @@ class SilverStore:
             .drop("_meta", "_last_recipient", "_owner_version_hex")
         )
         self.overwrite("tokens", kept.unionByName(rebuilt, allowMissingColumns=True))
+
+    def apply_silver(self, silver, data_version: int) -> None:
+        """The retry-safe sink sequence for one crawl/tail/stream batch —
+        THE single definition of the idempotence contract (it lived in three
+        call sites before the round-4 review):
+
+        1. commit transfers first (keyed idempotent append) — the rebuilds
+           below read the COMMITTED table;
+        2. derive the batch's touched token keys;
+        3. rebuild tokens, then owners, for those keys from committed
+           history — pure functions of the transfers table, so any retry
+           (task, stage, foreachBatch checkpoint recovery, full re-crawl)
+           rewrites identical values.
+
+        ``silver`` is a ``plans.crawl.SilverTables``-shaped object; config
+        (last_block_id) commits stay with the caller, AFTER this returns.
+        """
+        from ..operators.folds import owner_balances_from_silver
+
+        self.append_transfers(silver.token_transfers)
+        touched = silver.token_transfers.select(
+            "blockchain", "collection_id", "token_id_hex"
+        ).distinct()
+        self.rebuild_tokens(silver.tokens, touched)
+        balances = owner_balances_from_silver(self.read("token_transfers"), touched)
+        self.rebuild_owners(balances.withColumn("data_version", F.lit(data_version)), touched)
 
     def append_transfers(self, updates: DataFrame) -> None:
         self.overwrite(

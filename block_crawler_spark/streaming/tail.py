@@ -28,7 +28,6 @@ from typing import Protocol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.folds import owner_balances_from_silver
 from ..plans.crawl import crawl_plan
 from .store import SilverStore
 
@@ -85,15 +84,8 @@ class TailRunner:
         blocks = self.source.blocks(start, target)
         silver = crawl_plan(self.store.spark, logs, blocks, blockchain=self.blockchain, data_version=dv)
 
-        self.store.append_transfers(silver.token_transfers)
-        # Retry-safe tokens + owners paths (ADVICE r1): recompute the touched
-        # tokens' state from the idempotent transfers table just committed
-        # above — a crashed-and-retried batch rewrites identical values,
-        # where an additive delta merge would double-count.
-        touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
-        self.store.rebuild_tokens(silver.tokens, touched)
-        balances = owner_balances_from_silver(self.store.read("token_transfers"), touched)
-        self.store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
+        # the retry-safe sink sequence lives in ONE place — see its docstring
+        self.store.apply_silver(silver, dv)
         self.store.set_config(self.blockchain, dv, target)
         if self.stats is not None:
             # reference ticker fields (core/stats.py counters): committed

@@ -106,18 +106,8 @@ def stream_tail(
             return
         dv, _last = store.get_config(blockchain)
         silver = crawl_plan(store.spark, batch_df, blocks_df, blockchain=blockchain, data_version=dv)
-        store.append_transfers(silver.token_transfers)
-        # Retry-safe tokens + owners rebuilds from committed transfers
-        # (ADVICE r1, round-4 review): foreachBatch retries re-run this
-        # whole block, so BOTH writes must be pure functions of the
-        # idempotent transfers table — the additive token merge would
-        # double-count quantities on a checkpoint-recovery re-run.
-        from ..operators.folds import owner_balances_from_silver
-
-        touched = silver.token_transfers.select("blockchain", "collection_id", "token_id_hex").distinct()
-        store.rebuild_tokens(silver.tokens, touched)
-        balances = owner_balances_from_silver(store.read("token_transfers"), touched)
-        store.rebuild_owners(balances.withColumn("data_version", F.lit(dv)), touched)
+        # the retry-safe sink sequence lives in ONE place — see its docstring
+        store.apply_silver(silver, dv)
         top = batch_df.agg(F.max("block_number")).collect()[0][0]
         _, last = store.get_config(blockchain)
         store.set_config(blockchain, dv, max(top, last) if last is not None else top)
