@@ -469,6 +469,48 @@ SELECT source, token, n, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling (corpus mix rebalancing)
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based stratified downsampling — rebalancing an over-represented
+    source mix is a standard training-corpus step, and Spark's ``sampleBy``
+    is seeded-random (unreproducible across engines/partitionings).  The
+    deterministic form keeps a document iff a uniform hash of its id falls
+    under its stratum's rate: same inputs → same sample, on any engine, at
+    any parallelism.  Per-source rates here derive from the source index
+    (20–77%); real pipelines pass a rate table.  Zero-shuffle row filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    rate = (F.lit(20) + (idx % 20) * 3).cast("long")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select("doc_id", "source", rate.alias("rate_pct"), u.alias("u"))
+        .filter(F.col("u") < F.col("rate_pct"))
+        .select("doc_id", "source", "rate_pct")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(20 + (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 20) * 3 AS BIGINT) AS rate_pct,
+         CAST('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS u
+  FROM documents
+)
+SELECT doc_id, source, rate_pct FROM d WHERE u < rate_pct
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing document fingerprints (rolling-hash family)
 # ---------------------------------------------------------------------------
 
@@ -623,6 +665,7 @@ QUERIES = {
     "dedup_char_ngram_jaccard": (char_ngram_jaccard_query, _char_ngram_sql()),
     "doc_quality_ppm": (quality_ppm, QUALITY_SQL),
     "doc_repetition_ppm": (repetition_query, _repetition_sql()),
+    "doc_stratified_sample": (stratified_sample_query, STRATIFIED_SAMPLE_SQL),
     "doc_top_tokens": (top_tokens_query, _top_tokens_sql()),
     "doc_lang_id": (lang_id_query, LANG_SQL),
     "dedup_exact": (exact_dedup_query, EXACT_DEDUP_SQL),
