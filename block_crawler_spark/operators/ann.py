@@ -254,7 +254,9 @@ def kmeans_lloyd_fixed(
     * components are fixed-pointed ``floor(x * scale)`` in double space
       (the same portability rule as ``plans.embed_ops.dim_sums``);
     * distances are integer squared-L2; argmin ties break to the lowest
-      centroid id via the single key ``dist * k + cid``;
+      centroid id via ``min`` over the struct ``(dist, cid)`` — exact
+      lexicographic comparison with no packed-key overflow mode for any
+      scale / dimension / vector magnitude;
     * centroid updates are ``floor(sum / count)`` — floor in double space,
       exact because sums stay far below 2**53.
 
@@ -287,14 +289,12 @@ def kmeans_lloyd_fixed(
                 lambda acc, x: acc + x,
             ),
         )
-        # argmin with lowest-cid tiebreak packed into one exact int64 key;
-        # unpacking uses integer `div`, never double division — floor(x/y)
-        # through double is inexact past 2^53 (round-4 review finding; the
-        # shipped power-of-2 k values escaped, a generic k must not rely on it)
-        a = d.groupBy("vid").agg(F.min(F.col("dist") * k + F.col("cid")).alias("dc"))
-        return a.select(
-            "vid", (F.col("dc") % k).alias("cid"), F.expr(f"dc div {k}").cast("long").alias("dist")
-        )
+        # argmin with lowest-cid tiebreak via struct-min: structs compare
+        # lexicographically, so min((dist, cid)) is exact for any dist
+        # magnitude — unlike the earlier packed `dist*k + cid` int64 key,
+        # which silently overflowed for large scale/dim/|x| (round-5 review)
+        a = d.groupBy("vid").agg(F.min(F.struct("dist", "cid")).alias("dc"))
+        return a.select("vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"))
 
     for _ in range(iters):
         a = assign(cents)

@@ -161,8 +161,10 @@ def verify_chain_continuity(blocks: DataFrame) -> DataFrame:
     ``parent_hash`` must equal the previous block's ``hash`` and heights
     must be gap-free.  A mismatch is the on-disk signature of an unhandled
     reorg (the trail-blocks lag makes them rare, not impossible); a gap is
-    a lost batch.  Returns one row per violation:
-    (number, error ∈ {height_gap, parent_mismatch}).
+    a lost batch; two blocks at the SAME height is the classic
+    unhandled-reorg signature and gets its own label so triage never
+    confuses it with a lost batch.  Returns one row per violation:
+    (number, error ∈ {duplicate_height, height_gap, parent_mismatch}).
 
     One window over the full block order — at 100 TB scale run it per
     recent range (``blocks.filter(number >= N)``): continuity is
@@ -174,9 +176,14 @@ def verify_chain_continuity(blocks: DataFrame) -> DataFrame:
     prev = blocks.select("number", "hash", "parent_hash").withColumn(
         "prev_number", F.lag("number").over(w)
     ).withColumn("prev_hash", F.lag("hash").over(w))
+    # duplicate_height must be tested BEFORE the gap check: number ==
+    # prev_number fails the +1 test too, and labeling it height_gap (the
+    # pre-round-5 behavior) both misclassifies the reorg and makes the
+    # parent_hash compare run against the wrong sibling row
     return prev.filter(F.col("prev_number").isNotNull()).select(
         "number",
-        F.when(F.col("number") != F.col("prev_number") + 1, F.lit("height_gap"))
+        F.when(F.col("number") == F.col("prev_number"), F.lit("duplicate_height"))
+        .when(F.col("number") != F.col("prev_number") + 1, F.lit("height_gap"))
         .when(F.col("parent_hash") != F.col("prev_hash"), F.lit("parent_mismatch"))
         .alias("error"),
     ).filter(F.col("error").isNotNull())

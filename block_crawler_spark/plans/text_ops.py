@@ -502,7 +502,7 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATIFIED_SAMPLE_SQL = r"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(20 + (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 20) * 3 AS BIGINT) AS rate_pct,
+         CAST(20 + (TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 20) * 3 AS BIGINT) AS rate_pct,
          CAST('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS u
   FROM documents
 )

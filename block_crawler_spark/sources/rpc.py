@@ -545,7 +545,10 @@ from ..schemas import SELECTOR_TOKEN_URI  # noqa: E402
 
 
 def fetch_token_uris(
-    tokens: DataFrame, transport: RpcTransport, block_tag: str | None = None
+    tokens: DataFrame,
+    transport: RpcTransport,
+    block_tag: str | None = None,
+    latest_fallback: bool = False,
 ) -> DataFrame:
     """A4/T12 — ``tokenURI(id)`` backfill for ERC-721 tokens.
 
@@ -557,10 +560,14 @@ def fetch_token_uris(
     Block pinning matches the reference, which calls ``tokenURI`` at the
     token's mint block (``nft/evm/consumers.py:328-374``): when ``block_tag``
     is None and the input carries a ``mint_block`` column, each call is
-    pinned to that row's mint block (historical state needs an archive
-    node, as it does for the reference).  Pass an explicit tag ("latest",
-    "0x...") to override; inputs without ``mint_block`` fall back to
-    "latest".
+    pinned to that row's mint block.  **Pinned historical calls require an
+    archive node**: against a pruned full node they revert, are swallowed
+    by ``_try_call``, and metadata_url silently becomes NULL — if you are
+    not on an archive node, either pass ``block_tag="latest"`` explicitly
+    or set ``latest_fallback=True``, which retries a failed *historical*
+    pinned call once at "latest" (off by default because it diverges from
+    the reference's pin-at-mint semantics when a URI genuinely changed
+    after mint).  Inputs without ``mint_block`` always use "latest".
     """
     out_schema = "collection_id string, token_id_hex string, metadata_url string"
     use_mint = block_tag is None and "mint_block" in tokens.columns
@@ -575,14 +582,18 @@ def fetch_token_uris(
                 # no observed mint) — NULL arrives as NaN here; fall back to
                 # "latest" instead of raising on int(NaN)
                 mb = r["mint_block"] if use_mint else None
-                tag = hex(int(mb)) if use_mint and pd.notna(mb) else (block_tag or "latest")
+                pinned = use_mint and pd.notna(mb)
+                tag = hex(int(mb)) if pinned else (block_tag or "latest")
+                raw = _try_call(transport, r["collection_id"], data, tag)
+                if raw is None and pinned and latest_fallback:
+                    # pruned-node escape hatch: the historical pin reverted;
+                    # retry at the head (documented divergence from the pin)
+                    raw = _try_call(transport, r["collection_id"], data, "latest")
                 rows.append(
                     {
                         "collection_id": r["collection_id"],
                         "token_id_hex": r["token_id_hex"],
-                        "metadata_url": _dec_string(
-                            _try_call(transport, r["collection_id"], data, tag)
-                        ),
+                        "metadata_url": _dec_string(raw),
                     }
                 )
             yield pd.DataFrame(rows, columns=["collection_id", "token_id_hex", "metadata_url"])

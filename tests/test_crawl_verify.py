@@ -154,6 +154,21 @@ def test_verify_chain_continuity(spark):
     errs = {r["number"]: r["error"] for r in verify_chain_continuity(bad).collect()}
     assert errs == {4: "height_gap", 5: "parent_mismatch"}
 
+    # two blocks at the SAME height (unhandled-reorg signature) must get its
+    # own label, not be lumped in as height_gap
+    dup = spark.createDataFrame(
+        [
+            blk(1, "0xa1", "0xa0"),
+            blk(2, "0xa2", "0xa1"),
+            blk(2, "0xb2", "0xa1"),  # reorg sibling at height 2
+            blk(3, "0xa3", "0xb2"),
+        ],
+        "number long, hash string, parent_hash string",
+    )
+    dup_errs = [(r["number"], r["error"]) for r in verify_chain_continuity(dup).collect()]
+    assert (2, "duplicate_height") in dup_errs
+    assert not any(e == "height_gap" for _, e in dup_errs)
+
 
 def test_reconcile_tx_receipts(spark):
     """Matched pair clean; missing receipt, orphan receipt, index mismatch,

@@ -66,6 +66,23 @@ def test_fetch_token_uris_pinned_at_mint_block(spark):
     assert latest == "https://latest/7"
 
 
+def test_fetch_token_uris_latest_fallback_on_pruned_node(spark):
+    """Against a pruned (non-archive) node the pinned historical call
+    reverts; ``latest_fallback=True`` retries once at the head, the default
+    keeps the reference-matching NULL."""
+    coll = addr(0xAA01)
+    tid = "0x" + enc_uint(7)
+    data = SELECTOR_TOKEN_URI + tid[2:]
+    # only head state is servable — the archive pin at block 5 reverts
+    t = FakeChainTransport(calls={(coll, data, "latest"): enc_string("https://head/7")})
+    tokens = spark.createDataFrame(
+        [(coll, tid, 5)], ["collection_id", "token_id_hex", "mint_block"]
+    )
+    assert fetch_token_uris(tokens, t).collect()[0]["metadata_url"] is None
+    got = fetch_token_uris(tokens, t, latest_fallback=True).collect()[0]["metadata_url"]
+    assert got == "https://head/7"
+
+
 def test_force_load_collection(spark):
     coll = addr(0xAA01)
     t = FakeChainTransport(
