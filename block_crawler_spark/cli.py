@@ -45,7 +45,7 @@ def _bulk_crawl(spark, store, logs, blocks, blockchain: str, data_version: int, 
         blocks = blocks.filter(F.col("number") <= height)
     silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
     # the retry-safe sink sequence lives in ONE place — see its docstring
-    store.apply_silver(silver, data_version)
+    store.apply_silver(silver, data_version, blockchains=[blockchain])
     top = height if height is not None else blocks.agg({"number": "max"}).collect()[0][0]
     store.set_config(blockchain, data_version, top)
     return top
@@ -128,7 +128,7 @@ def cmd_force_load(args) -> int:
         data_version=dv,
         default_specification=args.spec,
     )
-    store.upsert_collections(row)
+    store.upsert_collections(row, blockchains=[args.blockchain])
     out = row.collect()[0].asDict()
     print(json.dumps({"collection": out["collection_id"], "specification": out["specification"]}))
     return 0

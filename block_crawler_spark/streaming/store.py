@@ -4,8 +4,17 @@ The reference's sink is DynamoDB with conditional writes (K1–K13); here the
 same semantics run against plain parquet tables via ``operators.merge``.
 On a transactional table format the merge functions map 1:1 onto ``MERGE
 INTO`` (conditions documented per function in ``operators.merge``); the
-parquet fallback rewrites the table — fine for silver-sized entity state,
-and partitioned by ``blockchain`` so a merge touches one partition tree.
+parquet fallback rewrites the table — fine for silver-sized entity state.
+
+Every version is written ``partitionBy("blockchain")``, and a merge that
+declares its touched blockchains (all crawl/tail/CLI paths do — they run
+per-chain, mirroring the reference's per-blockchain write budget,
+``nft/bin/load.py:232-233``) rewrites ONLY those partition trees: untouched
+``blockchain=X`` directories are hard-linked file-by-file from the previous
+version into the new one (same inode — zero data movement, byte-identical;
+on an object store this becomes a metadata copy).  A multi-chain silver
+store therefore pays per-merge cost proportional to the chain being merged,
+not to the whole table.
 
 Durability (round-2, ADVICE r1 store.py:67): each rewrite lands in a fresh
 ``v-N`` directory under the table path, then a one-line ``_CURRENT`` pointer
@@ -22,10 +31,13 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..operators import merge as M
 from ..schemas import (
@@ -70,34 +82,94 @@ class SilverStore:
         except OSError:
             return None
 
+    def _empty(self, table: str) -> DataFrame:
+        schema = _SCHEMAS[table]
+        if table == "token_transfers":
+            # silver transfers carry the 1155 batch disambiguator
+            return self.spark.createDataFrame([], schema).withColumn("batch_index", F.lit(0).cast("int"))
+        return self.spark.createDataFrame([], schema)
+
     def read(self, table: str) -> DataFrame:
         cur = self._current_version(table)
         if cur is None:
-            schema = _SCHEMAS[table]
-            if table == "token_transfers":
-                # silver transfers carry the 1155 batch disambiguator
-                return self.spark.createDataFrame([], schema).withColumn("batch_index", F.lit(0).cast("int"))
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(os.path.join(self._path(table), cur))
+            return self._empty(table)
+        try:
+            df = self.spark.read.parquet(os.path.join(self._path(table), cur))
+        except AnalysisException:
+            # a committed empty partitioned write has no data files at all
+            # (partitionBy emits nothing for zero rows) → canonical empty
+            return self._empty(table)
+        # normalize: partition discovery appends `blockchain` last and
+        # type-infers it; restore declared column order and pin string
+        ordered = [f.name for f in _SCHEMAS[table].fields if f.name in df.columns]
+        extras = [c for c in df.columns if c not in ordered]  # e.g. batch_index
+        return df.select(
+            *[F.col(c).cast("string").alias(c) if c == "blockchain" else F.col(c) for c in ordered + extras]
+        )
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Recreate ``src`` under ``dst`` hard-linking every file (same
+        inode — byte-identical, no data copied); falls back to a real copy
+        on filesystems without links (or across devices)."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for name in files:
+                s, d = os.path.join(root, name), os.path.join(out, name)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    def overwrite(
+        self, table: str, df: DataFrame, touched_blockchains: Sequence[str] | None = None
+    ) -> None:
         """Snapshot-commit rewrite: write ``v-N+1`` beside the current
         version, flip ``_CURRENT`` atomically, prune superseded versions.
+
+        With ``touched_blockchains`` the rewrite is partition-pruned:
+        only those blockchains' rows are computed and written; every other
+        ``blockchain=X`` tree is hard-linked from the current version
+        (dynamic-partition-overwrite semantics on the snapshot layout).  A
+        touched blockchain that ends the merge with zero rows has its
+        partition dropped — correct delete semantics.  ``None`` (or a
+        current version predating the partitioned layout) rewrites fully.
 
         Retention is one commit deep: ``v-N`` (the version current until
         this flip) survives until the NEXT overwrite, so a concurrent
         reader — or a lazily-evaluated DataFrame handle taken before the
         flip — can still scan its files; only ``v-N-1`` and older are
         deleted now.  The same grace window object stores and table
-        formats give their snapshot readers.
+        formats give their snapshot readers.  Pruning old versions never
+        invalidates linked files: links share inodes, so data survives
+        until its last referencing version is deleted.
         """
         base = self._path(table)
         os.makedirs(base, exist_ok=True)
         cur = self._current_version(table)
         nxt = f"v-{(int(cur.split('-')[1]) if cur else 0) + 1}"
+        cur_path = os.path.join(base, cur) if cur else None
+        # a pre-partitioned-layout version has bare part files → must rewrite
+        # fully or its unpartitioned rows would be silently dropped
+        cur_partition_dirs = (
+            [d for d in os.listdir(cur_path) if d.startswith("blockchain=")] if cur_path else []
+        )
+        prune = touched_blockchains is not None and cur_path is not None and (
+            cur_partition_dirs or not any(n.endswith(".parquet") for n in os.listdir(cur_path))
+        )
+        out = df
+        if prune:
+            out = df.filter(F.col("blockchain").isin(list(touched_blockchains)))
         # The plan may read the current version's files; they stay in place
         # until after the pointer flip, so no lineage break is needed.
-        df.write.mode("overwrite").parquet(os.path.join(base, nxt))
+        out.write.mode("overwrite").partitionBy("blockchain").parquet(os.path.join(base, nxt))
+        if prune:
+            touched = set(touched_blockchains)
+            for d in cur_partition_dirs:
+                if unquote(d.split("=", 1)[1]) not in touched:
+                    self._link_tree(os.path.join(cur_path, d), os.path.join(base, nxt, d))
         tmp = os.path.join(base, "_CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(nxt)
@@ -107,10 +179,14 @@ class SilverStore:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- merge operations (K1-K9) ------------------------------------------
-    def upsert_collections(self, updates: DataFrame) -> None:
-        self.overwrite("collections", M.versioned_upsert(self.read("collections"), updates, KEYS["collections"]))
+    def upsert_collections(self, updates: DataFrame, blockchains: Sequence[str] | None = None) -> None:
+        self.overwrite(
+            "collections",
+            M.versioned_upsert(self.read("collections"), updates, KEYS["collections"]),
+            touched_blockchains=blockchains,
+        )
 
-    def upsert_tokens(self, updates: DataFrame) -> None:
+    def upsert_tokens(self, updates: DataFrame, blockchains: Sequence[str] | None = None) -> None:
         """Per-field merge (K2+K3+K4+K5) — see ``merge.token_state_merge``.
 
         NOT retry-safe: the K4 additive quantity double-counts if the same
@@ -121,9 +197,14 @@ class SilverStore:
         existing = self.read("tokens")
         if "specification" not in existing.columns:
             existing = existing.withColumn("specification", F.lit(None).cast("string"))
-        self.overwrite("tokens", M.token_state_merge(existing, updates))
+        self.overwrite("tokens", M.token_state_merge(existing, updates), touched_blockchains=blockchains)
 
-    def rebuild_tokens(self, batch_tokens: DataFrame, touched_keys: DataFrame) -> None:
+    def rebuild_tokens(
+        self,
+        batch_tokens: DataFrame,
+        touched_keys: DataFrame,
+        blockchains: Sequence[str] | None = None,
+    ) -> None:
         """Idempotent tokens update (the retry-safe A1 path, parallel to
         :meth:`rebuild_owners`): replace every token row of the touched keys
         with state recomputed from the idempotent ``token_transfers`` table.
@@ -187,9 +268,15 @@ class SilverStore:
             )
             .drop("_meta", "_last_recipient", "_owner_version_hex")
         )
-        self.overwrite("tokens", kept.unionByName(rebuilt, allowMissingColumns=True))
+        self.overwrite(
+            "tokens",
+            kept.unionByName(rebuilt, allowMissingColumns=True),
+            touched_blockchains=blockchains,
+        )
 
-    def apply_silver(self, silver, data_version: int) -> None:
+    def apply_silver(
+        self, silver, data_version: int, blockchains: Sequence[str] | None = None
+    ) -> None:
         """The retry-safe sink sequence for one crawl/tail/stream batch —
         THE single definition of the idempotence contract (it lived in three
         call sites before the round-4 review):
@@ -207,20 +294,24 @@ class SilverStore:
         """
         from ..operators.folds import owner_balances_from_silver
 
-        self.append_transfers(silver.token_transfers)
+        self.append_transfers(silver.token_transfers, blockchains=blockchains)
         touched = silver.token_transfers.select(
             "blockchain", "collection_id", "token_id_hex"
         ).distinct()
-        self.rebuild_tokens(silver.tokens, touched)
+        self.rebuild_tokens(silver.tokens, touched, blockchains=blockchains)
         balances = owner_balances_from_silver(self.read("token_transfers"), touched)
-        self.rebuild_owners(balances.withColumn("data_version", F.lit(data_version)), touched)
-
-    def append_transfers(self, updates: DataFrame) -> None:
-        self.overwrite(
-            "token_transfers", M.idempotent_append(self.read("token_transfers"), updates, KEYS["token_transfers"])
+        self.rebuild_owners(
+            balances.withColumn("data_version", F.lit(data_version)), touched, blockchains=blockchains
         )
 
-    def merge_owner_deltas(self, deltas: DataFrame) -> None:
+    def append_transfers(self, updates: DataFrame, blockchains: Sequence[str] | None = None) -> None:
+        self.overwrite(
+            "token_transfers",
+            M.idempotent_append(self.read("token_transfers"), updates, KEYS["token_transfers"]),
+            touched_blockchains=blockchains,
+        )
+
+    def merge_owner_deltas(self, deltas: DataFrame, blockchains: Sequence[str] | None = None) -> None:
         """K7/K8: additive balance merge, zero balances dropped.
 
         NOT retry-safe on its own: re-applying the same batch of deltas
@@ -231,16 +322,26 @@ class SilverStore:
         self.overwrite(
             "owners",
             M.additive_upsert(self.read("owners"), deltas, KEYS["owners"], drop_zero=True),
+            touched_blockchains=blockchains,
         )
 
-    def rebuild_owners(self, balances: DataFrame, touched_keys: DataFrame) -> None:
+    def rebuild_owners(
+        self,
+        balances: DataFrame,
+        touched_keys: DataFrame,
+        blockchains: Sequence[str] | None = None,
+    ) -> None:
         """Idempotent owners update (the retry-safe K7 path): replace every
         owner row of the touched token keys with balances recomputed from the
         idempotent ``token_transfers`` table.  A retried batch rewrites the
         same values instead of re-adding deltas."""
         existing = self.read("owners")
         kept = existing.join(touched_keys, ["blockchain", "collection_id", "token_id_hex"], "left_anti")
-        self.overwrite("owners", kept.unionByName(balances, allowMissingColumns=True))
+        self.overwrite(
+            "owners",
+            kept.unionByName(balances, allowMissingColumns=True),
+            touched_blockchains=blockchains,
+        )
 
     # -- control table (K12) -----------------------------------------------
     def get_config(self, blockchain: str) -> tuple[int, int | None]:
@@ -255,7 +356,11 @@ class SilverStore:
             [(blockchain, data_version, last_block_id)], CRAWLER_CONFIG_SCHEMA
         )
         existing = self.read("crawler_config").filter(F.col("blockchain") != blockchain)
-        self.overwrite("crawler_config", existing.unionByName(updates))
+        self.overwrite(
+            "crawler_config",
+            existing.unionByName(updates),
+            touched_blockchains=[blockchain],
+        )
 
     def increment_data_version(self, blockchain: str) -> int:
         """Atomic-enough for a single-writer driver: the reference's

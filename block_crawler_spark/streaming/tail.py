@@ -85,7 +85,7 @@ class TailRunner:
         silver = crawl_plan(self.store.spark, logs, blocks, blockchain=self.blockchain, data_version=dv)
 
         # the retry-safe sink sequence lives in ONE place — see its docstring
-        self.store.apply_silver(silver, dv)
+        self.store.apply_silver(silver, dv, blockchains=[self.blockchain])
         self.store.set_config(self.blockchain, dv, target)
         if self.stats is not None:
             # reference ticker fields (core/stats.py counters): committed

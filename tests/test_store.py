@@ -83,6 +83,87 @@ def test_read_modify_write_same_table(spark, tmp_path):
     assert store.get_config("a") == (1, 4)
 
 
+def _transfer_row(bc, owner="0xowner1"):
+    return (bc, "0xc", "00" * 19 + "05", "0x" + "07".rjust(64, "0"), 1_600_000_000, 5,
+            "0xabc", 0, 0, "mint", "0x" + "0" * 40, owner, "0x" + "1".rjust(64, "0"), 1)
+
+
+def _transfers(spark, rows):
+    from block_crawler_spark.schemas import TOKEN_TRANSFER_SCHEMA
+
+    return spark.createDataFrame(rows, TOKEN_TRANSFER_SCHEMA).withColumn(
+        "batch_index", F.lit(0).cast("int")
+    )
+
+
+def _partition_files(base_dir, cur, part):
+    """{relative path: sha256} of every file under <base>/<cur>/blockchain=<part>."""
+    import hashlib
+
+    root = os.path.join(base_dir, cur, f"blockchain={part}")
+    out = {}
+    for r, _d, files in os.walk(root):
+        for n in files:
+            p = os.path.join(r, n)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def test_partition_pruned_merge_leaves_untouched_blockchain_byte_identical(spark, tmp_path):
+    """A merge that declares its touched blockchains rewrites only those
+    partition trees; the other chain's files are carried into the new
+    version byte-identical (hard links), and reads see both chains."""
+    store = _mk(spark, tmp_path)
+    store.append_transfers(_transfers(spark, [_transfer_row("chain-a"), _transfer_row("chain-b")]))
+    base = store._path("token_transfers")
+    before = _partition_files(base, store._current_version("token_transfers"), "chain-b")
+    assert before, "seed must have written a chain-b partition dir"
+
+    upd = _transfers(spark, [_transfer_row("chain-a", owner="0xowner2")]).withColumn(
+        "attribute_version_hex", F.lit("0x" + "2".rjust(64, "0"))
+    )
+    store.append_transfers(upd, blockchains=["chain-a"])
+
+    after = _partition_files(base, store._current_version("token_transfers"), "chain-b")
+    assert after == before, "untouched blockchain partition must be byte-identical"
+    got = store.read("token_transfers")
+    assert got.filter(F.col("blockchain") == "chain-a").count() == 2
+    assert got.filter(F.col("blockchain") == "chain-b").count() == 1
+
+
+def test_pruned_overwrite_falls_back_on_legacy_unpartitioned_version(spark, tmp_path):
+    """A current version written before the partitioned layout (bare part
+    files) must trigger a FULL rewrite — pruning against it would drop the
+    other chains' rows silently."""
+    store = _mk(spark, tmp_path)
+    df = _transfers(spark, [_transfer_row("chain-a"), _transfer_row("chain-b")])
+    # simulate the pre-round-5 layout: unpartitioned parquet + pointer
+    base = store._path("token_transfers")
+    os.makedirs(base, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(base, "v-1"))
+    with open(os.path.join(base, "_CURRENT"), "w") as f:
+        f.write("v-1")
+
+    upd = _transfers(spark, [_transfer_row("chain-a", owner="0xowner2")]).withColumn(
+        "attribute_version_hex", F.lit("0x" + "2".rjust(64, "0"))
+    )
+    store.append_transfers(upd, blockchains=["chain-a"])
+    got = store.read("token_transfers")
+    assert got.filter(F.col("blockchain") == "chain-b").count() == 1, "legacy rows must survive"
+    assert got.filter(F.col("blockchain") == "chain-a").count() == 2
+
+
+def test_empty_partitioned_write_reads_back_empty(spark, tmp_path):
+    """partitionBy writes no data files for zero rows; a committed empty
+    version must read back as the canonical empty table, not error."""
+    store = _mk(spark, tmp_path)
+    store.append_transfers(_transfers(spark, []))
+    got = store.read("token_transfers")
+    assert got.count() == 0
+    assert "batch_index" in got.columns
+
+
 def test_rebuild_tokens_keeps_metadata_across_epochs(spark, tmp_path):
     """K3 parity in the rebuild path: a higher-data_version batch with NO
     URI event must not clobber existing metadata_url to NULL."""
