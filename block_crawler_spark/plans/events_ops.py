@@ -302,28 +302,86 @@ WHERE rnk <= 5
 """
 
 
+_SELECT_BUCKETS = 1024  # candidate sets in selection pass 3 are ~n/1024 rows
+
+
+def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
+    """Exact ``value_at_rank((n+1)÷2) + value_at_rank((n+2)÷2)`` per
+    event_type over the sorted multiset of ``val`` — i.e. exactly 2× the
+    median in ``val``'s units — WITHOUT a per-type full sort.
+
+    The naive rank-selection (``row_number`` over a per-type window) funnels
+    each type's entire partition through one task's sort — a straggler by
+    construction when there are few types (round-4 verdict).  This is the
+    scale-safe two-pass bucketed selection instead:
+
+    1. per-type ``(n, lo, hi)`` — one map-side-partial agg;
+    2. per-(type, value-bucket) counts with width ``(hi-lo) div B + 1`` —
+       output ≤ types × B rows; a window over that tiny frame locates each
+       middle rank's bucket and its preceding-row offset;
+    3. only candidate-bucket rows (broadcast join on the bucket spec keeps
+       everything else out of the shuffle) are ranked — the sort covers
+       ~n/B rows per type, never the full partition.
+
+    Heavy duplicate values collapse into one bucket and shrink the win
+    (never the correctness); a fully constant type short-circuits on
+    ``hi == lo`` and skips pass 3.  Ties need no id tiebreak: the value at
+    a rank depends only on the sorted multiset.  Returns
+    ``(event_type, n, <out>)``.
+    """
+    B = _SELECT_BUCKETS
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min(val).alias("lo"), F.max(val).alias("hi")
+    )
+    const = stats.filter(F.col("hi") == F.col("lo")).select(
+        "event_type", "n", (F.col("lo") * 2).cast("long").alias(out)
+    )
+    var_stats = stats.filter(F.col("hi") != F.col("lo")).withColumn(
+        "w", F.expr(f"(hi - lo) div {B} + 1")
+    )
+    rows = e.join(F.broadcast(var_stats.select("event_type", "lo", "w")), "event_type").withColumn(
+        "bkt", F.expr(f"({val} - lo) div w")
+    )
+    cum = (
+        rows.groupBy("event_type", "bkt")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(Window.partitionBy("event_type").orderBy("bkt")))
+        .withColumn("off", F.col("cum") - F.col("cnt"))
+    )
+    targets = var_stats.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("which"), F.expr("(n + 1) div 2").alias("r")),
+                F.struct(F.lit(2).alias("which"), F.expr("(n + 2) div 2").alias("r")),
+            )
+        ).alias("t"),
+    ).select("event_type", "t.which", "t.r")
+    spec = (
+        targets.join(cum, "event_type")
+        .filter((F.col("off") < F.col("r")) & (F.col("r") <= F.col("cum")))
+        .select("event_type", "which", "bkt", (F.col("r") - F.col("off")).alias("local_r"))
+    )
+    cand = rows.join(F.broadcast(spec), ["event_type", "bkt"])
+    wloc = Window.partitionBy("event_type", "which", "bkt").orderBy(F.col(val).asc())
+    picked = cand.withColumn("rn", F.row_number().over(wloc)).filter(F.col("rn") == F.col("local_r"))
+    varres = picked.groupBy("event_type").agg(F.sum(val).cast("long").alias(out)).join(
+        var_stats.select("event_type", "n"), "event_type"
+    )
+    return varres.select("event_type", "n", out).unionByName(const)
+
+
 def value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per event type (quantile family) without interpolation
     ambiguity: emit ``median2x`` = value-at-rank (n+1)÷2 plus value-at-rank
     (n+2)÷2 in cents — always exactly 2×median as a BIGINT, engine-
     independent (interpolating medians produce .5 fractions whose
-    decimal/float handling differs between engines).  The event_id rank
-    tiebreak does not affect the result: the values at the middle ranks
-    depend only on the sorted multiset."""
+    decimal/float handling differs between engines).  Selection runs via
+    ``_middle_rank_sum``'s bucketed two-pass — no per-type full sort."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", _cents(_dec("value")).alias("cents")
+        "event_type", _cents(_dec("value")).alias("cents")
     )
-    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("event_type").orderBy(F.col("cents").asc(), F.col("event_id").asc())
-    ranked = e.withColumn("rn", F.row_number().over(w))
-    j = ranked.join(F.broadcast(counts), "event_type")
-    middle = j.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
-    return middle.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.sum(F.when(F.col("n") % 2 == 1, F.col("cents") * 2).otherwise(F.col("cents")))
-        .cast("long")
-        .alias("median2x"),
-    )
+    return _middle_rank_sum(e, "cents", "median2x")
 
 
 def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,37 +392,17 @@ def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     2× cents (``median2x``), absolute deviations in 2× space, and the MAD
     (median of those deviations) in 4× space (``mad4x``); the outlier test
     compares ``dev2x × 2 > 3 × mad4x`` — every quantity BIGINT, identical
-    on both engines.  Two rank windows per type, both WindowGroupLimit-free
-    but bounded by the per-type partition; at scale this is the classic
-    two-pass robust-stats shape (medians via ranks, then one more pass)."""
+    on both engines.  Both medians run through ``_middle_rank_sum``'s
+    bucketed selection, so no per-type full sort anywhere in the plan."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", _cents(_dec("value")).alias("cents")
+        "event_type", _cents(_dec("value")).alias("cents")
     )
-    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
-    w1 = Window.partitionBy("event_type").orderBy(F.col("cents").asc(), F.col("event_id").asc())
-    r1 = e.withColumn("rn", F.row_number().over(w1)).join(F.broadcast(counts), "event_type")
-    med = (
-        r1.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.when(F.col("n") % 2 == 1, F.col("cents") * 2).otherwise(F.col("cents")))
-            .cast("long")
-            .alias("median2x")
-        )
-    )
+    med = _middle_rank_sum(e, "cents", "median2x").select("event_type", "median2x")
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "dev2x", F.abs(F.col("cents") * 2 - F.col("median2x"))
     )
-    w2 = Window.partitionBy("event_type").orderBy(F.col("dev2x").asc(), F.col("event_id").asc())
-    r2 = dev.withColumn("rn", F.row_number().over(w2)).join(F.broadcast(counts), "event_type")
-    mad = (
-        r2.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.when(F.col("n") % 2 == 1, F.col("dev2x") * 2).otherwise(F.col("dev2x")))
-            .cast("long")
-            .alias("mad4x")
-        )
+    mad = _middle_rank_sum(dev.select("event_type", "dev2x"), "dev2x", "mad4x").select(
+        "event_type", "mad4x"
     )
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -204,3 +204,31 @@ def test_dedup_components_match_union_find(spark, edges):
         union(a, b)
     exp = {x: find(x) for x in parent}
     assert got == exp
+
+
+def test_bucketed_rank_selection_matches_sorted_multiset(spark):
+    """`_middle_rank_sum` (two-pass bucketed selection, round-5 scale fix)
+    must equal the brute-force doubled median of the sorted multiset on
+    every shape: odd n, even n, fully-constant values (hi == lo
+    short-circuit), heavy duplicates, negatives, and a singleton type."""
+    from block_crawler_spark.plans.events_ops import _middle_rank_sum
+
+    cases = {
+        "odd": [3, 1, 2],
+        "even": [10, 20, 30, 40],
+        "const": [7, 7, 7, 7, 7],
+        "dup_heavy": [5] * 40 + [1, 9] * 3,
+        "neg": [-5, -1, -3, 100],
+        "single": [42],
+        "wide": list(range(0, 5000, 7)),
+    }
+    rows = [(t, v) for t, vs in cases.items() for v in vs]
+    e = spark.createDataFrame(rows, "event_type string, cents long")
+    got = {
+        r["event_type"]: (r["n"], r["median2x"])
+        for r in _middle_rank_sum(e, "cents", "median2x").collect()
+    }
+    for t, vs in cases.items():
+        s, n = sorted(vs), len(vs)
+        want = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+        assert got[t] == (n, want), f"{t}: got {got[t]}, want {(n, want)}"
