@@ -22,7 +22,45 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal as _signal
 import sys
+
+
+class GracefulStop:
+    """SIGINT/SIGTERM → a flag checked between chunk jobs, so an operator's
+    Ctrl-C during a long backfill stops at the next chunk boundary with the
+    finished chunks' progress committed (reference SignalManager semantics,
+    ``core/bus.py:185-236`` checked at ``nft/bin/crawl.py:188-195``).  The
+    FIRST signal requests a graceful stop; a second one falls through to the
+    previous handler (default: hard exit) so a wedged job stays killable.
+    Context manager; restores prior handlers on exit."""
+
+    def __init__(self) -> None:
+        self.interrupted = False
+        self._prev: dict[int, object] = {}
+
+    def _handle(self, signum, frame):
+        if self.interrupted:  # second signal: escalate to the old handler
+            prev = self._prev.get(signum)
+            if callable(prev):
+                prev(signum, frame)
+                return
+            _signal.signal(signum, prev or _signal.SIG_DFL)
+            _signal.raise_signal(signum)
+            return
+        self.interrupted = True
+
+    def __enter__(self) -> "GracefulStop":
+        for s in (_signal.SIGINT, _signal.SIGTERM):
+            try:
+                self._prev[s] = _signal.signal(s, self._handle)
+            except ValueError:  # non-main thread (e.g. under some test runners)
+                pass
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for s, prev in self._prev.items():
+            _signal.signal(s, prev)
 
 
 def _spark(app: str):
@@ -33,9 +71,29 @@ def _spark(app: str):
     return s
 
 
-def _bulk_crawl(spark, store, logs, blocks, blockchain: str, data_version: int, height: int | None):
+def _bulk_crawl(
+    spark,
+    store,
+    logs,
+    blocks,
+    blockchain: str,
+    data_version: int,
+    height: int | None,
+    chunk_size: int | None = None,
+    signals=None,
+):
     """Shared crawl/load body: run the one-pass plan over bronze (optionally
-    clipped to ``height``), apply the idempotent sinks, commit progress."""
+    clipped to ``height``), apply the idempotent sinks, commit progress.
+
+    ``chunk_size`` splits the block range into sequential chunk jobs with a
+    progress commit after each (the reference's ``block_chunk_size`` loop,
+    ``nft/bin/crawl.py:180-200``); between chunks ``signals.interrupted``
+    is checked, so SIGINT/SIGTERM stops cleanly with ``last_block_id`` at
+    the last finished chunk — a re-run resumes from there (the sinks are
+    idempotent, so overlap would be harmless anyway).  ``None`` keeps the
+    single-pass plan: one shuffle over all of bronze beats N small jobs
+    whenever no incremental progress marker is needed.
+    """
     from pyspark.sql import functions as F
 
     from .plans.crawl import crawl_plan
@@ -43,12 +101,31 @@ def _bulk_crawl(spark, store, logs, blocks, blockchain: str, data_version: int, 
     if height is not None:
         logs = logs.filter(F.col("block_number") <= height)
         blocks = blocks.filter(F.col("number") <= height)
-    silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
-    # the retry-safe sink sequence lives in ONE place — see its docstring
-    store.apply_silver(silver, data_version, blockchains=[blockchain])
     top = height if height is not None else blocks.agg({"number": "max"}).collect()[0][0]
-    store.set_config(blockchain, data_version, top)
-    return top
+    if chunk_size is None:
+        silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
+        # the retry-safe sink sequence lives in ONE place — see its docstring
+        store.apply_silver(silver, data_version, blockchains=[blockchain])
+        store.set_config(blockchain, data_version, top)
+        return top
+
+    _dv, last = store.get_config(blockchain)
+    lo = (last + 1) if last is not None else 0
+    done = lo - 1
+    while lo <= top:
+        if signals is not None and signals.interrupted:
+            break
+        hi = min(lo + chunk_size - 1, top)
+        chunk_logs = logs.filter(F.col("block_number").between(lo, hi))
+        chunk_blocks = blocks.filter(F.col("number").between(lo, hi))
+        silver = crawl_plan(
+            spark, chunk_logs, chunk_blocks, blockchain=blockchain, data_version=data_version
+        )
+        store.apply_silver(silver, data_version, blockchains=[blockchain])
+        store.set_config(blockchain, data_version, hi)  # commit BEFORE the next chunk
+        done = hi
+        lo = hi + 1
+    return done
 
 
 def cmd_crawl(args) -> int:
@@ -59,8 +136,15 @@ def cmd_crawl(args) -> int:
     blocks = spark.read.parquet(args.blocks)
     store = SilverStore(spark, args.silver)
     dv, _ = store.get_config(args.blockchain)
-    top = _bulk_crawl(spark, store, logs, blocks, args.blockchain, dv, height=None)
-    print(json.dumps({"crawled_to": top, "transfers": store.read("token_transfers").count()}))
+    with GracefulStop() as stop:
+        top = _bulk_crawl(
+            spark, store, logs, blocks, args.blockchain, dv, height=None,
+            chunk_size=args.chunk_size, signals=stop,
+        )
+    out = {"crawled_to": top, "transfers": store.read("token_transfers").count()}
+    if stop.interrupted:
+        out["interrupted"] = True  # progress committed at the last finished chunk
+    print(json.dumps(out))
     return 0
 
 
@@ -85,16 +169,19 @@ def cmd_load(args) -> int:
     dv, _ = store.get_config(args.blockchain)
     if args.increment_data_version:
         dv = store.increment_data_version(args.blockchain)
-    top = _bulk_crawl(spark, store, logs, blocks, args.blockchain, dv, height=args.height)
-    print(
-        json.dumps(
-            {
-                "loaded_to": top,
-                "data_version": dv,
-                "transfers": store.read("token_transfers").count(),
-            }
+    with GracefulStop() as stop:
+        top = _bulk_crawl(
+            spark, store, logs, blocks, args.blockchain, dv, height=args.height,
+            chunk_size=args.chunk_size, signals=stop,
         )
-    )
+    out = {
+        "loaded_to": top,
+        "data_version": dv,
+        "transfers": store.read("token_transfers").count(),
+    }
+    if stop.interrupted:
+        out["interrupted"] = True
+    print(json.dumps(out))
     return 0
 
 
@@ -217,8 +304,14 @@ def main(argv=None) -> int:
         sp.add_argument("--silver", required=True)
         sp.add_argument("--blockchain", default="ethereum-mainnet")
 
-    sp = sub.add_parser("crawl"); common(sp); sp.set_defaults(fn=cmd_crawl)
-    sp = sub.add_parser("load"); common(sp)
+    def chunked(sp):
+        sp.add_argument("--chunk-size", type=int, default=None,
+                        help="process in sequential block chunks with a progress commit after "
+                             "each (reference block_chunk_size); SIGINT/SIGTERM stops at the "
+                             "next chunk boundary and a re-run resumes from the committed point")
+
+    sp = sub.add_parser("crawl"); common(sp); chunked(sp); sp.set_defaults(fn=cmd_crawl)
+    sp = sub.add_parser("load"); common(sp); chunked(sp)
     sp.add_argument("--height", type=int, required=True, help="fixed upper block bound (LastBlockFloor)")
     sp.add_argument("--increment-data-version", action="store_true",
                     help="start a fresh run epoch before loading (reference load.py:232-240)")

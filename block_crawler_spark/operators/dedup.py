@@ -40,6 +40,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
     storage_level=None,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of md5(i|s).
 
@@ -52,15 +53,25 @@ def minhash_signatures(
     codegen.  At cluster scale the same boundary is where you'd persist the
     shingle table anyway (it is reused by candidate verification).
 
-    ``storage_level`` controls that materialization: None → ``cache()``
-    (MEMORY_AND_DISK, spills rather than OOMs); pass
-    ``StorageLevel.DISK_ONLY`` when the shingle table exceeds cluster
-    memory (the 100 TB case — or better, write it to an explicit parquet
-    stage table and read it back, which also survives executor loss).
+    Materialization, in order of scale:
+
+    * default — ``cache()`` (MEMORY_AND_DISK, spills rather than OOMs);
+    * ``storage_level=StorageLevel.DISK_ONLY`` — when the shingle table
+      would crowd out executor memory;
+    * ``stage_path="/warehouse/stage/shingles"`` — the 100 TB path: the
+      shingle table is WRITTEN to parquet there and read back, so the
+      stage survives executor loss, never occupies block-manager memory,
+      and every downstream consumer (banding, exact-Jaccard verification)
+      scans columnar files with pushdown instead of replaying lineage.
+      ``stage_path`` wins when both are given.
     """
     sh = shingles(F.col(text_col), shingle_k)
     staged = docs.select(F.col(id_col), F.col(text_col), sh.alias("shingles"))
-    staged = staged.cache() if storage_level is None else staged.persist(storage_level)
+    if stage_path is not None:
+        staged.write.mode("overwrite").parquet(stage_path)
+        staged = docs.sparkSession.read.parquet(stage_path)
+    else:
+        staged = staged.cache() if storage_level is None else staged.persist(storage_level)
 
     def seeded_min(seed: str):
         # NB: the lambda must be single-argument — F.transform dispatches on
@@ -140,10 +151,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.5,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join → exact
-    Jaccard filter.  Returns (id_a, id_b, inter, uni, jaccard)."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes).cache()
+    Jaccard filter.  Returns (id_a, id_b, inter, uni, jaccard).
+
+    ``stage_path`` forwards to :func:`minhash_signatures` — the parquet
+    stage-table materialization for corpora beyond cluster memory."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, stage_path=stage_path).cache()
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, band_size)
     return jaccard_pairs(sigs, cands, id_col, threshold)
 

@@ -81,6 +81,67 @@ def test_force_load_fixture(spark, tmp_path, capsys):
     assert len(rows) == 1 and rows[0]["collection_id"] == collection
 
 
+def test_chunked_crawl_equals_single_pass(spark, bronze, tmp_path, capsys):
+    """--chunk-size N must produce the same silver as the one-pass crawl,
+    with last_block_id committed at the final chunk boundary."""
+    logs, blocks, height = bronze
+    s_chunk, s_once = str(tmp_path / "chunk"), str(tmp_path / "once")
+    assert main(["crawl", "--logs", logs, "--blocks", blocks, "--silver", s_chunk,
+                 "--blockchain", "testnet", "--chunk-size", str(max(1, height // 3))]) == 0
+    assert main(["crawl", "--logs", logs, "--blocks", blocks, "--silver", s_once,
+                 "--blockchain", "testnet"]) == 0
+    st_ch, st_1 = SilverStore(spark, s_chunk), SilverStore(spark, s_once)
+    for table in ("token_transfers", "tokens", "owners"):
+        assert _table_set(st_ch, table) == _table_set(st_1, table), table
+    assert st_ch.get_config("testnet") == st_1.get_config("testnet")
+
+
+def test_sigint_mid_crawl_commits_progress_and_resumes(spark, bronze, tmp_path, capsys):
+    """Graceful stop (reference nft/bin/crawl.py:188-195): an interrupt
+    delivered mid-crawl stops at the next chunk boundary with a committed
+    config row; re-running resumes from it and converges to the same silver
+    as an uninterrupted crawl."""
+    import os
+    import signal
+
+    from block_crawler_spark.cli import GracefulStop, _bulk_crawl
+
+    logs_p, blocks_p, height = bronze
+    logs, blocks = spark.read.parquet(logs_p), spark.read.parquet(blocks_p)
+    chunk = max(1, height // 4)
+
+    # deliver a REAL SIGINT to ourselves right after the first chunk's
+    # progress commit (hooking set_config, which fires once per chunk)
+    store = SilverStore(spark, str(tmp_path / "sig"))
+    commits = []
+    orig_set = store.set_config
+
+    def counting_set(blockchain, dv, last):
+        orig_set(blockchain, dv, last)
+        commits.append(last)
+        if len(commits) == 1:
+            os.kill(os.getpid(), signal.SIGINT)
+
+    store.set_config = counting_set
+    with GracefulStop() as stop:
+        done = _bulk_crawl(spark, store, logs, blocks, "testnet", 1, height,
+                           chunk_size=chunk, signals=stop)
+    assert stop.interrupted, "the SIGINT must be absorbed as a graceful stop"
+    assert commits == [chunk - 1 + 0]  # first chunk [0, chunk-1] committed
+    assert done == chunk - 1
+    dv, last = store.get_config("testnet")
+    assert last == chunk - 1, "interrupted crawl must leave a committed resume point"
+
+    # clean resume: plain handler, runs to completion from the commit point
+    store.set_config = orig_set
+    done2 = _bulk_crawl(spark, store, logs, blocks, "testnet", 1, height, chunk_size=chunk)
+    assert done2 == height
+    ref = SilverStore(spark, str(tmp_path / "ref"))
+    _bulk_crawl(spark, ref, logs, blocks, "testnet", 1, height)
+    for table in ("token_transfers", "tokens", "owners"):
+        assert _table_set(store, table) == _table_set(ref, table), table
+
+
 def test_recrawl_same_range_is_idempotent(spark, bronze, tmp_path, capsys):
     """Re-running crawl over the same bronze must rewrite identical silver —
     the additive token quantity must not double-count (ST5 retry

@@ -54,3 +54,33 @@ def test_no_pairs_everything_kept(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     got = {r["doc_id"]: (r["keep_id"], r["is_duplicate"]) for r in dedup_assignments_cc(docs, empty).collect()}
     assert got == {1: (1, False), 2: (2, False)}
+
+
+def test_minhash_stage_path_materializes_and_matches_cache(spark, tmp_path):
+    """The 100 TB materialization path: stage_path writes the shingle table
+    to parquet and reads it back; results must equal the cache() path and
+    the stage files must actually exist on disk."""
+    import os
+
+    from block_crawler_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark shuffles"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    stage = str(tmp_path / "shingle_stage")
+    via_stage = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(docs, threshold=0.3, stage_path=stage).collect()
+    }
+    via_cache = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    assert via_stage == via_cache and via_stage, "stage path must not change results"
+    assert any(n.endswith(".parquet") for n in os.listdir(stage)), "stage table written"
