@@ -297,3 +297,73 @@ FROM gaps GROUP BY collection_id, token_id_hex
 """
 
 QUERIES["nft_holding_stats"] = (holding_stats_query, HOLDING_SQL)
+
+
+def uint256_clamp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uint256-beyond-Decimal(38) policy (SURVEY §1.2, round-5 per
+    VERDICT r4 #8), pinned end-to-end by an oracle:
+
+    * **hex-string domain**: token ids synthesized as md5(part_key) live in
+      the canonical zero-padded 64-nibble form (``functions.hexint.
+      normalize_hex``); the Spark side RANKS them lexicographically while
+      the DuckDB oracle ranks them NUMERICALLY (significant-digit length,
+      then digits) — the hashes only match because padding makes the two
+      orders identical, which is the policy's core claim;
+    * **clamp-to-null**: ``hex_to_dec`` converts ≤31 significant hex digits
+      exactly and clamps anything wider to NULL — the reference's
+      out-of-bounds behavior (``nft/data_services/dynamodb.py:49-51,
+      224-229, 374-385``).  md5 ids exercise both branches (~1/16 start
+      with a zero nibble → 31 significant digits → exact value; the rest
+      clamp), and the surviving values are checked exactly via mod 1e9.
+
+    2 000 rows: the global rank window is a deliberate small-set order-by,
+    not a scale path."""
+    from pyspark.sql import Window
+
+    from ..functions.hexint import hex_to_dec, normalize_hex
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 2000)
+        .select(F.col("p_partkey").cast("long").alias("part_key"))
+    )
+    df = p.withColumn(
+        "token_id_hex", normalize_hex(F.md5(F.col("part_key").cast("string")), 64)
+    ).withColumn("qty", hex_to_dec(F.col("token_id_hex")))
+    return df.select(
+        "part_key",
+        "token_id_hex",
+        F.col("qty").isNull().alias("clamped"),
+        (F.col("qty") % F.lit(1_000_000_000)).cast("long").alias("qty_mod_1e9"),
+        F.row_number().over(Window.orderBy("token_id_hex")).cast("long").alias("rank_by_id"),
+    )
+
+
+UINT256_CLAMP_SQL = """
+WITH p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS part_key, md5(CAST(p_partkey AS VARCHAR)) AS h
+  FROM part WHERE p_partkey <= 2000
+), sig AS (
+  SELECT part_key, '0x' || lpad(h, 64, '0') AS token_id_hex,
+         CASE WHEN regexp_replace(h, '^0+', '') = '' THEN '0'
+              ELSE regexp_replace(h, '^0+', '') END AS s
+  FROM p
+), conv AS (
+  SELECT part_key, token_id_hex, s,
+         CASE WHEN length(s) > 31 THEN NULL
+              ELSE CAST(CAST('0x' || substr(lpad(s, 31, '0'), 1, 15) AS UBIGINT) AS HUGEINT)
+                   * CAST('18446744073709551616' AS HUGEINT)
+                   + CAST(CAST('0x' || substr(lpad(s, 31, '0'), 16, 16) AS UBIGINT) AS HUGEINT)
+         END AS qty
+  FROM sig
+)
+SELECT part_key, token_id_hex,
+       qty IS NULL AS clamped,
+       CAST(qty % 1000000000 AS BIGINT) AS qty_mod_1e9,
+       -- NUMERIC order (shorter significant form first, then digit order):
+       -- must equal Spark's lexicographic rank on the padded form
+       CAST(row_number() OVER (ORDER BY length(s), s) AS BIGINT) AS rank_by_id
+FROM conv
+"""
+
+QUERIES["nft_uint256_clamp_policy"] = (uint256_clamp_query, UINT256_CLAMP_SQL)
