@@ -19,6 +19,11 @@ def load_block_times(spark: SparkSession, csv_path: str) -> DataFrame:
 
 
 def save_block_times(df: DataFrame, csv_path: str) -> None:
+    """Single-task CSV write by design: it mirrors the reference's one cache
+    file (``evm/util.py:6-24``) and the table is two longs per block —
+    ~16 MB per million blocks, so even a full mainnet history (~20M blocks,
+    ~320 MB) coalesces safely.  If a chain ever outgrows that, drop the
+    ``coalesce(1)`` and read the directory back as sharded CSV."""
     df.select(F.col("block_id"), F.col("timestamp")).coalesce(1).write.mode("overwrite").csv(csv_path)
 
 
