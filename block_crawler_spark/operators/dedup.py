@@ -296,3 +296,75 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", b
         ).cast("long").alias("simhash"),
     )
     return sig
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation + exact Hamming
+    verify — the equality-join scale path the ``simhash64`` docstring
+    promises (round 5; previously documented but not built).
+
+    Split each ``bits``-wide signature into ``bands`` equal chunks and
+    equi-join on (band_index, band_value): by pigeonhole, any pair with
+    Hamming distance < ``bands`` shares at least one exact band, so recall
+    is total for distances up to ``bands - 1`` (and probabilistic above).
+    Candidates are verified exactly with ``bit_count(xor)`` and filtered to
+    ``hamming <= max_hamming``.
+
+    Scale shape: one explode (×bands) + one shuffle equi-join on the band
+    key; pair fan-out is bounded by band-bucket collisions, never n².
+    Bucket cardinality is 2^(bits/bands) per band — at corpus scale use
+    64-bit signatures with 16-bit bands (65 536 buckets); the 32-bit
+    default matches the oracle-portable signature domain (a 64-bit
+    recomposition would need the sign bit, which BIGINT recomposition in
+    SQL can't express portably).
+
+    Input: ``(id_col, simhash)`` from :func:`simhash64`.  Output:
+    (id_a, id_b, hamming), de-mirrored with ``id_a < id_b``.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_index"),
+                F.shiftright(F.col("simhash"), bits - (b + 1) * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_value"),
+            )
+            for b in range(bands)
+        ]
+    )
+    e = sigs.select(F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("band")).select(
+        id_col,
+        "simhash",
+        F.col("band.band_index").alias("band_index"),
+        F.col("band.band_value").alias("band_value"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_index") == F.col("b.band_index"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair sharing several bands appears once
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -305,10 +305,11 @@ WHERE rnk <= 5
 _SELECT_BUCKETS = 1024  # candidate sets in selection pass 3 are ~n/1024 rows
 
 
-def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
-    """Exact ``value_at_rank((n+1)÷2) + value_at_rank((n+2)÷2)`` per
-    event_type over the sorted multiset of ``val`` — i.e. exactly 2× the
-    median in ``val``'s units — WITHOUT a per-type full sort.
+def _exact_rank_values(e: DataFrame, val: str, ranks: dict[str, str]) -> DataFrame:
+    """Exact per-event_type values of ``val`` at a SET of 1-based ranks of
+    the sorted multiset — WITHOUT a per-type full sort.  ``ranks`` maps an
+    output column name to a SQL expression over ``n`` (the group count),
+    e.g. ``{"p50_cents": "(n * 50 + 99) div 100"}``.
 
     The naive rank-selection (``row_number`` over a per-type window) funnels
     each type's entire partition through one task's sort — a straggler by
@@ -318,23 +319,24 @@ def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
     1. per-type ``(n, lo, hi)`` — one map-side-partial agg;
     2. per-(type, value-bucket) counts with width ``(hi-lo) div B + 1`` —
        output ≤ types × B rows; a window over that tiny frame locates each
-       middle rank's bucket and its preceding-row offset;
+       target rank's bucket and its preceding-row offset;
     3. only candidate-bucket rows (broadcast join on the bucket spec keeps
        everything else out of the shuffle) are ranked — the sort covers
-       ~n/B rows per type, never the full partition.
+       ~n/B rows per type × target, never the full partition.
 
     Heavy duplicate values collapse into one bucket and shrink the win
     (never the correctness); a fully constant type short-circuits on
     ``hi == lo`` and skips pass 3.  Ties need no id tiebreak: the value at
     a rank depends only on the sorted multiset.  Returns
-    ``(event_type, n, <out>)``.
+    ``(event_type, n, <one column per rank label>)``.
     """
     B = _SELECT_BUCKETS
+    labels = list(ranks)
     stats = e.groupBy("event_type").agg(
         F.count("*").alias("n"), F.min(val).alias("lo"), F.max(val).alias("hi")
     )
     const = stats.filter(F.col("hi") == F.col("lo")).select(
-        "event_type", "n", (F.col("lo") * 2).cast("long").alias(out)
+        "event_type", "n", *[F.col("lo").cast("long").alias(lb) for lb in labels]
     )
     var_stats = stats.filter(F.col("hi") != F.col("lo")).withColumn(
         "w", F.expr(f"(hi - lo) div {B} + 1")
@@ -352,8 +354,13 @@ def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
         "event_type",
         F.explode(
             F.array(
-                F.struct(F.lit(1).alias("which"), F.expr("(n + 1) div 2").alias("r")),
-                F.struct(F.lit(2).alias("which"), F.expr("(n + 2) div 2").alias("r")),
+                *[
+                    F.struct(
+                        F.lit(lb).alias("which"),
+                        F.expr(ranks[lb]).cast("long").alias("r"),
+                    )
+                    for lb in labels
+                ]
             )
         ).alias("t"),
     ).select("event_type", "t.which", "t.r")
@@ -365,10 +372,20 @@ def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
     cand = rows.join(F.broadcast(spec), ["event_type", "bkt"])
     wloc = Window.partitionBy("event_type", "which", "bkt").orderBy(F.col(val).asc())
     picked = cand.withColumn("rn", F.row_number().over(wloc)).filter(F.col("rn") == F.col("local_r"))
-    varres = picked.groupBy("event_type").agg(F.sum(val).cast("long").alias(out)).join(
-        var_stats.select("event_type", "n"), "event_type"
+    varres = picked.groupBy("event_type").agg(
+        *[F.max(F.when(F.col("which") == lb, F.col(val))).cast("long").alias(lb) for lb in labels]
+    ).join(var_stats.select("event_type", "n"), "event_type")
+    return varres.select("event_type", "n", *labels).unionByName(const)
+
+
+def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
+    """Exact ``value_at_rank((n+1)÷2) + value_at_rank((n+2)÷2)`` per
+    event_type — i.e. exactly 2× the median in ``val``'s units — via
+    :func:`_exact_rank_values`.  Returns ``(event_type, n, <out>)``."""
+    two = _exact_rank_values(e, val, {"_r1": "(n + 1) div 2", "_r2": "(n + 2) div 2"})
+    return two.select(
+        "event_type", "n", (F.col("_r1") + F.col("_r2")).cast("long").alias(out)
     )
-    return varres.select("event_type", "n", out).unionByName(const)
 
 
 def value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,3 +557,49 @@ QUERIES = {
     "evt_full_outer_reconcile": (full_outer_reconcile, RECONCILE_SQL),
     "evt_sessionize": (sessionize, SESSIONIZE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Exact multi-rank percentiles (round 5) — quantile family, scale-safe form
+# ---------------------------------------------------------------------------
+
+_PCTS = (25, 50, 75, 90, 99)
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles per event type: value at rank
+    ``ceil(n·p/100)`` for p ∈ {25, 50, 75, 90, 99}, in BIGINT cents.  All
+    five ranks are selected in ONE run of :func:`_exact_rank_values` —
+    shared bucket histogram, one candidate-row pass — so the cost of five
+    quantiles ≈ the cost of one.  Nearest-rank (no interpolation) keeps
+    both engines bit-identical; the scale story is the bucketed selection's
+    (no per-type full sort)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents(_dec("value")).alias("cents")
+    )
+    ranks = {f"p{p}_cents": f"(n * {p} + 99) div 100" for p in _PCTS}
+    return _exact_rank_values(e, "cents", ranks)
+
+
+def _percentiles_sql() -> str:
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN cents END) AS p{p}_cents"
+        for p in _PCTS
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+), c AS (
+  SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type
+), r AS (
+  SELECT e.event_type, e.cents, c.n,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.cents) AS rn
+  FROM e JOIN c USING (event_type)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       {picks}
+FROM r GROUP BY event_type
+"""
+
+
+QUERIES["evt_value_percentiles"] = (value_percentiles, _percentiles_sql())

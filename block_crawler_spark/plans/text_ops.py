@@ -239,29 +239,30 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes(bits: int) -> str:
+    """CTE chain ``tok, bitsums, sig`` recomputing simhash64(bits) in SQL —
+    shared by the signature oracle and the banded-pairs oracle."""
     bit_sums = []
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         di, bd = j // 4 + 1, 3 - (j % 4)
         bit_sums.append(
             f"SUM(2 * (((strpos('0123456789abcdef', substr(md5('s|' || t), {di}, 1)) - 1) >> {bd}) & 1) - 1) AS b{j}"
         )
     recompose = " + ".join(
-        f"CASE WHEN b{j} > 0 THEN {1 << (SIMHASH_BITS - 1 - j)} ELSE 0 END" for j in range(SIMHASH_BITS)
+        f"CASE WHEN b{j} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END" for j in range(bits)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
   FROM documents
-), bits AS (
+), bitsums AS (
   SELECT doc_id, {', '.join(bit_sums)}
   FROM tok GROUP BY doc_id
-)
-SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
-"""
+), sig AS (
+  SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bitsums
+)"""
 
 
-SIMHASH_SQL = _simhash_sql()
+SIMHASH_SQL = f"WITH {_simhash_ctes(SIMHASH_BITS)}\nSELECT doc_id, simhash FROM sig"
 
 def char_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard over the MinHash-LSH candidate pairs —
@@ -672,3 +673,51 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": (minhash_pairs_query, MINHASH_SQL),
     "dedup_simhash": (simhash_query, SIMHASH_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs (round 5)
+# ---------------------------------------------------------------------------
+
+SIMHASH_PAIR_BITS = 32  # oracle-portable recomposition domain (sign-bit-free)
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs over documents: 32-bit signatures →
+    4 × 8-bit band equi-join → exact ``bit_count(xor)`` Hamming verify
+    (``operators.dedup.simhash_band_pairs``).  Pigeonhole gives total
+    recall for Hamming < 4; at corpus scale the same shape runs with
+    64-bit signatures and 16-bit bands (65 536 buckets per band)."""
+    from ..operators.dedup import simhash_band_pairs
+
+    sigs = simhash64(load_table(spark, sf_dir, "documents"), bits=SIMHASH_PAIR_BITS)
+    return simhash_band_pairs(
+        sigs,
+        bits=SIMHASH_PAIR_BITS,
+        bands=SIMHASH_PAIR_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(SIMHASH_PAIR_BANDS))
+    return f"""
+WITH {_simhash_ctes(SIMHASH_PAIR_BITS)}, bands AS (
+  SELECT doc_id, simhash, b AS band_index,
+         (simhash >> ({SIMHASH_PAIR_BITS} - (b + 1) * {width})) & {mask} AS band_value
+  FROM sig, unnest([{band_ids}]) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b
+  ON a.band_index = b.band_index AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES["dedup_simhash_pairs"] = (simhash_pairs_query, _simhash_pairs_sql())

@@ -84,3 +84,30 @@ def test_minhash_stage_path_materializes_and_matches_cache(spark, tmp_path):
     }
     assert via_stage == via_cache and via_stage, "stage path must not change results"
     assert any(n.endswith(".parquet") for n in os.listdir(stage)), "stage table written"
+
+
+def test_simhash_band_pairs_pigeonhole_and_hamming(spark):
+    """Banded SimHash pairs: any pair within Hamming < bands shares a band
+    (pigeonhole → found); verified distance is exact; pairs with a shared
+    band but distance > max_hamming are filtered; fully distinct sigs with
+    no shared band never surface."""
+    from block_crawler_spark.operators.dedup import simhash_band_pairs
+
+    base = 0b1010_1100_0011_0101_1111_0000_1100_1010  # arbitrary 32-bit sig
+    sigs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                     # identical → hamming 0
+            (3, base ^ 0b11),              # 2 low bits differ (one band) → hamming 2
+            (4, base ^ 0x11111111),        # 1 bit per nibble: every band differs, hamming 8
+            (5, base ^ 0x000000FF),        # last band differs fully; shares 3 bands, hamming 8 → filtered
+        ],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(sigs, bits=32, bands=4, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(2, 3)] == 2 and got[(1, 3)] == 2
+    assert not any(4 in p for p in got), "no shared band → never a candidate"
+    assert not any(5 in p for p in got), "candidate but hamming 8 > 3 → verified away"

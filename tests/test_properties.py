@@ -232,3 +232,31 @@ def test_bucketed_rank_selection_matches_sorted_multiset(spark):
         s, n = sorted(vs), len(vs)
         want = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
         assert got[t] == (n, want), f"{t}: got {got[t]}, want {(n, want)}"
+
+
+def test_exact_rank_values_percentiles_match_sorted_multiset(spark):
+    """The generalized multi-rank selection must equal brute-force
+    nearest-rank percentiles on every shape (odd/even/constant/duplicate
+    heavy/negative/singleton)."""
+    from block_crawler_spark.plans.events_ops import _exact_rank_values
+
+    cases = {
+        "odd": [3, 1, 2, 9, 5],
+        "even": [10, 20, 30, 40],
+        "const": [7] * 9,
+        "dup_heavy": [5] * 40 + [1, 9] * 3,
+        "neg": [-5, -1, -3, 100],
+        "single": [42],
+        "wide": list(range(0, 5000, 7)),
+    }
+    pcts = (25, 50, 75, 90, 99)
+    rows = [(t, v) for t, vs in cases.items() for v in vs]
+    e = spark.createDataFrame(rows, "event_type string, cents long")
+    ranks = {f"p{p}": f"(n * {p} + 99) div 100" for p in pcts}
+    got = {r["event_type"]: r.asDict() for r in _exact_rank_values(e, "cents", ranks).collect()}
+    for t, vs in cases.items():
+        s, n = sorted(vs), len(vs)
+        for p in pcts:
+            want = s[(n * p + 99) // 100 - 1]
+            assert got[t][f"p{p}"] == want, (t, p, got[t], want)
+        assert got[t]["n"] == n
