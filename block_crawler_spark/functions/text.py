@@ -159,3 +159,34 @@ def repetition_ppm(text: Column, k: int = 5) -> Column:
     total = F.size(g)
     distinct = F.size(F.array_distinct(g))
     return F.floor(((total - distinct).cast("long") * F.lit(1_000_000)) / total).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (round 5) — training-data scrubbing primitives
+# ---------------------------------------------------------------------------
+
+# Deliberately simple character-class patterns: both engines (Java regex /
+# RE2-ish DuckDB) interpret them identically, which keeps the redaction
+# hash oracle-exact.  Real pipelines swap in stricter validators; the
+# operator shape (count + replace, zero shuffles) is what scales.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+URL_PATTERN = r"https?://[^ ]+"
+
+
+def pii_email_count(text: Column) -> Column:
+    """Number of email-shaped spans (case-normalized)."""
+    return F.regexp_count(F.lower(text), F.lit(EMAIL_PATTERN))
+
+
+def pii_url_count(text: Column) -> Column:
+    """Number of URL-shaped spans."""
+    return F.regexp_count(text, F.lit(URL_PATTERN))
+
+
+def redact_pii(text: Column) -> Column:
+    """Case-normalized text with emails → ``<email>`` and URLs → ``<url>``.
+    Emails first: a URL replacement can never create an email span, so the
+    order is confluent for these two patterns."""
+    lowered = F.lower(text)
+    no_mail = F.regexp_replace(lowered, EMAIL_PATTERN, "<email>")
+    return F.regexp_replace(no_mail, URL_PATTERN, "<url>")

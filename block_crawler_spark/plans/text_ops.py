@@ -27,6 +27,7 @@ from ..functions.text import (
     regex_token_count,
     stopword_hits,
 )
+from ..functions.text import shingles
 from ..operators.dedup import (
     dedup_assignments,
     dedup_assignments_cc,
@@ -721,3 +722,112 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 
 QUERIES["dedup_simhash_pairs"] = (simhash_pairs_query, _simhash_pairs_sql())
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing stats (round 5)
+# ---------------------------------------------------------------------------
+
+def pii_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub pass: email/URL span counts, a has_pii flag,
+    and the md5 of the redacted text — the md5 pins the *replacement*
+    semantics cross-engine, not just the counts.  Zero shuffles: pure
+    column expressions over one scan (``functions.text`` PII primitives)."""
+    from ..functions.text import pii_email_count, pii_url_count, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        pii_email_count(F.col("text")).cast("long").alias("n_emails"),
+        pii_url_count(F.col("text")).cast("long").alias("n_urls"),
+        (pii_email_count(F.col("text")) + pii_url_count(F.col("text")) > 0).alias("has_pii"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from ..functions.text import EMAIL_PATTERN, URL_PATTERN
+
+    em, ur = EMAIL_PATTERN.replace("\\", "\\\\"), URL_PATTERN.replace("\\", "\\\\")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ur}')) AS BIGINT) AS n_urls,
+       len(regexp_extract_all(lower(text), '{em}')) + len(regexp_extract_all(text, '{ur}')) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(lower(text), '{em}', '<email>', 'g'), '{ur}', '<url>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+QUERIES["doc_pii_stats"] = (pii_stats_query, _pii_sql())
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 5)
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    3-shingle with a held-out benchmark set (here: ``doc_id % 97 == 0``
+    stands in for the eval corpus; real pipelines pass one).
+
+    Scale shape — the decontamination standard: shingle both sides, make
+    the benchmark shingle set DISTINCT (its size is benchmark-bounded, not
+    corpus-bounded), and equi-join training shingles against it; per-doc
+    overlap is a count-distinct after the join.  No cross join, no
+    broadcast of the corpus — cost scales with shingle collisions.  Output:
+    every training doc with its shared-shingle count and a contaminated
+    flag (0-overlap docs included: the negative case is part of the
+    contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+    sh = docs.select(
+        "doc_id", is_bench.alias("bench"), F.explode(shingles(F.col("text"))).alias("s")
+    )
+    bench_sh = sh.filter(F.col("bench")).select("s").distinct()
+    train_sh = sh.filter(~F.col("bench")).select("doc_id", "s")
+    shared = (
+        train_sh.join(bench_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, doc_id % {DECON_BENCH_MOD} = 0 AS bench,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shn AS (
+  SELECT doc_id, bench, unnest({_shingle_sql_expr()}) AS s FROM tk
+), bench_sh AS (
+  SELECT DISTINCT s FROM shn WHERE bench
+), shared AS (
+  SELECT shn.doc_id, COUNT(DISTINCT shn.s) AS n_shared
+  FROM shn JOIN bench_sh USING (s)
+  WHERE NOT shn.bench
+  GROUP BY shn.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(shared.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN shared ON shared.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+"""
+
+
+QUERIES["doc_decontaminate"] = (decontaminate_query, _decontaminate_sql())

@@ -111,3 +111,27 @@ def test_simhash_band_pairs_pigeonhole_and_hamming(spark):
     assert got[(1, 2)] == 0 and got[(2, 3)] == 2 and got[(1, 3)] == 2
     assert not any(4 in p for p in got), "no shared band → never a candidate"
     assert not any(5 in p for p in got), "candidate but hamming 8 > 3 → verified away"
+
+
+def test_pii_primitives(spark):
+    """Email/URL counts and redaction: spans counted, replaced with typed
+    placeholders; PII-free text passes through (case-normalized) unchanged."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.functions.text import pii_email_count, pii_url_count, redact_pii
+
+    rows = [
+        (1, "Mail A.B+c@Ex.org or x@y.io, docs at https://d.io/p?q=1"),
+        (2, "no personal data here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        pii_email_count(F.col("text")).alias("e"),
+        pii_url_count(F.col("text")).alias("u"),
+        redact_pii(F.col("text")).alias("red"),
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert (got[1]["e"], got[1]["u"]) == (2, 1)
+    assert got[1]["red"] == "mail <email> or <email>, docs at <url>"
+    assert (got[2]["e"], got[2]["u"]) == (0, 0)
+    assert got[2]["red"] == "no personal data here"
