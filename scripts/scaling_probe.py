@@ -34,6 +34,9 @@ PROBES = [
     "evt_sessionize",  # rank windows
     "doc_winnow_fingerprint",  # rolling windows per doc
     "tx_sender_gas_stats",  # single-shuffle hash agg
+    "evt_value_percentiles",  # bucketed multi-rank selection (round 5)
+    "dedup_simhash_pairs",  # banded signature equi-join + Hamming verify (round 5)
+    "doc_decontaminate",  # benchmark shingle equi-join (round 5)
 ]
 
 
