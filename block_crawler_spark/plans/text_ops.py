@@ -25,9 +25,9 @@ from ..functions.text import (
     lang_id,
     n_tokens,
     regex_token_count,
+    shingles,
     stopword_hits,
 )
-from ..functions.text import shingles
 from ..operators.dedup import (
     dedup_assignments,
     dedup_assignments_cc,
