@@ -7,6 +7,7 @@
                                          [--rpc URL | --fixture] [--spec ERC-721]
     python -m block_crawler_spark tail   --logs DIR --blocks DIR --silver DIR [--trail-blocks N] [--once]
     python -m block_crawler_spark verify --logs DIR --silver DIR
+    python -m block_crawler_spark query  'SELECT ...' [--silver DIR] [--logs DIR] [--blocks DIR]
     python -m block_crawler_spark seed   --silver DIR --last-block N
     python -m block_crawler_spark reset  --silver DIR
     python -m block_crawler_spark function-digest 'transfer(address,uint256)' [--topic]
@@ -285,6 +286,39 @@ def cmd_reset(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Ad-hoc Spark SQL over the engine's tables — the capability the
+    reference never had (no SQL parser, SURVEY §0) and the reason to be
+    Spark-native.  Bronze dirs register as ``logs``/``blocks`` views, the
+    silver store's five tables under their own names; the statement runs
+    through the same Catalyst planning as every registry query.
+
+    Results: ``--save DIR`` writes parquet distributed (no driver
+    materialization — the 100 TB path); otherwise the first ``--limit``
+    rows print as JSON lines (a deliberate driver-side cap, never an
+    unbounded collect).
+    """
+    from .streaming.store import SilverStore
+
+    spark = _spark("query")
+    if args.logs:
+        spark.read.parquet(args.logs).createOrReplaceTempView("logs")
+    if args.blocks:
+        spark.read.parquet(args.blocks).createOrReplaceTempView("blocks")
+    if args.silver:
+        store = SilverStore(spark, args.silver)
+        for t in ("collections", "tokens", "token_transfers", "owners", "crawler_config"):
+            store.read(t).createOrReplaceTempView(t)
+    df = spark.sql(args.sql)
+    if args.save:
+        df.write.mode("overwrite").parquet(args.save)
+        print(json.dumps({"saved": args.save}))
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_function_digest(args) -> int:
     from .functions.keccak import event_topic, function_selector
 
@@ -344,6 +378,14 @@ def main(argv=None) -> int:
     sp = sub.add_parser("reset")
     sp.add_argument("--silver", required=True)
     sp.set_defaults(fn=cmd_reset)
+    sp = sub.add_parser("query")
+    sp.add_argument("sql", help="Spark SQL over views: logs, blocks, collections, tokens, token_transfers, owners, crawler_config")
+    sp.add_argument("--silver", help="silver store root; registers the five entity tables")
+    sp.add_argument("--logs", help="bronze logs parquet dir -> view `logs`")
+    sp.add_argument("--blocks", help="bronze blocks parquet dir -> view `blocks`")
+    sp.add_argument("--limit", type=int, default=1000, help="max rows printed (JSON lines); use --save for full results")
+    sp.add_argument("--save", help="write full result as parquet to DIR instead of printing")
+    sp.set_defaults(fn=cmd_query)
     sp = sub.add_parser("function-digest")
     sp.add_argument("signature")
     sp.add_argument("--topic", action="store_true", help="emit the 32-byte event topic instead of the 4-byte selector")

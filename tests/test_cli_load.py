@@ -156,3 +156,34 @@ def test_recrawl_same_range_is_idempotent(spark, bronze, tmp_path, capsys):
     assert main(["verify", "--logs", logs, "--silver", s]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["clean"] is True, out
+
+
+def test_query_subcommand_sql_over_silver_and_bronze(spark, bronze, tmp_path, capsys):
+    """`query` runs ad-hoc Spark SQL over registered bronze + silver views
+    — the capability the reference lacks; --save writes parquet without a
+    driver collect."""
+    logs, blocks, height = bronze
+    s = str(tmp_path / "qsilver")
+    assert main(["crawl", "--logs", logs, "--blocks", blocks, "--silver", s,
+                 "--blockchain", "testnet"]) == 0
+    capsys.readouterr()
+
+    assert main(["query", "--silver", s, "--logs", logs,
+                 "SELECT COUNT(*) AS n_transfers, COUNT(DISTINCT collection_id) AS n_coll "
+                 "FROM token_transfers"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n_transfers"] > 0 and row["n_coll"] > 0
+
+    # join a silver view against a bronze view in one statement
+    assert main(["query", "--silver", s, "--logs", logs,
+                 "SELECT t.collection_id, COUNT(*) AS n FROM token_transfers t "
+                 "JOIN logs l ON l.block_number = t.block_id GROUP BY 1 ORDER BY n DESC",
+                 "--limit", "3"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert 1 <= len(lines) <= 3 and all(x["n"] > 0 for x in lines)
+
+    out = str(tmp_path / "qout")
+    assert main(["query", "--silver", s, "SELECT * FROM owners", "--save", out]) == 0
+    saved = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert saved == {"saved": out}
+    assert spark.read.parquet(out).count() > 0
