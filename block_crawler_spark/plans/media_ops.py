@@ -126,3 +126,65 @@ QUERIES = {
     "media_binary_features": (media_binary_features_query, MEDIA_FEATURES_SQL),
     "media_near_dup_pairs": (media_near_dup_query, MEDIA_NEAR_DUP_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (round 5) — the frames stage, driver-hash-checked
+# ---------------------------------------------------------------------------
+
+FRAME_W, FRAME_H = 8, 4  # rawvideo frame = 8*4*1 = 32 bytes
+FRAME_BYTES = FRAME_W * FRAME_H
+FRAME_EVERY_N = 2
+
+
+def media_frame_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the REAL ``operators.multimodal.sample_frames``
+    stage: documents' UTF-8 bytes play a ``rawvideo`` payload (32-byte
+    frames), every 2nd frame is kept, and each kept frame emits
+    (media_id, frame_index, n_frame_bytes, frame_md5).  The md5 is taken
+    over the frame's lowercase hex dump — the engines' shared byte-exact
+    hash idiom (DuckDB cannot digest BLOBs directly) — so the oracle pins
+    the exact sampled byte ranges, upgrading the frames stage from
+    pytest-only to driver-hash-checked.  Fanout happens inside the Arrow
+    batch; only kept frames leave the stage."""
+    from pyspark.sql.types import IntegerType
+
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit("rawvideo").alias("codec"),
+            F.lit(FRAME_W).alias("width"),
+            F.lit(FRAME_H).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(None).cast(IntegerType()).alias("n_frames"),
+        ).alias("metadata"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    frames = sample_frames(docs, every_n=FRAME_EVERY_N)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.length(F.col("frame")).cast("long").alias("n_frame_bytes"),
+        F.md5(F.lower(F.hex(F.col("frame")))).alias("frame_md5"),
+    )
+
+
+MEDIA_FRAMES_SQL = f"""
+WITH b AS (
+  SELECT doc_id AS media_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+  FROM documents
+), f AS (
+  SELECT media_id, CAST(i AS BIGINT) AS frame_index,
+         substr(h, {2 * FRAME_BYTES} * i + 1, {2 * FRAME_BYTES}) AS fh
+  FROM b, unnest(range(n_frames)) AS t(i)
+  WHERE i % {FRAME_EVERY_N} = 0
+)
+SELECT media_id, frame_index, CAST({FRAME_BYTES} AS BIGINT) AS n_frame_bytes, md5(fh) AS frame_md5
+FROM f
+"""
+
+QUERIES["media_frame_stats"] = (media_frame_stats_query, MEDIA_FRAMES_SQL)
