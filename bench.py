@@ -44,6 +44,12 @@ HEADLINE = [
     "dedup_embedding_cosine_pairs",
     "join_asof_last_signup",
     "join_range_ship_windows",
+    "evt_value_percentiles",
+    "dedup_simhash_pairs",
+    "doc_decontaminate",
+    "doc_pii_stats",
+    "media_frame_stats",
+    "nft_uint256_clamp_policy",
     "nft_token_state_from_lineitem",
     "nft_owners_from_lineitem",
     "nft_transfers_decode_from_lineitem",

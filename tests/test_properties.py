@@ -260,3 +260,32 @@ def test_exact_rank_values_percentiles_match_sorted_multiset(spark):
             want = s[(n * p + 99) // 100 - 1]
             assert got[t][f"p{p}"] == want, (t, p, got[t], want)
         assert got[t]["n"] == n
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=60),
+        min_size=1,
+        max_size=3,
+    ),
+    seed=st.randoms(),
+)
+def test_rank_selection_random_differential(spark, groups, seed):
+    """Randomized differential: bucketed selection == sorted-multiset
+    nearest-rank values for arbitrary group shapes, magnitudes (±1e12 —
+    near the bucket-width arithmetic's edge), duplicates, and rank sets."""
+    from block_crawler_spark.plans.events_ops import _exact_rank_values
+
+    rows = [(t, v) for t, vs in groups.items() for v in vs]
+    seed.shuffle(rows)
+    e = spark.createDataFrame(rows, "event_type string, cents long")
+    pcts = (1, 50, 100)
+    ranks = {f"p{p}": f"(n * {p} + 99) div 100" for p in pcts}
+    got = {r["event_type"]: r.asDict() for r in _exact_rank_values(e, "cents", ranks).collect()}
+    assert set(got) == set(groups)
+    for t, vs in groups.items():
+        s, n = sorted(vs), len(vs)
+        for p in pcts:
+            assert got[t][f"p{p}"] == s[(n * p + 99) // 100 - 1], (t, p, n)
