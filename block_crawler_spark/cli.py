@@ -7,6 +7,7 @@
                                          [--rpc URL | --fixture] [--spec ERC-721]
     python -m block_crawler_spark tail   --logs DIR --blocks DIR --silver DIR [--trail-blocks N] [--once]
     python -m block_crawler_spark verify --logs DIR --silver DIR
+    python -m block_crawler_spark rewind --silver DIR --blockchain X --to-block N
     python -m block_crawler_spark query  'SELECT ...' [--silver DIR] [--logs DIR] [--blocks DIR]
     python -m block_crawler_spark seed   --silver DIR --last-block N
     python -m block_crawler_spark reset  --silver DIR
@@ -286,6 +287,25 @@ def cmd_reset(args) -> int:
     return 0
 
 
+def cmd_rewind(args) -> int:
+    """Reorg repair: rewind silver to --to-block (drop orphaned-branch
+    transfers, rebuild affected tokens/owners, clamp last_block_id) so the
+    next crawl/tail re-ingests the canonical branch from the fork point.
+    See SilverStore.rewind — the capability the reference lacks (it only
+    avoids reorgs via the trail lag)."""
+    from .streaming.store import SilverStore
+
+    spark = _spark("rewind")
+    store = SilverStore(spark, args.silver)
+    store.rewind(args.blockchain, args.to_block)
+    print(json.dumps({
+        "rewound_to": args.to_block,
+        "config": store.get_config(args.blockchain),
+        "transfers": store.read("token_transfers").count(),
+    }))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Ad-hoc Spark SQL over the engine's tables — the capability the
     reference never had (no SQL parser, SURVEY §0) and the reason to be
@@ -378,6 +398,12 @@ def main(argv=None) -> int:
     sp = sub.add_parser("reset")
     sp.add_argument("--silver", required=True)
     sp.set_defaults(fn=cmd_reset)
+    sp = sub.add_parser("rewind")
+    sp.add_argument("--silver", required=True)
+    sp.add_argument("--blockchain", default="ethereum-mainnet")
+    sp.add_argument("--to-block", type=int, required=True,
+                    help="fork point: every transfer above this block is dropped and affected state rebuilt")
+    sp.set_defaults(fn=cmd_rewind)
     sp = sub.add_parser("query")
     sp.add_argument("sql", help="Spark SQL over views: logs, blocks, collections, tokens, token_transfers, owners, crawler_config")
     sp.add_argument("--silver", help="silver store root; registers the five entity tables")

@@ -343,6 +343,47 @@ class SilverStore:
             touched_blockchains=blockchains,
         )
 
+    def rewind(self, blockchain: str, to_block: int) -> None:
+        """Reorg REPAIR (beyond the reference, which only *avoids* reorgs
+        via the trail-blocks lag, ``nft/bin/tail.py:34-39``): drop every
+        transfer of ``blockchain`` above ``to_block`` and rebuild
+        tokens/owners for the affected keys from the surviving committed
+        history — then a re-crawl/tail from ``to_block + 1`` ingests the
+        canonical branch.  Pure reuse of the idempotent rebuild machinery:
+        a token whose every transfer was orphaned (mint itself rewound)
+        disappears; balances re-derive exactly; an untouched blockchain's
+        partitions are untouched (pruned rewrite).
+
+        Metadata caveat: ``specification``/``metadata_url`` survive the
+        rewind (they merge from existing rows and are not block-attributed)
+        — a URI observed only on the orphaned branch persists until the
+        canonical branch overwrites it under K3's version rule.
+
+        ``last_block_id`` is clamped to ``to_block`` so the next tail
+        resumes at the fork point.
+        """
+        keys = ["blockchain", "collection_id", "token_id_hex"]
+        transfers = self.read("token_transfers")
+        mine = F.col("blockchain") == blockchain
+        touched = transfers.filter(mine & (F.col("block_id") > to_block)).select(*keys).distinct()
+        kept = transfers.filter(~mine | (F.col("block_id") <= to_block))
+        self.overwrite("token_transfers", kept, touched_blockchains=[blockchain])
+        # `touched` still scans the pre-rewind version's files — the
+        # one-commit retention window exists exactly for handles like this
+        no_batch = self.read("tokens").select(
+            *keys, "specification", "metadata_url", "metadata_url_version_hex", "data_version"
+        ).limit(0)
+        self.rebuild_tokens(no_batch, touched, blockchains=[blockchain])
+        from ..operators.folds import owner_balances_from_silver
+
+        dv, last = self.get_config(blockchain)
+        balances = owner_balances_from_silver(self.read("token_transfers"), touched)
+        self.rebuild_owners(
+            balances.withColumn("data_version", F.lit(dv)), touched, blockchains=[blockchain]
+        )
+        if last is not None and last > to_block:
+            self.set_config(blockchain, dv, to_block)
+
     # -- control table (K12) -----------------------------------------------
     def get_config(self, blockchain: str) -> tuple[int, int | None]:
         """(data_version, last_block_id) — data_version starts at 1."""

@@ -187,3 +187,32 @@ def test_query_subcommand_sql_over_silver_and_bronze(spark, bronze, tmp_path, ca
     saved = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert saved == {"saved": out}
     assert spark.read.parquet(out).count() > 0
+
+
+def test_rewind_equals_clipped_crawl(spark, bronze, tmp_path, capsys):
+    """Reorg repair: crawl the full chain, rewind to N, and the silver must
+    equal a crawl that never saw blocks > N — orphaned-branch tokens
+    disappear, balances re-derive, last_block_id clamps to the fork point."""
+    logs, blocks, height = bronze
+    fork = height - 3
+    s_full, s_clip = str(tmp_path / "rw"), str(tmp_path / "clip2")
+    assert main(["crawl", "--logs", logs, "--blocks", blocks, "--silver", s_full,
+                 "--blockchain", "testnet"]) == 0
+    assert main(["rewind", "--silver", s_full, "--blockchain", "testnet",
+                 "--to-block", str(fork)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rewound_to"] == fork and out["config"][1] == fork
+
+    assert main(["load", "--logs", logs, "--blocks", blocks, "--silver", s_clip,
+                 "--blockchain", "testnet", "--height", str(fork)]) == 0
+    st_rw, st_cl = SilverStore(spark, s_full), SilverStore(spark, s_clip)
+    for table in ("token_transfers", "tokens", "owners"):
+        assert _table_set(st_rw, table) == _table_set(st_cl, table), table
+    assert st_rw.get_config("testnet") == st_cl.get_config("testnet")
+
+    # the repaired store re-crawls cleanly from the fork point to the tip
+    assert main(["crawl", "--logs", logs, "--blocks", blocks, "--silver", s_full,
+                 "--blockchain", "testnet"]) == 0
+    capsys.readouterr()
+    assert main(["verify", "--logs", logs, "--silver", s_full]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["clean"] is True
