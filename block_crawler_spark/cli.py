@@ -62,7 +62,9 @@ class GracefulStop:
 
     def __exit__(self, *exc) -> None:
         for s, prev in self._prev.items():
-            _signal.signal(s, prev)
+            # signal() returns None for handlers installed outside Python;
+            # restoring None raises TypeError — normalize to SIG_DFL
+            _signal.signal(s, prev if prev is not None else _signal.SIG_DFL)
 
 
 def _spark(app: str):
@@ -83,6 +85,7 @@ def _bulk_crawl(
     height: int | None,
     chunk_size: int | None = None,
     signals=None,
+    restart: bool = False,
 ):
     """Shared crawl/load body: run the one-pass plan over bronze (optionally
     clipped to ``height``), apply the idempotent sinks, commit progress.
@@ -92,9 +95,13 @@ def _bulk_crawl(
     ``nft/bin/crawl.py:180-200``); between chunks ``signals.interrupted``
     is checked, so SIGINT/SIGTERM stops cleanly with ``last_block_id`` at
     the last finished chunk — a re-run resumes from there (the sinks are
-    idempotent, so overlap would be harmless anyway).  ``None`` keeps the
-    single-pass plan: one shuffle over all of bronze beats N small jobs
-    whenever no incremental progress marker is needed.
+    idempotent, so overlap would be harmless anyway).  ``restart=True``
+    ignores the stored resume point and reprocesses from the bronze range's
+    start — the fresh-epoch reload semantics ``--increment-data-version``
+    implies (round-5 review: resume-from-config silently made a fresh-epoch
+    chunked reload a no-op).  ``None`` keeps the single-pass plan: one
+    shuffle over all of bronze beats N small jobs whenever no incremental
+    progress marker is needed.
     """
     from pyspark.sql import functions as F
 
@@ -111,8 +118,15 @@ def _bulk_crawl(
         store.set_config(blockchain, data_version, top)
         return top
 
+    if top is None:  # empty bronze: nothing to chunk over
+        return None
+    # clamp the start to the bronze range: without this, a fresh store over
+    # high-block bronze (say blocks 18M+) would grind through millions of
+    # empty chunk jobs from block 0 (round-5 review)
+    bottom = blocks.agg({"number": "min"}).collect()[0][0] or 0
     _dv, last = store.get_config(blockchain)
-    lo = (last + 1) if last is not None else 0
+    lo = bottom if restart or last is None else last + 1
+    lo = max(lo, bottom)
     done = lo - 1
     while lo <= top:
         if signals is not None and signals.interrupted:
@@ -175,6 +189,7 @@ def cmd_load(args) -> int:
         top = _bulk_crawl(
             spark, store, logs, blocks, args.blockchain, dv, height=args.height,
             chunk_size=args.chunk_size, signals=stop,
+            restart=args.increment_data_version,
         )
     out = {
         "loaded_to": top,

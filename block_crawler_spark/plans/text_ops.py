@@ -732,30 +732,53 @@ def pii_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII scrub pass: email/URL span counts, a has_pii flag,
     and the md5 of the redacted text — the md5 pins the *replacement*
     semantics cross-engine, not just the counts.  Zero shuffles: pure
-    column expressions over one scan (``functions.text`` PII primitives)."""
+    column expressions over one scan (``functions.text`` PII primitives).
+
+    The synthetic corpus contains no real PII, which would make the oracle
+    pass VACUOUSLY (a round-5 review catch: an escaping bug in the DuckDB
+    pattern went unnoticed because nothing ever matched).  Both engines
+    therefore scan the text with a deterministic email+URL suffix appended
+    per doc — every row exercises ≥1 match of each pattern, so the counts
+    AND the replacement semantics are genuinely pinned."""
     from ..functions.text import pii_email_count, pii_url_count, redact_pii
 
     d = load_table(spark, sf_dir, "documents")
+    scanned = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
     return d.select(
         "doc_id",
-        pii_email_count(F.col("text")).cast("long").alias("n_emails"),
-        pii_url_count(F.col("text")).cast("long").alias("n_urls"),
-        (pii_email_count(F.col("text")) + pii_url_count(F.col("text")) > 0).alias("has_pii"),
-        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+        pii_email_count(scanned).cast("long").alias("n_emails"),
+        pii_url_count(scanned).cast("long").alias("n_urls"),
+        (pii_email_count(scanned) + pii_url_count(scanned) > 0).alias("has_pii"),
+        F.md5(redact_pii(scanned)).alias("redacted_md5"),
     )
 
 
 def _pii_sql() -> str:
+    # NB: DuckDB string literals do NOT process backslash escapes — the
+    # pattern goes in verbatim, single backslashes included (the round-5
+    # review found a doubled-backslash version that could never match)
     from ..functions.text import EMAIL_PATTERN, URL_PATTERN
 
-    em, ur = EMAIL_PATTERN.replace("\\", "\\\\"), URL_PATTERN.replace("\\", "\\\\")
+    em, ur = EMAIL_PATTERN, URL_PATTERN
     return f"""
+WITH scanned AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '{em}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{ur}')) AS BIGINT) AS n_urls,
-       len(regexp_extract_all(lower(text), '{em}')) + len(regexp_extract_all(text, '{ur}')) > 0 AS has_pii,
-       md5(regexp_replace(regexp_replace(lower(text), '{em}', '<email>', 'g'), '{ur}', '<url>', 'g')) AS redacted_md5
-FROM documents
+       CAST(len(regexp_extract_all(lower(t), '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{ur}')) AS BIGINT) AS n_urls,
+       len(regexp_extract_all(lower(t), '{em}')) + len(regexp_extract_all(t, '{ur}')) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(lower(t), '{em}', '<email>', 'g'), '{ur}', '<url>', 'g')) AS redacted_md5
+FROM scanned
 """
 
 

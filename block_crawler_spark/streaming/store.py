@@ -370,7 +370,14 @@ class SilverStore:
         self.overwrite("token_transfers", kept, touched_blockchains=[blockchain])
         # `touched` still scans the pre-rewind version's files — the
         # one-commit retention window exists exactly for handles like this
-        no_batch = self.read("tokens").select(
+        existing_tokens = self.read("tokens")
+        if "specification" not in existing_tokens.columns:
+            # the canonical empty table (fresh store / reset) lacks the
+            # probe-derived column, same guard rebuild_tokens applies
+            existing_tokens = existing_tokens.withColumn(
+                "specification", F.lit(None).cast("string")
+            )
+        no_batch = existing_tokens.select(
             *keys, "specification", "metadata_url", "metadata_url_version_hex", "data_version"
         ).limit(0)
         self.rebuild_tokens(no_batch, touched, blockchains=[blockchain])

@@ -108,7 +108,8 @@ def test_sigint_mid_crawl_commits_progress_and_resumes(spark, bronze, tmp_path, 
 
     logs_p, blocks_p, height = bronze
     logs, blocks = spark.read.parquet(logs_p), spark.read.parquet(blocks_p)
-    chunk = max(1, height // 4)
+    bottom = blocks.agg({"number": "min"}).collect()[0][0]
+    chunk = max(1, (height - bottom) // 3)  # several chunks within the real range
 
     # deliver a REAL SIGINT to ourselves right after the first chunk's
     # progress commit (hooking set_config, which fires once per chunk)
@@ -127,10 +128,11 @@ def test_sigint_mid_crawl_commits_progress_and_resumes(spark, bronze, tmp_path, 
         done = _bulk_crawl(spark, store, logs, blocks, "testnet", 1, height,
                            chunk_size=chunk, signals=stop)
     assert stop.interrupted, "the SIGINT must be absorbed as a graceful stop"
-    assert commits == [chunk - 1 + 0]  # first chunk [0, chunk-1] committed
-    assert done == chunk - 1
+    first_hi = bottom + chunk - 1  # first chunk [bottom, bottom+chunk-1]
+    assert commits == [first_hi]
+    assert done == first_hi
     dv, last = store.get_config("testnet")
-    assert last == chunk - 1, "interrupted crawl must leave a committed resume point"
+    assert last == first_hi, "interrupted crawl must leave a committed resume point"
 
     # clean resume: plain handler, runs to completion from the commit point
     store.set_config = orig_set
@@ -216,3 +218,86 @@ def test_rewind_equals_clipped_crawl(spark, bronze, tmp_path, capsys):
     capsys.readouterr()
     assert main(["verify", "--logs", logs, "--silver", s_full]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["clean"] is True
+
+
+def test_chunked_load_fresh_epoch_reprocesses(spark, bronze, tmp_path, capsys):
+    """--increment-data-version + --chunk-size must reprocess from the
+    bronze start under the new epoch (round-5 review: resume-from-config
+    silently made the fresh-epoch reload a no-op)."""
+    logs, blocks, height = bronze
+    s = str(tmp_path / "epoch")
+    assert main(["load", "--logs", logs, "--blocks", blocks, "--silver", s,
+                 "--blockchain", "testnet", "--height", str(height)]) == 0
+    assert main(["load", "--logs", logs, "--blocks", blocks, "--silver", s,
+                 "--blockchain", "testnet", "--height", str(height),
+                 "--increment-data-version", "--chunk-size", str(max(1, height // 3))]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["loaded_to"] == height and out["data_version"] == 2
+    from pyspark.sql import functions as F
+
+    store = SilverStore(spark, s)
+    tokens = store.read("tokens")
+    assert tokens.count() > 0
+    assert tokens.filter(F.col("data_version") == 2).count() == tokens.count(), \
+        "every token row must carry the new epoch after the chunked reload"
+
+
+def test_chunked_crawl_clamps_to_bronze_min(spark, bronze, tmp_path):
+    """A fresh store over high-block bronze must not grind empty chunks up
+    from block 0 — the chunk loop starts at the bronze range's min block."""
+    from block_crawler_spark.cli import _bulk_crawl
+
+    logs_p, blocks_p, height = bronze
+    from pyspark.sql import functions as F
+
+    logs = spark.read.parquet(logs_p).filter(F.col("block_number") >= 100)
+    blocks = spark.read.parquet(blocks_p).filter(F.col("number") >= 100)
+
+    store = SilverStore(spark, str(tmp_path / "hi"))
+    commits = []
+    orig_set = store.set_config
+    store.set_config = lambda bc, dv, last: (orig_set(bc, dv, last), commits.append(last))
+    done = _bulk_crawl(spark, store, logs, blocks, "testnet", 1, height, chunk_size=5)
+    assert done == height
+    assert len(commits) <= (height - 100) // 5 + 1, f"empty low chunks ran: {commits}"
+    assert commits[0] >= 104, "first chunk must start at the bronze min, not block 0"
+
+
+def test_chunked_crawl_empty_bronze_is_clean_noop(spark, tmp_path):
+    """Empty bronze + --chunk-size: no TypeError, a clean no-op."""
+    from block_crawler_spark.cli import _bulk_crawl
+    from block_crawler_spark.schemas import LOG_SCHEMA
+
+    logs = spark.createDataFrame([], LOG_SCHEMA)
+    blocks = spark.createDataFrame([], BLOCKS_DDL)
+    store = SilverStore(spark, str(tmp_path / "emptyb"))
+    assert _bulk_crawl(spark, store, logs, blocks, "testnet", 1, None, chunk_size=10) is None
+    assert store.read("token_transfers").count() == 0
+
+
+def test_graceful_stop_restores_non_python_handler(spark):
+    """signal.signal() returns None for handlers installed outside Python;
+    restoring that must normalize to SIG_DFL, not raise TypeError."""
+    import signal as sg
+
+    from block_crawler_spark.cli import GracefulStop
+
+    saved = {s: sg.getsignal(s) for s in (sg.SIGINT, sg.SIGTERM)}
+    try:
+        g = GracefulStop().__enter__()
+        g._prev = {sg.SIGINT: None, sg.SIGTERM: None}  # simulate C-installed prior handlers
+        g.__exit__()  # must not raise
+        assert sg.getsignal(sg.SIGINT) == sg.SIG_DFL
+    finally:
+        for s, h in saved.items():
+            sg.signal(s, h if h is not None else sg.SIG_DFL)
+
+
+def test_rewind_on_fresh_store_is_noop(spark, tmp_path, capsys):
+    """rewind on a store with no committed tables must be a clean no-op
+    (round-5 review: the tokens schema lacks `specification` until the
+    first crawl, and rewind's batch construction crashed on it)."""
+    s = str(tmp_path / "fresh")
+    assert main(["rewind", "--silver", s, "--blockchain", "testnet", "--to-block", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["transfers"] == 0
