@@ -693,7 +693,12 @@ def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit signatures and 16-bit bands (65 536 buckets per band)."""
     from ..operators.dedup import simhash_band_pairs
 
-    sigs = simhash64(load_table(spark, sf_dir, "documents"), bits=SIMHASH_PAIR_BITS)
+    # cache: the band self-join reads the signature table twice, and without
+    # this the tokenize -> 32-column bit-sum aggregate runs twice end-to-end
+    # (verified in the captured plan: two full pipelines, no ReusedExchange
+    # once one side becomes a BroadcastExchange) — same pattern as the
+    # MinHash pipeline's sigs.cache()
+    sigs = simhash64(load_table(spark, sf_dir, "documents"), bits=SIMHASH_PAIR_BITS).cache()
     return simhash_band_pairs(
         sigs,
         bits=SIMHASH_PAIR_BITS,
