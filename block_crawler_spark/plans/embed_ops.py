@@ -361,3 +361,55 @@ QUERIES = {
     "emb_label_dim_sums": (dim_sums_query, DIM_SUMS_SQL),
     "emb_lsh_buckets": (lsh_bucket_query, LSH_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: per-label L2-norm stats (round 5)
+# ---------------------------------------------------------------------------
+
+NORM_SCALE = 1_000_000  # micro fixed-point, the module's shared portability rule
+
+
+def norm_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene report per label: count, zero-vector count, and
+    min/max/sum of the integer L2 norm — the pre-flight check an embedding
+    pipeline runs before indexing (zero or wildly-scaled vectors poison
+    cosine similarity and k-means alike).
+
+    Exactness: components fix-point to micros (``floor(x·1e6)``, the
+    module's shared rule), the squared-norm sum stays exact int64
+    (≤ ~6.4e13 for 64 dims ≪ 2^53, so its double image is exact), and
+    ``floor(sqrt(...))`` of an exactly-represented integer is identical on
+    both engines (IEEE-754 sqrt is correctly rounded).  Zero shuffles
+    beyond the one label agg with map-side partials."""
+    e = load_table(spark, sf_dir, "embeddings")
+    micro = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * NORM_SCALE).cast("long"))
+    sq = F.aggregate(micro, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    norm_u = F.floor(F.sqrt(sq.cast("double"))).cast("long")
+    per_vec = e.select("label", norm_u.alias("norm_micro"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.count(F.when(F.col("norm_micro") == 0, 1)).alias("n_zero"),
+        F.min("norm_micro").alias("min_norm_micro"),
+        F.max("norm_micro").alias("max_norm_micro"),
+        F.sum("norm_micro").alias("sum_norm_micro"),
+    )
+
+
+NORM_STATS_SQL = f"""
+WITH per_vec AS (
+  SELECT label,
+         CAST(floor(sqrt(CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT))) AS DOUBLE))) AS BIGINT) AS norm_micro
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(COUNT(CASE WHEN norm_micro = 0 THEN 1 END) AS BIGINT) AS n_zero,
+       MIN(norm_micro) AS min_norm_micro,
+       MAX(norm_micro) AS max_norm_micro,
+       CAST(SUM(norm_micro) AS BIGINT) AS sum_norm_micro
+FROM per_vec GROUP BY label
+"""
+
+QUERIES["emb_norm_stats"] = (norm_stats_query, NORM_STATS_SQL)

@@ -603,3 +603,9 @@ FROM r GROUP BY event_type
 
 
 QUERIES["evt_value_percentiles"] = (value_percentiles, _percentiles_sql())
+# place the new quantile query beside its median/MAD siblings in insertion
+# order: prefix samplers (the driver checks the first 50 registry entries)
+# should certify the never-sampled newcomer rather than a long-green query
+_order = list(QUERIES)
+_order.insert(_order.index("evt_outliers_mad") + 1, _order.pop(_order.index("evt_value_percentiles")))
+QUERIES = {k: QUERIES[k] for k in _order}
