@@ -1,0 +1,240 @@
+"""Training-data *shaping* queries: chunking, sequence packing, mixture planning.
+
+The dedup/quality/sampling families (``text_ops``) clean a corpus; this module
+covers the next pipeline stage — turning the cleaned corpus into model-ready
+training sequences.  Three oracle-checked operators:
+
+* **Sliding-window chunking** — split each document into fixed-width,
+  overlapping character windows (the standard long-document → context-window
+  step).  Pure column expressions: ``sequence`` → ``explode`` → ``substring``;
+  zero shuffles, and each chunk is certified by its md5 so the oracle pins the
+  exact chunk *text*, not just counts.
+* **Concat-and-split sequence packing** — assign documents to fixed-token-
+  budget training sequences by concatenating them in a deterministic order and
+  cutting every ``SEQ_LEN_TOK`` tokens (the "packing" step of LLM pretraining
+  loaders).  Packing is order-dependent by definition, so the scale unit is the
+  hash **shard**: documents hash to shards, each shard packs independently with
+  a window cumulative-sum.  At 100 TB you raise ``PACK_SHARDS`` so a shard
+  holds O(executor-memory) tokens (shards ≈ total_tokens / 10⁹ keeps each
+  shard's sort+scan bounded); the per-shard sequential pass is inherent to the
+  operator's semantics, not an implementation shortcut.
+* **Mixture planning** — given per-source target weights and a global token
+  budget, compute each source's deterministic sampling rate and the realized
+  sample (the "data mixture" step: up/down-weighting sources to hit a target
+  distribution).  Two aggregations over ``source`` (20 values ⇒ tiny) plus a
+  1-row budget broadcast and a broadcast rate-join back to the docs — the
+  doc-side work is a single scan + map-side filter, no doc-keyed shuffle.
+
+Engine-parity rules (shared with ``text_ops``): integer ppm/div arithmetic
+only, md5-hex-prefix as the cross-engine uniform hash, every output column
+BIGINT or VARCHAR, DuckDB ``SUM``/window sums cast back to BIGINT (they widen
+to HUGEINT, which the driver's pandas fetch would turn into float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+CHUNK_CHARS = 400
+STRIDE_CHARS = 300
+
+PACK_SHARDS = 8
+SEQ_LEN_TOK = 512
+
+MIX_WEIGHT_MOD = 4
+MIX_BUDGET_DIV = 2  # global token budget = total available tokens div 2
+
+
+def _u_ppm(prefix: str) -> F.Column:
+    """Deterministic uniform hash of doc_id into [0, 1e6) — md5-prefix rule."""
+    h = F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character windows: chunk *i* covers
+    ``[i*STRIDE, i*STRIDE + CHUNK)``; a window starts wherever
+    ``i*STRIDE < length`` so every character lands in ≥1 chunk and
+    consecutive chunks overlap by ``CHUNK - STRIDE`` characters.  The md5
+    column certifies chunk content byte-for-byte against the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    with_idx = d.select(
+        "doc_id",
+        "text",
+        F.expr(f"explode(sequence(0, int((length(text) - 1) div {STRIDE_CHARS})))").alias("chunk_idx"),
+    )
+    chunk = F.expr(f"substring(text, chunk_idx * {STRIDE_CHARS} + 1, {CHUNK_CHARS})")
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // {STRIDE_CHARS})) AS chunk_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(length(substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS chunk_md5
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# concat-and-split sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-split packing: within each hash shard,
+    documents are laid end-to-end in doc_id order and the tape is cut every
+    ``SEQ_LEN_TOK`` tokens; a document belongs to the bin where it *starts*.
+    One shuffle (hash by shard) + per-shard window cumsum; the bin roll-up
+    reuses the same partitioning.  Shard count is the scale dial — see the
+    module docstring for the 100 TB sizing rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % PACK_SHARDS
+    )
+    per = docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tok"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    binned = per.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - n_tok) div {SEQ_LEN_TOK}")
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SQL = f"""
+WITH per AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM per
+)
+SELECT shard,
+       CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture planning
+# ---------------------------------------------------------------------------
+
+def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: each source gets ``weight``/Σweights of a global
+    budget (half the available tokens), capped at what the source actually
+    has; the realized sample keeps a document iff its uniform hash falls
+    under the source's rate_ppm.  Plan shape: doc scan → source agg (tiny) →
+    1-row budget broadcast → broadcast rate-join back → filtered agg.  The
+    doc table is scanned twice but never shuffled on a per-doc key; at 100 TB
+    the first scan's (source, n_tok, u) projection is the natural candidate
+    for a persisted stage table.  ``target_tok * 1e6`` bounds avail_tok at
+    ~9e12 tokens per source before BIGINT overflow — beyond that, switch the
+    ppm math to DOUBLE or pre-divide the budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tok"),
+        _u_ppm("mix|").alias("u"),
+    )
+    src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("avail_tok")
+    )
+    weight = (F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") % MIX_WEIGHT_MOD + 1).cast("long")
+    src = src.withColumn("weight", weight)
+    totals = src.agg(F.sum("avail_tok").alias("tot_tok"), F.sum("weight").alias("w_sum"))
+    planned = (
+        src.crossJoin(F.broadcast(totals))
+        .withColumn("budget", F.expr(f"tot_tok div {MIX_BUDGET_DIV}"))
+        .withColumn("target_tok", F.expr("budget * weight div w_sum"))
+        .withColumn("rate_ppm", F.least(F.lit(1_000_000).cast("long"), F.expr("target_tok * 1000000 div avail_tok")))
+    )
+    sampled = (
+        per_doc.join(F.broadcast(planned.select("source", "rate_ppm")), "source")
+        .filter(F.col("u") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_tok").alias("sampled_tok"))
+    )
+    return planned.join(F.broadcast(sampled), "source", "left").select(
+        "source",
+        "n_docs",
+        "avail_tok",
+        "weight",
+        "target_tok",
+        "rate_ppm",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+        F.coalesce(F.col("sampled_tok"), F.lit(0).cast("long")).alias("sampled_tok"),
+    )
+
+
+MIXTURE_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
+  FROM documents
+), src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tok,
+         CAST(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % {MIX_WEIGHT_MOD} + 1 AS BIGINT) AS weight
+  FROM per_doc GROUP BY source
+), totals AS (
+  SELECT CAST(sum(avail_tok) AS BIGINT) AS tot_tok, CAST(sum(weight) AS BIGINT) AS w_sum FROM src
+), planned AS (
+  SELECT source, n_docs, avail_tok, weight,
+         (tot_tok // {MIX_BUDGET_DIV}) * weight // w_sum AS target_tok,
+         least(1000000, ((tot_tok // {MIX_BUDGET_DIV}) * weight // w_sum) * 1000000 // avail_tok) AS rate_ppm
+  FROM src, totals
+), sampled AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled, CAST(sum(d.n_tok) AS BIGINT) AS sampled_tok
+  FROM per_doc d JOIN planned p ON d.source = p.source
+  WHERE d.u < p.rate_ppm
+  GROUP BY d.source
+)
+SELECT p.source, p.n_docs, p.avail_tok, p.weight, p.target_tok, p.rate_ppm,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       COALESCE(s.sampled_tok, 0) AS sampled_tok
+FROM planned p LEFT JOIN sampled s ON p.source = s.source
+"""
+
+
+QUERIES = {
+    "doc_chunk_stats": (chunk_stats_query, CHUNK_SQL),
+    "doc_pack_sequences": (pack_sequences_query, PACK_SQL),
+    "doc_mixture_plan": (mixture_plan_query, MIXTURE_SQL),
+}

@@ -1,0 +1,100 @@
+"""Invariant tests for the training-data shaping queries (plans/pack_ops).
+
+The oracle gate certifies value equality vs DuckDB; these tests pin the
+*semantic* invariants the SQL alone doesn't make obvious: chunk coverage,
+packing conservation, and mixture-rate bounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_crawler_spark.plans.pack_ops import (
+    CHUNK_CHARS,
+    PACK_SHARDS,
+    SEQ_LEN_TOK,
+    STRIDE_CHARS,
+    chunk_stats_query,
+    mixture_plan_query,
+    pack_sequences_query,
+)
+from block_crawler_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_coverage_and_content(spark):
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF, "documents").collect()}
+    chunks = chunk_stats_query(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if len(t) > 0}
+    for doc_id, rows in by_doc.items():
+        text = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indexes, exactly while i*STRIDE < len(text)
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert (len(rows) - 1) * STRIDE_CHARS < len(text) <= len(rows) * STRIDE_CHARS + (CHUNK_CHARS - STRIDE_CHARS) or len(rows) * STRIDE_CHARS >= len(text)
+        for r in rows:
+            expect = text[r["chunk_idx"] * STRIDE_CHARS : r["chunk_idx"] * STRIDE_CHARS + CHUNK_CHARS]
+            assert r["chunk_len"] == len(expect)
+            assert r["chunk_md5"] == hashlib.md5(expect.encode("utf-8")).hexdigest()
+        # every character of the doc is inside at least one chunk
+        assert (len(rows) - 1) * STRIDE_CHARS + rows[-1]["chunk_len"] == len(text)
+
+
+def test_pack_conserves_tokens_and_orders_bins(spark):
+    docs = load_table(spark, SF, "documents")
+    total_tok = docs.select(F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n")).agg(F.sum("n")).first()[0]
+    bins = pack_sequences_query(spark, SF).collect()
+    assert sum(r["tok_sum"] for r in bins) == total_tok
+    assert sum(r["n_docs"] for r in bins) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in bins:
+        assert 0 <= r["shard"] < PACK_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["bin_id"])
+        # bins start at 0; a bin may span >SEQ_LEN (a doc straddles a cut) but
+        # consecutive bin ids never skip more than the largest doc can cover
+        assert rows[0]["bin_id"] == 0
+        # doc ranges per bin are disjoint and ordered with the bins
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        for r in rows:
+            assert r["first_doc"] <= r["last_doc"]
+
+
+def test_mixture_rates_and_caps(spark):
+    plan = mixture_plan_query(spark, SF).collect()
+    assert plan, "at least one source"
+    for r in plan:
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert r["n_sampled"] <= r["n_docs"]
+        assert r["sampled_tok"] <= r["avail_tok"]
+        assert 1 <= r["weight"] <= 4
+        if r["target_tok"] >= r["avail_tok"]:
+            assert r["rate_ppm"] == 1_000_000
+    # the realized sample is in the neighborhood of the plan: every fully-kept
+    # source samples everything
+    for r in plan:
+        if r["rate_ppm"] == 1_000_000:
+            assert r["n_sampled"] == r["n_docs"] and r["sampled_tok"] == r["avail_tok"]
+
+
+def test_pack_bin_fill_is_near_budget(spark):
+    """All but the last bin of each shard must have reached the cut point:
+    tok_sum of bin b plus the straddling doc's carry ≥ SEQ_LEN_TOK.  Weaker
+    but order-free form: per shard, (#bins - 1) * SEQ_LEN ≤ total tokens."""
+    bins = pack_sequences_query(spark, SF).collect()
+    by_shard: dict[int, list] = {}
+    for r in bins:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        shard_tok = sum(r["tok_sum"] for r in rows)
+        max_bin = max(r["bin_id"] for r in rows)
+        assert max_bin * SEQ_LEN_TOK <= shard_tok
