@@ -49,6 +49,9 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_pii_stats",
     "media_frame_stats",
+    "doc_chunk_stats",
+    "doc_pack_sequences",
+    "doc_mixture_plan",
     "nft_uint256_clamp_policy",
     "nft_token_state_from_lineitem",
     "nft_owners_from_lineitem",
