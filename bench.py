@@ -52,6 +52,7 @@ HEADLINE = [
     "doc_chunk_stats",
     "doc_pack_sequences",
     "doc_mixture_plan",
+    "doc_curation_pipeline",
     "nft_uint256_clamp_policy",
     "nft_token_state_from_lineitem",
     "nft_owners_from_lineitem",

@@ -11,13 +11,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, text_ops, tpch, tx_ops
+from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, text_ops, tpch, tx_ops
 
 # Ordering matters to external samplers that take a prefix of the merged
 # dict (Python dicts preserve insertion order): the text/media/embed families
 # are fronted so prefix samples certify the beyond-parity LLM-pipeline surface
 # alongside the long-green nft/tx/events/tpch families.
-_MODULES = (text_ops, pack_ops, media_ops, embed_ops, nft_ops, tx_ops, events_ops, tpch)
+_MODULES = (text_ops, pack_ops, pipeline, media_ops, embed_ops, nft_ops, tx_ops, events_ops, tpch)
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
