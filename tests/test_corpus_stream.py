@@ -1,0 +1,65 @@
+"""Streaming corpus ingestion with cross-batch dedup (streaming/corpus).
+
+Proves the three contracts: (1) a fingerprint admitted in an earlier
+micro-batch blocks later re-admission, (2) within-batch duplicates keep the
+lowest doc_id, (3) replay of a committed batch id is a no-op, so the corpus
+is exactly-once across restarts.
+"""
+
+from __future__ import annotations
+
+from block_crawler_spark.streaming.corpus import DOC_SCHEMA, CorpusIngestStore
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "srcX", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+def _corpus_ids(store):
+    return sorted(r["doc_id"] for r in store.corpus().collect())
+
+
+def test_stream_ingest_dedups_across_batches_and_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+
+    # batch 1: doc 2 duplicates doc 1's text (case/whitespace variant)
+    _docs(spark, [(1, "spark shuffles data"), (2, "  Spark   SHUFFLES data "), (3, "unique text one")]).write.mode(
+        "append"
+    ).parquet(src)
+    store.start_stream(src, ck).awaitTermination(120)
+    assert _corpus_ids(store) == [1, 3]
+
+    # batch 2: doc 4 duplicates batch-1's doc 1 → blocked; doc 5 is new
+    _docs(spark, [(4, "spark shuffles data"), (5, "unique text two")]).write.mode("append").parquet(src)
+    store.start_stream(src, ck).awaitTermination(120)
+    assert _corpus_ids(store) == [1, 3, 5]
+
+    # restart with the same checkpoint: nothing new → corpus unchanged
+    store.start_stream(src, ck).awaitTermination(120)
+    assert _corpus_ids(store) == [1, 3, 5]
+
+    # batch 3 after "restart": dup of doc 5 + one new doc
+    _docs(spark, [(6, "unique  TEXT two"), (7, "unique text three")]).write.mode("append").parquet(src)
+    store.start_stream(src, ck).awaitTermination(120)
+    assert _corpus_ids(store) == [1, 3, 5, 7]
+
+    # every admitted fingerprint is distinct
+    fps = [r["fp"] for r in store.seen_fingerprints().collect()]
+    assert len(fps) == len(set(fps)) == 4
+
+
+def test_ingest_batch_replay_is_noop(spark, tmp_path):
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    b = _docs(spark, [(10, "alpha beta"), (11, "gamma delta")])
+    store.ingest_batch(b, 0)
+    assert _corpus_ids(store) == [10, 11]
+    # replay the SAME batch id with different content — committed dir wins
+    store.ingest_batch(_docs(spark, [(12, "would duplicate")]), 0)
+    assert _corpus_ids(store) == [10, 11]
+    # a new batch id with an already-seen fingerprint admits nothing
+    store.ingest_batch(_docs(spark, [(13, "ALPHA   beta")]), 1)
+    assert _corpus_ids(store) == [10, 11]
