@@ -9,6 +9,8 @@
     python -m block_crawler_spark verify --logs DIR --silver DIR
     python -m block_crawler_spark rewind --silver DIR --blockchain X --to-block N
     python -m block_crawler_spark query  'SELECT ...' [--silver DIR] [--logs DIR] [--blocks DIR]
+    python -m block_crawler_spark curate --documents DIR --out DIR [--quality-min PPM]
+                                         [--shards N] [--seq-len N]
     python -m block_crawler_spark seed   --silver DIR --last-block N
     python -m block_crawler_spark reset  --silver DIR
     python -m block_crawler_spark function-digest 'transfer(address,uint256)' [--topic]
@@ -354,6 +356,49 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the full training-data curation pipeline (quality → exact dedup →
+    MinHash near-dup → decontaminate → mixture sample → sequence packing)
+    over a documents table and write the model-ready output:
+
+        OUT/docs/      curated documents + (n_tok, bin_id, cum) partitioned
+                       by pack shard — the training-shard layout
+        OUT/manifest/  one row per (shard, bin): counts, token sums and the
+                       order-sensitive md5 digest of the bin's doc sequence
+
+    Everything stays distributed (two parquet writes, no driver collect);
+    the printed JSON line carries only count aggregates."""
+    from pyspark.sql import functions as F
+
+    from .plans.pipeline import manifest_from_packed, packed_docs
+
+    spark = _spark("curate")
+    per = packed_docs(
+        spark, args.documents, quality_min=args.quality_min, shards=args.shards, seq_len=args.seq_len
+    )
+    docs_out = f"{args.out}/docs"
+    per.write.mode("overwrite").partitionBy("shard").parquet(docs_out)
+    written = spark.read.parquet(docs_out)
+    manifest_from_packed(written).write.mode("overwrite").parquet(f"{args.out}/manifest")
+    manifest = spark.read.parquet(f"{args.out}/manifest")
+    n_in = spark.read.parquet(f"{args.documents}/documents.parquet").count()
+    kept, bins, tok = (
+        manifest.agg(F.sum("n_docs"), F.count("*"), F.sum("tok_sum")).first()
+    )
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": int(kept or 0),
+                "bins": int(bins),
+                "tokens_packed": int(tok or 0),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_function_digest(args) -> int:
     from .functions.keccak import event_topic, function_selector
 
@@ -427,6 +472,15 @@ def main(argv=None) -> int:
     sp.add_argument("--limit", type=int, default=1000, help="max rows printed (JSON lines); use --save for full results")
     sp.add_argument("--save", help="write full result as parquet to DIR instead of printing")
     sp.set_defaults(fn=cmd_query)
+    sp = sub.add_parser("curate")
+    sp.add_argument("--documents", required=True,
+                    help="directory containing documents.parquet (sf-dir layout)")
+    sp.add_argument("--out", required=True, help="output root: writes docs/ (shard-partitioned) and manifest/")
+    sp.add_argument("--quality-min", type=int, default=320_000, help="minimum quality_ppm to keep a document")
+    sp.add_argument("--shards", type=int, default=8,
+                    help="pack shard count — size so one shard's tokens fit an executor at your scale")
+    sp.add_argument("--seq-len", type=int, default=512, help="tokens per packed training sequence")
+    sp.set_defaults(fn=cmd_curate)
     sp = sub.add_parser("function-digest")
     sp.add_argument("signature")
     sp.add_argument("--topic", action="store_true", help="emit the 32-byte event topic instead of the 4-byte selector")

@@ -52,12 +52,12 @@ from .text_ops import (
 QUALITY_MIN_PPM = 320_000  # keeps ~90% of the synthetic corpus
 
 
-def curated_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curated_doc_ids(spark: SparkSession, sf_dir: str, quality_min: int = QUALITY_MIN_PPM) -> DataFrame:
     """Survivor set (doc_id) after quality → exact dedup → near-dup →
     decontamination → mixture sampling.  Exposed separately so callers can
     hang any downstream stage (packing, shard writing, chunking) off it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    good = quality_ppm(spark, sf_dir).filter(F.col("quality_ppm") >= QUALITY_MIN_PPM).select("doc_id")
+    good = quality_ppm(spark, sf_dir).filter(F.col("quality_ppm") >= quality_min).select("doc_id")
     exact_keep = (
         exact_dedup(load_table(spark, sf_dir, "documents"))
         .select(F.col("keep_id").alias("doc_id"))
@@ -74,29 +74,38 @@ def curated_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack the curated survivors into training sequences and emit the
-    manifest: (shard, bin_id, n_docs, tok_sum, first_doc, last_doc,
-    doc_digest) where doc_digest is md5 over the bin's ascending doc_id
-    list — an order-sensitive fingerprint of the entire pipeline."""
+def packed_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: int = QUALITY_MIN_PPM,
+    shards: int = PACK_SHARDS,
+    seq_len: int = SEQ_LEN_TOK,
+) -> DataFrame:
+    """Curated survivors with their pack assignment: full document rows plus
+    (n_tok, shard, bin_id).  This is the frame the ``curate`` CLI writes
+    shard-partitioned — the 'training shards on disk' deliverable."""
     docs = load_table(spark, sf_dir, "documents")
-    surv = docs.join(curated_doc_ids(spark, sf_dir), "doc_id", "semi")
-    per = surv.select(
-        "doc_id",
-        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tok"),
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % PACK_SHARDS
-        ).alias("shard"),
+    surv = docs.join(curated_doc_ids(spark, sf_dir, quality_min), "doc_id", "semi")
+    per = surv.withColumn(
+        "n_tok", F.expr("size(split(trim(text), '\\\\s+'))").cast("long")
+    ).withColumn(
+        "shard",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % shards,
     )
-    binned = per.withColumn(
+    return per.withColumn(
         "cum",
         F.expr("sum(n_tok) over (partition by shard order by doc_id rows unbounded preceding)"),
-    ).withColumn("bin_id", F.expr(f"(cum - n_tok) div {SEQ_LEN_TOK}"))
+    ).withColumn("bin_id", F.expr(f"(cum - n_tok) div {seq_len}"))
+
+
+def manifest_from_packed(binned: DataFrame) -> DataFrame:
+    """(shard, bin) roll-up of a ``packed_docs`` frame, with the
+    order-sensitive md5 digest of each bin's ascending doc_id list."""
     return binned.groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("tok_sum"),
@@ -106,6 +115,14 @@ def curation_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md5(array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ','))"
         ).alias("doc_digest"),
     )
+
+
+def curation_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the curated survivors into training sequences and emit the
+    manifest: (shard, bin_id, n_docs, tok_sum, first_doc, last_doc,
+    doc_digest) where doc_digest is md5 over the bin's ascending doc_id
+    list — an order-sensitive fingerprint of the entire pipeline."""
+    return manifest_from_packed(packed_docs(spark, sf_dir))
 
 
 def _curation_sql() -> str:
