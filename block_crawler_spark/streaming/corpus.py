@@ -24,16 +24,24 @@ Scale shape at 100 TB: the per-batch work is (tiny batch) × (huge seen set)
 — a left-anti equi-join on ``fp``, which Spark executes as a shuffle join
 keyed by the fingerprint; the corpus side prunes to the single ``fp``
 column at scan time (column pruning — no text bytes move).  Two levers keep
-it bounded as the corpus grows: compact ``docs/batch-*`` into larger files
-periodically (any parquet compactor works — directories are immutable after
-commit), and persist the fp projection bucketed by ``fp`` so the anti-join
-co-locates without a shuffle of the corpus side.  Both are out-of-band
-maintenance; the ingest path never rewrites committed data.
+it bounded as the corpus grows: :meth:`CorpusIngestStore.compact` folds the
+accumulated batch directories into one large snapshot (out-of-band, never on
+the ingest path), and the fp projection can be persisted bucketed by ``fp``
+so the anti-join co-locates without a shuffle of the corpus side.
+
+Read set vs replay set are tracked separately: ``docs/_LIVE`` (atomic
+pointer file, same idiom as the silver store's ``_CURRENT``) lists the
+directories a corpus read includes, while each ``batch-<id>/_SUCCESS``
+marker — which survives compaction as a tombstone — keeps a replayed batch
+id a no-op forever.  Compaction is crash-safe: the snapshot directory is
+fully written before the pointer flips, and data files are pruned only
+after the flip, so every moment in time reads a consistent corpus.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,11 +71,86 @@ class CorpusIngestStore:
         except OSError:
             return []
 
+    def _live_path(self) -> str:
+        return os.path.join(self._docs_root(), "_LIVE")
+
+    def _live_dirs(self) -> list[str]:
+        """Directories a corpus read includes: compaction snapshots named in
+        ``_LIVE`` plus every committed batch the pointer does not exclude.
+        The pointer's ``exclude:`` lines — not the (later, best-effort) data
+        pruning — are what removes folded batches from reads, so a crash at
+        any point between snapshot write, pointer flip, and pruning still
+        reads each document exactly once.  Ingest never touches the pointer:
+        batches committed after a compaction are picked up automatically."""
+        committed = self._committed_batches()
+        include: list[str] = []
+        exclude: set[str] = set()
+        try:
+            with open(self._live_path()) as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("include:"):
+                        include.append(line.split(":", 1)[1])
+                    elif line.startswith("exclude:"):
+                        exclude.add(line.split(":", 1)[1])
+        except OSError:
+            return committed
+        return include + [b for b in committed if b not in exclude]
+
+    def compact(self) -> int:
+        """Fold every currently-live directory into one snapshot.  Returns
+        the number of directories folded (0 = nothing to do).  Out-of-band
+        maintenance: safe to run between (not during) ingest batches.
+        Replay markers are preserved — a folded ``batch-<id>`` keeps its
+        ``_SUCCESS`` tombstone so re-delivery of that id stays a no-op."""
+        live = self._live_dirs()
+        if len(live) < 2:
+            return 0
+        base = self._docs_root()
+        n = 0
+        try:
+            n = max(
+                (int(d.rsplit("-", 1)[1]) for d in os.listdir(base) if d.startswith("compact-")),
+                default=0,
+            )
+        except OSError:
+            pass
+        snap = f"compact-{n + 1}"
+        self.corpus().write.mode("overwrite").parquet(os.path.join(base, snap))
+        folded = list(live)
+        # exclusions accumulate across compactions: every batch dir ever
+        # folded stays excluded (its tombstone never re-enters reads)
+        prior_excluded: set[str] = set()
+        try:
+            with open(self._live_path()) as f:
+                prior_excluded = {
+                    line.strip().split(":", 1)[1] for line in f if line.strip().startswith("exclude:")
+                }
+        except OSError:
+            pass
+        excluded = sorted(prior_excluded | {d for d in folded if d.startswith("batch-")})
+        tmp = self._live_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"include:{snap}\n")
+            for d in excluded:
+                f.write(f"exclude:{d}\n")
+        os.replace(tmp, self._live_path())  # atomic commit point
+        # space reclamation only — correctness rests on the pointer above
+        for d in folded:
+            p = os.path.join(base, d)
+            if d.startswith("batch-"):
+                for name in os.listdir(p):
+                    if name != "_SUCCESS":
+                        os.remove(os.path.join(p, name))
+            else:  # superseded compaction snapshot
+                shutil.rmtree(p, ignore_errors=True)
+        return len(folded)
+
     def corpus(self) -> DataFrame:
-        batches = self._committed_batches()
-        if not batches:
+        dirs = self._live_dirs()
+        if not dirs:
             return self.spark.createDataFrame([], DOC_SCHEMA + ", fp string")
-        return self.spark.read.parquet(*[os.path.join(self._docs_root(), b) for b in batches])
+        return self.spark.read.parquet(*[os.path.join(self._docs_root(), d) for d in dirs])
 
     def seen_fingerprints(self) -> DataFrame:
         """The dedup state: every fingerprint ever admitted.  A column-pruned

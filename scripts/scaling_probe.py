@@ -37,6 +37,8 @@ PROBES = [
     "evt_value_percentiles",  # bucketed multi-rank selection (round 5)
     "dedup_simhash_pairs",  # banded signature equi-join + Hamming verify (round 5)
     "doc_decontaminate",  # benchmark shingle equi-join (round 5)
+    "doc_pack_sequences",  # shard-parallel window cumsum (round 5)
+    "doc_curation_pipeline",  # six-stage composed DAG (round 5)
 ]
 
 

@@ -52,6 +52,29 @@ def test_stream_ingest_dedups_across_batches_and_restarts(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 4
 
 
+def test_compaction_preserves_corpus_and_replay_markers(spark, tmp_path):
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "one two"), (2, "three four")]), 0)
+    store.ingest_batch(_docs(spark, [(3, "five six")]), 1)
+    before = _corpus_ids(store)
+
+    assert store.compact() == 2
+    assert _corpus_ids(store) == before == [1, 2, 3]
+
+    # replay of a folded batch id stays a no-op (tombstoned _SUCCESS)
+    store.ingest_batch(_docs(spark, [(9, "would resurrect")]), 0)
+    assert _corpus_ids(store) == [1, 2, 3]
+
+    # dedup still sees compacted fingerprints; new batches land beside the snapshot
+    store.ingest_batch(_docs(spark, [(4, "ONE  two"), (5, "seven eight")]), 2)
+    assert _corpus_ids(store) == [1, 2, 3, 5]
+
+    # second compaction folds the snapshot + the new batch into one
+    assert store.compact() == 2
+    assert _corpus_ids(store) == [1, 2, 3, 5]
+    assert store.compact() == 0  # single live dir: nothing to do
+
+
 def test_ingest_batch_replay_is_noop(spark, tmp_path):
     store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
     b = _docs(spark, [(10, "alpha beta"), (11, "gamma delta")])
