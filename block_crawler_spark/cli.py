@@ -370,11 +370,16 @@ def cmd_curate(args) -> int:
     the printed JSON line carries only count aggregates."""
     from pyspark.sql import functions as F
 
-    from .plans.pipeline import manifest_from_packed, packed_docs
+    from .plans.pack_ops import PACK_SHARDS, SEQ_LEN_TOK
+    from .plans.pipeline import QUALITY_MIN_PPM, manifest_from_packed, packed_docs
 
     spark = _spark("curate")
     per = packed_docs(
-        spark, args.documents, quality_min=args.quality_min, shards=args.shards, seq_len=args.seq_len
+        spark,
+        args.documents,
+        quality_min=args.quality_min if args.quality_min is not None else QUALITY_MIN_PPM,
+        shards=args.shards if args.shards is not None else PACK_SHARDS,
+        seq_len=args.seq_len if args.seq_len is not None else SEQ_LEN_TOK,
     )
     docs_out = f"{args.out}/docs"
     per.write.mode("overwrite").partitionBy("shard").parquet(docs_out)
@@ -476,10 +481,16 @@ def main(argv=None) -> int:
     sp.add_argument("--documents", required=True,
                     help="directory containing documents.parquet (sf-dir layout)")
     sp.add_argument("--out", required=True, help="output root: writes docs/ (shard-partitioned) and manifest/")
-    sp.add_argument("--quality-min", type=int, default=320_000, help="minimum quality_ppm to keep a document")
-    sp.add_argument("--shards", type=int, default=8,
-                    help="pack shard count — size so one shard's tokens fit an executor at your scale")
-    sp.add_argument("--seq-len", type=int, default=512, help="tokens per packed training sequence")
+    # defaults None → resolved to the pack_ops/pipeline constants inside
+    # cmd_curate, so the CLI tracks the registry queries' parameters without
+    # importing pyspark at argparse time
+    sp.add_argument("--quality-min", type=int, default=None,
+                    help="minimum quality_ppm to keep a document (default: pipeline.QUALITY_MIN_PPM)")
+    sp.add_argument("--shards", type=int, default=None,
+                    help="pack shard count — size so one shard's tokens fit an executor at your scale "
+                         "(default: pack_ops.PACK_SHARDS)")
+    sp.add_argument("--seq-len", type=int, default=None,
+                    help="tokens per packed training sequence (default: pack_ops.SEQ_LEN_TOK)")
     sp.set_defaults(fn=cmd_curate)
     sp = sub.add_parser("function-digest")
     sp.add_argument("signature")

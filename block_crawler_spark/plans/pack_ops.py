@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import n_tokens
 from ..sources.tables import load_table
 
 CHUNK_CHARS = 400
@@ -52,6 +53,21 @@ def _u_ppm(prefix: str) -> F.Column:
     """Deterministic uniform hash of doc_id into [0, 1e6) — md5-prefix rule."""
     h = F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1_000_000
+
+
+def pack_shard(shards: int = PACK_SHARDS) -> F.Column:
+    """Deterministic pack-shard assignment of doc_id (md5-hex-prefix rule).
+    The SINGLE definition shared by ``pack_sequences_query`` and the
+    composed pipeline (``plans.pipeline.packed_docs``) — the CLI manifest is
+    only equal to the registry output while these stay identical."""
+    h = F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % shards
+
+
+def n_tok_col() -> F.Column:
+    """Whitespace token count as BIGINT — shared by packing, mixture and the
+    composed pipeline (and identical to ``doc_token_stats``'s ``n_tok``)."""
+    return n_tokens(F.col("text")).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -105,19 +121,7 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the same partitioning.  Shard count is the scale dial — see the
     module docstring for the 100 TB sizing rule."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % PACK_SHARDS
-    )
-    per = docs.select(
-        "doc_id",
-        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tok"),
-        shard.alias("shard"),
-    )
+    per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     binned = per.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
         "bin_id", F.expr(f"(cum - n_tok) div {SEQ_LEN_TOK}")
@@ -168,11 +172,7 @@ def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~9e12 tokens per source before BIGINT overflow — beyond that, switch the
     ppm math to DOUBLE or pre-divide the budget."""
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "source",
-        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tok"),
-        _u_ppm("mix|").alias("u"),
-    )
+    per_doc = docs.select("source", n_tok_col().alias("n_tok"), _u_ppm("mix|").alias("u"))
     src = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("avail_tok")
     )

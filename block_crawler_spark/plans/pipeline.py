@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup
 from ..sources.tables import load_table
-from .pack_ops import PACK_SHARDS, SEQ_LEN_TOK
+from .pack_ops import PACK_SHARDS, SEQ_LEN_TOK, n_tok_col, pack_shard
 from .text_ops import (
     EXACT_DEDUP_SQL,
     QUALITY_SQL,
@@ -86,17 +86,7 @@ def packed_docs(
     shard-partitioned — the 'training shards on disk' deliverable."""
     docs = load_table(spark, sf_dir, "documents")
     surv = docs.join(curated_doc_ids(spark, sf_dir, quality_min), "doc_id", "semi")
-    per = surv.withColumn(
-        "n_tok", F.expr("size(split(trim(text), '\\\\s+'))").cast("long")
-    ).withColumn(
-        "shard",
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % shards,
-    )
+    per = surv.withColumn("n_tok", n_tok_col()).withColumn("shard", pack_shard(shards))
     return per.withColumn(
         "cum",
         F.expr("sum(n_tok) over (partition by shard order by doc_id rows unbounded preceding)"),

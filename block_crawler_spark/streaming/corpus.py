@@ -93,7 +93,11 @@ class CorpusIngestStore:
                         include.append(line.split(":", 1)[1])
                     elif line.startswith("exclude:"):
                         exclude.add(line.split(":", 1)[1])
-        except OSError:
+        except FileNotFoundError:
+            # no compaction has ever run — every committed batch is live.
+            # Any OTHER error (EACCES, EIO, fd exhaustion) must propagate:
+            # falling back here would read tombstoned batches as if the
+            # compacted data didn't exist and let duplicates back in.
             return committed
         return include + [b for b in committed if b not in exclude]
 
@@ -116,7 +120,12 @@ class CorpusIngestStore:
         except OSError:
             pass
         snap = f"compact-{n + 1}"
-        self.corpus().write.mode("overwrite").parquet(os.path.join(base, snap))
+        # snapshot EXACTLY the captured live list — a batch committed between
+        # the listing above and this write must not be folded without also
+        # being excluded, or it would be read twice forever
+        self.spark.read.parquet(*[os.path.join(base, d) for d in live]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, snap))
         folded = list(live)
         # exclusions accumulate across compactions: every batch dir ever
         # folded stays excluded (its tombstone never re-enters reads)
@@ -135,15 +144,20 @@ class CorpusIngestStore:
             for d in excluded:
                 f.write(f"exclude:{d}\n")
         os.replace(tmp, self._live_path())  # atomic commit point
-        # space reclamation only — correctness rests on the pointer above
+        # space reclamation only — correctness rests on the pointer above.
+        # Folded batches tombstone to bare _SUCCESS (replay markers); every
+        # compact-* dir other than the new snapshot is either the superseded
+        # live snapshot (now pointer-excluded) or an orphan from a crash
+        # between a snapshot write and its pointer flip — both unreferenced.
         for d in folded:
             p = os.path.join(base, d)
             if d.startswith("batch-"):
                 for name in os.listdir(p):
                     if name != "_SUCCESS":
                         os.remove(os.path.join(p, name))
-            else:  # superseded compaction snapshot
-                shutil.rmtree(p, ignore_errors=True)
+        for d in os.listdir(base):
+            if d.startswith("compact-") and d != snap:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return len(folded)
 
     def corpus(self) -> DataFrame:

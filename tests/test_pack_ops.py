@@ -38,7 +38,10 @@ def test_chunk_coverage_and_content(spark):
         rows.sort(key=lambda r: r["chunk_idx"])
         # contiguous indexes, exactly while i*STRIDE < len(text)
         assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
-        assert (len(rows) - 1) * STRIDE_CHARS < len(text) <= len(rows) * STRIDE_CHARS + (CHUNK_CHARS - STRIDE_CHARS) or len(rows) * STRIDE_CHARS >= len(text)
+        # exactly the starts with i*STRIDE < len(text): one too many or too
+        # few chunk rows fails one of these two bounds
+        assert (len(rows) - 1) * STRIDE_CHARS < len(text)
+        assert len(rows) * STRIDE_CHARS >= len(text)
         for r in rows:
             expect = text[r["chunk_idx"] * STRIDE_CHARS : r["chunk_idx"] * STRIDE_CHARS + CHUNK_CHARS]
             assert r["chunk_len"] == len(expect)
