@@ -11,6 +11,7 @@
     python -m block_crawler_spark query  'SELECT ...' [--silver DIR] [--logs DIR] [--blocks DIR]
     python -m block_crawler_spark curate --documents DIR --out DIR [--quality-min PPM]
                                          [--shards N] [--seq-len N]
+    python -m block_crawler_spark ingest --source DIR --corpus DIR [--near-dup] [--compact]
     python -m block_crawler_spark seed   --silver DIR --last-block N
     python -m block_crawler_spark reset  --silver DIR
     python -m block_crawler_spark function-digest 'transfer(address,uint256)' [--topic]
@@ -404,6 +405,33 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Drain a document drop-directory into the deduplicated streaming
+    corpus (one availableNow pass): exact-fingerprint blocking always,
+    MinHash near-dup blocking with --near-dup.  Checkpointed — re-runs pick
+    up only new files, and a replayed micro-batch is a no-op."""
+    from .streaming.corpus import CorpusIngestStore
+
+    spark = _spark("ingest")
+    store = CorpusIngestStore(
+        spark, args.corpus, near_dup=args.near_dup, jaccard_threshold=args.jaccard_threshold
+    )
+    ck = args.checkpoint or f"{args.corpus}/_checkpoint"
+    store.start_stream(args.source, ck).awaitTermination(args.timeout)
+    folded = store.compact() if args.compact else 0
+    print(
+        json.dumps(
+            {
+                "corpus": args.corpus,
+                "docs_admitted": store.corpus().count(),
+                "near_dup": args.near_dup,
+                "compacted_dirs": folded,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_function_digest(args) -> int:
     from .functions.keccak import event_topic, function_selector
 
@@ -492,6 +520,16 @@ def main(argv=None) -> int:
     sp.add_argument("--seq-len", type=int, default=None,
                     help="tokens per packed training sequence (default: pack_ops.SEQ_LEN_TOK)")
     sp.set_defaults(fn=cmd_curate)
+    sp = sub.add_parser("ingest")
+    sp.add_argument("--source", required=True, help="drop directory of documents parquet files (streamed)")
+    sp.add_argument("--corpus", required=True, help="corpus store root")
+    sp.add_argument("--near-dup", action="store_true",
+                    help="also block MinHash near-duplicates of admitted docs (exact-Jaccard verified)")
+    sp.add_argument("--jaccard-threshold", type=float, default=0.5)
+    sp.add_argument("--compact", action="store_true", help="fold batch dirs into one snapshot after the drain")
+    sp.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: CORPUS/_checkpoint)")
+    sp.add_argument("--timeout", type=int, default=600, help="max seconds to wait for the drain")
+    sp.set_defaults(fn=cmd_ingest)
     sp = sub.add_parser("function-digest")
     sp.add_argument("signature")
     sp.add_argument("--topic", action="store_true", help="emit the 32-byte event topic instead of the 4-byte selector")

@@ -83,18 +83,16 @@ def minhash_signatures(
     return staged.select(F.col(id_col), F.col(text_col), F.col("shingles"), sig.alias("sig"))
 
 
-def minhash_lsh_candidates(
+def band_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """LSH banding: documents sharing any band bucket become candidate pairs.
-
-    Bands are concatenations of ``band_size`` adjacent minhashes; candidates
-    come from a self-equi-join on (band_index, band_value) — a shuffle join
-    on the band key, with ``a.id < b.id`` to de-mirror pairs.
-    """
+    """LSH bucket keys per document: (id, band_index, band_value) rows, where
+    a band is the concatenation of ``band_size`` adjacent minhashes.  Shared
+    by the batch self-join (:func:`minhash_lsh_candidates`) and the streaming
+    corpus store's new-vs-admitted cross join (``streaming.corpus``)."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -105,9 +103,23 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, F.col("band.band_index").alias("band_index"), F.col("band.band_value").alias("band_value")
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: documents sharing any band bucket become candidate pairs.
+
+    Candidates come from a self-equi-join on (band_index, band_value) — a
+    shuffle join on the band key, with ``a.id < b.id`` to de-mirror pairs.
+    """
+    exploded = band_buckets(signatures, id_col, num_hashes, band_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

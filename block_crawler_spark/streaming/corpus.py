@@ -48,15 +48,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.text import fingerprint
+from ..functions.text import fingerprint, shingles
+from ..operators.dedup import (
+    band_buckets,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
 @dataclass
 class CorpusIngestStore:
+    """``near_dup=True`` additionally blocks MinHash near-duplicates of
+    every admitted document (exact-Jaccard-verified, threshold
+    ``jaccard_threshold``), storing each admitted doc's minhash signature so
+    the admitted side of the LSH band join never re-shingles — the corpus
+    scan feeding it reads only (doc_id, sig).  A store's mode is fixed at
+    creation (the parquet schema differs); don't flip it mid-corpus."""
+
     spark: SparkSession
     root: str
+    near_dup: bool = False
+    jaccard_threshold: float = 0.5
 
     def _docs_root(self) -> str:
         return os.path.join(self.root, "docs")
@@ -160,10 +175,13 @@ class CorpusIngestStore:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return len(folded)
 
+    def _stored_schema(self) -> str:
+        return DOC_SCHEMA + ", fp string" + (", sig array<string>" if self.near_dup else "")
+
     def corpus(self) -> DataFrame:
         dirs = self._live_dirs()
         if not dirs:
-            return self.spark.createDataFrame([], DOC_SCHEMA + ", fp string")
+            return self.spark.createDataFrame([], self._stored_schema())
         return self.spark.read.parquet(*[os.path.join(self._docs_root(), d) for d in dirs])
 
     def seen_fingerprints(self) -> DataFrame:
@@ -183,9 +201,48 @@ class CorpusIngestStore:
         firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = fresh.join(firsts, ["fp", "doc_id"], "semi")
         fresh = fresh.join(self.seen_fingerprints(), "fp", "anti")
-        fresh.select(*[f.split()[0] for f in DOC_SCHEMA.split(",")], "fp").write.mode(
-            "overwrite"
-        ).parquet(out)
+        cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
+        if self.near_dup:
+            fresh = self._near_dup_filter(fresh)
+            cols.append("sig")
+        fresh.select(*cols).write.mode("overwrite").parquet(out)
+
+    def _near_dup_filter(self, fresh: DataFrame) -> DataFrame:
+        """Drop near-duplicates, first within the batch (keep-lowest-id),
+        then against every admitted document.  Candidates come from LSH band
+        equi-joins (the admitted side banded straight from its STORED
+        signatures — no re-shingling); every candidate is verified on true
+        shingle sets before it blocks anything.  Survivors return with
+        their ``sig`` column for storage."""
+        sigs = minhash_signatures(fresh.select("doc_id", "text"))
+        in_pairs = jaccard_pairs(
+            sigs, minhash_lsh_candidates(sigs), threshold=self.jaccard_threshold
+        )
+        drop_in = in_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        sigs = sigs.join(drop_in, "doc_id", "anti")
+
+        admitted = self.corpus()
+        old_bands = band_buckets(admitted.select("doc_id", "sig"))
+        new_bands = band_buckets(sigs.select("doc_id", "sig"))
+        cross = (
+            old_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band_index") == F.col("b.band_index"))
+                & (F.col("a.band_value") == F.col("b.band_value")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        old_sh = (
+            admitted.join(cross.select(F.col("id_a").alias("doc_id")).distinct(), "doc_id", "semi")
+            .select("doc_id", shingles(F.col("text")).alias("shingles"))
+        )
+        sh_both = sigs.select("doc_id", "shingles").unionByName(old_sh)
+        verified = jaccard_pairs(sh_both, cross, threshold=self.jaccard_threshold)
+        drop_cross = verified.select(F.col("id_b").alias("doc_id")).distinct()
+        sigs = sigs.join(drop_cross, "doc_id", "anti")
+        return fresh.join(sigs.select("doc_id", "sig"), "doc_id")
 
     def start_stream(self, source_dir: str, checkpoint_dir: str, available_now: bool = True) -> StreamingQuery:
         """Tail a document drop-directory into the deduplicated corpus."""

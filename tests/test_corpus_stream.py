@@ -75,6 +75,36 @@ def test_compaction_preserves_corpus_and_replay_markers(spark, tmp_path):
     assert store.compact() == 0  # single live dir: nothing to do
 
 
+BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+
+
+def test_near_dup_mode_blocks_within_and_across_batches(spark, tmp_path):
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    near1 = BASE.replace("tango", "zulu")  # 3 of 18 shingles differ → J≈0.71
+    distinct = "one two three four five six seven eight nine ten eleven twelve"
+
+    # batch 0: base, a near-dup of base (higher id → dropped), a distinct doc
+    store.ingest_batch(_docs(spark, [(1, BASE), (2, near1), (3, distinct)]), 0)
+    assert _corpus_ids(store) == [1, 3]
+
+    # batch 1: another near-dup of base → blocked against the ADMITTED set;
+    # an exact dup of the distinct doc → blocked by the fingerprint set;
+    # a genuinely new doc → admitted
+    near2 = BASE.replace("alpha", "yankee")
+    new = "red orange yellow green blue indigo violet cyan magenta black white gray"
+    store.ingest_batch(_docs(spark, [(4, near2), (5, distinct.upper()), (6, new)]), 1)
+    assert _corpus_ids(store) == [1, 3, 6]
+
+    # admitted rows carry their signatures; compaction keeps the mode's schema
+    assert "sig" in store.corpus().columns
+    assert store.compact() == 2
+    assert _corpus_ids(store) == [1, 3, 6]
+
+    # near-dup blocking still works against the compacted snapshot
+    store.ingest_batch(_docs(spark, [(7, BASE.replace("echo", "x-ray"))]), 2)
+    assert _corpus_ids(store) == [1, 3, 6]
+
+
 def test_ingest_batch_replay_is_noop(spark, tmp_path):
     store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
     b = _docs(spark, [(10, "alpha beta"), (11, "gamma delta")])
