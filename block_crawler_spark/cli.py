@@ -381,6 +381,7 @@ def cmd_curate(args) -> int:
         quality_min=args.quality_min if args.quality_min is not None else QUALITY_MIN_PPM,
         shards=args.shards if args.shards is not None else PACK_SHARDS,
         seq_len=args.seq_len if args.seq_len is not None else SEQ_LEN_TOK,
+        sampling=args.sampling,
     )
     docs_out = f"{args.out}/docs"
     per.write.mode("overwrite").partitionBy("shard").parquet(docs_out)
@@ -519,6 +520,9 @@ def main(argv=None) -> int:
                          "(default: pack_ops.PACK_SHARDS)")
     sp.add_argument("--seq-len", type=int, default=None,
                     help="tokens per packed training sequence (default: pack_ops.SEQ_LEN_TOK)")
+    sp.add_argument("--sampling", choices=("stratified", "mixture"), default="stratified",
+                    help="'stratified' = fixed per-source rates; 'mixture' = rates derived from "
+                         "the token-budget mixture plan (doc_mixture_plan)")
     sp.set_defaults(fn=cmd_curate)
     sp = sub.add_parser("ingest")
     sp.add_argument("--source", required=True, help="drop directory of documents parquet files (streamed)")

@@ -52,10 +52,36 @@ from .text_ops import (
 QUALITY_MIN_PPM = 320_000  # keeps ~90% of the synthetic corpus
 
 
-def curated_doc_ids(spark: SparkSession, sf_dir: str, quality_min: int = QUALITY_MIN_PPM) -> DataFrame:
+def _mixture_sampled_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs kept by the token-budget mixture plan: per-source rate_ppm from
+    ``doc_mixture_plan`` broadcast back onto the corpus, doc kept iff its
+    'mix|' uniform hash falls under its source's rate — the same
+    deterministic-threshold rule as the stratified sampler, but with rates
+    DERIVED from target weights and a global token budget instead of given."""
+    from .pack_ops import _u_ppm, mixture_plan_query
+
+    rates = mixture_plan_query(spark, sf_dir).select("source", "rate_ppm")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", _u_ppm("mix|").alias("u"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.col("u") < F.col("rate_ppm"))
+        .select("doc_id")
+    )
+
+
+def curated_doc_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: int = QUALITY_MIN_PPM,
+    sampling: str = "stratified",
+) -> DataFrame:
     """Survivor set (doc_id) after quality → exact dedup → near-dup →
-    decontamination → mixture sampling.  Exposed separately so callers can
-    hang any downstream stage (packing, shard writing, chunking) off it."""
+    decontamination → sampling.  Exposed separately so callers can hang any
+    downstream stage (packing, shard writing, chunking) off it.
+
+    ``sampling``: ``"stratified"`` (fixed per-source rates — the
+    oracle-checked registry configuration) or ``"mixture"`` (rates derived
+    from the token-budget mixture plan, ``doc_mixture_plan``)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     good = quality_ppm(spark, sf_dir).filter(F.col("quality_ppm") >= quality_min).select("doc_id")
     exact_keep = (
@@ -64,7 +90,12 @@ def curated_doc_ids(spark: SparkSession, sf_dir: str, quality_min: int = QUALITY
     )
     near_drop = minhash_pairs_query(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
     clean = decontaminate_query(spark, sf_dir).filter(~F.col("contaminated")).select("doc_id")
-    sampled = stratified_sample_query(spark, sf_dir).select("doc_id")
+    if sampling == "stratified":
+        sampled = stratified_sample_query(spark, sf_dir).select("doc_id")
+    elif sampling == "mixture":
+        sampled = _mixture_sampled_ids(spark, sf_dir)
+    else:
+        raise ValueError(f"sampling must be 'stratified' or 'mixture', got {sampling!r}")
     return (
         docs.join(good, "doc_id", "semi")
         .join(exact_keep, "doc_id", "semi")
@@ -80,12 +111,13 @@ def packed_docs(
     quality_min: int = QUALITY_MIN_PPM,
     shards: int = PACK_SHARDS,
     seq_len: int = SEQ_LEN_TOK,
+    sampling: str = "stratified",
 ) -> DataFrame:
     """Curated survivors with their pack assignment: full document rows plus
     (n_tok, shard, bin_id).  This is the frame the ``curate`` CLI writes
     shard-partitioned — the 'training shards on disk' deliverable."""
     docs = load_table(spark, sf_dir, "documents")
-    surv = docs.join(curated_doc_ids(spark, sf_dir, quality_min), "doc_id", "semi")
+    surv = docs.join(curated_doc_ids(spark, sf_dir, quality_min, sampling), "doc_id", "semi")
     per = surv.withColumn("n_tok", n_tok_col()).withColumn("shard", pack_shard(shards))
     return per.withColumn(
         "cum",

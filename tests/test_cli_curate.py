@@ -37,3 +37,16 @@ def test_curate_writes_shards_and_consistent_manifest(spark, tmp_path, capsys):
     assert {r["shard"] for r in docs.select("shard").distinct().collect()} == {
         s for s, _b in expect
     }
+
+
+def test_curate_mixture_sampling_is_a_valid_alternative(spark, tmp_path, capsys):
+    from block_crawler_spark.plans.pipeline import curated_doc_ids
+
+    strat = {r["doc_id"] for r in curated_doc_ids(spark, SF).collect()}
+    mix = {r["doc_id"] for r in curated_doc_ids(spark, SF, sampling="mixture").collect()}
+    assert mix and mix != strat, "mixture rates produce a different (non-empty) sample"
+
+    out = str(tmp_path / "curated-mix")
+    assert main(["curate", "--documents", SF, "--out", out, "--sampling", "mixture"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_kept"] == len(mix)
