@@ -418,7 +418,16 @@ def cmd_ingest(args) -> int:
         spark, args.corpus, near_dup=args.near_dup, jaccard_threshold=args.jaccard_threshold
     )
     ck = args.checkpoint or f"{args.corpus}/_checkpoint"
-    store.start_stream(args.source, ck).awaitTermination(args.timeout)
+    query = store.start_stream(args.source, ck)
+    finished = query.awaitTermination(args.timeout)
+    if not finished:
+        # a still-running drain must NOT be compacted under (the store's
+        # compact-between-batches contract) or reported as complete
+        query.stop()
+        print(json.dumps({"error": "ingest drain exceeded --timeout; stopped mid-drain "
+                                   "(checkpointed — re-run to resume)", "corpus": args.corpus}),
+              file=sys.stderr)
+        return 1
     folded = store.compact() if args.compact else 0
     print(
         json.dumps(

@@ -80,7 +80,14 @@ def minhash_signatures(
         return F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(seed), s))))
 
     sig = F.array(*[seeded_min(f"{i}|") for i in range(num_hashes)])
-    return staged.select(F.col(id_col), F.col(text_col), F.col("shingles"), sig.alias("sig"))
+    out = staged.select(F.col(id_col), F.col(text_col), F.col("shingles"), sig.alias("sig"))
+    if stage_path is None:
+        # hand the persisted stage to the caller for lifecycle control: a
+        # long-running consumer (the streaming corpus ingest, one call per
+        # micro-batch) must unpersist it after its action or dead per-batch
+        # shingle tables accumulate in the block manager
+        out._minhash_staged = staged
+    return out
 
 
 def band_buckets(
@@ -108,6 +115,31 @@ def band_buckets(
     )
 
 
+def band_pairs(
+    bands_a: DataFrame,
+    bands_b: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from band buckets: equi-join on (band_index,
+    band_value) → distinct (id_a, id_b).  One frame ⇒ de-mirrored self-join
+    (``id_a < id_b``); two frames ⇒ cross-frame pairs (``id_a`` from
+    ``bands_a``, ``id_b`` from ``bands_b``) — the streaming corpus's
+    admitted-vs-incoming shape.  The ONE definition of the banding join, so
+    skew/null handling changes land in every call site at once."""
+    a = bands_a.alias("a")
+    b = (bands_a if bands_b is None else bands_b).alias("b")
+    cond = (F.col("a.band_index") == F.col("b.band_index")) & (
+        F.col("a.band_value") == F.col("b.band_value")
+    )
+    if bands_b is None:
+        cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -119,19 +151,7 @@ def minhash_lsh_candidates(
     Candidates come from a self-equi-join on (band_index, band_value) — a
     shuffle join on the band key, with ``a.id < b.id`` to de-mirror pairs.
     """
-    exploded = band_buckets(signatures, id_col, num_hashes, band_size)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band_index") == F.col(f"b.band_index"))
-            & (F.col(f"a.band_value") == F.col(f"b.band_value"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return band_pairs(band_buckets(signatures, id_col, num_hashes, band_size), id_col=id_col)
 
 
 def jaccard_pairs(

@@ -160,6 +160,26 @@ GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
 # mixture planning
 # ---------------------------------------------------------------------------
 
+def mixture_rates(per_doc: DataFrame) -> DataFrame:
+    """Per-source sampling plan from a (source, n_tok, ...) frame: the
+    source aggregate, target weights, the 1-row budget broadcast and the
+    rate computation — WITHOUT the realized-sample pass.  Callers that only
+    need ``rate_ppm`` (the pipeline's mixture sampling) use this directly
+    and skip the second corpus scan ``mixture_plan_query`` adds."""
+    src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("avail_tok")
+    )
+    weight = (F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") % MIX_WEIGHT_MOD + 1).cast("long")
+    src = src.withColumn("weight", weight)
+    totals = src.agg(F.sum("avail_tok").alias("tot_tok"), F.sum("weight").alias("w_sum"))
+    return (
+        src.crossJoin(F.broadcast(totals))
+        .withColumn("budget", F.expr(f"tot_tok div {MIX_BUDGET_DIV}"))
+        .withColumn("target_tok", F.expr("budget * weight div w_sum"))
+        .withColumn("rate_ppm", F.least(F.lit(1_000_000).cast("long"), F.expr("target_tok * 1000000 div avail_tok")))
+    )
+
+
 def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture: each source gets ``weight``/Σweights of a global
     budget (half the available tokens), capped at what the source actually
@@ -173,18 +193,7 @@ def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm math to DOUBLE or pre-divide the budget."""
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select("source", n_tok_col().alias("n_tok"), _u_ppm("mix|").alias("u"))
-    src = per_doc.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tok").alias("avail_tok")
-    )
-    weight = (F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") % MIX_WEIGHT_MOD + 1).cast("long")
-    src = src.withColumn("weight", weight)
-    totals = src.agg(F.sum("avail_tok").alias("tot_tok"), F.sum("weight").alias("w_sum"))
-    planned = (
-        src.crossJoin(F.broadcast(totals))
-        .withColumn("budget", F.expr(f"tot_tok div {MIX_BUDGET_DIV}"))
-        .withColumn("target_tok", F.expr("budget * weight div w_sum"))
-        .withColumn("rate_ppm", F.least(F.lit(1_000_000).cast("long"), F.expr("target_tok * 1000000 div avail_tok")))
-    )
+    planned = mixture_rates(per_doc)
     sampled = (
         per_doc.join(F.broadcast(planned.select("source", "rate_ppm")), "source")
         .filter(F.col("u") < F.col("rate_ppm"))

@@ -54,13 +54,17 @@ QUALITY_MIN_PPM = 320_000  # keeps ~90% of the synthetic corpus
 
 def _mixture_sampled_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs kept by the token-budget mixture plan: per-source rate_ppm from
-    ``doc_mixture_plan`` broadcast back onto the corpus, doc kept iff its
-    'mix|' uniform hash falls under its source's rate — the same
+    the mixture-rate computation broadcast back onto the corpus, doc kept
+    iff its 'mix|' uniform hash falls under its source's rate — the same
     deterministic-threshold rule as the stratified sampler, but with rates
-    DERIVED from target weights and a global token budget instead of given."""
-    from .pack_ops import _u_ppm, mixture_plan_query
+    DERIVED from target weights and a global token budget instead of given.
+    Uses :func:`pack_ops.mixture_rates` (rates only), not the full
+    ``doc_mixture_plan`` query, so no second corpus scan for the realized-
+    sample columns this caller discards."""
+    from .pack_ops import _u_ppm, mixture_rates
 
-    rates = mixture_plan_query(spark, sf_dir).select("source", "rate_ppm")
+    per_doc = load_table(spark, sf_dir, "documents").select("source", n_tok_col().alias("n_tok"))
+    rates = mixture_rates(per_doc).select("source", "rate_ppm")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", _u_ppm("mix|").alias("u"))
     return (
         docs.join(F.broadcast(rates), "source")

@@ -51,6 +51,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.text import fingerprint, shingles
 from ..operators.dedup import (
     band_buckets,
+    band_pairs,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -202,19 +203,33 @@ class CorpusIngestStore:
         fresh = fresh.join(firsts, ["fp", "doc_id"], "semi")
         fresh = fresh.join(self.seen_fingerprints(), "fp", "anti")
         cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
+        to_unpersist: list[DataFrame] = []
         if self.near_dup:
-            fresh = self._near_dup_filter(fresh)
+            # the exact-dedup lineage (scan → fp → firsts → anti-join vs the
+            # whole seen set) feeds both the signature stage and the final
+            # survivor join — cache it so it runs once per batch
+            fresh = fresh.cache()
+            to_unpersist.append(fresh)
+            fresh, staged = self._near_dup_filter(fresh)
+            if staged is not None:
+                to_unpersist.append(staged)
             cols.append("sig")
-        fresh.select(*cols).write.mode("overwrite").parquet(out)
+        try:
+            fresh.select(*cols).write.mode("overwrite").parquet(out)
+        finally:
+            for df in to_unpersist:
+                df.unpersist()
 
-    def _near_dup_filter(self, fresh: DataFrame) -> DataFrame:
+    def _near_dup_filter(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame | None]:
         """Drop near-duplicates, first within the batch (keep-lowest-id),
         then against every admitted document.  Candidates come from LSH band
         equi-joins (the admitted side banded straight from its STORED
         signatures — no re-shingling); every candidate is verified on true
-        shingle sets before it blocks anything.  Survivors return with
-        their ``sig`` column for storage."""
+        shingle sets before it blocks anything.  Returns (survivors with
+        their ``sig`` column, the signature stage's persisted frame for the
+        caller to unpersist after its write action)."""
         sigs = minhash_signatures(fresh.select("doc_id", "text"))
+        staged = getattr(sigs, "_minhash_staged", None)
         in_pairs = jaccard_pairs(
             sigs, minhash_lsh_candidates(sigs), threshold=self.jaccard_threshold
         )
@@ -222,17 +237,9 @@ class CorpusIngestStore:
         sigs = sigs.join(drop_in, "doc_id", "anti")
 
         admitted = self.corpus()
-        old_bands = band_buckets(admitted.select("doc_id", "sig"))
-        new_bands = band_buckets(sigs.select("doc_id", "sig"))
-        cross = (
-            old_bands.alias("a")
-            .join(
-                new_bands.alias("b"),
-                (F.col("a.band_index") == F.col("b.band_index"))
-                & (F.col("a.band_value") == F.col("b.band_value")),
-            )
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-            .distinct()
+        cross = band_pairs(
+            band_buckets(admitted.select("doc_id", "sig")),
+            band_buckets(sigs.select("doc_id", "sig")),
         )
         old_sh = (
             admitted.join(cross.select(F.col("id_a").alias("doc_id")).distinct(), "doc_id", "semi")
@@ -242,7 +249,7 @@ class CorpusIngestStore:
         verified = jaccard_pairs(sh_both, cross, threshold=self.jaccard_threshold)
         drop_cross = verified.select(F.col("id_b").alias("doc_id")).distinct()
         sigs = sigs.join(drop_cross, "doc_id", "anti")
-        return fresh.join(sigs.select("doc_id", "sig"), "doc_id")
+        return fresh.join(sigs.select("doc_id", "sig"), "doc_id"), staged
 
     def start_stream(self, source_dir: str, checkpoint_dir: str, available_now: bool = True) -> StreamingQuery:
         """Tail a document drop-directory into the deduplicated corpus."""
