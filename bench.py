@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_pii_stats",
     "media_frame_stats",
     "doc_chunk_stats",
+    "doc_chunk_dup_stats",
     "doc_pack_sequences",
     "doc_mixture_plan",
     "doc_curation_pipeline",

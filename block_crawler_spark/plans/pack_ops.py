@@ -109,6 +109,54 @@ FROM c
 """
 
 
+def chunk_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity duplication: how much of each document consists of
+    windows that appear elsewhere in the corpus — the chunk analog of C4's
+    line-level dedup, the standard boilerplate detector (headers, footers,
+    licence blocks repeat across documents; prose doesn't).  Shape: the
+    chunk generate (zero-shuffle) → one hash-agg on chunk_md5 → count join
+    back → per-doc roll-up.  At corpus scale the md5 aggregate is the same
+    single shuffle as exact dedup, on strictly smaller keys."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    with_idx = d.select(
+        "doc_id",
+        "text",
+        F.expr(f"explode(sequence(0, int((length(text) - 1) div {STRIDE_CHARS})))").alias("chunk_idx"),
+    )
+    chunk = F.expr(f"substring(text, chunk_idx * {STRIDE_CHARS} + 1, {CHUNK_CHARS})")
+    chunks = with_idx.select("doc_id", F.md5(chunk).alias("chunk_md5"))
+    occ = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n_occ"))
+    return (
+        chunks.join(occ, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn("dup_ppm", F.expr("CAST(n_dup_chunks * 1000000 DIV n_chunks AS BIGINT)"))
+    )
+
+
+CHUNK_DUP_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // {STRIDE_CHARS})) AS chunk_idx
+  FROM documents WHERE length(text) > 0
+), ch AS (
+  SELECT doc_id, md5(substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS chunk_md5
+  FROM c
+), occ AS (
+  SELECT chunk_md5, count(*) AS n_occ FROM ch GROUP BY chunk_md5
+)
+SELECT ch.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM ch JOIN occ USING (chunk_md5)
+GROUP BY ch.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # concat-and-split sequence packing
 # ---------------------------------------------------------------------------
@@ -244,6 +292,7 @@ FROM planned p LEFT JOIN sampled s ON p.source = s.source
 
 QUERIES = {
     "doc_chunk_stats": (chunk_stats_query, CHUNK_SQL),
+    "doc_chunk_dup_stats": (chunk_dup_stats_query, CHUNK_DUP_SQL),
     "doc_pack_sequences": (pack_sequences_query, PACK_SQL),
     "doc_mixture_plan": (mixture_plan_query, MIXTURE_SQL),
 }

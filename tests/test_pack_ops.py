@@ -72,6 +72,19 @@ def test_pack_conserves_tokens_and_orders_bins(spark):
             assert r["first_doc"] <= r["last_doc"]
 
 
+def test_chunk_dup_stats_flags_shared_windows(spark):
+    from block_crawler_spark.plans.pack_ops import chunk_dup_stats_query
+
+    rows = chunk_dup_stats_query(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert r["dup_ppm"] == r["n_dup_chunks"] * 1_000_000 // r["n_chunks"]
+    # the synthetic corpus has exact-duplicate documents (dedup_exact finds
+    # them), so SOME chunk somewhere must be shared
+    assert any(r["n_dup_chunks"] > 0 for r in rows)
+
+
 def test_mixture_rates_and_caps(spark):
     plan = mixture_plan_query(spark, SF).collect()
     assert plan, "at least one source"
