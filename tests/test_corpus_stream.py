@@ -105,6 +105,18 @@ def test_near_dup_mode_blocks_within_and_across_batches(spark, tmp_path):
     assert _corpus_ids(store) == [1, 3, 6]
 
 
+def test_near_dup_ingest_does_not_accumulate_cached_frames(spark, tmp_path):
+    """Regression for the per-batch cache leak: a long-running near-dup
+    stream must not pin one more shingle/lineage table per micro-batch."""
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for i in range(3):
+        store.ingest_batch(_docs(spark, [(10 * i + k, f"text number {10 * i + k} " + BASE) for k in range(3)]), i)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"cached RDDs grew {before} -> {after}"
+
+
 def test_ingest_batch_replay_is_noop(spark, tmp_path):
     store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
     b = _docs(spark, [(10, "alpha beta"), (11, "gamma delta")])
