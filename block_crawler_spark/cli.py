@@ -385,7 +385,10 @@ def cmd_curate(args) -> int:
     )
     docs_out = f"{args.out}/docs"
     per.write.mode("overwrite").partitionBy("shard").parquet(docs_out)
-    written = spark.read.parquet(docs_out)
+    # explicit schema: a run where zero documents survive leaves a dir with
+    # no part files, and schema inference would fail instead of yielding the
+    # legitimate docs_kept=0 summary
+    written = spark.read.schema(per.schema).parquet(docs_out)
     manifest_from_packed(written).write.mode("overwrite").parquet(f"{args.out}/manifest")
     manifest = spark.read.parquet(f"{args.out}/manifest")
     n_in = spark.read.parquet(f"{args.documents}/documents.parquet").count()
@@ -418,6 +421,7 @@ def cmd_ingest(args) -> int:
         spark, args.corpus, near_dup=args.near_dup, jaccard_threshold=args.jaccard_threshold
     )
     ck = args.checkpoint or f"{args.corpus}/_checkpoint"
+    before = store.corpus().count()
     query = store.start_stream(args.source, ck)
     finished = query.awaitTermination(args.timeout)
     if not finished:
@@ -429,11 +433,13 @@ def cmd_ingest(args) -> int:
               file=sys.stderr)
         return 1
     folded = store.compact() if args.compact else 0
+    total = store.corpus().count()
     print(
         json.dumps(
             {
                 "corpus": args.corpus,
-                "docs_admitted": store.corpus().count(),
+                "docs_admitted": total - before,
+                "docs_total": total,
                 "near_dup": args.near_dup,
                 "compacted_dirs": folded,
             }

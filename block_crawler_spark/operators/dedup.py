@@ -41,6 +41,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     storage_level=None,
     stage_path: str | None = None,
+    return_staged: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of md5(i|s).
 
@@ -81,12 +82,12 @@ def minhash_signatures(
 
     sig = F.array(*[seeded_min(f"{i}|") for i in range(num_hashes)])
     out = staged.select(F.col(id_col), F.col(text_col), F.col("shingles"), sig.alias("sig"))
-    if stage_path is None:
-        # hand the persisted stage to the caller for lifecycle control: a
-        # long-running consumer (the streaming corpus ingest, one call per
-        # micro-batch) must unpersist it after its action or dead per-batch
-        # shingle tables accumulate in the block manager
-        out._minhash_staged = staged
+    if return_staged:
+        # explicit lifecycle handle: a long-running consumer (the streaming
+        # corpus ingest, one call per micro-batch) must unpersist the staged
+        # frame after its action or dead per-batch shingle tables accumulate
+        # in the block manager.  None when stage_path made it a parquet stage.
+        return out, (None if stage_path is not None else staged)
     return out
 
 

@@ -80,31 +80,46 @@ def chunk_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``i*STRIDE < length`` so every character lands in ≥1 chunk and
     consecutive chunks overlap by ``CHUNK - STRIDE`` characters.  The md5
     column certifies chunk content byte-for-byte against the oracle."""
+    with_idx = _chunked_frame(spark, sf_dir)
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length(_chunk_expr()).cast("long").alias("chunk_len"),
+        F.md5(_chunk_expr()).alias("chunk_md5"),
+    )
+
+
+def _chunked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, chunk_idx) — the ONE definition of the chunk window
+    starts, shared by ``doc_chunk_stats`` and ``doc_chunk_dup_stats`` (as
+    ``_CHUNK_CTE`` is for their SQL oracles)."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    with_idx = d.select(
+    return d.select(
         "doc_id",
         "text",
         F.expr(f"explode(sequence(0, int((length(text) - 1) div {STRIDE_CHARS})))").alias("chunk_idx"),
     )
-    chunk = F.expr(f"substring(text, chunk_idx * {STRIDE_CHARS} + 1, {CHUNK_CHARS})")
-    return with_idx.select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.length(chunk).cast("long").alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"),
-    )
 
 
-CHUNK_SQL = f"""
-WITH c AS (
+# the chunk text at the current (text, chunk_idx) row — Spark and DuckDB forms
+# (function, not a module constant: F.expr needs an active SparkContext)
+def _chunk_expr() -> F.Column:
+    return F.expr(f"substring(text, chunk_idx * {STRIDE_CHARS} + 1, {CHUNK_CHARS})")
+
+
+_CHUNK_SQL_EXPR = f"substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})"
+_CHUNK_CTE = f"""c AS (
   SELECT doc_id, text,
          unnest(generate_series(0, (length(text) - 1) // {STRIDE_CHARS})) AS chunk_idx
   FROM documents WHERE length(text) > 0
-)
+)"""
+
+CHUNK_SQL = f"""
+WITH {_CHUNK_CTE}
 SELECT doc_id,
        CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       CAST(length(substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS BIGINT) AS chunk_len,
-       md5(substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS chunk_md5
+       CAST(length({_CHUNK_SQL_EXPR}) AS BIGINT) AS chunk_len,
+       md5({_CHUNK_SQL_EXPR}) AS chunk_md5
 FROM c
 """
 
@@ -117,14 +132,7 @@ def chunk_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk generate (zero-shuffle) → one hash-agg on chunk_md5 → count join
     back → per-doc roll-up.  At corpus scale the md5 aggregate is the same
     single shuffle as exact dedup, on strictly smaller keys."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    with_idx = d.select(
-        "doc_id",
-        "text",
-        F.expr(f"explode(sequence(0, int((length(text) - 1) div {STRIDE_CHARS})))").alias("chunk_idx"),
-    )
-    chunk = F.expr(f"substring(text, chunk_idx * {STRIDE_CHARS} + 1, {CHUNK_CHARS})")
-    chunks = with_idx.select("doc_id", F.md5(chunk).alias("chunk_md5"))
+    chunks = _chunked_frame(spark, sf_dir).select("doc_id", F.md5(_chunk_expr()).alias("chunk_md5"))
     occ = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n_occ"))
     return (
         chunks.join(occ, "chunk_md5")
@@ -138,12 +146,8 @@ def chunk_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_DUP_SQL = f"""
-WITH c AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, (length(text) - 1) // {STRIDE_CHARS})) AS chunk_idx
-  FROM documents WHERE length(text) > 0
-), ch AS (
-  SELECT doc_id, md5(substr(text, CAST(chunk_idx * {STRIDE_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS chunk_md5
+WITH {_CHUNK_CTE}, ch AS (
+  SELECT doc_id, md5({_CHUNK_SQL_EXPR}) AS chunk_md5
   FROM c
 ), occ AS (
   SELECT chunk_md5, count(*) AS n_occ FROM ch GROUP BY chunk_md5
@@ -161,6 +165,19 @@ GROUP BY ch.doc_id
 # concat-and-split sequence packing
 # ---------------------------------------------------------------------------
 
+def assign_bins(per: DataFrame, seq_len: int = SEQ_LEN_TOK) -> DataFrame:
+    """The packing rule, once: given a frame with (doc_id, n_tok, shard),
+    append ``cum`` (within-shard running token total, doc_id order) and
+    ``bin_id`` (the cut the document STARTS in).  Shared by
+    ``doc_pack_sequences`` and the composed pipeline's ``packed_docs`` —
+    the CLI manifest equals the registry output only while this is the
+    single definition of the bin math."""
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - n_tok) div {seq_len}")
+    )
+
+
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic concat-and-split packing: within each hash shard,
     documents are laid end-to-end in doc_id order and the tape is cut every
@@ -170,10 +187,7 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring for the 100 TB sizing rule."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    binned = per.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
-        "bin_id", F.expr(f"(cum - n_tok) div {SEQ_LEN_TOK}")
-    )
+    binned = assign_bins(per)
     return binned.groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("tok_sum"),
@@ -217,7 +231,14 @@ def mixture_rates(per_doc: DataFrame) -> DataFrame:
     src = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("avail_tok")
     )
-    weight = (F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") % MIX_WEIGHT_MOD + 1).cast("long")
+    # digit-less sources get weight 1 explicitly: without the coalesce the
+    # NULL would flow into rate_ppm, where Spark's null-skipping `least`
+    # silently yields 1e6 (keep everything) while DuckDB's least yields NULL
+    # (keep nothing) — both wrong, and divergent
+    weight = F.coalesce(
+        (F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") % MIX_WEIGHT_MOD + 1).cast("long"),
+        F.lit(1).cast("long"),
+    )
     src = src.withColumn("weight", weight)
     totals = src.agg(F.sum("avail_tok").alias("tot_tok"), F.sum("weight").alias("w_sum"))
     return (
@@ -268,7 +289,7 @@ WITH per_doc AS (
   FROM documents
 ), src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tok,
-         CAST(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % {MIX_WEIGHT_MOD} + 1 AS BIGINT) AS weight
+         CAST(COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % {MIX_WEIGHT_MOD} + 1, 1) AS BIGINT) AS weight
   FROM per_doc GROUP BY source
 ), totals AS (
   SELECT CAST(sum(avail_tok) AS BIGINT) AS tot_tok, CAST(sum(weight) AS BIGINT) AS w_sum FROM src

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup
 from ..sources.tables import load_table
-from .pack_ops import PACK_SHARDS, SEQ_LEN_TOK, n_tok_col, pack_shard
+from .pack_ops import PACK_SHARDS, SEQ_LEN_TOK, assign_bins, n_tok_col, pack_shard
 from .text_ops import (
     EXACT_DEDUP_SQL,
     QUALITY_SQL,
@@ -123,10 +123,7 @@ def packed_docs(
     docs = load_table(spark, sf_dir, "documents")
     surv = docs.join(curated_doc_ids(spark, sf_dir, quality_min, sampling), "doc_id", "semi")
     per = surv.withColumn("n_tok", n_tok_col()).withColumn("shard", pack_shard(shards))
-    return per.withColumn(
-        "cum",
-        F.expr("sum(n_tok) over (partition by shard order by doc_id rows unbounded preceding)"),
-    ).withColumn("bin_id", F.expr(f"(cum - n_tok) div {seq_len}"))
+    return assign_bins(per, seq_len)
 
 
 def manifest_from_packed(binned: DataFrame) -> DataFrame:

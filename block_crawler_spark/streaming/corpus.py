@@ -151,8 +151,10 @@ class CorpusIngestStore:
                 prior_excluded = {
                     line.strip().split(":", 1)[1] for line in f if line.strip().startswith("exclude:")
                 }
-        except OSError:
-            pass
+        except FileNotFoundError:
+            pass  # first compaction — nothing excluded yet.  Other IO errors
+            # must propagate: silently dropping the accumulated exclude set
+            # would let previously tombstoned batches re-enter reads.
         excluded = sorted(prior_excluded | {d for d in folded if d.startswith("batch-")})
         tmp = self._live_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -201,6 +203,10 @@ class CorpusIngestStore:
         fresh = batch.withColumn("fp", fingerprint(F.col("text")))
         firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = fresh.join(firsts, ["fp", "doc_id"], "semi")
+        # doc_id is the corpus identity: a re-arriving id (even with revised
+        # text) never re-enters — this also keeps the near-dup verification
+        # sound, whose shingle frames assume one row per id
+        fresh = fresh.join(self.corpus().select("doc_id"), "doc_id", "anti")
         fresh = fresh.join(self.seen_fingerprints(), "fp", "anti")
         cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
         to_unpersist: list[DataFrame] = []
@@ -228,8 +234,7 @@ class CorpusIngestStore:
         shingle sets before it blocks anything.  Returns (survivors with
         their ``sig`` column, the signature stage's persisted frame for the
         caller to unpersist after its write action)."""
-        sigs = minhash_signatures(fresh.select("doc_id", "text"))
-        staged = getattr(sigs, "_minhash_staged", None)
+        sigs, staged = minhash_signatures(fresh.select("doc_id", "text"), return_staged=True)
         in_pairs = jaccard_pairs(
             sigs, minhash_lsh_candidates(sigs), threshold=self.jaccard_threshold
         )
@@ -251,8 +256,34 @@ class CorpusIngestStore:
         sigs = sigs.join(drop_cross, "doc_id", "anti")
         return fresh.join(sigs.select("doc_id", "sig"), "doc_id"), staged
 
+    def _pin_checkpoint(self, checkpoint_dir: str) -> None:
+        """The ``batch-<id>`` replay tombstones are only meaningful for the
+        checkpoint whose epoch numbering produced them: a different (or
+        reset) checkpoint restarts batch ids at 0, and its early batches
+        would silently no-op against the old markers.  Pin the checkpoint on
+        first stream start; refuse a different one thereafter."""
+        marker = os.path.join(self.root, "_STREAM_CHECKPOINT")
+        norm = os.path.abspath(checkpoint_dir)
+        try:
+            with open(marker) as f:
+                pinned = f.read().strip()
+        except FileNotFoundError:
+            os.makedirs(self.root, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(norm)
+            os.replace(tmp, marker)
+            return
+        if pinned != norm:
+            raise ValueError(
+                f"corpus at {self.root} is bound to checkpoint {pinned}; streaming it "
+                f"with {norm} would collide batch ids with committed replay markers. "
+                "Use the original checkpoint, or a fresh corpus root."
+            )
+
     def start_stream(self, source_dir: str, checkpoint_dir: str, available_now: bool = True) -> StreamingQuery:
         """Tail a document drop-directory into the deduplicated corpus."""
+        self._pin_checkpoint(checkpoint_dir)
         stream = self.spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
         writer = stream.writeStream.foreachBatch(self.ingest_batch).option(
             "checkpointLocation", checkpoint_dir

@@ -39,6 +39,13 @@ def test_curate_writes_shards_and_consistent_manifest(spark, tmp_path, capsys):
     }
 
 
+def test_curate_with_zero_survivors_reports_cleanly(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated-empty")
+    assert main(["curate", "--documents", SF, "--out", out, "--quality-min", "2000000"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_kept"] == 0 and summary["bins"] == 0 and summary["tokens_packed"] == 0
+
+
 def test_curate_mixture_sampling_is_a_valid_alternative(spark, tmp_path, capsys):
     from block_crawler_spark.plans.pipeline import curated_doc_ids
 

@@ -105,6 +105,36 @@ def test_near_dup_mode_blocks_within_and_across_batches(spark, tmp_path):
     assert _corpus_ids(store) == [1, 3, 6]
 
 
+def test_checkpoint_is_pinned_to_the_corpus(spark, tmp_path):
+    """Replay tombstones are only valid for the checkpoint that numbered
+    them: a different checkpoint must be refused, not silently no-opped."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    _docs(spark, [(1, "some text here")]).write.mode("append").parquet(src)
+    store.start_stream(src, str(tmp_path / "ck1")).awaitTermination(120)
+    assert _corpus_ids(store) == [1]
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        store.start_stream(src, str(tmp_path / "ck2"))
+    # the original checkpoint still works
+    store.start_stream(src, str(tmp_path / "ck1")).awaitTermination(120)
+    assert _corpus_ids(store) == [1]
+
+
+def test_rearriving_doc_id_never_readmits(spark, tmp_path):
+    """doc_id is the corpus identity: a revised text under an admitted id is
+    rejected (and cannot corrupt near-dup verification with duplicate ids)."""
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    store.ingest_batch(_docs(spark, [(1, BASE)]), 0)
+    revised = "completely different words " + " ".join(f"w{i}" for i in range(15))
+    store.ingest_batch(_docs(spark, [(1, revised), (2, revised + " tail")]), 1)
+    ids = _corpus_ids(store)
+    assert ids.count(1) == 1 and len(ids) == 2  # old 1 kept once; 2 admitted
+    texts = {r["doc_id"]: r["text"] for r in store.corpus().collect()}
+    assert texts[1] == BASE
+
+
 def test_near_dup_ingest_does_not_accumulate_cached_frames(spark, tmp_path):
     """Regression for the per-batch cache leak: a long-running near-dup
     stream must not pin one more shingle/lineage table per micro-batch."""
