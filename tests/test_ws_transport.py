@@ -186,7 +186,11 @@ def test_reconnect_replays_pending():
     s = TinyWsServer(drop_after=2)
     s.start()
     try:
-        t = WsRpcTransport(endpoints=(f"ws://127.0.0.1:{s.port}",))
+        # max_tries above the default: under a fully loaded box (the rest of
+        # the suite saturating all cores) the single-threaded TinyWsServer
+        # can be starved past 5 backoff rounds — the replay logic under test
+        # is identical at any retry budget
+        t = WsRpcTransport(endpoints=(f"ws://127.0.0.1:{s.port}",), max_tries=8)
         out = t.call_many([("echo", i) for i in range(5)])
         assert out == [[0], [1], [2], [3], [4]]
         assert s.connections >= 2, "server dropped mid-batch; client must have reconnected"
