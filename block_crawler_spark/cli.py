@@ -418,7 +418,11 @@ def cmd_ingest(args) -> int:
 
     spark = _spark("ingest")
     store = CorpusIngestStore(
-        spark, args.corpus, near_dup=args.near_dup, jaccard_threshold=args.jaccard_threshold
+        spark,
+        args.corpus,
+        near_dup=args.near_dup,
+        jaccard_threshold=args.jaccard_threshold,
+        quality_min_ppm=args.quality_min,
     )
     ck = args.checkpoint or f"{args.corpus}/_checkpoint"
     before = store.corpus().count()
@@ -545,6 +549,8 @@ def main(argv=None) -> int:
     sp.add_argument("--near-dup", action="store_true",
                     help="also block MinHash near-duplicates of admitted docs (exact-Jaccard verified)")
     sp.add_argument("--jaccard-threshold", type=float, default=0.5)
+    sp.add_argument("--quality-min", type=int, default=None,
+                    help="reject documents below this quality_ppm at ingest (same formula as doc_quality_ppm)")
     sp.add_argument("--compact", action="store_true", help="fold batch dirs into one snapshot after the drain")
     sp.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: CORPUS/_checkpoint)")
     sp.add_argument("--timeout", type=int, default=600, help="max seconds to wait for the drain")

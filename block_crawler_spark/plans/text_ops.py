@@ -78,21 +78,23 @@ FROM documents
 # quality scoring (ppm domain)
 # ---------------------------------------------------------------------------
 
-def quality_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
+def with_quality_ppm(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the integer-ppm quality columns to any frame with a text
+    column — the ONE definition of the quality formula, shared by the
+    ``doc_quality_ppm`` registry query, the curation pipeline's quality
+    gate, and the streaming corpus store's ingest filter.  Adds ``n_tok``,
+    ``n_stop``, ``n_punct``, ``stop_ppm``, ``punct_ppm``, ``quality_ppm``
+    (plus the intermediates ``n_chars``/``len_term_ppm``)."""
+    text = F.col(text_col)
     n = n_tokens(text)
     stop = stopword_hits(text, "en")
     punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
-    scored = d.select(
-        "doc_id",
-        n.alias("n_tok"),
-        stop.alias("n_stop"),
-        punct.alias("n_punct"),
-        F.length(text).alias("n_chars"),
-    )
-    scored = (
-        scored.withColumn("stop_ppm", F.expr("CAST(n_stop * 1000000 DIV n_tok AS BIGINT)"))
+    return (
+        d.withColumn("n_tok", n)
+        .withColumn("n_stop", stop)
+        .withColumn("n_punct", punct)
+        .withColumn("n_chars", F.length(text))
+        .withColumn("stop_ppm", F.expr("CAST(n_stop * 1000000 DIV n_tok AS BIGINT)"))
         .withColumn("punct_ppm", F.expr("CAST(n_punct * 1000000 DIV n_chars AS BIGINT)"))
         .withColumn("len_term_ppm", F.least(F.col("n_tok").cast("long") * 10_000, F.lit(1_000_000).cast("long")))
         .withColumn(
@@ -100,6 +102,11 @@ def quality_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((4 * len_term_ppm + 4 * stop_ppm + 2 * (1000000 - punct_ppm)) DIV 10 AS BIGINT)"),
         )
     )
+
+
+def quality_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = with_quality_ppm(d)
     return scored.select("doc_id", "n_tok", "n_stop", "n_punct", "stop_ppm", "punct_ppm", "quality_ppm")
 
 

@@ -73,6 +73,7 @@ class CorpusIngestStore:
     root: str
     near_dup: bool = False
     jaccard_threshold: float = 0.5
+    quality_min_ppm: int | None = None
 
     def _docs_root(self) -> str:
         return os.path.join(self.root, "docs")
@@ -200,6 +201,19 @@ class CorpusIngestStore:
         out = os.path.join(self._docs_root(), f"batch-{batch_id}")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             return
+        if self.quality_min_ppm is not None:
+            # quality gate BEFORE dedup: rejected docs never enter the seen
+            # set, so a later higher-quality duplicate can still be admitted.
+            # Same formula (and therefore same thresholds) as the batch
+            # pipeline's doc_quality_ppm.
+            from ..plans.text_ops import with_quality_ppm
+
+            orig_cols = batch.columns  # with_quality_ppm overwrites n_chars
+            batch = (
+                with_quality_ppm(batch)
+                .filter(F.col("quality_ppm") >= self.quality_min_ppm)
+                .select(*orig_cols)
+            )
         fresh = batch.withColumn("fp", fingerprint(F.col("text")))
         firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = fresh.join(firsts, ["fp", "doc_id"], "semi")

