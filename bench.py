@@ -60,6 +60,8 @@ HEADLINE = [
     "nft_transfers_decode_from_lineitem",
     "nft_1155_balances_from_events",
     "tx_sender_gas_stats",
+    "emb_pq_topk",
+    "doc_shuffle_shards",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Product quantization (PQ) for embedding ANN at corpus scale.
+
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — public paper) splits a D-dim vector into M subspaces and
+replaces each subvector with the id of its nearest codeword from a
+per-subspace codebook of K entries.  A 64-dim float vector (256 B)
+compresses to M single-byte codes — the difference between an embedding
+index that fits in executor memory at 100 TB and one that doesn't.  Query
+time never touches the original vectors: an M×K lookup table of
+query-to-codeword distances is broadcast, and candidate distance is M
+integer adds per corpus row (asymmetric distance computation, ADC).
+
+Spark shapes:
+
+- **Codebook** — K rows × M subspaces, built from a deterministic seed
+  set (``vec_id < K``; a per-subspace ``kmeans_lloyd_fixed`` run is the
+  trained variant, exactly as ``emb_ivf_trained_topk`` trains the IVF
+  coarse quantizer).  Always broadcast — it is M·K rows.
+- **Encode** — one corpus scan: explode into M subvectors, broadcast-join
+  the codebook, per-(vector, subspace) argmin.  One shuffle on
+  ``(vec_id, m)`` with map-side partial aggregation; output is the codes
+  table, the only thing the search path ever scans.
+- **ADC search** — LUT = queries × codebook (broadcast, Q·M·K rows);
+  codes ⋈ LUT on ``(m, code)`` then one ``(q_id, vec_id)`` sum-agg and a
+  per-query top-k window (WindowGroupLimit).  No full-vector math on the
+  corpus side.
+
+Exactness (the repo's shared portability rule): components fix-point to
+micros (``floor(x·1e6)`` in double space, IEEE-exact), all distances are
+int64 sums of squared integer diffs, so every emitted value hash-matches
+a DuckDB replica bit-for-bit.  Bounds: per-subspace distance ≤
+``sub_dim·(2·1e6)² ≈ 6.4e13`` for unit-range 16-dim subvectors — far
+inside int64 even summed over M; the argmin uses ``min(struct(dist,
+code))`` (total order, deterministic lowest-code tie-break, no packed-key
+overflow mode — ADVICE r4 on ann.py applied here from the start).
+
+Reference parity note: the reference engine has no ANN surface at all
+(`/root/reference/` is an NFT chain crawler); this module is part of the
+beyond-parity LLM-training-data pipeline the build plan calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _micro(col):
+    return F.transform(col, lambda x: F.floor(x.cast("double") * MICRO).cast("long"))
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int) -> DataFrame:
+    """(id, m, sv): the M micro-int subvectors of each row's vector."""
+    v = df.select(F.col(id_col).alias("_id"), _micro(F.col(vec_col)).alias("_v"))
+    parts = F.array(
+        *[
+            F.struct(F.lit(i).alias("m"), F.slice("_v", i * sub_dim + 1, sub_dim).alias("sv"))
+            for i in range(m)
+        ]
+    )
+    return v.select("_id", F.explode(parts).alias("p")).select(
+        F.col("_id"), F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(emb: DataFrame, m: int, k: int, sub_dim: int) -> DataFrame:
+    """Seed-set codebook: (m, code, cvec) from corpus rows ``vec_id < k``
+    (deterministic; swap in a per-subspace Lloyd run to train)."""
+    seeds = emb.filter(F.col("vec_id") < k)
+    return _subvectors(seeds, "vec_id", "embedding", m, sub_dim).select(
+        "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
+    )
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, m: int, sub_dim: int) -> DataFrame:
+    """Corpus → codes (vec_id, m, code): per-subspace nearest codeword by
+    exact integer squared-L2, ties to the lowest code id."""
+    sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim)
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        F.col("_id").alias("vec_id"), "m", "code", _sqdist("sv", "cvec").alias("d")
+    )
+    best = F.min(F.struct("d", "code")).alias("b")
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(best)
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame, codes: DataFrame, codebook: DataFrame, m: int, sub_dim: int, k: int
+) -> DataFrame:
+    """ADC top-k join: (q_id, c_id, adc_dist, rank) for each query, over
+    the codes table only — the corpus's float vectors are never read."""
+    q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
+    lut = q_sub.join(F.broadcast(codebook), "m").select(
+        F.col("_id").alias("q_id"), "m", "code", _sqdist("sv", "cvec").alias("d")
+    )
+    cand = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"), F.count("*").alias("n_sub"))
+        # a candidate must have a LUT hit in every subspace (inner join
+        # guarantees it here since the LUT is dense over (m, code))
+        .filter(F.col("n_sub") == m)
+        .drop("n_sub")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("c_id"), "adc_dist", "rank")
+    )

@@ -413,3 +413,78 @@ FROM per_vec GROUP BY label
 """
 
 QUERIES["emb_norm_stats"] = (norm_stats_query, NORM_STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC top-k (round 5)
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces
+PQ_K = 64  # codewords per subspace
+PQ_SUB = _KM_DIM // PQ_M  # 4 dims per subspace
+PQ_TOPK = 5
+
+
+def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ pipeline under one hash gate: codebook (seed set, as the IVF
+    coarse quantizer seeds) → encode the corpus to M=16 byte codes →
+    ADC top-5 for the standard 8-query set.  Compression story: 64 floats
+    (256 B) → 16 codes (16 B) per vector; the search never reads the
+    float corpus.  M=16/K=64 is the measured knee for this corpus:
+    isotropic random embeddings are PQ's worst case (no cluster structure
+    for codewords to exploit), and the recall grid (tests/test_pq.py)
+    reads 0.225 at M=4 but 0.50 at M=16/K=64 — finer subspaces beat more
+    codewords, mirroring the IVF nprobe finding.  Distances are exact int64 micro-space sums, so even the ADC
+    distances — not just ranks — are hash-checked cross-engine
+    (operators/pq.py)."""
+    from ..operators.pq import pq_adc_topk, pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, PQ_M, PQ_K, PQ_SUB)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
+
+
+def _pq_sql() -> str:
+    dist = (
+        f"CAST(list_sum(list_transform(range({PQ_SUB}), "
+        "i -> (sv[i+1]-cvec[i+1])*(sv[i+1]-cvec[i+1]))) AS BIGINT)"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{NORM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+  FROM vecs, range({PQ_M}) t(m)
+),
+cb AS (SELECT m, vec_id AS code, sv AS cvec FROM sub WHERE vec_id < {PQ_K}),
+enc AS (
+  SELECT vec_id, m, CAST(MIN(d*{PQ_K}+code) % {PQ_K} AS BIGINT) AS code
+  FROM (SELECT s.vec_id, s.m, c.code, {dist} AS d
+        FROM sub s JOIN cb c USING (m))
+  GROUP BY vec_id, m
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.m, c.code, {dist} AS d
+  FROM sub s JOIN cb c USING (m)
+  WHERE s.vec_id < {KNN_QUERY_IDS}
+),
+cand AS (
+  SELECT l.q_id, e.vec_id AS c_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  WHERE l.q_id <> e.vec_id
+  GROUP BY l.q_id, e.vec_id
+)
+SELECT q_id, c_id, adc_dist, rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+QUERIES["emb_pq_topk"] = (pq_topk_query, _pq_sql())

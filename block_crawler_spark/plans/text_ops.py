@@ -14,7 +14,7 @@ with the Spark operators in ``operators.dedup``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -866,3 +866,50 @@ WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
 
 
 QUERIES["doc_decontaminate"] = (decontaminate_query, _decontaminate_sql())
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle (round 5)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8  # graded-scale shard count; at corpus scale = target file count
+SHUFFLE_SEED = "shuf1"
+
+
+def shuffle_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    document gets a shard and a position within that shard, derived only
+    from ``md5(seed | doc_id)`` — so the loading order is reproducible
+    across engines, runs, and input partitionings, unlike ``orderBy(rand())``
+    (seeded per-partition, so a repartition silently reshuffles the corpus).
+
+    This is the last pass of a curation pipeline: the order a trainer reads
+    is part of the experiment and must be replayable.  Scale shape: one
+    hash shuffle on ``shard`` (the window's partitionBy), an in-shard sort
+    on the 128-bit key, and each shard maps to one output file — shard
+    count is the file-count knob, raised with the corpus (8 here; thousands
+    at 100 TB so no shard outgrows a task).  Positions are dense per shard,
+    which a pack/seek-based loader wants; a global position, if needed, is
+    ``shard``-major and derivable from per-shard counts without a second
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS).alias("shard")
+    d = docs.select("doc_id", key.alias("k"), shard)
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return d.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+
+
+SHUFFLE_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) AS k,
+         CAST('0x' || substr(md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard, row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+FROM d
+"""
+
+QUERIES["doc_shuffle_shards"] = (shuffle_shards_query, SHUFFLE_SHARDS_SQL)

@@ -39,6 +39,8 @@ PROBES = [
     "doc_decontaminate",  # benchmark shingle equi-join (round 5)
     "doc_pack_sequences",  # shard-parallel window cumsum (round 5)
     "doc_curation_pipeline",  # six-stage composed DAG (round 5)
+    "emb_pq_topk",  # PQ encode + ADC code-scan top-k (round 5)
+    "doc_shuffle_shards",  # deterministic training-order shuffle (round 5)
 ]
 
 

@@ -1,0 +1,111 @@
+"""Product quantization: encode invariants, ADC exactness, recall floor.
+
+PQ has no reference-engine counterpart (the reference is a chain crawler);
+the contract is the public PQ/ADC semantics (Jégou et al. 2011) under the
+repo's exact integer micro-space rule, plus a measured recall floor
+against an exact squared-L2 numpy oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_crawler_spark.operators.pq import pq_adc_topk, pq_codebook, pq_encode
+from block_crawler_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+M, K, SUB = 16, 64, 4  # 64-dim corpus → 16 subspaces of 4 dims, 64 codewords
+
+
+@pytest.fixture(scope="module")
+def pq_parts(spark):
+    emb = load_table(spark, SF, "embeddings").cache()
+    cb = pq_codebook(emb, M, K, SUB).cache()
+    codes = pq_encode(emb, cb, M, SUB).cache()
+    return emb, cb, codes
+
+
+def test_codebook_shape(pq_parts):
+    emb, cb, _ = pq_parts
+    rows = cb.collect()
+    assert len(rows) == M * K  # K codewords per subspace
+    assert all(0 <= r["code"] < K and len(r["cvec"]) == SUB for r in rows)
+
+
+def test_encode_invariants(pq_parts):
+    emb, cb, codes = pq_parts
+    n = emb.count()
+    rows = codes.collect()
+    assert len(rows) == n * M  # one code per (vector, subspace)
+    assert all(0 <= r["code"] < K for r in rows)
+    # a seed vector encodes to ITSELF in every subspace (distance 0,
+    # lowest-code tie-break can only pick an identical earlier codeword —
+    # with distinct random seeds it is the vector's own id)
+    self_codes = {(r["vec_id"], r["m"]): r["code"] for r in rows if r["vec_id"] < K}
+    dup = (
+        emb.filter(F.col("vec_id") < K)
+        .groupBy("embedding")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dup == 0:
+        assert all(code == vid for (vid, _m), code in self_codes.items())
+
+
+def test_encode_partitioning_invariant(spark, pq_parts):
+    emb, cb, codes = pq_parts
+    again = pq_encode(emb.repartition(7), cb, M, SUB)
+    assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_adc_rank_and_self_exclusion(pq_parts):
+    emb, cb, codes = pq_parts
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = pq_adc_topk(queries, codes, cb, M, SUB, k=3).collect()
+    by_q = {}
+    for r in got:
+        assert r["q_id"] != r["c_id"]
+        assert r["adc_dist"] >= 0
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["adc_dist"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    for pairs in by_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        dists = [p[1] for p in pairs]
+        assert dists == sorted(dists)  # rank follows ADC distance
+
+
+def test_pq_recall_floor_vs_exact_l2(spark, pq_parts):
+    """recall@5 of PQ-ADC against EXACT squared-L2 top-5 in the same micro
+    space (numpy oracle), averaged over 8 queries.  Isotropic random
+    embeddings are PQ's worst case — near-equidistant neighbors, no
+    cluster structure for codewords — and the measured grid is 0.225 at
+    M=4/K=16, 0.50 at the shipped M=16/K=64, 0.85 at M=32/K=256; the 0.35
+    floor pins 'approximate', not 'arbitrary', at 16x compression."""
+    import math
+
+    import numpy as np
+
+    emb, cb, codes = pq_parts
+    k = 5
+    q_ids = list(range(8))
+    queries = emb.filter(F.col("vec_id") < len(q_ids))
+    pq_hits = {}
+    for r in pq_adc_topk(queries, codes, cb, M, SUB, k=k).collect():
+        pq_hits.setdefault(r["q_id"], set()).add(r["c_id"])
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    micro = np.array(
+        [[math.floor(float(x) * 1_000_000) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    hits = total = 0
+    for qi, qid in enumerate(q_ids):
+        d2 = ((micro - micro[qi]) ** 2).sum(axis=1).astype(float)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:k]].tolist())
+        hits += len(exact & pq_hits.get(qid, set()))
+        total += k
+    assert hits / total >= 0.35, f"PQ recall@5 collapsed: {hits}/{total}"

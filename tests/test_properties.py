@@ -289,3 +289,28 @@ def test_rank_selection_random_differential(spark, groups, seed):
         s, n = sorted(vs), len(vs)
         for p in pcts:
             assert got[t][f"p{p}"] == s[(n * p + 99) // 100 - 1], (t, p, n)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    """doc_shuffle_shards: same order on re-run; positions dense 1..n per
+    shard; every doc appears exactly once (the replayable-training-order
+    invariant orderBy(rand()) cannot give)."""
+    from block_crawler_spark.plans.text_ops import SHUFFLE_SHARDS, shuffle_shards_query
+
+    sf = "/root/testdata/sf0.001"
+    a = shuffle_shards_query(spark, sf).collect()
+    b = shuffle_shards_query(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_docs = len({r["doc_id"] for r in a})
+    assert len(a) == n_docs
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < SHUFFLE_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
