@@ -33,6 +33,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def micro_fixed(col: Column, scale: int = 1_000_000) -> Column:
+    """The repo's shared fixed-point rule, in one place: ``floor(x·scale)``
+    computed in double space (IEEE-exact, identical on every engine) and
+    kept as int64.  Used by the k-means trainer, PQ, and the embed-ops
+    oracles — change the rule here and nowhere else."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def int_sqdist(a: Column, b: Column) -> Column:
+    """Exact int64 squared-L2 between two micro-fixed vectors (zip_with
+    fold, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _rank_small(top: DataFrame, id_col: str) -> DataFrame:
     """Rank an already-selected top-k set WITHOUT an unpartitioned window.
 
@@ -274,20 +292,16 @@ def kmeans_lloyd_fixed(
     # NB: the cache lives for the session (storage memory is LRU-evictable,
     # so it degrades gracefully); callers training many models in one
     # session can reclaim it eagerly with spark.catalog.clearCache()
-    micro = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long"))
-    vecs = vectors.select(F.col(id_col).alias("vid"), micro.alias("v")).cache()
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"), micro_fixed(F.col(vec_col), scale).alias("v")
+    ).cache()
     seeds = vecs.orderBy("vid").limit(k)
     w = Window.orderBy("vid")
     cents = seeds.select((F.row_number().over(w) - 1).cast("long").alias("cid"), F.col("v").alias("c"))
 
     def assign(cents_df: DataFrame) -> DataFrame:
         d = vecs.crossJoin(F.broadcast(cents_df)).withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
+            "dist", int_sqdist(F.col("v"), F.col("c"))
         )
         # argmin with lowest-cid tiebreak via struct-min: structs compare
         # lexicographically, so min((dist, cid)) is exact for any dist

@@ -25,14 +25,17 @@ Spark shapes:
   per-query top-k window (WindowGroupLimit).  No full-vector math on the
   corpus side.
 
-Exactness (the repo's shared portability rule): components fix-point to
-micros (``floor(x·1e6)`` in double space, IEEE-exact), all distances are
-int64 sums of squared integer diffs, so every emitted value hash-matches
-a DuckDB replica bit-for-bit.  Bounds: per-subspace distance ≤
-``sub_dim·(2·1e6)² ≈ 6.4e13`` for unit-range 16-dim subvectors — far
-inside int64 even summed over M; the argmin uses ``min(struct(dist,
-code))`` (total order, deterministic lowest-code tie-break, no packed-key
-overflow mode — ADVICE r4 on ann.py applied here from the start).
+Exactness (the repo's shared portability rule, via ``ann.micro_fixed`` /
+``ann.int_sqdist``): components fix-point to micros (``floor(x·1e6)`` in
+double space, IEEE-exact), all distances are int64 sums of squared
+integer diffs, so every emitted value hash-matches a DuckDB replica
+bit-for-bit.  The Spark argmin uses ``min(struct(dist, code))`` (total
+order, lowest-code tie-break, no overflow mode for any scale/dim); the
+DuckDB oracle (`plans/embed_ops._pq_sql`) packs ``min(d·K + code)``,
+which is tie-equivalent but bounded — safe there because the registry
+query pins sub_dim=4, K=64, unit-range micros (d·K ≲ 1e15 ≪ 2^63), NOT
+safe for arbitrary scale/dim; raise either and the SQL must move to a
+struct min too.
 
 Reference parity note: the reference engine has no ANN surface at all
 (`/root/reference/` is an NFT chain crawler); this module is part of the
@@ -44,16 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MICRO = 1_000_000
-
-
-def _micro(col):
-    return F.transform(col, lambda x: F.floor(x.cast("double") * MICRO).cast("long"))
+from .ann import int_sqdist, micro_fixed
 
 
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int) -> DataFrame:
     """(id, m, sv): the M micro-int subvectors of each row's vector."""
-    v = df.select(F.col(id_col).alias("_id"), _micro(F.col(vec_col)).alias("_v"))
+    v = df.select(F.col(id_col).alias("_id"), micro_fixed(F.col(vec_col)).alias("_v"))
     parts = F.array(
         *[
             F.struct(F.lit(i).alias("m"), F.slice("_v", i * sub_dim + 1, sub_dim).alias("sv"))
@@ -62,14 +61,6 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int) 
     )
     return v.select("_id", F.explode(parts).alias("p")).select(
         F.col("_id"), F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
-    )
-
-
-def _sqdist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 
@@ -87,7 +78,7 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, m: int, sub_dim: int) -> Data
     exact integer squared-L2, ties to the lowest code id."""
     sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim)
     scored = sub.join(F.broadcast(codebook), "m").select(
-        F.col("_id").alias("vec_id"), "m", "code", _sqdist("sv", "cvec").alias("d")
+        F.col("_id").alias("vec_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
     )
     best = F.min(F.struct("d", "code")).alias("b")
     return (
@@ -104,17 +95,15 @@ def pq_adc_topk(
     the codes table only — the corpus's float vectors are never read."""
     q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
     lut = q_sub.join(F.broadcast(codebook), "m").select(
-        F.col("_id").alias("q_id"), "m", "code", _sqdist("sv", "cvec").alias("d")
+        F.col("_id").alias("q_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
     )
+    # the LUT is dense over (m, code) for every query, so the inner join
+    # contributes exactly M rows per (query, candidate) — the sum is total
     cand = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("q_id") != F.col("vec_id"))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"), F.count("*").alias("n_sub"))
-        # a candidate must have a LUT hit in every subspace (inner join
-        # guarantees it here since the LUT is dense over (m, code))
-        .filter(F.col("n_sub") == m)
-        .drop("n_sub")
+        .agg(F.sum("d").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return (
