@@ -143,6 +143,17 @@ def main() -> None:
             sample(name, registry[name][0], extra=2)
 
     total = round(sum(timings.values()), 3)
+    # Telemetry goes on its own earlier line (and a sidecar file): the driver
+    # captures a bounded tail of stdout, and r5's combined line was long
+    # enough to truncate its own head (BENCH_r05 parsed:null).  The compact
+    # headline JSON must be the FINAL line and short enough to survive.
+    telemetry = {"load_avg_per_query": query_loads, "rerun_outliers": reruns}
+    try:
+        with open(os.path.join(_REPO, "bench_telemetry.json"), "w") as f:
+            json.dump(telemetry, f)
+    except OSError:
+        pass
+    print(json.dumps(telemetry))
     print(
         json.dumps(
             {
@@ -151,8 +162,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
-                "load_avg_per_query": query_loads,
-                "rerun_outliers": reruns,
             }
         )
     )

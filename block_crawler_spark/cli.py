@@ -30,6 +30,8 @@ import json
 import signal as _signal
 import sys
 
+from pyspark.errors import StreamingQueryException
+
 
 class GracefulStop:
     """SIGINT/SIGTERM → a flag checked between chunk jobs, so an operator's
@@ -427,11 +429,22 @@ def cmd_ingest(args) -> int:
     ck = args.checkpoint or f"{args.corpus}/_checkpoint"
     before = store.corpus().count()
     query = store.start_stream(args.source, ck)
-    finished = query.awaitTermination(args.timeout)
+    try:
+        finished = query.awaitTermination(args.timeout)
+    except StreamingQueryException as e:
+        # a failed drain keeps the CLI's JSON-line error contract (same shape
+        # as the timeout path) instead of dying with a raw traceback; the
+        # checkpoint makes a re-run resume from the failed micro-batch
+        print(json.dumps({"error": f"ingest stream failed: {e.desc if hasattr(e, 'desc') else e}",
+                          "corpus": args.corpus}), file=sys.stderr)
+        return 1
     if not finished:
         # a still-running drain must NOT be compacted under (the store's
         # compact-between-batches contract) or reported as complete
-        query.stop()
+        try:
+            query.stop()
+        except StreamingQueryException:
+            pass  # the query raced into a failure between awaitTermination and stop
         print(json.dumps({"error": "ingest drain exceeded --timeout; stopped mid-drain "
                                    "(checkpointed — re-run to resume)", "corpus": args.corpus}),
               file=sys.stderr)

@@ -42,7 +42,7 @@ def minhash_signatures(
     storage_level=None,
     stage_path: str | None = None,
     return_staged: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame | None]:
     """MinHash signature per document: h_i = min over shingles of md5(i|s).
 
     The min of fixed-width lowercase hex strings is the numeric min, so the
@@ -202,13 +202,15 @@ def dedup_assignments(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id")
     Standard LSH-dedup "keep lowest id" rule: any document appearing as the
     larger id of a near-dup pair is dropped.  Greedy, not transitive
     closure — the id_a < id_b convention makes every cluster keep its
-    minimum surviving chain, which is the common web-scale policy.  One
-    broadcast-able anti-join over the (small) drop list; for exact
-    per-cluster semantics use :func:`dedup_components` /
-    :func:`dedup_assignments_cc`.
+    minimum surviving chain, which is the common web-scale policy.  The
+    drop-list join is left un-hinted on purpose: under heavy duplication the
+    drop set is corpus-scale, and a forced broadcast would OOM the driver
+    where AQE picks a shuffle join (and still broadcasts small drop lists at
+    runtime via its size estimate).  For exact per-cluster semantics use
+    :func:`dedup_components` / :func:`dedup_assignments_cc`.
     """
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return docs.join(F.broadcast(drops.withColumn("_drop", F.lit(True))), id_col, "left").select(
+    return docs.join(drops.withColumn("_drop", F.lit(True)), id_col, "left").select(
         id_col, F.coalesce(F.col("_drop"), F.lit(False)).alias("is_duplicate")
     )
 

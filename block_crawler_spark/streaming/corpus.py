@@ -125,9 +125,16 @@ class CorpusIngestStore:
         Replay markers are preserved — a folded ``batch-<id>`` keeps its
         ``_SUCCESS`` tombstone so re-delivery of that id stays a no-op."""
         live = self._live_dirs()
-        if len(live) < 2:
-            return 0
         base = self._docs_root()
+        if len(live) < 2:
+            # nothing to fold, but a prior compaction may have crashed after
+            # the _LIVE flip and before pruning: reclaim data files of
+            # pointer-excluded batch dirs (keeping their _SUCCESS replay
+            # tombstones) and compact-* dirs the pointer doesn't include —
+            # without this a store that stays at one live dir leaks that
+            # space indefinitely (correctness is unaffected either way)
+            self._prune_unreferenced(live)
+            return 0
         n = 0
         try:
             n = max(
@@ -168,16 +175,31 @@ class CorpusIngestStore:
         # compact-* dir other than the new snapshot is either the superseded
         # live snapshot (now pointer-excluded) or an orphan from a crash
         # between a snapshot write and its pointer flip — both unreferenced.
-        for d in folded:
+        self._prune_unreferenced(self._live_dirs())
+        return len(folded)
+
+    def _prune_unreferenced(self, live: list[str]) -> None:
+        """Reclaim space for directories reads no longer reference: data
+        files of non-live batch dirs tombstone to bare ``_SUCCESS`` (the
+        replay marker must outlive the data), non-live compact dirs are
+        removed whole.  Pure reclamation — the ``_LIVE`` pointer alone
+        defines the read set, so this is safe to re-run after any crash."""
+        base = self._docs_root()
+        keep = set(live)
+        try:
+            entries = os.listdir(base)
+        except OSError:
+            return
+        for d in entries:
+            if d in keep:
+                continue
             p = os.path.join(base, d)
-            if d.startswith("batch-"):
+            if d.startswith("batch-") and os.path.exists(os.path.join(p, "_SUCCESS")):
                 for name in os.listdir(p):
                     if name != "_SUCCESS":
                         os.remove(os.path.join(p, name))
-        for d in os.listdir(base):
-            if d.startswith("compact-") and d != snap:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        return len(folded)
+            elif d.startswith("compact-"):
+                shutil.rmtree(p, ignore_errors=True)
 
     def _stored_schema(self) -> str:
         return DOC_SCHEMA + ", fp string" + (", sig array<string>" if self.near_dup else "")
