@@ -6,15 +6,25 @@ On a transactional table format the merge functions map 1:1 onto ``MERGE
 INTO`` (conditions documented per function in ``operators.merge``); the
 parquet fallback rewrites the table — fine for silver-sized entity state.
 
-Every version is written ``partitionBy("blockchain")``, and a merge that
-declares its touched blockchains (all crawl/tail/CLI paths do — they run
-per-chain, mirroring the reference's per-blockchain write budget,
-``nft/bin/load.py:232-233``) rewrites ONLY those partition trees: untouched
-``blockchain=X`` directories are hard-linked file-by-file from the previous
+Every version is written ``partitionBy("blockchain")`` — and the three
+entity tables that grow with chain history (``tokens``,
+``token_transfers``, ``owners``) carry a second partition level,
+``cbucket = pmod(xxhash64(collection_id), n_buckets)``, so a merge that
+declares its touched collections rewrites ONLY the touched buckets.  A
+merge that declares its touched blockchains (all crawl/tail/CLI paths do —
+they run per-chain, mirroring the reference's per-blockchain write budget,
+``nft/bin/load.py:232-233``) rewrites ONLY those partition trees; with
+bucket info (``apply_silver`` derives it from the batch's touched keys for
+free) the per-merge rewrite shrinks further from O(chain) to O(touched
+collection buckets) — the tail path's micro-batches touch a handful of
+collections, so steady-state merge cost is bounded by batch size, not
+corpus size.  Untouched ``blockchain=X`` trees and untouched
+``cbucket=K`` subtrees are hard-linked file-by-file from the previous
 version into the new one (same inode — zero data movement, byte-identical;
-on an object store this becomes a metadata copy).  A multi-chain silver
-store therefore pays per-merge cost proportional to the chain being merged,
-not to the whole table.
+on an object store this becomes a metadata copy).  A store created before
+the bucketed layout migrates transparently: the first pruned merge over a
+non-bucketed version rewrites that table fully into the new layout, and
+every later merge prunes.
 
 Durability (round-2, ADVICE r1 store.py:67): each rewrite lands in a fresh
 ``v-N`` directory under the table path, then a one-line ``_CURRENT`` pointer
@@ -64,14 +74,35 @@ KEYS = {
     "crawler_config": ["blockchain"],
 }
 
+# history-sized tables get the collection-bucket partition level; collections
+# and crawler_config stay blockchain-only (small, and bucketing them would
+# just multiply file count)
+_BUCKETED = frozenset({"tokens", "token_transfers", "owners"})
+
 
 @dataclass
 class SilverStore:
     spark: SparkSession
     root: str
+    n_buckets: int = 16
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _bucket_expr(self):
+        """The collection-bucket partition value — a pure function of
+        collection_id, so rows re-bucket identically on every rewrite."""
+        return F.pmod(
+            F.xxhash64(F.coalesce(F.col("collection_id"), F.lit(""))), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def touched_buckets(self, touched_keys: DataFrame) -> list[int]:
+        """Distinct cbucket values of a touched-keys frame — at most
+        ``n_buckets`` ints, collected once per batch and shared by all three
+        entity-table merges."""
+        return sorted(
+            r["b"] for r in touched_keys.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
 
     def _current_version(self, table: str) -> str | None:
         ptr = os.path.join(self._path(table), "_CURRENT")
@@ -99,10 +130,12 @@ class SilverStore:
             # a committed empty partitioned write has no data files at all
             # (partitionBy emits nothing for zero rows) → canonical empty
             return self._empty(table)
-        # normalize: partition discovery appends `blockchain` last and
-        # type-infers it; restore declared column order and pin string
+        # normalize: partition discovery appends `blockchain` (and, on the
+        # bucketed tables, `cbucket`) last and type-infers them; restore
+        # declared column order, pin blockchain to string, drop the derived
+        # bucket column (it is recomputed from collection_id on every write)
         ordered = [f.name for f in _SCHEMAS[table].fields if f.name in df.columns]
-        extras = [c for c in df.columns if c not in ordered]  # e.g. batch_index
+        extras = [c for c in df.columns if c not in ordered and c != "cbucket"]  # e.g. batch_index
         return df.select(
             *[F.col(c).cast("string").alias(c) if c == "blockchain" else F.col(c) for c in ordered + extras]
         )
@@ -124,7 +157,11 @@ class SilverStore:
                     shutil.copy2(s, d)
 
     def overwrite(
-        self, table: str, df: DataFrame, touched_blockchains: Sequence[str] | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        touched_blockchains: Sequence[str] | None = None,
+        touched_buckets: Sequence[int] | None = None,
     ) -> None:
         """Snapshot-commit rewrite: write ``v-N+1`` beside the current
         version, flip ``_CURRENT`` atomically, prune superseded versions.
@@ -132,10 +169,17 @@ class SilverStore:
         With ``touched_blockchains`` the rewrite is partition-pruned:
         only those blockchains' rows are computed and written; every other
         ``blockchain=X`` tree is hard-linked from the current version
-        (dynamic-partition-overwrite semantics on the snapshot layout).  A
-        touched blockchain that ends the merge with zero rows has its
-        partition dropped — correct delete semantics.  ``None`` (or a
-        current version predating the partitioned layout) rewrites fully.
+        (dynamic-partition-overwrite semantics on the snapshot layout).  On
+        the bucketed tables, ``touched_buckets`` (cbucket values of the
+        batch's touched collections — :meth:`touched_buckets`) prunes one
+        level deeper: within a touched blockchain only the touched
+        ``cbucket=K`` subtrees are rewritten, the rest hard-link.  A touched
+        partition that ends the merge with zero rows has its directory
+        dropped — correct delete semantics.  ``None`` (or a current version
+        predating the partitioned layout) rewrites fully; a current version
+        predating the BUCKETED layout triggers a one-time full rewrite of
+        the touched table into the new layout (mixed directory depths would
+        break partition discovery).
 
         Retention is one commit deep: ``v-N`` (the version current until
         this flip) survives until the NEXT overwrite, so a concurrent
@@ -159,17 +203,41 @@ class SilverStore:
         prune = touched_blockchains is not None and cur_path is not None and (
             cur_partition_dirs or not any(n.endswith(".parquet") for n in os.listdir(cur_path))
         )
+        bucketed = table in _BUCKETED
+        if bucketed and prune and cur_partition_dirs:
+            # layout migration: linking a blockchain=X tree whose files sit
+            # directly under it next to cbucket=K subtrees would give the
+            # version inconsistent directory depths — rewrite fully once
+            cur_is_bucketed = all(
+                any(s.startswith("cbucket=") for s in os.listdir(os.path.join(cur_path, d)))
+                for d in cur_partition_dirs
+            )
+            if not cur_is_bucketed:
+                prune = False
+        bucket_prune = bucketed and prune and touched_buckets is not None
         out = df
         if prune:
             out = df.filter(F.col("blockchain").isin(list(touched_blockchains)))
+            if bucket_prune:
+                out = out.filter(self._bucket_expr().isin([int(b) for b in touched_buckets]))
         # The plan may read the current version's files; they stay in place
         # until after the pointer flip, so no lineage break is needed.
-        out.write.mode("overwrite").partitionBy("blockchain").parquet(os.path.join(base, nxt))
+        part_cols = ["blockchain", "cbucket"] if bucketed else ["blockchain"]
+        if bucketed:
+            out = out.withColumn("cbucket", self._bucket_expr())
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(os.path.join(base, nxt))
         if prune:
             touched = set(touched_blockchains)
+            tb = {int(b) for b in touched_buckets} if bucket_prune else None
             for d in cur_partition_dirs:
                 if unquote(d.split("=", 1)[1]) not in touched:
                     self._link_tree(os.path.join(cur_path, d), os.path.join(base, nxt, d))
+                elif tb is not None:
+                    for s in os.listdir(os.path.join(cur_path, d)):
+                        if s.startswith("cbucket=") and int(unquote(s.split("=", 1)[1])) not in tb:
+                            self._link_tree(
+                                os.path.join(cur_path, d, s), os.path.join(base, nxt, d, s)
+                            )
         tmp = os.path.join(base, "_CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(nxt)
@@ -186,7 +254,12 @@ class SilverStore:
             touched_blockchains=blockchains,
         )
 
-    def upsert_tokens(self, updates: DataFrame, blockchains: Sequence[str] | None = None) -> None:
+    def upsert_tokens(
+        self,
+        updates: DataFrame,
+        blockchains: Sequence[str] | None = None,
+        buckets: Sequence[int] | None = None,
+    ) -> None:
         """Per-field merge (K2+K3+K4+K5) — see ``merge.token_state_merge``.
 
         NOT retry-safe: the K4 additive quantity double-counts if the same
@@ -197,13 +270,19 @@ class SilverStore:
         existing = self.read("tokens")
         if "specification" not in existing.columns:
             existing = existing.withColumn("specification", F.lit(None).cast("string"))
-        self.overwrite("tokens", M.token_state_merge(existing, updates), touched_blockchains=blockchains)
+        self.overwrite(
+            "tokens",
+            M.token_state_merge(existing, updates),
+            touched_blockchains=blockchains,
+            touched_buckets=buckets,
+        )
 
     def rebuild_tokens(
         self,
         batch_tokens: DataFrame,
         touched_keys: DataFrame,
         blockchains: Sequence[str] | None = None,
+        buckets: Sequence[int] | None = None,
     ) -> None:
         """Idempotent tokens update (the retry-safe A1 path, parallel to
         :meth:`rebuild_owners`): replace every token row of the touched keys
@@ -272,6 +351,7 @@ class SilverStore:
             "tokens",
             kept.unionByName(rebuilt, allowMissingColumns=True),
             touched_blockchains=blockchains,
+            touched_buckets=buckets,
         )
 
     def apply_silver(
@@ -294,24 +374,41 @@ class SilverStore:
         """
         from ..operators.folds import owner_balances_from_silver
 
-        self.append_transfers(silver.token_transfers, blockchains=blockchains)
         touched = silver.token_transfers.select(
             "blockchain", "collection_id", "token_id_hex"
         ).distinct()
-        self.rebuild_tokens(silver.tokens, touched, blockchains=blockchains)
+        # one tiny job (≤ n_buckets rows to the driver) turns every rewrite
+        # below from O(touched chain) into O(touched collection buckets)
+        buckets = self.touched_buckets(touched) if blockchains is not None else None
+        self.append_transfers(silver.token_transfers, blockchains=blockchains, buckets=buckets)
+        self.rebuild_tokens(silver.tokens, touched, blockchains=blockchains, buckets=buckets)
         balances = owner_balances_from_silver(self.read("token_transfers"), touched)
         self.rebuild_owners(
-            balances.withColumn("data_version", F.lit(data_version)), touched, blockchains=blockchains
+            balances.withColumn("data_version", F.lit(data_version)),
+            touched,
+            blockchains=blockchains,
+            buckets=buckets,
         )
 
-    def append_transfers(self, updates: DataFrame, blockchains: Sequence[str] | None = None) -> None:
+    def append_transfers(
+        self,
+        updates: DataFrame,
+        blockchains: Sequence[str] | None = None,
+        buckets: Sequence[int] | None = None,
+    ) -> None:
         self.overwrite(
             "token_transfers",
             M.idempotent_append(self.read("token_transfers"), updates, KEYS["token_transfers"]),
             touched_blockchains=blockchains,
+            touched_buckets=buckets,
         )
 
-    def merge_owner_deltas(self, deltas: DataFrame, blockchains: Sequence[str] | None = None) -> None:
+    def merge_owner_deltas(
+        self,
+        deltas: DataFrame,
+        blockchains: Sequence[str] | None = None,
+        buckets: Sequence[int] | None = None,
+    ) -> None:
         """K7/K8: additive balance merge, zero balances dropped.
 
         NOT retry-safe on its own: re-applying the same batch of deltas
@@ -323,6 +420,7 @@ class SilverStore:
             "owners",
             M.additive_upsert(self.read("owners"), deltas, KEYS["owners"], drop_zero=True),
             touched_blockchains=blockchains,
+            touched_buckets=buckets,
         )
 
     def rebuild_owners(
@@ -330,6 +428,7 @@ class SilverStore:
         balances: DataFrame,
         touched_keys: DataFrame,
         blockchains: Sequence[str] | None = None,
+        buckets: Sequence[int] | None = None,
     ) -> None:
         """Idempotent owners update (the retry-safe K7 path): replace every
         owner row of the touched token keys with balances recomputed from the
@@ -341,6 +440,7 @@ class SilverStore:
             "owners",
             kept.unionByName(balances, allowMissingColumns=True),
             touched_blockchains=blockchains,
+            touched_buckets=buckets,
         )
 
     def rewind(self, blockchain: str, to_block: int) -> None:
@@ -366,8 +466,12 @@ class SilverStore:
         transfers = self.read("token_transfers")
         mine = F.col("blockchain") == blockchain
         touched = transfers.filter(mine & (F.col("block_id") > to_block)).select(*keys).distinct()
+        # collect the touched buckets BEFORE the transfers overwrite: every
+        # row the rewind drops or rebuilds belongs to a touched key, so
+        # untouched buckets stay linkable
+        buckets = self.touched_buckets(touched)
         kept = transfers.filter(~mine | (F.col("block_id") <= to_block))
-        self.overwrite("token_transfers", kept, touched_blockchains=[blockchain])
+        self.overwrite("token_transfers", kept, touched_blockchains=[blockchain], touched_buckets=buckets)
         # `touched` still scans the pre-rewind version's files — the
         # one-commit retention window exists exactly for handles like this
         existing_tokens = self.read("tokens")
@@ -380,13 +484,16 @@ class SilverStore:
         no_batch = existing_tokens.select(
             *keys, "specification", "metadata_url", "metadata_url_version_hex", "data_version"
         ).limit(0)
-        self.rebuild_tokens(no_batch, touched, blockchains=[blockchain])
+        self.rebuild_tokens(no_batch, touched, blockchains=[blockchain], buckets=buckets)
         from ..operators.folds import owner_balances_from_silver
 
         dv, last = self.get_config(blockchain)
         balances = owner_balances_from_silver(self.read("token_transfers"), touched)
         self.rebuild_owners(
-            balances.withColumn("data_version", F.lit(dv)), touched, blockchains=[blockchain]
+            balances.withColumn("data_version", F.lit(dv)),
+            touched,
+            blockchains=[blockchain],
+            buckets=buckets,
         )
         if last is not None and last > to_block:
             self.set_config(blockchain, dv, to_block)

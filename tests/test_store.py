@@ -83,8 +83,8 @@ def test_read_modify_write_same_table(spark, tmp_path):
     assert store.get_config("a") == (1, 4)
 
 
-def _transfer_row(bc, owner="0xowner1"):
-    return (bc, "0xc", "00" * 19 + "05", "0x" + "07".rjust(64, "0"), 1_600_000_000, 5,
+def _transfer_row(bc, owner="0xowner1", collection="0xc"):
+    return (bc, collection, "00" * 19 + "05", "0x" + "07".rjust(64, "0"), 1_600_000_000, 5,
             "0xabc", 0, 0, "mint", "0x" + "0" * 40, owner, "0x" + "1".rjust(64, "0"), 1)
 
 
@@ -152,6 +152,123 @@ def test_pruned_overwrite_falls_back_on_legacy_unpartitioned_version(spark, tmp_
     got = store.read("token_transfers")
     assert got.filter(F.col("blockchain") == "chain-b").count() == 1, "legacy rows must survive"
     assert got.filter(F.col("blockchain") == "chain-a").count() == 2
+
+
+def _two_collections_in_distinct_buckets(store, spark):
+    """Pick two collection ids that land in different cbuckets (pure function
+    of the id — deterministic across runs)."""
+    cands = [f"0xc{i:02d}" for i in range(40)]
+    df = spark.createDataFrame([(c,) for c in cands], "collection_id string")
+    rows = df.select("collection_id", store._bucket_expr().alias("b")).collect()
+    first = rows[0]
+    other = next(r for r in rows[1:] if r["b"] != first["b"])
+    return (first["collection_id"], first["b"]), (other["collection_id"], other["b"])
+
+
+def _bucket_inodes(base_dir, cur, chain, bucket):
+    root = os.path.join(base_dir, cur, f"blockchain={chain}", f"cbucket={bucket}")
+    out = {}
+    for r, _d, files in os.walk(root):
+        for n in files:
+            p = os.path.join(r, n)
+            out[os.path.relpath(p, root)] = os.stat(p).st_ino
+    return out
+
+
+def test_bucket_pruned_merge_leaves_untouched_bucket_hard_linked(spark, tmp_path):
+    """Within a TOUCHED blockchain, a merge that declares its touched
+    collection buckets rewrites only those cbucket subtrees: the other
+    collection's bucket is carried into the new version as hard links (same
+    inode — byte-identical without copying), and reads see both."""
+    store = _mk(spark, tmp_path)
+    (col_x, b_x), (col_y, b_y) = _two_collections_in_distinct_buckets(store, spark)
+    seed = _transfers(
+        spark, [_transfer_row("chain-a", collection=col_x), _transfer_row("chain-a", collection=col_y)]
+    )
+    store.append_transfers(seed)
+    base = store._path("token_transfers")
+    before = _bucket_inodes(base, store._current_version("token_transfers"), "chain-a", b_y)
+    assert before, "seed must have written col_y's bucket dir"
+
+    upd = _transfers(spark, [_transfer_row("chain-a", owner="0xowner2", collection=col_x)]).withColumn(
+        "attribute_version_hex", F.lit("0x" + "2".rjust(64, "0"))
+    )
+    buckets = store.touched_buckets(upd.select("blockchain", "collection_id", "token_id_hex").distinct())
+    assert buckets == sorted({b_x})
+    store.append_transfers(upd, blockchains=["chain-a"], buckets=buckets)
+
+    after = _bucket_inodes(base, store._current_version("token_transfers"), "chain-a", b_y)
+    assert after == before, "untouched bucket inside the touched blockchain must be hard-linked"
+    got = store.read("token_transfers")
+    assert got.filter(F.col("collection_id") == col_x).count() == 2
+    assert got.filter(F.col("collection_id") == col_y).count() == 1
+    assert "cbucket" not in got.columns
+
+
+def test_bucket_layout_migration_full_rewrite_once(spark, tmp_path):
+    """A current version partitioned by blockchain only (pre-bucket layout)
+    forces ONE full rewrite into the bucketed layout — mixed directory
+    depths would break partition discovery — after which merges prune."""
+    store = _mk(spark, tmp_path)
+    (col_x, b_x), (col_y, b_y) = _two_collections_in_distinct_buckets(store, spark)
+    df = _transfers(
+        spark, [_transfer_row("chain-a", collection=col_x), _transfer_row("chain-a", collection=col_y)]
+    )
+    base = store._path("token_transfers")
+    os.makedirs(base, exist_ok=True)
+    df.write.mode("overwrite").partitionBy("blockchain").parquet(os.path.join(base, "v-1"))
+    with open(os.path.join(base, "_CURRENT"), "w") as f:
+        f.write("v-1")
+
+    upd = _transfers(spark, [_transfer_row("chain-a", owner="0xowner2", collection=col_x)]).withColumn(
+        "attribute_version_hex", F.lit("0x" + "2".rjust(64, "0"))
+    )
+    store.append_transfers(upd, blockchains=["chain-a"], buckets=[b_x])
+    got = store.read("token_transfers")
+    assert got.count() == 3, "migration rewrite must keep every legacy row"
+    cur = store._current_version("token_transfers")
+    assert _bucket_inodes(base, cur, "chain-a", b_y), "migrated version must be bucket-partitioned"
+    # second merge: now bucket-pruned — col_y's bucket hard-links
+    before = _bucket_inodes(base, cur, "chain-a", b_y)
+    upd2 = upd.withColumn("attribute_version_hex", F.lit("0x" + "3".rjust(64, "0")))
+    store.append_transfers(upd2, blockchains=["chain-a"], buckets=[b_x])
+    after = _bucket_inodes(base, store._current_version("token_transfers"), "chain-a", b_y)
+    assert after == before
+
+
+def test_apply_silver_bucket_prunes_all_three_tables(spark, tmp_path):
+    """The crawl/tail sink sequence derives touched buckets from the batch:
+    a batch touching only col_x leaves col_y's bucket hard-linked in
+    transfers, tokens AND owners."""
+    from types import SimpleNamespace
+
+    store = _mk(spark, tmp_path)
+    (col_x, b_x), (col_y, b_y) = _two_collections_in_distinct_buckets(store, spark)
+
+    def silver_for(col, vhex="0x" + "1".rjust(64, "0")):
+        tr = _transfers(spark, [_transfer_row("chain-a", collection=col)]).withColumn(
+            "attribute_version_hex", F.lit(vhex)
+        )
+        toks = spark.createDataFrame(
+            [("chain-a", col, "0x" + "07".rjust(64, "0"), "erc721", None, None, 1)],
+            "blockchain string, collection_id string, token_id_hex string, specification string, "
+            "metadata_url string, metadata_url_version_hex string, data_version long",
+        )
+        return SimpleNamespace(token_transfers=tr, tokens=toks)
+
+    store.apply_silver(silver_for(col_x), 1, blockchains=["chain-a"])
+    store.apply_silver(silver_for(col_y), 1, blockchains=["chain-a"])
+    snaps = {
+        t: _bucket_inodes(store._path(t), store._current_version(t), "chain-a", b_y)
+        for t in ("token_transfers", "tokens", "owners")
+    }
+    assert all(snaps.values()), "col_y must have bucket dirs in all three tables"
+
+    store.apply_silver(silver_for(col_x, vhex="0x" + "2".rjust(64, "0")), 1, blockchains=["chain-a"])
+    for t, before in snaps.items():
+        after = _bucket_inodes(store._path(t), store._current_version(t), "chain-a", b_y)
+        assert after == before, f"{t}: col_y bucket must be untouched (hard-linked)"
+    assert store.read("owners").filter(F.col("collection_id") == col_y).count() == 1
 
 
 def test_empty_partitioned_write_reads_back_empty(spark, tmp_path):
