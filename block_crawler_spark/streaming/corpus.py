@@ -13,21 +13,34 @@ Storage layout (append-only, replay-idempotent):
 
     root/docs/batch-<id>/...parquet   one directory per committed micro-batch
 
-Each corpus row carries its text fingerprint, so the "seen" set IS the corpus
-projection ``select fp`` — one table, no second store to keep consistent.
-Idempotence: ``foreachBatch`` hands Spark's monotonic ``batch_id`` to the
-sink; a replayed batch (restart between sink write and checkpoint commit)
-finds its ``batch-<id>`` directory already committed and skips — the
-classic idempotent-foreachBatch contract (exactly-once corpus content).
+Each corpus row carries its text fingerprint; the "seen" set is maintained
+as a derived SIDE TABLE (``root/index``) holding only ``(doc_id, fp[, sig])``
+— one narrow directory per live docs directory, healed from the docs (the
+single source of truth) whenever a crash leaves it behind.  Idempotence:
+``foreachBatch`` hands Spark's monotonic ``batch_id`` to the sink; a
+replayed batch (restart between sink write and checkpoint commit) finds its
+``batch-<id>`` directory already committed and skips — the classic
+idempotent-foreachBatch contract (exactly-once corpus content).
 
-Scale shape at 100 TB: the per-batch work is (tiny batch) × (huge seen set)
-— a left-anti equi-join on ``fp``, which Spark executes as a shuffle join
-keyed by the fingerprint; the corpus side prunes to the single ``fp``
-column at scan time (column pruning — no text bytes move).  Two levers keep
-it bounded as the corpus grows: :meth:`CorpusIngestStore.compact` folds the
-accumulated batch directories into one large snapshot (out-of-band, never on
-the ingest path), and the fp projection can be persisted bucketed by ``fp``
-so the anti-join co-locates without a shuffle of the corpus side.
+Scale shape at 100 TB: the per-batch work is (tiny batch) × (huge seen set),
+and BOTH halves of that product are kept off the shuffle path:
+
+* the seen side is the index table — the wide corpus (text bytes, media) is
+  never opened on the ingest path except to shingle-verify the handful of
+  near-dup candidates;
+* every batch-vs-seen join is collision-shaped: the (broadcast) batch keys
+  probe the index scan (semi-join → tiny hit set), then the batch anti-joins
+  the hit set.  A left-anti with the huge set on the right would shuffle it
+  every micro-batch — broadcasting the batch side instead means the index is
+  only ever SCANNED, an O(corpus/width) streaming read with no exchange.
+
+Two levers bound the residual scan as the corpus grows:
+:meth:`CorpusIngestStore.compact` folds the accumulated batch directories
+(docs and index alike) into one snapshot (out-of-band, never on the ingest
+path), and the index files are narrow enough that at 1 B admitted docs the
+fp column is ~32 GB — a scan per micro-batch a 1000-executor cluster
+absorbs; beyond that, swap the index for a transactional table bucketed by
+``fp`` (the layout is already key-partitionable — nothing else changes).
 
 Read set vs replay set are tracked separately: ``docs/_LIVE`` (atomic
 pointer file, same idiom as the silver store's ``_CURRENT``) lists the
@@ -134,6 +147,7 @@ class CorpusIngestStore:
             # without this a store that stays at one live dir leaks that
             # space indefinitely (correctness is unaffected either way)
             self._prune_unreferenced(live)
+            self._sync_index()  # also prunes index dirs a crashed fold left behind
             return 0
         n = 0
         try:
@@ -176,6 +190,9 @@ class CorpusIngestStore:
         # live snapshot (now pointer-excluded) or an orphan from a crash
         # between a snapshot write and its pointer flip — both unreferenced.
         self._prune_unreferenced(self._live_dirs())
+        # fold the index to match: the snapshot's projection is written and
+        # the folded batches' index dirs pruned — same source-of-truth rule
+        self._sync_index()
         return len(folded)
 
     def _prune_unreferenced(self, live: list[str]) -> None:
@@ -210,10 +227,50 @@ class CorpusIngestStore:
             return self.spark.createDataFrame([], self._stored_schema())
         return self.spark.read.parquet(*[os.path.join(self._docs_root(), d) for d in dirs])
 
+    # -- the seen-set side table --------------------------------------------
+    def _index_root(self) -> str:
+        return os.path.join(self.root, "index")
+
+    def _index_schema(self) -> str:
+        return "doc_id long, fp string" + (", sig array<string>" if self.near_dup else "")
+
+    def _sync_index(self) -> None:
+        """Make the index mirror the docs live set, dir for dir.  Docs are
+        the source of truth and the index is a pure projection of them, so
+        this is self-healing against a crash at ANY point: a live docs dir
+        with no committed index dir gets (re)projected; an index dir whose
+        docs dir is no longer live (folded batch, superseded snapshot) is
+        pruned.  Idempotent and cheap when in sync (existence checks only)."""
+        live = self._live_dirs()
+        cols = [f.split()[0] for f in self._index_schema().split(",")]
+        for d in live:
+            dst = os.path.join(self._index_root(), d)
+            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                self.spark.read.parquet(os.path.join(self._docs_root(), d)).select(
+                    *cols
+                ).write.mode("overwrite").parquet(dst)
+        keep = set(live)
+        try:
+            entries = os.listdir(self._index_root())
+        except OSError:
+            return
+        for d in entries:
+            if d not in keep:
+                shutil.rmtree(os.path.join(self._index_root(), d), ignore_errors=True)
+
+    def index(self) -> DataFrame:
+        """The narrow seen-set table: (doc_id, fp[, sig]) for every admitted
+        document.  Healed against the docs before every read."""
+        self._sync_index()
+        dirs = self._live_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], self._index_schema())
+        return self.spark.read.parquet(*[os.path.join(self._index_root(), d) for d in dirs])
+
     def seen_fingerprints(self) -> DataFrame:
-        """The dedup state: every fingerprint ever admitted.  A column-pruned
-        scan of the corpus — parquet reads only the ``fp`` column."""
-        return self.corpus().select("fp")
+        """The dedup state: every fingerprint ever admitted — a scan of the
+        index side table, not of the wide corpus."""
+        return self.index().select("fp")
 
     def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Admit a micro-batch: fingerprint → within-batch keep-lowest-id →
@@ -239,11 +296,7 @@ class CorpusIngestStore:
         fresh = batch.withColumn("fp", fingerprint(F.col("text")))
         firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         fresh = fresh.join(firsts, ["fp", "doc_id"], "semi")
-        # doc_id is the corpus identity: a re-arriving id (even with revised
-        # text) never re-enters — this also keeps the near-dup verification
-        # sound, whose shingle frames assume one row per id
-        fresh = fresh.join(self.corpus().select("doc_id"), "doc_id", "anti")
-        fresh = fresh.join(self.seen_fingerprints(), "fp", "anti")
+        fresh = self._exact_dedup_filter(fresh)
         cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
         to_unpersist: list[DataFrame] = []
         if self.near_dup:
@@ -261,15 +314,37 @@ class CorpusIngestStore:
         finally:
             for df in to_unpersist:
                 df.unpersist()
+        # commit the batch's index projection AFTER the docs commit (docs are
+        # the source of truth; a crash in between heals at the next read)
+        self._sync_index()
+
+    def _exact_dedup_filter(self, fresh: DataFrame) -> DataFrame:
+        """Cross-batch exact dedup, collision-shaped: probe the index scan
+        with the BROADCAST batch keys (semi-join → batch-bounded hit sets),
+        then anti-join the batch against the hits.  The alternative — batch
+        LEFT ANTI seen-set — puts the corpus-scale side on the build side of
+        the join and shuffles it every micro-batch; this way the index is
+        only scanned, never exchanged.  doc_id is the corpus identity: a
+        re-arriving id (even with revised text) never re-enters — this also
+        keeps the near-dup verification sound, whose shingle frames assume
+        one row per id."""
+        idx = self.index()
+        id_hits = idx.join(F.broadcast(fresh.select("doc_id")), "doc_id", "semi").select("doc_id")
+        fresh = fresh.join(id_hits, "doc_id", "anti")
+        fp_hits = idx.join(F.broadcast(fresh.select("fp")), "fp", "semi").select("fp")
+        return fresh.join(fp_hits, "fp", "anti")
 
     def _near_dup_filter(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame | None]:
         """Drop near-duplicates, first within the batch (keep-lowest-id),
         then against every admitted document.  Candidates come from LSH band
-        equi-joins (the admitted side banded straight from its STORED
-        signatures — no re-shingling); every candidate is verified on true
-        shingle sets before it blocks anything.  Returns (survivors with
-        their ``sig`` column, the signature stage's persisted frame for the
-        caller to unpersist after its write action)."""
+        equi-joins — the admitted side banded straight from the INDEX table's
+        stored signatures (no re-shingling, no wide-corpus scan), the batch
+        side broadcast so the admitted side never shuffles; every candidate
+        is verified on true shingle sets before it blocks anything.  Only the
+        verified candidates' text is fetched from the corpus (semi-join with
+        the broadcast candidate ids).  Returns (survivors with their ``sig``
+        column, the signature stage's persisted frame for the caller to
+        unpersist after its write action)."""
         sigs, staged = minhash_signatures(fresh.select("doc_id", "text"), return_staged=True)
         in_pairs = jaccard_pairs(
             sigs, minhash_lsh_candidates(sigs), threshold=self.jaccard_threshold
@@ -277,13 +352,13 @@ class CorpusIngestStore:
         drop_in = in_pairs.select(F.col("id_b").alias("doc_id")).distinct()
         sigs = sigs.join(drop_in, "doc_id", "anti")
 
-        admitted = self.corpus()
         cross = band_pairs(
-            band_buckets(admitted.select("doc_id", "sig")),
-            band_buckets(sigs.select("doc_id", "sig")),
+            band_buckets(self.index().select("doc_id", "sig")),
+            F.broadcast(band_buckets(sigs.select("doc_id", "sig"))),
         )
         old_sh = (
-            admitted.join(cross.select(F.col("id_a").alias("doc_id")).distinct(), "doc_id", "semi")
+            self.corpus()
+            .join(F.broadcast(cross.select(F.col("id_a").alias("doc_id")).distinct()), "doc_id", "semi")
             .select("doc_id", shingles(F.col("text")).alias("shingles"))
         )
         sh_both = sigs.select("doc_id", "shingles").unionByName(old_sh)

@@ -169,6 +169,66 @@ def test_near_dup_ingest_does_not_accumulate_cached_frames(spark, tmp_path):
     assert after <= before, f"cached RDDs grew {before} -> {after}"
 
 
+def test_index_side_table_heals_after_crash(spark, tmp_path):
+    """A crash between the docs commit and the index write must not lose
+    dedup state: docs are the source of truth, and the next read heals the
+    index from them — a duplicate of the 'unindexed' batch is still blocked."""
+    import os
+    import shutil
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "alpha beta gamma")]), 0)
+    # simulate the crash window: docs batch-0 committed, index write lost
+    shutil.rmtree(os.path.join(store._index_root(), "batch-0"))
+    reopened = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    reopened.ingest_batch(_docs(spark, [(2, "ALPHA  beta gamma"), (3, "fresh text")]), 1)
+    assert _corpus_ids(reopened) == [1, 3], "healed index must still block the duplicate"
+    assert os.path.exists(os.path.join(reopened._index_root(), "batch-0", "_SUCCESS"))
+
+
+def test_index_side_table_consistent_across_compaction(spark, tmp_path):
+    """After compaction the index mirrors the docs live set dir-for-dir and
+    row-for-row (near-dup mode: signatures included)."""
+    import os
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    store.ingest_batch(_docs(spark, [(1, BASE), (2, "one two three four five six seven")]), 0)
+    store.ingest_batch(_docs(spark, [(3, "eight nine ten eleven twelve thirteen")]), 1)
+    assert store.compact() == 2
+    assert sorted(os.listdir(store._index_root())) == sorted(store._live_dirs())
+    idx = {r["doc_id"]: r["fp"] for r in store.index().collect()}
+    cor = {r["doc_id"]: r["fp"] for r in store.corpus().collect()}
+    assert idx == cor
+    assert "sig" in store.index().columns
+    # and dedup still works entirely off the folded index
+    store.ingest_batch(_docs(spark, [(4, BASE.replace("tango", "zulu"))]), 2)
+    assert _corpus_ids(store) == [1, 2, 3]
+
+
+def test_ingest_plan_joins_against_index_not_corpus(spark, tmp_path):
+    """The exact-dedup path must scan the narrow index side table — never the
+    wide docs files — and must not shuffle the index side (the batch keys are
+    broadcast into collision semi-joins)."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.functions.text import fingerprint
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "seed text")]), 0)
+    batch = _docs(spark, [(2, "probe text")]).withColumn("fp", fingerprint(F.col("text")))
+    # FileScan locations are truncated to spark.sql.maxMetadataStringLength
+    # (default 100 — shorter than pytest tmp paths); widen for the assert
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = store._exact_dedup_filter(batch)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "corpus/index" in plan, "dedup must scan the index side table"
+    assert "corpus/docs" not in plan, "dedup must not open the wide corpus files"
+    assert "BroadcastHashJoin" in plan, "batch keys must broadcast (index side never shuffles)"
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
 def test_ingest_batch_replay_is_noop(spark, tmp_path):
     store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
     b = _docs(spark, [(10, "alpha beta"), (11, "gamma delta")])
