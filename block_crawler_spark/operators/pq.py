@@ -13,9 +13,10 @@ integer adds per corpus row (asymmetric distance computation, ADC).
 Spark shapes:
 
 - **Codebook** — K rows × M subspaces, built from a deterministic seed
-  set (``vec_id < K``; a per-subspace ``kmeans_lloyd_fixed`` run is the
-  trained variant, exactly as ``emb_ivf_trained_topk`` trains the IVF
-  coarse quantizer).  Always broadcast — it is M·K rows.
+  set (``vec_id < K``, :func:`pq_codebook`) or TRAINED per subspace with
+  grouped fixed-point Lloyd (:func:`pq_train_codebook` — all M subspaces
+  in one loop, exactly the integer-exact scheme ``emb_ivf_trained_topk``
+  uses for the IVF coarse quantizer).  Always broadcast — it is M·K rows.
 - **Encode** — one corpus scan: explode into M subvectors, broadcast-join
   the codebook, per-(vector, subspace) argmin.  One shuffle on
   ``(vec_id, m)`` with map-side partial aggregation; output is the codes
@@ -73,6 +74,55 @@ def pq_codebook(emb: DataFrame, m: int, k: int, sub_dim: int) -> DataFrame:
     )
 
 
+def pq_train_codebook(
+    emb: DataFrame, m: int, k: int, sub_dim: int, iters: int = 2
+) -> DataFrame:
+    """Per-subspace Lloyd k-means in fixed-point integer space — the trained
+    variant of :func:`pq_codebook`, with ALL M subspaces trained in one
+    grouped loop (``m`` joins the group keys) instead of M separate runs.
+
+    Same exactness rules as ``ann.kmeans_lloyd_fixed``: integer squared-L2
+    distances, argmin ties to the lowest code via ``min(struct(d, code))``,
+    centroid update ``floor(sum / count)`` in double space — bit-reproducible
+    across engines, so even the trained codewords hash-check against the
+    DuckDB replica.  Seeds are the ``vec_id < k`` subvectors (exactly the
+    seed-set codebook), so training strictly refines the untrained baseline.
+    A codeword that loses all members drops out (that subspace's k shrinks)
+    — mirrored by the SQL oracle.
+
+    Scale shape per iteration: one broadcast of the M·K-row codebook against
+    the subvector table (no shuffle to assign) + one posexplode/groupBy
+    update (shuffle bounded by M·K·sub_dim rows out).  The subvector table
+    is cached for the loop — at corpus scale persist it to a parquet stage
+    instead (same lever as ``dedup.minhash_signatures``)."""
+    sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim).cache()
+    cents = sub.filter(F.col("_id") < k).select(
+        "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
+    )
+    best = F.min(F.struct("d", "code")).alias("b")
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cents), "m").select(
+            "_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+        )
+        a = (
+            scored.groupBy("_id", "m")
+            .agg(best)
+            .select("_id", "m", F.col("b.code").alias("code"))
+        )
+        per_dim = a.join(sub, ["_id", "m"]).select(
+            "m", "code", F.posexplode("sv").alias("pos", "val")
+        )
+        upd = per_dim.groupBy("m", "code", "pos").agg(
+            F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
+        )
+        cents = upd.groupBy("m", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+            ).alias("cvec")
+        )
+    return cents
+
+
 def pq_encode(emb: DataFrame, codebook: DataFrame, m: int, sub_dim: int) -> DataFrame:
     """Corpus → codes (vec_id, m, code): per-subspace nearest codeword by
     exact integer squared-L2, ties to the lowest code id."""
@@ -110,4 +160,57 @@ def pq_adc_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("c_id"), "adc_dist", "rank")
+    )
+
+
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    m: int,
+    sub_dim: int,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF cell pruning composed with ADC scoring — the IVFADC layout of
+    Jégou et al. §IV without residual encoding: the coarse quantizer only
+    PRUNES (each query scores the codes of its ``nprobe`` nearest cells),
+    while PQ codes encode the raw vectors.  Residual encoding (PQ over
+    ``v − centroid``) is the standard refinement when the corpus has cluster
+    structure worth exploiting; on isotropic embeddings it buys nothing, and
+    either way the composition shape below is unchanged (the codes table
+    would simply store residual codes per cell).
+
+    Scale shape: candidate pairs come from the (query-probe ⋈ corpus-cell)
+    equi-join on centroid_id — the corpus side is the CODES table keyed by
+    cell, never the float vectors; the per-query LUT (Q·M·K rows) and the
+    k-row centroid table broadcast.  Cost per query ≈ nprobe/n_cells of the
+    flat ADC scan, on top of ADC's ~16× byte compression.
+    """
+    from .ann import ivf_assign
+
+    ca = ivf_assign(corpus, centroids).select(F.col("vec_id").alias("c_id"), "centroid_id")
+    qa = ivf_assign(queries, centroids, n_assign=nprobe).select(
+        F.col("vec_id").alias("q_id"), "centroid_id"
+    )
+    # cells are disjoint for the corpus, so nprobe probes produce no
+    # duplicate (q_id, c_id) pairs — no dedup needed
+    pairs = qa.join(ca, "centroid_id").filter(F.col("q_id") != F.col("c_id")).select("q_id", "c_id")
+    q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
+    lut = q_sub.join(F.broadcast(codebook), "m").select(
+        F.col("_id").alias("q_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+    )
+    cand = (
+        pairs.join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc_dist", "rank")
     )

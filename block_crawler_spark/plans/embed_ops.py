@@ -446,34 +446,42 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
 
-def _pq_sql() -> str:
-    dist = (
-        f"CAST(list_sum(list_transform(range({PQ_SUB}), "
-        "i -> (sv[i+1]-cvec[i+1])*(sv[i+1]-cvec[i+1]))) AS BIGINT)"
-    )
-    return f"""
-WITH vecs AS (
+_PQ_DIST = (
+    f"CAST(list_sum(list_transform(range({PQ_SUB}), "
+    "i -> (sv[i+1]-cvec[i+1])*(sv[i+1]-cvec[i+1]))) AS BIGINT)"
+)
+
+
+def _pq_base_ctes(cb_name: str) -> list[str]:
+    """The shared PQ SQL skeleton: micro vectors → subvectors → encode + LUT
+    against the codebook CTE ``cb_name`` (seed set or trained)."""
+    return [
+        f"""vecs AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{NORM_SCALE}) AS BIGINT)) AS v
   FROM embeddings
-),
-sub AS (
+)""",
+        f"""sub AS (
   SELECT vec_id, m, list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
   FROM vecs, range({PQ_M}) t(m)
-),
-cb AS (SELECT m, vec_id AS code, sv AS cvec FROM sub WHERE vec_id < {PQ_K}),
-enc AS (
+)""",
+        f"""enc AS (
   SELECT vec_id, m, CAST(MIN(d*{PQ_K}+code) % {PQ_K} AS BIGINT) AS code
-  FROM (SELECT s.vec_id, s.m, c.code, {dist} AS d
-        FROM sub s JOIN cb c USING (m))
+  FROM (SELECT s.vec_id, s.m, c.code, {_PQ_DIST} AS d
+        FROM sub s JOIN {cb_name} c USING (m))
   GROUP BY vec_id, m
-),
-lut AS (
-  SELECT s.vec_id AS q_id, s.m, c.code, {dist} AS d
-  FROM sub s JOIN cb c USING (m)
+)""",
+        f"""lut AS (
+  SELECT s.vec_id AS q_id, s.m, c.code, {_PQ_DIST} AS d
+  FROM sub s JOIN {cb_name} c USING (m)
   WHERE s.vec_id < {KNN_QUERY_IDS}
-),
-cand AS (
+)""",
+    ]
+
+
+_PQ_SEED_CB = f"cb AS (SELECT m, vec_id AS code, sv AS cvec FROM sub WHERE vec_id < {PQ_K})"
+
+_PQ_ADC_TAIL = f"""cand AS (
   SELECT l.q_id, e.vec_id AS c_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
   FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
   WHERE l.q_id <> e.vec_id
@@ -487,4 +495,131 @@ WHERE rank <= {PQ_TOPK}
 """
 
 
+def _pq_sql() -> str:
+    vecs, sub, enc, lut = _pq_base_ctes("cb")
+    return f"WITH {vecs},\n{sub},\n{_PQ_SEED_CB},\n{enc},\n{lut},\n{_PQ_ADC_TAIL}"
+
+
 QUERIES["emb_pq_topk"] = (pq_topk_query, _pq_sql())
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ codebook + IVFADC composition (round 6)
+# ---------------------------------------------------------------------------
+
+PQ_TRAIN_ITERS = 2
+IVFPQ_CELLS = 16
+IVFPQ_NPROBE = 4
+
+
+def pq_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained twin of ``emb_pq_topk``: the codebook is refined from the
+    same seed set by two per-subspace fixed-point Lloyd iterations
+    (``pq_train_codebook`` — grouped over all M subspaces in one loop), so
+    the trained CODEWORDS, the codes, and the ADC distances all hash-check
+    against the unrolled SQL replica.  Measured recall@5 vs brute cosine is
+    tracked next to the seed baseline in scripts/ann_recall.py."""
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_train_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train_codebook(emb, PQ_M, PQ_K, PQ_SUB, iters=PQ_TRAIN_ITERS)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
+
+
+def _pq_trained_cb_ctes(iters: int) -> list[str]:
+    """Unrolled per-subspace Lloyd: cb0 (seeds) → a{n}/u{n}/cb{n} per
+    iteration; ``cb{iters}`` is the trained codebook (m, code, cvec)."""
+    parts = [f"cb0 AS (SELECT m, vec_id AS code, sv AS cvec FROM sub WHERE vec_id < {PQ_K})"]
+    for n in range(iters):
+        parts.append(
+            f"""a{n + 1} AS (
+  SELECT vec_id, m, CAST(MIN(d*{PQ_K}+code) % {PQ_K} AS BIGINT) AS code
+  FROM (SELECT s.vec_id, s.m, c.code, {_PQ_DIST} AS d FROM sub s JOIN cb{n} c USING (m))
+  GROUP BY vec_id, m
+)"""
+        )
+        parts.append(
+            f"""u{n + 1} AS (
+  SELECT m, code, i, CAST(floor(CAST(SUM(sv[i+1]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
+  FROM a{n + 1} JOIN sub USING (vec_id, m) CROSS JOIN range({PQ_SUB}) t(i)
+  GROUP BY m, code, i
+)"""
+        )
+        parts.append(
+            f"cb{n + 1} AS (SELECT m, code, list(cval ORDER BY i) AS cvec FROM u{n + 1} GROUP BY m, code)"
+        )
+    return parts
+
+
+def _pq_trained_sql() -> str:
+    vecs, sub, enc, lut = _pq_base_ctes(f"cb{PQ_TRAIN_ITERS}")
+    train = ",\n".join(_pq_trained_cb_ctes(PQ_TRAIN_ITERS))
+    return f"WITH {vecs},\n{sub},\n{train},\n{enc},\n{lut},\n{_PQ_ADC_TAIL}"
+
+
+QUERIES["emb_pq_trained_topk"] = (pq_trained_topk_query, _pq_trained_sql())
+
+
+def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF cell pruning (16 seed cells, nprobe=4) composed with ADC
+    scoring over the codes table (seed codebook — the trained twin is proven
+    separately by ``emb_pq_trained_topk``).  Each query scores only its
+    probed cells' codes: ~nprobe/n_cells of the flat ADC scan on top of the
+    16× byte compression — the standard two-level ANN layout at corpus
+    scale (Jégou et al. §IV, no-residual variant; see
+    ``operators.pq.ivfpq_adc_topk``)."""
+    from ..operators.pq import ivfpq_adc_topk, pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+    cb = pq_codebook(emb, PQ_M, PQ_K, PQ_SUB)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivfpq_adc_topk(
+        queries, emb, centroids, cb, codes, PQ_M, PQ_SUB, PQ_TOPK, nprobe=IVFPQ_NPROBE
+    )
+
+
+def _ivfpq_sql() -> str:
+    vecs, sub, enc, lut = _pq_base_ctes("cb")
+    return f"""WITH {vecs},
+{sub},
+{_PQ_SEED_CB},
+{enc},
+{lut},
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVFPQ_CELLS}),
+cscored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS sim
+  FROM embeddings e, cent c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM cscored
+),
+corpus_cells AS (SELECT vec_id AS c_id, cid AS centroid_id FROM cranked WHERE rn = 1),
+query_probes AS (
+  SELECT vec_id AS q_id, cid AS centroid_id FROM cranked
+  WHERE rn <= {IVFPQ_NPROBE} AND vec_id < {KNN_QUERY_IDS}
+),
+pairs AS (
+  SELECT q.q_id, c.c_id FROM query_probes q JOIN corpus_cells c USING (centroid_id)
+  WHERE q.q_id <> c.c_id
+),
+cand AS (
+  SELECT p.q_id, p.c_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM pairs p
+  JOIN enc e ON e.vec_id = p.c_id
+  JOIN lut l ON l.q_id = p.q_id AND l.m = e.m AND l.code = e.code
+  GROUP BY p.q_id, p.c_id
+)
+SELECT q_id, c_id, adc_dist, rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+QUERIES["emb_ivfpq_topk"] = (ivfpq_topk_query, _ivfpq_sql())
