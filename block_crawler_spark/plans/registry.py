@@ -15,11 +15,14 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 
 # Ordering matters to external samplers that take a prefix of the merged
 # dict (Python dicts preserve insertion order).  The prefix is rotated per
-# round so every family accumulates current driver-green rows: round 5
-# fronted the LLM-pipeline families (text/pack/pipeline/media/embed — all
-# CORRECTNESS_r05-green); round 6 fronts the relational tail
-# (tpch/events/nft/tx + set_ops/agg/join) whose newest rows were r04.
-_MODULES = (tpch, events_ops, nft_ops, tx_ops, text_ops, pack_ops, pipeline, media_ops, embed_ops)
+# round so every family accumulates current driver-green rows — and any
+# query ADDED in a round must sit inside the prefix that round (ADVICE r6:
+# new code gets verified the round it lands, not rounds later).  Round 5
+# fronted the LLM-pipeline families; round 6 fronted the relational tail
+# (all r6-green); round 7 fronts embed_ops (the two r6-added ANN queries'
+# first driver rows) + text/pack (r7-added BPE queries, r6-changed dedup
+# family) + pipeline/media, with the r6-certified relational modules last.
+_MODULES = (embed_ops, text_ops, pack_ops, pipeline, media_ops, tpch, events_ops, nft_ops, tx_ops)
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
