@@ -26,6 +26,18 @@ the bucketed layout migrates transparently: the first pruned merge over a
 non-bucketed version rewrites that table fully into the new layout, and
 every later merge prunes.
 
+The READ side is bounded the same way (round 7 — this was the last
+O(history) step in the tail path): :meth:`read` takes optional
+``blockchains=``/``buckets=`` filters applied to the partition columns
+BEFORE normalization drops them, so Spark statically prunes the scan
+(``PartitionFilters`` on ``blockchain`` and ``cbucket``).  The rebuild
+scans (token/owner state recomputed from committed transfers) always prune
+— they semi-join against the batch's touched keys, every transfer of a
+touched key lives in that key's partitions; the existing-side merge reads
+prune via :meth:`_read_for_merge` only when the same layout probe says the
+write will prune too.  Steady-state tail cost is therefore O(touched
+collection buckets) for reads AND writes.
+
 Durability (round-2, ADVICE r1 store.py:67): each rewrite lands in a fresh
 ``v-N`` directory under the table path, then a one-line ``_CURRENT`` pointer
 file is flipped via ``os.replace`` (atomic on POSIX).  A crash or executor
@@ -113,6 +125,46 @@ class SilverStore:
         except OSError:
             return None
 
+    def _prune_capability(self, table: str) -> tuple[bool, bool]:
+        """(blockchain_prunable, bucket_prunable) of the CURRENT version —
+        the single layout probe shared by :meth:`overwrite`'s write pruning
+        and the merge paths' read pruning, so an existing-side read never
+        prunes unless the write that follows prunes identically (a
+        migration full-rewrite fed by a pruned read would drop the
+        unscanned partitions' rows).
+
+        * no current version → (False, False) — nothing to prune;
+        * current version has bare ``*.parquet`` files (pre-partitioned
+          layout) → (False, False) — its rows carry no partition dirs, a
+          pruned rewrite would silently lose them;
+        * bucketed table whose ``blockchain=X`` trees lack ``cbucket=``
+          subtrees (pre-bucketed layout) → (False, False) — mixed directory
+          depths would break partition discovery, so overwrite rewrites
+          fully once;
+        * otherwise (partitioned, and bucketed where applicable, or a
+          committed empty table) → prunable.
+        """
+        cur = self._current_version(table)
+        if cur is None:
+            return False, False
+        cur_path = os.path.join(self._path(table), cur)
+        try:
+            entries = os.listdir(cur_path)
+        except OSError:
+            return False, False
+        part_dirs = [d for d in entries if d.startswith("blockchain=")]
+        if not part_dirs and any(n.endswith(".parquet") for n in entries):
+            return False, False
+        bucketed = table in _BUCKETED
+        if bucketed and part_dirs:
+            cur_is_bucketed = all(
+                any(s.startswith("cbucket=") for s in os.listdir(os.path.join(cur_path, d)))
+                for d in part_dirs
+            )
+            if not cur_is_bucketed:
+                return False, False
+        return True, bucketed
+
     def _empty(self, table: str) -> DataFrame:
         schema = _SCHEMAS[table]
         if table == "token_transfers":
@@ -120,7 +172,22 @@ class SilverStore:
             return self.spark.createDataFrame([], schema).withColumn("batch_index", F.lit(0).cast("int"))
         return self.spark.createDataFrame([], schema)
 
-    def read(self, table: str) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        blockchains: Sequence[str] | None = None,
+        buckets: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Scan the current version.  ``blockchains``/``buckets`` filter on
+        the PARTITION columns before normalization drops them, so Spark
+        statically prunes the scan to the named ``blockchain=X`` /
+        ``cbucket=K`` trees (``PartitionFilters`` in the plan) — the read
+        half of the O(touched) merge story (the write half is
+        :meth:`overwrite`'s hard-link pruning).  Callers that prune must
+        guarantee the filter is semantically safe: either the consumer
+        filters to keys inside those partitions anyway (the rebuilds'
+        semi-joins against touched keys), or the dropped rows would be
+        hard-linked rather than rewritten (:meth:`_read_for_merge`)."""
         cur = self._current_version(table)
         if cur is None:
             return self._empty(table)
@@ -130,6 +197,10 @@ class SilverStore:
             # a committed empty partitioned write has no data files at all
             # (partitionBy emits nothing for zero rows) → canonical empty
             return self._empty(table)
+        if blockchains is not None and "blockchain" in df.columns:
+            df = df.filter(F.col("blockchain").isin([str(b) for b in blockchains]))
+        if buckets is not None and "cbucket" in df.columns:
+            df = df.filter(F.col("cbucket").isin([int(b) for b in buckets]))
         # normalize: partition discovery appends `blockchain` (and, on the
         # bucketed tables, `cbucket`) last and type-infers them; restore
         # declared column order, pin blockchain to string, drop the derived
@@ -138,6 +209,25 @@ class SilverStore:
         extras = [c for c in df.columns if c not in ordered and c != "cbucket"]  # e.g. batch_index
         return df.select(
             *[F.col(c).cast("string").alias(c) if c == "blockchain" else F.col(c) for c in ordered + extras]
+        )
+
+    def _read_for_merge(
+        self,
+        table: str,
+        blockchains: Sequence[str] | None,
+        buckets: Sequence[int] | None,
+    ) -> DataFrame:
+        """Existing-side read for a merge: pruned to the touched partitions
+        exactly when the overwrite that follows will prune them (untouched
+        partitions hard-link, so their rows never need computing); a full
+        scan otherwise (first write, or a layout-migration full rewrite,
+        where every existing row must flow into the new version)."""
+        prune_ok, bucket_ok = self._prune_capability(table)
+        prune = blockchains is not None and prune_ok
+        return self.read(
+            table,
+            blockchains=blockchains if prune else None,
+            buckets=buckets if (prune and bucket_ok and buckets is not None) else None,
         )
 
     @staticmethod
@@ -200,21 +290,13 @@ class SilverStore:
         cur_partition_dirs = (
             [d for d in os.listdir(cur_path) if d.startswith("blockchain=")] if cur_path else []
         )
-        prune = touched_blockchains is not None and cur_path is not None and (
-            cur_partition_dirs or not any(n.endswith(".parquet") for n in os.listdir(cur_path))
-        )
+        # ONE layout probe decides both write pruning here and read pruning
+        # in _read_for_merge — they must never diverge (a pruned read feeding
+        # a full rewrite would drop the unscanned partitions' rows)
+        prune_ok, bucket_ok = self._prune_capability(table)
+        prune = touched_blockchains is not None and prune_ok
         bucketed = table in _BUCKETED
-        if bucketed and prune and cur_partition_dirs:
-            # layout migration: linking a blockchain=X tree whose files sit
-            # directly under it next to cbucket=K subtrees would give the
-            # version inconsistent directory depths — rewrite fully once
-            cur_is_bucketed = all(
-                any(s.startswith("cbucket=") for s in os.listdir(os.path.join(cur_path, d)))
-                for d in cur_partition_dirs
-            )
-            if not cur_is_bucketed:
-                prune = False
-        bucket_prune = bucketed and prune and touched_buckets is not None
+        bucket_prune = prune and bucket_ok and touched_buckets is not None
         out = df
         if prune:
             out = df.filter(F.col("blockchain").isin(list(touched_blockchains)))
@@ -250,7 +332,9 @@ class SilverStore:
     def upsert_collections(self, updates: DataFrame, blockchains: Sequence[str] | None = None) -> None:
         self.overwrite(
             "collections",
-            M.versioned_upsert(self.read("collections"), updates, KEYS["collections"]),
+            M.versioned_upsert(
+                self._read_for_merge("collections", blockchains, None), updates, KEYS["collections"]
+            ),
             touched_blockchains=blockchains,
         )
 
@@ -267,7 +351,7 @@ class SilverStore:
         :meth:`rebuild_tokens` instead; this remains the field-merge API pin
         for callers that guarantee exactly-once batch delivery.
         """
-        existing = self.read("tokens")
+        existing = self._read_for_merge("tokens", blockchains, buckets)
         if "specification" not in existing.columns:
             existing = existing.withColumn("specification", F.lit(None).cast("string"))
         self.overwrite(
@@ -301,12 +385,19 @@ class SilverStore:
         from ..schemas import SPEC_ERC721
 
         keys = ["blockchain", "collection_id", "token_id_hex"]
-        existing = self.read("tokens")
+        existing = self._read_for_merge("tokens", blockchains, buckets)
         if "specification" not in existing.columns:
             existing = existing.withColumn("specification", F.lit(None).cast("string"))
         kept = existing.join(touched_keys, keys, "left_anti")
 
-        recomputed = token_state_from_silver(self.read("token_transfers"), touched_keys)
+        # ALWAYS safe to prune this scan (no capability gate): the fold
+        # semi-joins against touched_keys, and every transfer of a touched
+        # key lives in that key's blockchain partition and cbucket (a pure
+        # function of collection_id) — on a pre-bucketed layout read()
+        # simply skips the missing partition filter
+        recomputed = token_state_from_silver(
+            self.read("token_transfers", blockchains=blockchains, buckets=buckets), touched_keys
+        )
         meta_cols = ["specification", "metadata_url", "metadata_url_version_hex", "data_version"]
         meta_src = existing.join(touched_keys, keys, "left_semi").select(*keys, *meta_cols).unionByName(
             batch_tokens.select(*keys, *meta_cols)
@@ -382,7 +473,9 @@ class SilverStore:
         buckets = self.touched_buckets(touched) if blockchains is not None else None
         self.append_transfers(silver.token_transfers, blockchains=blockchains, buckets=buckets)
         self.rebuild_tokens(silver.tokens, touched, blockchains=blockchains, buckets=buckets)
-        balances = owner_balances_from_silver(self.read("token_transfers"), touched)
+        balances = owner_balances_from_silver(
+            self.read("token_transfers", blockchains=blockchains, buckets=buckets), touched
+        )
         self.rebuild_owners(
             balances.withColumn("data_version", F.lit(data_version)),
             touched,
@@ -398,7 +491,11 @@ class SilverStore:
     ) -> None:
         self.overwrite(
             "token_transfers",
-            M.idempotent_append(self.read("token_transfers"), updates, KEYS["token_transfers"]),
+            M.idempotent_append(
+                self._read_for_merge("token_transfers", blockchains, buckets),
+                updates,
+                KEYS["token_transfers"],
+            ),
             touched_blockchains=blockchains,
             touched_buckets=buckets,
         )
@@ -418,7 +515,12 @@ class SilverStore:
         """
         self.overwrite(
             "owners",
-            M.additive_upsert(self.read("owners"), deltas, KEYS["owners"], drop_zero=True),
+            M.additive_upsert(
+                self._read_for_merge("owners", blockchains, buckets),
+                deltas,
+                KEYS["owners"],
+                drop_zero=True,
+            ),
             touched_blockchains=blockchains,
             touched_buckets=buckets,
         )
@@ -434,7 +536,7 @@ class SilverStore:
         owner row of the touched token keys with balances recomputed from the
         idempotent ``token_transfers`` table.  A retried batch rewrites the
         same values instead of re-adding deltas."""
-        existing = self.read("owners")
+        existing = self._read_for_merge("owners", blockchains, buckets)
         kept = existing.join(touched_keys, ["blockchain", "collection_id", "token_id_hex"], "left_anti")
         self.overwrite(
             "owners",
@@ -463,7 +565,9 @@ class SilverStore:
         resumes at the fork point.
         """
         keys = ["blockchain", "collection_id", "token_id_hex"]
-        transfers = self.read("token_transfers")
+        # kept must retain other blockchains' rows iff the overwrite below
+        # will NOT hard-link them — the shared capability probe decides both
+        transfers = self._read_for_merge("token_transfers", [blockchain], None)
         mine = F.col("blockchain") == blockchain
         touched = transfers.filter(mine & (F.col("block_id") > to_block)).select(*keys).distinct()
         # collect the touched buckets BEFORE the transfers overwrite: every
@@ -488,7 +592,9 @@ class SilverStore:
         from ..operators.folds import owner_balances_from_silver
 
         dv, last = self.get_config(blockchain)
-        balances = owner_balances_from_silver(self.read("token_transfers"), touched)
+        balances = owner_balances_from_silver(
+            self.read("token_transfers", blockchains=[blockchain], buckets=buckets), touched
+        )
         self.rebuild_owners(
             balances.withColumn("data_version", F.lit(dv)),
             touched,

@@ -312,3 +312,95 @@ def test_rebuild_tokens_keeps_metadata_across_epochs(spark, tmp_path):
     row = store.read("tokens").collect()[0]
     assert row["metadata_url"] == "ipfs://x"
     assert row["data_version"] == 2
+
+
+def test_read_prunes_partitions_statically(spark, tmp_path):
+    """read(blockchains=, buckets=) filters on the PARTITION columns before
+    normalization drops them, so the scan carries PartitionFilters on
+    blockchain AND cbucket — the tail path's per-batch token/owner rebuilds
+    scan only touched subtrees, not the whole transfers history."""
+    store = _mk(spark, tmp_path)
+    (col_x, b_x), (col_y, b_y) = _two_collections_in_distinct_buckets(store, spark)
+    seed = _transfers(
+        spark,
+        [_transfer_row("chain-a", collection=col_x), _transfer_row("chain-b", collection=col_y)],
+    )
+    store.append_transfers(seed)
+    pruned = store.read("token_transfers", blockchains=["chain-a"], buckets=[b_x])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    tail = plan.split("PartitionFilters", 1)[1][:400]
+    assert "blockchain" in tail, plan
+    assert "cbucket" in tail, plan
+    rows = pruned.collect()
+    assert {(r["blockchain"], r["collection_id"]) for r in rows} == {("chain-a", col_x)}
+    assert "cbucket" not in pruned.columns
+
+
+def test_read_for_merge_gates_on_layout(spark, tmp_path):
+    """The existing-side read prunes exactly when the overwrite will prune:
+    on a legacy blockchain-only layout the read is FULL (the migration
+    rewrite must carry every row — a pruned read would drop the unscanned
+    partitions), and after migration the same call prunes."""
+    store = _mk(spark, tmp_path)
+    (col_x, b_x), (col_y, b_y) = _two_collections_in_distinct_buckets(store, spark)
+    df = _transfers(
+        spark,
+        [_transfer_row("chain-a", collection=col_x), _transfer_row("chain-b", collection=col_y)],
+    )
+    base = store._path("token_transfers")
+    os.makedirs(base, exist_ok=True)
+    df.write.mode("overwrite").partitionBy("blockchain").parquet(os.path.join(base, "v-1"))
+    with open(os.path.join(base, "_CURRENT"), "w") as f:
+        f.write("v-1")
+
+    # pre-bucket layout: capability denies pruning, read returns ALL rows
+    assert store._prune_capability("token_transfers") == (False, False)
+    full = store._read_for_merge("token_transfers", ["chain-a"], [b_x])
+    assert full.count() == 2
+
+    # a merge migrates the layout; the same read now prunes to the request
+    upd = _transfers(spark, [_transfer_row("chain-a", owner="0xo2", collection=col_x)]).withColumn(
+        "attribute_version_hex", F.lit("0x" + "2".rjust(64, "0"))
+    )
+    store.append_transfers(upd, blockchains=["chain-a"], buckets=[b_x])
+    assert store.read("token_transfers").count() == 3, "migration kept every legacy row"
+    assert store._prune_capability("token_transfers") == (True, True)
+    pruned = store._read_for_merge("token_transfers", ["chain-a"], [b_x])
+    got = {(r["blockchain"], r["collection_id"]) for r in pruned.collect()}
+    assert got == {("chain-a", col_x)}
+
+
+def test_apply_silver_results_identical_with_and_without_read_pruning(spark, tmp_path):
+    """End-to-end: the pruned-read tail path produces byte-for-byte the same
+    silver state as the unpruned path (blockchains=None disables all
+    pruning) for a multi-chain, multi-bucket history."""
+    from types import SimpleNamespace
+
+    def silver_for(bc, col, owner, vhex):
+        tr = _transfers(spark, [_transfer_row(bc, owner=owner, collection=col)]).withColumn(
+            "attribute_version_hex", F.lit(vhex)
+        )
+        toks = spark.createDataFrame(
+            [(bc, col, "0x" + "07".rjust(64, "0"), "erc721", None, None, 1)],
+            "blockchain string, collection_id string, token_id_hex string, specification string, "
+            "metadata_url string, metadata_url_version_hex string, data_version long",
+        )
+        return SimpleNamespace(token_transfers=tr, tokens=toks)
+
+    pruned_store = SilverStore(spark, str(tmp_path / "pruned"))
+    full_store = SilverStore(spark, str(tmp_path / "full"))
+    (col_x, _bx), (col_y, _by) = _two_collections_in_distinct_buckets(pruned_store, spark)
+    batches = [
+        ("chain-a", col_x, "0xo1", "0x" + "1".rjust(64, "0")),
+        ("chain-b", col_y, "0xo2", "0x" + "1".rjust(64, "0")),
+        ("chain-a", col_y, "0xo3", "0x" + "2".rjust(64, "0")),
+        ("chain-a", col_x, "0xo4", "0x" + "3".rjust(64, "0")),
+    ]
+    for bc, col, owner, vhex in batches:
+        pruned_store.apply_silver(silver_for(bc, col, owner, vhex), 1, blockchains=[bc])
+        full_store.apply_silver(silver_for(bc, col, owner, vhex), 1, blockchains=None)
+    for t in ("token_transfers", "tokens", "owners"):
+        a = sorted(map(str, pruned_store.read(t).collect()))
+        b = sorted(map(str, full_store.read(t).collect()))
+        assert a == b, f"{t}: pruned-read path diverged from full-read path"
