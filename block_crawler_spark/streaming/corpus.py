@@ -34,13 +34,18 @@ and BOTH halves of that product are kept off the shuffle path:
   every micro-batch — broadcasting the batch side instead means the index is
   only ever SCANNED, an O(corpus/width) streaming read with no exchange.
 
-Two levers bound the residual scan as the corpus grows:
+Three levers bound the residual scan as the corpus grows:
 :meth:`CorpusIngestStore.compact` folds the accumulated batch directories
 (docs and index alike) into one snapshot (out-of-band, never on the ingest
-path), and the index files are narrow enough that at 1 B admitted docs the
-fp column is ~32 GB — a scan per micro-batch a 1000-executor cluster
-absorbs; beyond that, swap the index for a transactional table bucketed by
-``fp`` (the layout is already key-partitionable — nothing else changes).
+path); each index dir is PARTITIONED by ``ibucket = pmod(xxhash64(fp),
+index_buckets)`` (round 7 — the silver store's cbucket idiom), so the
+exact-dedup fp probe statically prunes its scan to the batch's fp buckets
+instead of the whole seen set; and the remaining full-index consumers (the
+doc_id identity probe, the near-dup band derivation) read only their
+columns — at 1 B admitted docs the fp column is ~32 GB, a pruned fraction
+of which is a per-micro-batch read a 1000-executor cluster absorbs.  On an
+object store the same layout maps onto a transactional table partitioned by
+``ibucket`` — nothing else changes.
 
 Read set vs replay set are tracked separately: ``docs/_LIVE`` (atomic
 pointer file, same idiom as the silver store's ``_CURRENT``) lists the
@@ -55,11 +60,13 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
 from ..functions.text import fingerprint, shingles
 from ..operators.dedup import (
@@ -87,6 +94,19 @@ class CorpusIngestStore:
     near_dup: bool = False
     jaccard_threshold: float = 0.5
     quality_min_ppm: int | None = None
+    # fp-bucket count for the index side table's partition layout (the
+    # ``cbucket`` idiom from the silver store): each index dir is written
+    # ``partitionBy(ibucket = pmod(xxhash64(fp), N))`` so the exact-dedup
+    # probe reads only the batch's fp buckets (static partition pruning)
+    # instead of the whole seen set.  Fixed at store creation — a pure
+    # function of fp, so every heal re-buckets identically.
+    index_buckets: int = 16
+    # batches at or under this row count broadcast their probe keys into the
+    # collision joins (the index is scanned, never exchanged); a larger
+    # batch — an availableNow backfill can be corpus-scale — must NOT be
+    # force-broadcast (driver OOM), so it falls back to letting AQE pick the
+    # join strategy (ADVICE r6 corpus.py:332)
+    broadcast_max_batch_rows: int = 1_000_000
 
     def _docs_root(self) -> str:
         return os.path.join(self.root, "docs")
@@ -234,21 +254,61 @@ class CorpusIngestStore:
     def _index_schema(self) -> str:
         return "doc_id long, fp string" + (", sig array<string>" if self.near_dup else "")
 
+    def _index_cols(self) -> list[str]:
+        return [f.split()[0] for f in self._index_schema().split(",")]
+
+    def _ibucket_expr(self):
+        """The index's fp-bucket partition value — a pure function of fp, so
+        rows re-bucket identically on every heal/compaction."""
+        return F.pmod(F.xxhash64(F.col("fp")), F.lit(self.index_buckets)).cast("int")
+
+    def _index_committed(self, d: str) -> bool:
+        """True iff ``d``'s index dir is committed IN THE BUCKETED LAYOUT:
+        ``_SUCCESS`` present and no bare top-level parquet files (a
+        pre-bucketed dir has those; it re-projects once and prunes after).
+        An empty committed dir (every batch row deduped away) qualifies —
+        ``partitionBy`` writes no data files for zero rows."""
+        dst = os.path.join(self._index_root(), d)
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return False
+        try:
+            return not any(n.endswith(".parquet") for n in os.listdir(dst))
+        except OSError:
+            return False
+
     def _sync_index(self) -> None:
-        """Make the index mirror the docs live set, dir for dir.  Docs are
-        the source of truth and the index is a pure projection of them, so
-        this is self-healing against a crash at ANY point: a live docs dir
-        with no committed index dir gets (re)projected; an index dir whose
-        docs dir is no longer live (folded batch, superseded snapshot) is
-        pruned.  Idempotent and cheap when in sync (existence checks only)."""
+        """Make the durable index mirror the docs live set, dir for dir.
+        Docs are the source of truth and the index is a pure projection of
+        them, so this is self-healing against a crash at ANY point: a live
+        docs dir with no committed (bucketed-layout) index dir gets
+        (re)projected; an index dir whose docs dir is no longer live
+        (folded batch, superseded snapshot) is pruned.
+
+        Runs only on the WRITE paths (ingest/compact — reads are
+        side-effect-free, ADVICE r6 corpus.py:262); each projection lands in
+        a temp dir then renames into place, so a concurrent healer can never
+        expose a half-written dir — whoever renames second just discards its
+        temp copy.  Idempotent and cheap when in sync (existence checks
+        only)."""
         live = self._live_dirs()
-        cols = [f.split()[0] for f in self._index_schema().split(",")]
+        cols = self._index_cols()
         for d in live:
+            if self._index_committed(d):
+                continue
             dst = os.path.join(self._index_root(), d)
-            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-                self.spark.read.parquet(os.path.join(self._docs_root(), d)).select(
-                    *cols
-                ).write.mode("overwrite").parquet(dst)
+            tmp = f"{dst}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            self.spark.read.parquet(os.path.join(self._docs_root(), d)).select(*cols).withColumn(
+                "ibucket", self._ibucket_expr()
+            ).write.mode("overwrite").partitionBy("ibucket").parquet(tmp)
+            if os.path.exists(dst):
+                # pre-bucketed layout (or a racing healer's half): replace —
+                # single-writer on the ingest path makes this safe
+                shutil.rmtree(dst, ignore_errors=True)
+            try:
+                os.rename(tmp, dst)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent healer won
         keep = set(live)
         try:
             entries = os.listdir(self._index_root())
@@ -258,14 +318,43 @@ class CorpusIngestStore:
             if d not in keep:
                 shutil.rmtree(os.path.join(self._index_root(), d), ignore_errors=True)
 
-    def index(self) -> DataFrame:
+    def index(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """The narrow seen-set table: (doc_id, fp[, sig]) for every admitted
-        document.  Healed against the docs before every read."""
-        self._sync_index()
+        document.  Side-effect-free: committed (bucketed) index dirs are
+        scanned; a dir the durable heal hasn't covered yet (crash window, or
+        a pre-bucketed layout) is projected LAZILY from its docs dir — the
+        read stays correct without writing anything (durable healing happens
+        on the ingest/compact paths via ``_sync_index``).
+
+        ``buckets`` prunes committed dirs to those ``ibucket=K`` partitions
+        (static ``PartitionFilters``) and applies the same predicate as a
+        data filter to any lazily-projected dir — the exact-dedup fp probe
+        reads O(batch buckets / index_buckets) of the seen set."""
         dirs = self._live_dirs()
         if not dirs:
             return self.spark.createDataFrame([], self._index_schema())
-        return self.spark.read.parquet(*[os.path.join(self._index_root(), d) for d in dirs])
+        cols = self._index_cols()
+        bucket_list = [int(b) for b in buckets] if buckets is not None else None
+        parts: list[DataFrame] = []
+        for d in dirs:
+            if self._index_committed(d):
+                try:
+                    df = self.spark.read.parquet(os.path.join(self._index_root(), d))
+                except AnalysisException:
+                    continue  # committed empty dir: no files, nothing to scan
+                if bucket_list is not None and "ibucket" in df.columns:
+                    df = df.filter(F.col("ibucket").isin(bucket_list))
+            else:
+                df = self.spark.read.parquet(os.path.join(self._docs_root(), d))
+                if bucket_list is not None:
+                    df = df.filter(self._ibucket_expr().isin(bucket_list))
+            parts.append(df.select(*cols))
+        if not parts:
+            return self.spark.createDataFrame([], self._index_schema())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def seen_fingerprints(self) -> DataFrame:
         """The dedup state: every fingerprint ever admitted — a scan of the
@@ -295,57 +384,93 @@ class CorpusIngestStore:
             )
         fresh = batch.withColumn("fp", fingerprint(F.col("text")))
         firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        fresh = fresh.join(firsts, ["fp", "doc_id"], "semi")
-        fresh = self._exact_dedup_filter(fresh)
-        cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
-        to_unpersist: list[DataFrame] = []
-        if self.near_dup:
-            # the exact-dedup lineage (scan → fp → firsts → anti-join vs the
-            # whole seen set) feeds both the signature stage and the final
-            # survivor join — cache it so it runs once per batch
-            fresh = fresh.cache()
-            to_unpersist.append(fresh)
-            fresh, staged = self._near_dup_filter(fresh)
-            if staged is not None:
-                to_unpersist.append(staged)
-            cols.append("sig")
+        # cache the within-batch survivors: they feed the batch count (the
+        # broadcast gate), the fp-bucket probe list, the dedup joins, and in
+        # near-dup mode the signature stage — one lineage run per batch
+        fresh = fresh.join(firsts, ["fp", "doc_id"], "semi").cache()
+        to_unpersist: list[DataFrame] = [fresh]
         try:
+            n_rows = fresh.count()
+            small = n_rows <= self.broadcast_max_batch_rows
+            fp_buckets = sorted(
+                r["b"] for r in fresh.select(self._ibucket_expr().alias("b")).distinct().collect()
+            )
+            fresh = self._exact_dedup_filter(fresh, small_batch=small, fp_buckets=fp_buckets)
+            cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
+            if self.near_dup:
+                # the exact-dedup lineage (cached batch → anti-join vs the
+                # seen set) feeds both the signature stage and the final
+                # survivor join — cache it so it runs once per batch
+                fresh = fresh.cache()
+                to_unpersist.append(fresh)
+                fresh, staged = self._near_dup_filter(fresh, small_batch=small)
+                to_unpersist.extend(staged)
+                cols.append("sig")
             fresh.select(*cols).write.mode("overwrite").parquet(out)
         finally:
             for df in to_unpersist:
                 df.unpersist()
         # commit the batch's index projection AFTER the docs commit (docs are
-        # the source of truth; a crash in between heals at the next read)
+        # the source of truth; a crash in between is healed by the next
+        # ingest/compact, and reads lazily project uncovered dirs meanwhile)
         self._sync_index()
 
-    def _exact_dedup_filter(self, fresh: DataFrame) -> DataFrame:
+    def _hint(self, df: DataFrame, small_batch: bool) -> DataFrame:
+        """Broadcast the batch-derived side only when the batch is known
+        small; a corpus-scale backfill batch keeps the default strategy
+        (AQE still broadcasts at runtime if its stats allow) instead of a
+        forced driver-OOM broadcast (ADVICE r6)."""
+        return F.broadcast(df) if small_batch else df
+
+    def _exact_dedup_filter(
+        self,
+        fresh: DataFrame,
+        small_batch: bool = True,
+        fp_buckets: Sequence[int] | None = None,
+    ) -> DataFrame:
         """Cross-batch exact dedup, collision-shaped: probe the index scan
-        with the BROADCAST batch keys (semi-join → batch-bounded hit sets),
-        then anti-join the batch against the hits.  The alternative — batch
-        LEFT ANTI seen-set — puts the corpus-scale side on the build side of
-        the join and shuffles it every micro-batch; this way the index is
-        only scanned, never exchanged.  doc_id is the corpus identity: a
-        re-arriving id (even with revised text) never re-enters — this also
-        keeps the near-dup verification sound, whose shingle frames assume
-        one row per id."""
+        with the (small-batch: broadcast) batch keys — semi-join →
+        batch-bounded hit sets — then anti-join the batch against the hits.
+        The alternative — batch LEFT ANTI seen-set — puts the corpus-scale
+        side on the build side of the join and shuffles it every
+        micro-batch; this way the index is only scanned, never exchanged.
+        The fp probe additionally prunes the scan to the batch's fp buckets
+        (``fp_buckets`` — partition filters on the bucketed index layout),
+        so it reads O(batch buckets / index_buckets) of the seen set; the
+        doc_id probe keys don't correlate with fp buckets and scan the full
+        (single-column-pruned) index — the documented residual.  doc_id is
+        the corpus identity: a re-arriving id (even with revised text) never
+        re-enters — this also keeps the near-dup verification sound, whose
+        shingle frames assume one row per id."""
         idx = self.index()
-        id_hits = idx.join(F.broadcast(fresh.select("doc_id")), "doc_id", "semi").select("doc_id")
+        id_hits = idx.join(self._hint(fresh.select("doc_id"), small_batch), "doc_id", "semi").select(
+            "doc_id"
+        )
         fresh = fresh.join(id_hits, "doc_id", "anti")
-        fp_hits = idx.join(F.broadcast(fresh.select("fp")), "fp", "semi").select("fp")
+        idx_fp = self.index(buckets=fp_buckets) if fp_buckets is not None else idx
+        fp_hits = idx_fp.join(self._hint(fresh.select("fp"), small_batch), "fp", "semi").select("fp")
         return fresh.join(fp_hits, "fp", "anti")
 
-    def _near_dup_filter(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame | None]:
+    def _near_dup_filter(
+        self, fresh: DataFrame, small_batch: bool = True
+    ) -> tuple[DataFrame, list[DataFrame]]:
         """Drop near-duplicates, first within the batch (keep-lowest-id),
         then against every admitted document.  Candidates come from LSH band
         equi-joins — the admitted side banded straight from the INDEX table's
         stored signatures (no re-shingling, no wide-corpus scan), the batch
-        side broadcast so the admitted side never shuffles; every candidate
-        is verified on true shingle sets before it blocks anything.  Only the
-        verified candidates' text is fetched from the corpus (semi-join with
-        the broadcast candidate ids).  Returns (survivors with their ``sig``
-        column, the signature stage's persisted frame for the caller to
+        side broadcast (small batches) so the admitted side never shuffles;
+        every candidate is verified on true shingle sets before it blocks
+        anything.  Only the verified candidates' text is fetched from the
+        corpus (semi-join with the candidate ids).  ``cross`` — the band
+        collision pairs — is consumed twice (candidate ids for the text
+        fetch, then the verify join), so it is persisted for the batch; the
+        index band-derivation lineage runs once.  Returns (survivors with
+        their ``sig`` column, the persisted frames for the caller to
         unpersist after its write action)."""
-        sigs, staged = minhash_signatures(fresh.select("doc_id", "text"), return_staged=True)
+        staged: list[DataFrame] = []
+        sigs, sig_stage = minhash_signatures(fresh.select("doc_id", "text"), return_staged=True)
+        if sig_stage is not None:
+            staged.append(sig_stage)
         in_pairs = jaccard_pairs(
             sigs, minhash_lsh_candidates(sigs), threshold=self.jaccard_threshold
         )
@@ -354,11 +479,16 @@ class CorpusIngestStore:
 
         cross = band_pairs(
             band_buckets(self.index().select("doc_id", "sig")),
-            F.broadcast(band_buckets(sigs.select("doc_id", "sig"))),
-        )
+            self._hint(band_buckets(sigs.select("doc_id", "sig")), small_batch),
+        ).cache()
+        staged.append(cross)
         old_sh = (
             self.corpus()
-            .join(F.broadcast(cross.select(F.col("id_a").alias("doc_id")).distinct()), "doc_id", "semi")
+            .join(
+                self._hint(cross.select(F.col("id_a").alias("doc_id")).distinct(), small_batch),
+                "doc_id",
+                "semi",
+            )
             .select("doc_id", shingles(F.col("text")).alias("shingles"))
         )
         sh_both = sigs.select("doc_id", "shingles").unionByName(old_sh)

@@ -240,3 +240,111 @@ def test_ingest_batch_replay_is_noop(spark, tmp_path):
     # a new batch id with an already-seen fingerprint admits nothing
     store.ingest_batch(_docs(spark, [(13, "ALPHA   beta")]), 1)
     assert _corpus_ids(store) == [10, 11]
+
+
+def test_index_is_bucketed_and_fp_probe_prunes_partitions(spark, tmp_path):
+    """The index side table is written partitionBy(ibucket = pmod(xxhash64
+    (fp), N)); the exact-dedup fp probe passes the batch's fp buckets and
+    the scan carries static PartitionFilters — the probe reads O(batch
+    buckets / index_buckets) of the seen set, not all of it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.functions.text import fingerprint
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "seed text one"), (2, "seed text two")]), 0)
+    idx_dir = os.path.join(store._index_root(), "batch-0")
+    assert any(d.startswith("ibucket=") for d in os.listdir(idx_dir)), "index must be bucketed"
+
+    batch = _docs(spark, [(3, "probe text")]).withColumn("fp", fingerprint(F.col("text")))
+    buckets = sorted(r["b"] for r in batch.select(store._ibucket_expr().alias("b")).distinct().collect())
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = (
+            store._exact_dedup_filter(batch, small_batch=True, fp_buckets=buckets)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters: [ibucket" in plan.replace("PartitionFilters: [isnotnull(ibucket", "PartitionFilters: [ibucket") or (
+        "PartitionFilters" in plan and "ibucket" in plan.split("PartitionFilters", 1)[1][:300]
+    ), plan
+    assert "corpus/docs" not in plan, "committed index dirs must serve the probe, not the corpus"
+
+
+def test_index_read_is_side_effect_free_and_heals_lazily(spark, tmp_path):
+    """A read-only consumer gets a complete, correct index without writing
+    anything (ADVICE r6 corpus.py:262): with a crashed-away index dir,
+    index()/seen_fingerprints() project the missing dir lazily from docs and
+    create no files; the durable heal happens on the next ingest."""
+    import os
+    import shutil
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "alpha beta gamma")]), 0)
+    store.ingest_batch(_docs(spark, [(2, "delta epsilon zeta")]), 1)
+    shutil.rmtree(os.path.join(store._index_root(), "batch-1"))
+
+    reader = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    fps = sorted(r["fp"] for r in reader.seen_fingerprints().collect())
+    assert len(fps) == 2, "lazy projection must cover the uncovered dir"
+    assert not os.path.exists(os.path.join(reader._index_root(), "batch-1")), (
+        "read path must not write the index"
+    )
+    # bucket-pruned read over the mixed (committed + lazy) set is correct too
+    all_buckets = list(range(reader.index_buckets))
+    assert reader.index(buckets=all_buckets).count() == 2
+    # the next ingest heals durably — and still blocks the unindexed dup
+    reader.ingest_batch(_docs(spark, [(3, "DELTA  epsilon zeta"), (4, "new text here")]), 2)
+    assert _corpus_ids(reader) == [1, 2, 4]
+    assert os.path.exists(os.path.join(reader._index_root(), "batch-1", "_SUCCESS"))
+
+
+def test_prebucketed_index_layout_migrates_on_ingest(spark, tmp_path):
+    """An index dir written by the pre-round-7 (unbucketed) layout is treated
+    as uncovered: reads project it lazily from docs, and the next ingest
+    rewrites it into the bucketed layout."""
+    import os
+    import shutil
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "alpha beta gamma")]), 0)
+    # rewrite batch-0's index dir in the legacy flat layout
+    legacy = os.path.join(str(tmp_path), "legacy-proj")
+    store.index().write.mode("overwrite").parquet(legacy)
+    shutil.rmtree(os.path.join(store._index_root(), "batch-0"))
+    shutil.copytree(legacy, os.path.join(store._index_root(), "batch-0"))
+    assert not store._index_committed("batch-0")
+
+    # dedup still works off the lazy docs projection; ingest migrates layout
+    store.ingest_batch(_docs(spark, [(2, "ALPHA beta gamma"), (3, "other words")]), 1)
+    assert _corpus_ids(store) == [1, 3]
+    assert store._index_committed("batch-0")
+    assert any(d.startswith("ibucket=") for d in os.listdir(os.path.join(store._index_root(), "batch-0")))
+
+
+def test_large_batch_skips_forced_broadcast_but_stays_correct(spark, tmp_path):
+    """A batch above broadcast_max_batch_rows must not carry a forced
+    broadcast hint (an availableNow backfill batch can be corpus-scale —
+    ADVICE r6 corpus.py:332); dedup results are identical either way."""
+    store = CorpusIngestStore(
+        spark, str(tmp_path / "corpus"), near_dup=True, broadcast_max_batch_rows=0
+    )
+    store.ingest_batch(_docs(spark, [(1, BASE), (2, "one two three four five six seven")]), 0)
+    # exact dup, near dup, and a new doc — all via the unhinted join path
+    store.ingest_batch(
+        _docs(
+            spark,
+            [
+                (3, BASE.replace("tango", "zulu")),
+                (4, "ONE two three four five six seven"),
+                (5, "completely new words here padding the shingle count nicely"),
+            ],
+        ),
+        1,
+    )
+    assert _corpus_ids(store) == [1, 2, 5]
