@@ -93,8 +93,12 @@ def pq_train_codebook(
     Scale shape per iteration: one broadcast of the M·K-row codebook against
     the subvector table (no shuffle to assign) + one posexplode/groupBy
     update (shuffle bounded by M·K·sub_dim rows out).  The subvector table
-    is cached for the loop — at corpus scale persist it to a parquet stage
-    instead (same lever as ``dedup.minhash_signatures``)."""
+    is cached for the loop and unpersisted before returning — the returned
+    M·K-row codebook is materialized through the driver (bounded by
+    construction) so it carries no lineage back into the released cache
+    (ADVICE r6: each invocation used to leak one cached RDD for the
+    session).  At corpus scale persist the subvector table to a parquet
+    stage instead (same lever as ``dedup.minhash_signatures``)."""
     sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim).cache()
     cents = sub.filter(F.col("_id") < k).select(
         "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
@@ -120,6 +124,12 @@ def pq_train_codebook(
                 F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
             ).alias("cvec")
         )
+    # materialize the tiny (M·K rows) result through the driver and release
+    # the loop cache — a localCheckpoint would itself pin an RDD; a
+    # collect/recreate of ≤ M·K rows is bounded by construction and leaves
+    # the session with zero persisted state per invocation
+    cents = emb.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    sub.unpersist()
     return cents
 
 

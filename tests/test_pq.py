@@ -111,3 +111,18 @@ def test_pq_recall_floor_vs_exact_l2(spark, pq_parts):
         hits += len(exact & pq_hits.get(qid, set()))
         total += k
     assert hits / total >= 0.35, f"PQ recall@5 collapsed: {hits}/{total}"
+
+
+def test_pq_train_codebook_leaves_no_cached_frames(spark):
+    """Each invocation must release its loop cache (ADVICE r6: bench samples
+    a query several times — a leaked cached RDD per call pins executor
+    memory for the session)."""
+    from block_crawler_spark.operators.pq import pq_train_codebook
+
+    emb = load_table(spark, SF, "embeddings")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        pq_train_codebook(emb, m=2, k=4, sub_dim=4, iters=1).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"cached RDDs grew {before} -> {after}"
