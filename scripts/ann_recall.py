@@ -84,6 +84,71 @@ def main() -> int:
                 "recall_seeded": rs,
                 "cost": round(nprobe / cells, 4),
             }
+
+    # PQ / IVFPQ (round 7 — the unfinished half of r5 task 5): ADC
+    # approximates squared-L2 in micro space, so its natural truth set is
+    # the EXACT integer-L2 top-k (isolates quantization loss from the
+    # L2-vs-cosine metric gap); recall vs the cosine truth is reported too.
+    from pyspark.sql import Window  # noqa: E402
+
+    from block_crawler_spark.operators.ann import int_sqdist, micro_fixed  # noqa: E402
+    from block_crawler_spark.operators.pq import (  # noqa: E402
+        ivfpq_adc_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    m, k_cb, sub = 16, 64, 4  # the registry queries' PQ layout (embed_ops)
+    qm = queries.select(F.col("vec_id").alias("q_id"), micro_fixed(F.col("embedding")).alias("qv"))
+    cm = emb.select(F.col("vec_id").alias("c_id"), micro_fixed(F.col("embedding")).alias("cv"))
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    truth_l2 = {
+        (r["q_id"], r["c_id"])
+        for r in qm.crossJoin(cm)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", int_sqdist(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= args.k)
+        .collect()
+    }
+
+    def recall_vs(approx_df, truth_set):
+        got = {(r["q_id"], r["c_id"]) for r in approx_df.collect()}
+        return round(len(got & truth_set) / len(truth_set), 4)
+
+    out["pq"] = {}
+    books = {
+        "seeded": pq_codebook(emb, m, k_cb, sub),
+        "trained": pq_train_codebook(emb, m, k_cb, sub, iters=2),
+    }
+    codes_by = {}
+    for label, cb in books.items():
+        codes_by[label] = pq_encode(emb, cb, m, sub).cache()
+        flat = pq_adc_topk(queries, codes_by[label], cb, m, sub, k=args.k)
+        out["pq"][label] = {
+            "recall_l2": recall_vs(flat, truth_l2),
+            "recall_cos": recall_vs(flat, truth),
+            # every code row is scanned (cost 1.0 in pairs) but at m bytes
+            # per vector vs 4·dim float bytes — the ADC compression ratio
+            "cost": 1.0,
+            "bytes_frac": round(m / (4 * m * sub), 4),
+        }
+
+    out["ivfpq"] = {}
+    n_cells = 16  # the registry query's IVFPQ layout
+    cent = emb.filter(F.col("vec_id") < n_cells)
+    for nprobe in (1, 2, 4, 8):
+        approx = ivfpq_adc_topk(
+            queries, emb, cent, books["trained"], codes_by["trained"], m, sub, args.k, nprobe=nprobe
+        )
+        out["ivfpq"][f"cells={n_cells},nprobe={nprobe}"] = {
+            "recall_l2": recall_vs(approx, truth_l2),
+            "cost": round(nprobe / n_cells, 4),
+        }
+    for c in codes_by.values():
+        c.unpersist()
     print(json.dumps(out))
     return 0
 
