@@ -308,9 +308,24 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", b
     expressions, mirrored 1:1 in SQL.  Near-dups then differ in ≤ d bits of
     the signature (Hamming); at scale candidates come from equality joins on
     signature chunks, same banding idea as MinHash-LSH.
+
+    ``bits`` up to the full 64 is executable (round 7 — previously the
+    corpus-scale 64-bit configuration was documentation only): the
+    signature is recomposed with JVM-side ``shiftleft`` + ``bitwiseOR``, so
+    bit 0 of a 64-bit signature lands on the long's SIGN bit (two's
+    complement — negative signatures are expected and handled by the
+    banding's shift/mask arithmetic).  The 16/32-bit values are unchanged
+    from the arithmetic recomposition (all bits positive), which is what
+    keeps the SQL oracle's BIGINT recomposition portable at those widths —
+    SQL stays on the sign-bit-free domains, 64-bit is pinned by pytest
+    (prefix property + pigeonhole recall) instead.
+
+    A signature wider than its bit count can't be represented: ``bits`` ∈
+    {16, 32, 64} (md5 supplies up to 32 hex digits; a long holds 64 bits).
     """
+    if bits not in (16, 32, 64):
+        raise ValueError(f"simhash64: bits must be 16, 32 or 64, got {bits}")
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    digits = bits // 4
 
     def bit_sum(j: int):
         digit_idx = j // 4 + 1
@@ -323,14 +338,17 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", b
     agg = exploded.groupBy(id_col).agg(
         *[F.sum(bit_sum(j)).alias(f"b{j}") for j in range(bits)]
     )
-    sig = agg.select(
-        F.col(id_col),
-        sum(
-            [F.when(F.col(f"b{j}") > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0)) for j in range(bits)],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
-    )
-    return sig
+    sig_bits = [
+        F.shiftleft(
+            F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            bits - 1 - j,
+        )
+        for j in range(bits)
+    ]
+    recomposed = sig_bits[0]
+    for b in sig_bits[1:]:
+        recomposed = recomposed.bitwiseOR(b)
+    return agg.select(F.col(id_col), recomposed.alias("simhash"))
 
 
 def simhash_band_pairs(
@@ -353,11 +371,15 @@ def simhash_band_pairs(
 
     Scale shape: one explode (×bands) + one shuffle equi-join on the band
     key; pair fan-out is bounded by band-bucket collisions, never n².
-    Bucket cardinality is 2^(bits/bands) per band — at corpus scale use
-    64-bit signatures with 16-bit bands (65 536 buckets); the 32-bit
-    default matches the oracle-portable signature domain (a 64-bit
-    recomposition would need the sign bit, which BIGINT recomposition in
-    SQL can't express portably).
+    Bucket cardinality is 2^(bits/bands) per band — at corpus scale run
+    ``simhash64(..., bits=64)`` with the default 4 bands = 16-bit bands
+    (65 536 buckets per band; executable and pytest-pinned since round 7:
+    the sign bit rides the shift/mask arithmetic, ``bit_count(xor)``
+    Hamming is sign-agnostic).  The 32-bit registry default matches the
+    oracle-portable signature domain (a 64-bit recomposition in SQL would
+    need BIGINT's sign bit, which portable arithmetic recomposition can't
+    express — so the 64-bit path is pinned by the prefix-property and
+    pigeonhole tests instead of an oracle query).
 
     Input: ``(id_col, simhash)`` from :func:`simhash64`.  Output:
     (id_a, id_b, hamming), de-mirrored with ``id_a < id_b``.

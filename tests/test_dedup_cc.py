@@ -135,3 +135,83 @@ def test_pii_primitives(spark):
     assert got[1]["red"] == "mail <email> or <email>, docs at <url>"
     assert (got[2]["e"], got[2]["u"]) == (0, 0)
     assert got[2]["red"] == "no personal data here"
+
+
+def test_simhash64_full_width_prefix_property(spark):
+    """The 32-bit signature is exactly the top half of the 64-bit one (both
+    read their bits off the same md5 prefix), so widening the signature
+    only ADDS discrimination — the deterministic form of '64-bit recall
+    configuration refines 32-bit', pinned without an oracle query (SQL
+    can't recompose the sign bit portably)."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.operators.dedup import simhash64
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo w{i} x{i * 7 % 13}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    s32 = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=32).collect()}
+    s64 = simhash64(docs, bits=64)
+    top = {
+        r["doc_id"]: r["hi"]
+        for r in s64.select("doc_id", F.shiftrightunsigned("simhash", 32).alias("hi")).collect()
+    }
+    assert top == s32
+    # the sign-bit path must actually execute: over 20 docs the first md5
+    # bit is ~certain to be 1 for some doc → at least one negative long
+    assert any(r["simhash"] < 0 for r in s64.collect()), "no signature exercised the sign bit"
+
+
+def test_simhash_band_pairs_64bit_recall_supersets_32bit(spark):
+    """64-bit banding recall on a seeded near-dup fixture.  With the band
+    boundaries ALIGNED to the 32-bit registry configuration (8 bands of
+    8 bits — the 32-bit sig is the 64-bit sig's prefix, so each 32-bit
+    band IS a 64-bit band), every candidate the 32-bit config generates
+    is generated at 64 bits too, hence recall ⊇ with a scaled Hamming
+    budget.  (The 16-bit-band corpus config trades that guarantee for
+    65 536-bucket density — its pigeonhole floor is checked below.)"""
+    from block_crawler_spark.operators.dedup import simhash64, simhash_band_pairs
+
+    rows, did = [], 0
+    for v in range(8):
+        toks = [f"v{v}tok{i}" for i in range(40)]
+        text = " ".join(toks)
+        rows.append((did, text)); did += 1
+        # near-dup: one token replaced out of 40 (variants fully disjoint)
+        rows.append((did, text.replace(f"v{v}tok7", f"v{v}swap"))); did += 1
+    for v in range(6):  # distinct background docs
+        rows.append((did, " ".join(f"zz{v}x{i}" for i in range(30)))); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    s32 = simhash64(docs, bits=32)
+    s64 = simhash64(docs, bits=64)
+    pairs32 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_band_pairs(s32, bits=32, bands=4, max_hamming=3).collect()
+    }
+    pairs64 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_band_pairs(s64, bits=64, bands=8, max_hamming=8).collect()
+    }
+    assert pairs32, "fixture must produce 32-bit near-dup pairs"
+    assert pairs64 >= pairs32, f"64-bit lost pairs: {pairs32 - pairs64}"
+    # the doubled width pays off on this fixture: strictly more true pairs
+    seeded_truth = {(2 * v, 2 * v + 1) for v in range(8)}
+    assert pairs64 & seeded_truth > pairs32 & seeded_truth
+
+    # pigeonhole floor of the corpus-scale 16-bit-band config: banding
+    # finds EVERY pair with Hamming < bands — cross-check vs direct xor
+    import itertools
+
+    sig = {r["doc_id"]: r["simhash"] for r in s64.collect()}
+    truth_3 = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    found_3 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_band_pairs(s64, bits=64, bands=4, max_hamming=3).collect()
+    }
+    assert found_3 == truth_3
