@@ -162,6 +162,84 @@ def repetition_ppm(text: Column, k: int = 5) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Toy BPE token counting (round 7) — tokenizer-aware shaping units
+# ---------------------------------------------------------------------------
+
+# A deterministic byte-pair-encoding vocabulary: ordered merge rules over
+# single-character symbols, each merge emitting a fresh single placeholder
+# character (Latin Extended-A — outside the corpus alphabet), exactly the
+# BPE training artifact shape (Sennrich et al. 2016; GPT-2's merges.txt is
+# the public precedent).  The pairs are the highest-frequency English
+# character bigrams plus two second-order merges ("the", "ing").  Because
+# every symbol is ONE character, applying a merge is a plain substring
+# replace of a 2-char pair with a 1-char symbol — ``replace`` is
+# leftmost-first non-overlapping in Spark, DuckDB and Python alike, which
+# is precisely BPE's scan order, so the encoding is portable across all
+# three engines and the token count is SQL-oracle-checkable.  A real
+# tokenizer swaps in its own merges table; the OPERATOR shape (chained
+# JVM-side replaces, zero shuffles, one scan) is what matters at 100 TB.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("th", "Ā"),
+    ("in", "ā"),
+    ("er", "Ă"),
+    ("an", "ă"),
+    ("re", "Ą"),
+    ("on", "ą"),
+    ("at", "Ć"),
+    ("en", "ć"),
+    ("or", "Ĉ"),
+    ("es", "ĉ"),
+    ("ti", "Ċ"),
+    ("st", "ċ"),
+    ("ar", "Č"),
+    ("te", "č"),
+    ("Āe", "Ď"),  # Āe = "the"
+    ("āg", "ď"),  # āg = "ing"
+]
+
+
+def bpe_encode(word: Column) -> Column:
+    """Apply the merge rules in priority order to one token's text; the
+    result's CHARACTER COUNT is its BPE token count (every remaining
+    character is one symbol)."""
+    out = word
+    for pair, sym in BPE_MERGES:
+        out = F.replace(out, F.lit(pair), F.lit(sym))
+    return out
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Total BPE tokens of a document: lowercase → regex word/punct split
+    (the shared TOKEN_PATTERN) → per-token merge chain → summed symbol
+    counts.  Pure column expressions (codegen-friendly): the merge chain is
+    ~16 chained ``replace`` calls inside one ``transform`` lambda."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+    counts = F.transform(toks, lambda t: F.length(bpe_encode(t)))
+    return F.coalesce(
+        F.aggregate(counts, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(0).cast("long"),
+    )
+
+
+def bpe_sql_expr(inner: str) -> str:
+    """The DuckDB replica of :func:`bpe_encode` as a nested ``replace``
+    chain around ``inner`` — both engines' replace is leftmost-first
+    non-overlapping, so the chain is value-identical."""
+    for pair, sym in BPE_MERGES:
+        inner = f"replace({inner}, '{pair}', '{sym}')"
+    return inner
+
+
+def bpe_count_sql_expr(text_expr: str) -> str:
+    """DuckDB expression for :func:`bpe_token_count` of ``text_expr``."""
+    return (
+        "CAST(COALESCE(list_sum(list_transform("
+        f"regexp_extract_all(lower({text_expr}), '{TOKEN_PATTERN}'), "
+        f"t -> length({bpe_sql_expr('t')}))), 0) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction (round 5) — training-data scrubbing primitives
 # ---------------------------------------------------------------------------
 

@@ -64,10 +64,36 @@ def pack_shard(shards: int = PACK_SHARDS) -> F.Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % shards
 
 
-def n_tok_col() -> F.Column:
-    """Whitespace token count as BIGINT — shared by packing, mixture and the
-    composed pipeline (and identical to ``doc_token_stats``'s ``n_tok``)."""
-    return n_tokens(F.col("text")).cast("long")
+def n_tok_col(mode: str = "ws") -> F.Column:
+    """The shaping unit as BIGINT — shared by packing, mixture and the
+    composed pipeline.  ``mode="ws"`` is the whitespace count (identical to
+    ``doc_token_stats``'s ``n_tok``, the pre-round-7 default); ``"bpe"``
+    counts with the deterministic toy-BPE merge chain
+    (``functions.text.bpe_token_count`` — ``doc_bpe_token_stats`` proves
+    its cross-engine parity), so sequence budgets and mixture token targets
+    are measured in tokenizer-relevant units instead of words.  Both are
+    zero-shuffle column expressions; switching modes changes no operator
+    shape."""
+    if mode == "ws":
+        return n_tokens(F.col("text")).cast("long")
+    if mode == "bpe":
+        from ..functions.text import bpe_token_count
+
+        return bpe_token_count(F.col("text")).cast("long")
+    raise ValueError(f"n_tok_col: unknown mode {mode!r} (expected 'ws' or 'bpe')")
+
+
+_N_TOK_SQL = {
+    "ws": "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)",
+}
+
+
+def _n_tok_sql(mode: str) -> str:
+    if mode == "bpe":
+        from ..functions.text import bpe_count_sql_expr
+
+        return bpe_count_sql_expr("text")
+    return _N_TOK_SQL[mode]
 
 
 # ---------------------------------------------------------------------------
@@ -178,15 +204,17 @@ def assign_bins(per: DataFrame, seq_len: int = SEQ_LEN_TOK) -> DataFrame:
     )
 
 
-def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences_query(spark: SparkSession, sf_dir: str, n_tok_mode: str = "ws") -> DataFrame:
     """Deterministic concat-and-split packing: within each hash shard,
     documents are laid end-to-end in doc_id order and the tape is cut every
     ``SEQ_LEN_TOK`` tokens; a document belongs to the bin where it *starts*.
     One shuffle (hash by shard) + per-shard window cumsum; the bin roll-up
     reuses the same partitioning.  Shard count is the scale dial — see the
-    module docstring for the 100 TB sizing rule."""
+    module docstring for the 100 TB sizing rule.  ``n_tok_mode`` picks the
+    budget unit (whitespace words or toy-BPE tokens — registry pins both
+    variants)."""
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
+    per = docs.select("doc_id", n_tok_col(n_tok_mode).alias("n_tok"), pack_shard().alias("shard"))
     binned = assign_bins(per)
     return binned.groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"),
@@ -196,10 +224,11 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_SQL = f"""
+def _pack_sql(n_tok_mode: str = "ws") -> str:
+    return f"""
 WITH per AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         {_n_tok_sql(n_tok_mode)} AS n_tok,
          CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
   FROM documents
 ), cum AS (
@@ -216,6 +245,9 @@ SELECT shard,
 FROM cum
 GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
 """
+
+
+PACK_SQL = _pack_sql("ws")
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +281,7 @@ def mixture_rates(per_doc: DataFrame) -> DataFrame:
     )
 
 
-def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixture_plan_query(spark: SparkSession, sf_dir: str, n_tok_mode: str = "ws") -> DataFrame:
     """Token-budget mixture: each source gets ``weight``/Σweights of a global
     budget (half the available tokens), capped at what the source actually
     has; the realized sample keeps a document iff its uniform hash falls
@@ -261,7 +293,7 @@ def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~9e12 tokens per source before BIGINT overflow — beyond that, switch the
     ppm math to DOUBLE or pre-divide the budget."""
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select("source", n_tok_col().alias("n_tok"), _u_ppm("mix|").alias("u"))
+    per_doc = docs.select("source", n_tok_col(n_tok_mode).alias("n_tok"), _u_ppm("mix|").alias("u"))
     planned = mixture_rates(per_doc)
     sampled = (
         per_doc.join(F.broadcast(planned.select("source", "rate_ppm")), "source")
@@ -281,10 +313,11 @@ def mixture_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MIXTURE_SQL = rf"""
+def _mixture_sql(n_tok_mode: str = "ws") -> str:
+    return rf"""
 WITH per_doc AS (
   SELECT source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         {_n_tok_sql(n_tok_mode)} AS n_tok,
          CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
   FROM documents
 ), src AS (
@@ -311,9 +344,19 @@ FROM planned p LEFT JOIN sampled s ON p.source = s.source
 """
 
 
+MIXTURE_SQL = _mixture_sql("ws")
+
+
+def _pack_sequences_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_pack_sequences`` with the toy-BPE budget unit — the
+    ``n_tok_mode`` switch exercised end-to-end under the oracle."""
+    return pack_sequences_query(spark, sf_dir, n_tok_mode="bpe")
+
+
 QUERIES = {
     "doc_chunk_stats": (chunk_stats_query, CHUNK_SQL),
     "doc_chunk_dup_stats": (chunk_dup_stats_query, CHUNK_DUP_SQL),
     "doc_pack_sequences": (pack_sequences_query, PACK_SQL),
+    "doc_pack_sequences_bpe": (_pack_sequences_bpe_query, _pack_sql("bpe")),
     "doc_mixture_plan": (mixture_plan_query, MIXTURE_SQL),
 }

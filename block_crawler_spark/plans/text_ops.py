@@ -913,3 +913,51 @@ FROM d
 """
 
 QUERIES["doc_shuffle_shards"] = (shuffle_shards_query, SHUFFLE_SHARDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Toy-BPE token statistics (round 7) — tokenizer-aware counting
+# ---------------------------------------------------------------------------
+
+def bpe_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware token counts: the deterministic toy-BPE merge chain
+    (``functions.text.BPE_MERGES`` — fixed public-precedent vocabulary,
+    single-char symbols so each merge is one substring replace) applied per
+    regex token, summed per document, next to the whitespace count the
+    shaping operators used until round 7.  ``compression_centi`` =
+    non-space chars per BPE token ×100 — the chars-per-token ratio a real
+    tokenizer reports.  Zero-shuffle column expressions; at 100 TB this is
+    one scan fused into whatever pipeline stage reads the text anyway."""
+    from ..functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    token_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tok"),
+        n_tokens(F.col("text")).cast("long").alias("n_ws_tok"),
+        token_chars.cast("long").alias("token_chars"),
+    ).withColumn(
+        "compression_centi",
+        F.expr("CAST(token_chars * 100 DIV n_bpe_tok AS BIGINT)"),
+    )
+
+
+def _bpe_token_stats_sql() -> str:
+    from ..functions.text import bpe_count_sql_expr
+
+    return f"""
+SELECT doc_id, n_bpe_tok, n_ws_tok, token_chars,
+       CASE WHEN n_bpe_tok = 0 THEN NULL
+            ELSE CAST(token_chars * 100 // n_bpe_tok AS BIGINT) END AS compression_centi
+FROM (
+  SELECT doc_id,
+         {bpe_count_sql_expr('text')} AS n_bpe_tok,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tok,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS token_chars
+  FROM documents
+)
+"""
+
+
+QUERIES["doc_bpe_token_stats"] = (bpe_token_stats_query, _bpe_token_stats_sql())

@@ -114,3 +114,59 @@ def test_pack_bin_fill_is_near_budget(spark):
         shard_tok = sum(r["tok_sum"] for r in rows)
         max_bin = max(r["bin_id"] for r in rows)
         assert max_bin * SEQ_LEN_TOK <= shard_tok
+
+
+def test_bpe_merge_chain_matches_python_reference(spark):
+    """The toy-BPE count must equal a straight Python replay of the merges
+    table (replace is leftmost-first non-overlapping in both engines —
+    the property the SQL oracle also rests on), across unicode, overlap
+    ('thth'), second-order merges ('the', 'ing') and empty inputs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.functions.text import BPE_MERGES, TOKEN_PATTERN, bpe_token_count
+
+    def py_count(text):
+        total = 0
+        for t in re.findall(TOKEN_PATTERN, text.lower()):
+            for pair, sym in BPE_MERGES:
+                t = t.replace(pair, sym)
+            total += len(t)
+        return total
+
+    samples = [
+        "The testing internet!",
+        "Reorganization, at the stationer's art.",
+        "",
+        "   ",
+        "aaa thth inging ththe",
+        "étude naïve — ünïcode? 12345",
+        "the the the ing ing ing",
+    ]
+    df = spark.createDataFrame(list(enumerate(samples)), "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == py_count(s), (s, got[i], py_count(s))
+
+
+def test_n_tok_mode_switch_changes_budget_unit_not_shape(spark):
+    """Packing under mode='bpe' uses strictly finer units (BPE tokens ≥
+    regex words never holds in general, but total BPE tokens > total ws
+    tokens on prose), conserves every document exactly once, and keeps the
+    bin math; mode='ws' stays byte-identical to the default."""
+    import pytest as _pytest
+
+    from block_crawler_spark.plans.pack_ops import n_tok_col, pack_sequences_query
+
+    sf = "/root/testdata/sf0.001"
+    ws = pack_sequences_query(spark, sf)
+    ws2 = pack_sequences_query(spark, sf, n_tok_mode="ws")
+    bpe = pack_sequences_query(spark, sf, n_tok_mode="bpe")
+    assert sorted(map(str, ws.collect())) == sorted(map(str, ws2.collect()))
+    n_docs_ws = sum(r["n_docs"] for r in ws.collect())
+    rows_bpe = bpe.collect()
+    assert sum(r["n_docs"] for r in rows_bpe) == n_docs_ws, "every doc packed exactly once"
+    assert sum(r["tok_sum"] for r in rows_bpe) > sum(r["tok_sum"] for r in ws.collect())
+    with _pytest.raises(ValueError, match="unknown mode"):
+        n_tok_col("words")
