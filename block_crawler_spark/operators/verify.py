@@ -156,7 +156,9 @@ def reconcile_collections(db_collections: DataFrame, contracts: DataFrame) -> Da
     return joined.select("collection_id", err.alias("error")).filter(F.col("error").isNotNull())
 
 
-def verify_chain_continuity(blocks: DataFrame) -> DataFrame:
+def verify_chain_continuity(
+    blocks: DataFrame, min_block: int | None = None, max_block: int | None = None
+) -> DataFrame:
     """Chain-linkage check over the blocks bronze: every block's
     ``parent_hash`` must equal the previous block's ``hash`` and heights
     must be gap-free.  A mismatch is the on-disk signature of an unhandled
@@ -166,12 +168,22 @@ def verify_chain_continuity(blocks: DataFrame) -> DataFrame:
     confuses it with a lost batch.  Returns one row per violation:
     (number, error ∈ {duplicate_height, height_gap, parent_mismatch}).
 
-    One window over the full block order — at 100 TB scale run it per
-    recent range (``blocks.filter(number >= N)``): continuity is
-    transitive, so per-range checks with one overlapping block compose.
+    The single window serializes whatever it covers, so at 100 TB scale
+    the check MUST be range-bounded: ``min_block``/``max_block`` apply the
+    height filter BEFORE the window (round 7 — previously the per-range
+    compose was docstring advice with no API).  Continuity is transitive,
+    so per-range calls whose ranges share ONE overlapping block compose to
+    the unbounded answer: ``[0, N] ∪ [N, 2N] ∪ …`` finds exactly the
+    unbounded check's violations (each range re-checks its first link; a
+    violation AT the boundary is reported by the range that contains the
+    failing block's predecessor link).
     """
     from pyspark.sql import Window
 
+    if min_block is not None:
+        blocks = blocks.filter(F.col("number") >= min_block)
+    if max_block is not None:
+        blocks = blocks.filter(F.col("number") <= max_block)
     w = Window.orderBy("number")
     prev = blocks.select("number", "hash", "parent_hash").withColumn(
         "prev_number", F.lag("number").over(w)

@@ -169,6 +169,34 @@ def test_verify_chain_continuity(spark):
     assert (2, "duplicate_height") in dup_errs
     assert not any(e == "height_gap" for _, e in dup_errs)
 
+def test_verify_chain_continuity_range_bounded_composes(spark):
+    """Per-range checks with ONE overlapping block compose to the unbounded
+    answer (min_block/max_block apply the filter BEFORE the global window,
+    so an audit over recent history never serializes the whole bronze)."""
+    from block_crawler_spark.operators.verify import verify_chain_continuity
+
+    rows, h = [], "0x00"
+    for n in range(0, 20):
+        if n == 7:
+            continue  # height gap at 7
+        parent = h if n != 13 else "0xdead"  # parent mismatch at 13
+        nh = f"0x{n:02x}"
+        rows.append((n, nh, parent))
+        h = nh
+    rows.append((17, "0xb17", rows[-4][1]))  # duplicate height at 17
+    blocks = spark.createDataFrame(rows, "number long, hash string, parent_hash string")
+
+    unbounded = {(r["number"], r["error"]) for r in verify_chain_continuity(blocks).collect()}
+    composed = set()
+    for lo, hi in ((0, 10), (10, 20)):  # block 10 overlaps both ranges
+        composed |= {
+            (r["number"], r["error"])
+            for r in verify_chain_continuity(blocks, min_block=lo, max_block=hi).collect()
+        }
+    assert composed == unbounded and unbounded, (composed, unbounded)
+    # and the bound really prunes: a range past the defects comes back clean
+    assert verify_chain_continuity(blocks, min_block=14, max_block=16).count() == 0
+
 
 def test_reconcile_tx_receipts(spark):
     """Matched pair clean; missing receipt, orphan receipt, index mismatch,
