@@ -62,6 +62,10 @@ HEADLINE = [
     "tx_sender_gas_stats",
     "emb_pq_topk",
     "doc_shuffle_shards",
+    "emb_pq_trained_topk",
+    "emb_ivfpq_topk",
+    "doc_bpe_token_stats",
+    "doc_pack_sequences_bpe",
 ]
 
 

@@ -91,6 +91,7 @@ def _bulk_crawl(
     chunk_size: int | None = None,
     signals=None,
     restart: bool = False,
+    stats=None,
 ):
     """Shared crawl/load body: run the one-pass plan over bronze (optionally
     clipped to ``height``), apply the idempotent sinks, commit progress.
@@ -116,11 +117,21 @@ def _bulk_crawl(
         logs = logs.filter(F.col("block_number") <= height)
         blocks = blocks.filter(F.col("number") <= height)
     top = height if height is not None else blocks.agg({"number": "max"}).collect()[0][0]
+
+    def tick(lo, hi):
+        # driver-observable ticker facts per committed chunk (the reference's
+        # 60 s stats writer runs during bulk loads too, shared.py:187-305;
+        # executor-side volumes live in the Spark UI — see streaming/stats.py)
+        if stats is not None and hi is not None:
+            stats.increment("chunks")
+            stats.increment("blocks", hi - (lo or 0) + 1)
+
     if chunk_size is None:
         silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
         # the retry-safe sink sequence lives in ONE place — see its docstring
         store.apply_silver(silver, data_version, blockchains=[blockchain])
         store.set_config(blockchain, data_version, top)
+        tick(None, top)
         return top
 
     if top is None:  # empty bronze: nothing to chunk over
@@ -144,9 +155,24 @@ def _bulk_crawl(
         )
         store.apply_silver(silver, data_version, blockchains=[blockchain])
         store.set_config(blockchain, data_version, hi)  # commit BEFORE the next chunk
+        tick(lo, hi)
         done = hi
         lo = hi + 1
     return done
+
+
+def _make_ticker(args):
+    """StatsService + started ticker per --stats-interval (the reference
+    runs its 60 s writer for bulk loads as well as the tail,
+    shared.py:187-305); (None, None) when disabled."""
+    if getattr(args, "stats_interval", 0) <= 0:
+        return None, None
+    from .streaming.stats import StatsService, StatsTicker
+
+    stats = StatsService()
+    ticker = StatsTicker(stats, interval=args.stats_interval)
+    ticker.start()
+    return stats, ticker
 
 
 def cmd_crawl(args) -> int:
@@ -157,11 +183,14 @@ def cmd_crawl(args) -> int:
     blocks = spark.read.parquet(args.blocks)
     store = SilverStore(spark, args.silver)
     dv, _ = store.get_config(args.blockchain)
+    stats, ticker = _make_ticker(args)
     with GracefulStop() as stop:
         top = _bulk_crawl(
             spark, store, logs, blocks, args.blockchain, dv, height=None,
-            chunk_size=args.chunk_size, signals=stop,
+            chunk_size=args.chunk_size, signals=stop, stats=stats,
         )
+    if ticker is not None:
+        ticker.stop(final_line=True)
     out = {"crawled_to": top, "transfers": store.read("token_transfers").count()}
     if stop.interrupted:
         out["interrupted"] = True  # progress committed at the last finished chunk
@@ -190,12 +219,15 @@ def cmd_load(args) -> int:
     dv, _ = store.get_config(args.blockchain)
     if args.increment_data_version:
         dv = store.increment_data_version(args.blockchain)
+    stats, ticker = _make_ticker(args)
     with GracefulStop() as stop:
         top = _bulk_crawl(
             spark, store, logs, blocks, args.blockchain, dv, height=args.height,
             chunk_size=args.chunk_size, signals=stop,
-            restart=args.increment_data_version,
+            restart=args.increment_data_version, stats=stats,
         )
+    if ticker is not None:
+        ticker.stop(final_line=True)
     out = {
         "loaded_to": top,
         "data_version": dv,
@@ -489,6 +521,9 @@ def main(argv=None) -> int:
                         help="process in sequential block chunks with a progress commit after "
                              "each (reference block_chunk_size); SIGINT/SIGTERM stops at the "
                              "next chunk boundary and a re-run resumes from the committed point")
+        sp.add_argument("--stats-interval", type=float, default=60.0,
+                        help="seconds between STATS lines (reference 60 s ticker, "
+                             "shared.py:187-305 runs it for bulk loads too); 0 disables")
 
     sp = sub.add_parser("crawl"); common(sp); chunked(sp); sp.set_defaults(fn=cmd_crawl)
     sp = sub.add_parser("load"); common(sp); chunked(sp)

@@ -85,3 +85,31 @@ def test_tail_cli_stats_line(spark, tmp_path, capsys):
     assert stats_lines and "batches=1" in stats_lines[-1]
     summary = json.loads(out.splitlines()[-1])
     assert summary["batches"] == 1
+
+
+def test_crawl_cli_stats_line(spark, tmp_path, capsys):
+    """The reference's 60 s stats writer runs during BULK loads too
+    (shared.py:187-305) — crawl/load now carry --stats-interval and emit a
+    final STATS line with per-chunk counters (round 7; previously the
+    ticker existed only on the tail)."""
+    from block_crawler_spark.cli import main
+    from block_crawler_spark.schemas import LOG_SCHEMA
+    from block_crawler_spark.sources.chainfix import standard_scenario
+
+    fb = standard_scenario()
+    spark.createDataFrame(fb.rows, LOG_SCHEMA).write.parquet(str(tmp_path / "logs"))
+    spark.createDataFrame(
+        fb.blocks(),
+        "number long, hash string, parent_hash string, miner string, timestamp long, "
+        "gas_limit long, gas_used long, size long, difficulty long, transaction_hashes array<string>",
+    ).write.parquet(str(tmp_path / "blocks"))
+    rc = main(["crawl", "--logs", str(tmp_path / "logs"), "--blocks", str(tmp_path / "blocks"),
+               "--silver", str(tmp_path / "silver"), "--blockchain", "testnet",
+               "--chunk-size", "2", "--stats-interval", "600"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    stats_lines = [ln for ln in out.splitlines() if ln.startswith("STATS ")]
+    assert stats_lines, out
+    assert "chunks=" in stats_lines[-1] and "blocks=" in stats_lines[-1]
+    summary = json.loads(out.splitlines()[-1])
+    assert summary["crawled_to"] is not None
