@@ -607,7 +607,13 @@ class SilverStore:
     # -- control table (K12) -----------------------------------------------
     def get_config(self, blockchain: str) -> tuple[int, int | None]:
         """(data_version, last_block_id) — data_version starts at 1."""
-        rows = self.read("crawler_config").filter(F.col("blockchain") == blockchain).collect()
+        # partition-level prune (blockchains=) + the row filter for the
+        # pre-partitioned-layout case where blockchain is a data column
+        rows = (
+            self.read("crawler_config", blockchains=[blockchain])
+            .filter(F.col("blockchain") == blockchain)
+            .collect()
+        )
         if not rows:
             return 1, None
         return rows[0]["data_version"], rows[0]["last_block_id"]
