@@ -41,6 +41,8 @@ PROBES = [
     "doc_curation_pipeline",  # six-stage composed DAG (round 5)
     "emb_pq_topk",  # PQ encode + ADC code-scan top-k (round 5)
     "doc_shuffle_shards",  # deterministic training-order shuffle (round 5)
+    "emb_ivfpq_topk",  # IVF cell pruning × ADC on the codes table (round 6)
+    "doc_pack_sequences_bpe",  # toy-BPE budget packing — merge chain in codegen (round 7)
 ]
 
 
