@@ -961,3 +961,57 @@ FROM (
 
 
 QUERIES["doc_bpe_token_stats"] = (bpe_token_stats_query, _bpe_token_stats_sql())
+
+
+def bpe_pair_freqs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary INDUCTION: the top-50 adjacent-symbol-pair frequencies
+    over the corpus in its current merge state — exactly the statistic BPE
+    training maximizes to pick the next merge rule (the ``BPE_MERGES``
+    table is the fixed artifact; this measures what rule #17 would be).
+    Already-merged pairs can never appear (their components always fuse),
+    so every reported pair is a genuine next-merge candidate.
+
+    Scale shape: the per-character explode is the volume driver and stays
+    map-side; ONE hash-agg shuffle on the pair key (symbol alphabet² ≈
+    a few thousand distinct keys, heavy map-side partials); the top-50
+    window runs on that bounded aggregate — a single-partition sort of
+    ≤ |alphabet|² rows, not of the corpus."""
+    from ..functions.text import bpe_encode
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+    words = d.select(F.explode(F.transform(toks, lambda t: bpe_encode(t))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).alias(
+            "pair"
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n_occ"))
+    win = Window.orderBy(F.col("n_occ").desc(), F.col("pair").asc())
+    return agg.withColumn("rank", F.row_number().over(win).cast("long")).filter(F.col("rank") <= 50)
+
+
+def _bpe_pair_freqs_sql() -> str:
+    from ..functions.text import bpe_sql_expr
+
+    return f"""
+WITH enc AS (
+  SELECT unnest(list_transform(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                t -> {bpe_sql_expr('t')})) AS w
+  FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM enc, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+), agg AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_occ FROM pairs GROUP BY pair
+)
+SELECT pair, n_occ, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT pair, n_occ, row_number() OVER (ORDER BY n_occ DESC, pair ASC) AS rank FROM agg
+) WHERE rank <= 50
+"""
+
+
+QUERIES["doc_bpe_pair_freqs"] = (bpe_pair_freqs_query, _bpe_pair_freqs_sql())

@@ -170,3 +170,21 @@ def test_n_tok_mode_switch_changes_budget_unit_not_shape(spark):
     assert sum(r["tok_sum"] for r in rows_bpe) > sum(r["tok_sum"] for r in ws.collect())
     with _pytest.raises(ValueError, match="unknown mode"):
         n_tok_col("words")
+
+
+def test_bpe_pair_freqs_counts_post_merge_symbols(spark):
+    """Induction must count pairs in the CURRENT merge state: a component
+    pair of an existing rule can never surface (its occurrences always
+    fused), every reported pair is a next-merge candidate, and counts are
+    positive and rank-ordered."""
+    from block_crawler_spark.functions.text import BPE_MERGES
+    from block_crawler_spark.plans.text_ops import bpe_pair_freqs_query
+
+    rows = bpe_pair_freqs_query(spark, "/root/testdata/sf0.001").collect()
+    assert rows and len(rows) <= 50
+    merged = {pair for pair, _sym in BPE_MERGES}
+    seen = [r["pair"] for r in rows]
+    assert not (set(seen) & merged), f"already-merged pairs surfaced: {set(seen) & merged}"
+    counts = [r["n_occ"] for r in rows]
+    assert counts == sorted(counts, reverse=True) and counts[-1] > 0
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
