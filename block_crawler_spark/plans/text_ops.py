@@ -1015,3 +1015,111 @@ SELECT pair, n_occ, CAST(rank AS BIGINT) AS rank FROM (
 
 
 QUERIES["doc_bpe_pair_freqs"] = (bpe_pair_freqs_query, _bpe_pair_freqs_sql())
+
+
+def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of distinct word 3-shingles they share and the shingle-set
+    Jaccard (ppm) — the leakage statistic behind mixture decisions (two
+    "different" sources that are really mirrors show up as a high-Jaccard
+    cell and should be collapsed before ``doc_mixture_plan`` weights them
+    as independent).
+
+    Scale shape — the decontamination join generalized to all-pairs-of-
+    sources: distinct (source, shingle) first (one shuffle; the corpus
+    never self-joins at doc granularity), then the shingle equi-join fans
+    out at most |sources|² rows per shingle — bounded by the source count,
+    never by documents².  The per-source totals are a ≤|sources|-row
+    broadcast; output is ≤ C(|sources|, 2) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("source", F.explode(shingles(F.col("text"))).alias("s")).distinct()
+    per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    ov = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        ov.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("CAST(n_shared * 1000000 DIV (n_a + n_b - n_shared) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def _source_overlap_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), shn AS (
+  SELECT DISTINCT source, unnest({_shingle_sql_expr()}) AS s FROM tk
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM shn GROUP BY source
+), ov AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM shn a JOIN shn b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT ov.source_a, ov.source_b, ov.n_shared,
+       CAST(ov.n_shared * 1000000 // (pa.n_sh + pb.n_sh - ov.n_shared) AS BIGINT) AS jaccard_ppm
+FROM ov
+JOIN per pa ON pa.source = ov.source_a
+JOIN per pb ON pb.source = ov.source_b
+"""
+
+
+QUERIES["doc_source_overlap"] = (source_overlap_query, _source_overlap_sql())
+
+
+def quality_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality distribution: document counts per decile of the
+    shared quality_ppm formula — the diagnostic that says WHERE to put a
+    corpus-wide quality threshold before it feeds ``doc_mixture_plan``
+    (a source whose mass sits under the cut contributes far fewer tokens
+    than its ``avail_tok`` suggests).  One scan + one (source, decile)
+    hash-agg; output ≤ |sources| × 11 rows."""
+    scored = with_quality_ppm(load_table(spark, sf_dir, "documents"))
+    return (
+        scored.select(
+            "source", F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile")
+        )
+        .groupBy("source", "decile")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _quality_hist_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({_EN}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '{PUNCT_PATTERN_SQL}', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), ppm AS (
+  SELECT source,
+         CAST(n_stop * 1000000 // n_tok AS BIGINT) AS stop_ppm,
+         CAST(n_punct * 1000000 // n_chars AS BIGINT) AS punct_ppm,
+         least(CAST(n_tok AS BIGINT) * 10000, 1000000) AS len_term_ppm
+  FROM base
+), q AS (
+  SELECT source,
+         CAST((4 * len_term_ppm + 4 * stop_ppm + 2 * (1000000 - punct_ppm)) // 10 AS BIGINT) AS quality_ppm
+  FROM ppm
+)
+SELECT source, CAST(quality_ppm // 100000 AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_docs
+FROM q GROUP BY source, CAST(quality_ppm // 100000 AS BIGINT)
+"""
+
+
+QUERIES["doc_quality_hist_by_source"] = (quality_hist_query, _quality_hist_sql())
