@@ -51,9 +51,17 @@ from pyspark.sql import functions as F
 from .ann import int_sqdist, micro_fixed
 
 
-def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int) -> DataFrame:
-    """(id, m, sv): the M micro-int subvectors of each row's vector."""
-    v = df.select(F.col(id_col).alias("_id"), micro_fixed(F.col(vec_col)).alias("_v"))
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int, fixed: bool = False
+) -> DataFrame:
+    """(id, m, sv): the M micro-int subvectors of each row's vector.
+    ``fixed=True`` treats ``vec_col`` as ALREADY micro-int (the residual
+    path subtracts micros in integer space — ``micro(v) − micro(c)`` is
+    exact and portable, ``micro(v − c)`` would round differently)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(vec_col) if fixed else micro_fixed(F.col(vec_col))).alias("_v"),
+    )
     parts = F.array(
         *[
             F.struct(F.lit(i).alias("m"), F.slice("_v", i * sub_dim + 1, sub_dim).alias("sv"))
@@ -215,6 +223,97 @@ def ivfpq_adc_topk(
     cand = (
         pairs.join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
         .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    sub_dim: int,
+    k: int,
+    n_codewords: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVFADC WITH residual encoding — the full Jégou et al. §IV layout
+    (:func:`ivfpq_adc_topk` is the documented no-residual variant): PQ
+    codes quantize ``v − centroid(cell(v))``, so the codebook spends its
+    budget on the within-cell displacement instead of re-encoding the cell
+    position the coarse quantizer already knows.  The query side pays the
+    standard price: the ADC lookup table is per (query, PROBED CELL) —
+    Q·nprobe·M·K rows instead of Q·M·K — because the query's residual
+    differs in every probed cell.
+
+    Exactness: residuals are ``micro(v) − micro(centroid)`` in int64 space
+    (exact; subtracting micros, never micro-ing a float difference), so
+    every ADC distance still hash-matches the DuckDB replica.  Codebook
+    seeds are the residuals of ``vec_id < n_codewords`` (the seed-set
+    idiom; swap :func:`pq_train_codebook` over the residual table to
+    train).
+
+    Scale shape: identical to the no-residual form — candidates come from
+    the (probed-cell ⋈ corpus-cell) equi-join on the CODES table (now
+    keyed (centroid_id, m, code)), float vectors never join, centroid and
+    codebook tables broadcast; the only growth is the LUT's nprobe factor,
+    still query-side-tiny."""
+    from .ann import ivf_assign
+
+    cmicro = centroids.select(
+        F.col("vec_id").alias("centroid_id"), micro_fixed(F.col("embedding")).alias("cv")
+    )
+    residual = F.zip_with("_mv", "cv", lambda a, b: a - b)
+
+    ca = ivf_assign(corpus, centroids)
+    rcorpus = (
+        ca.withColumn("_mv", micro_fixed(F.col("embedding")))
+        .join(F.broadcast(cmicro), "centroid_id")
+        .select("vec_id", "centroid_id", residual.alias("rv"))
+    )
+    rsub = _subvectors(rcorpus, "vec_id", "rv", m, sub_dim, fixed=True)
+    cb = rsub.filter(F.col("_id") < n_codewords).select(
+        "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
+    )
+    best = F.min(F.struct("d", "code")).alias("b")
+    codes = (
+        rsub.join(F.broadcast(cb), "m")
+        .select("_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d"))
+        .groupBy("_id", "m")
+        .agg(best)
+        .select(F.col("_id").alias("c_id"), "m", F.col("b.code").alias("code"))
+        .join(rcorpus.select(F.col("vec_id").alias("c_id"), "centroid_id"), "c_id")
+    )
+
+    qa = ivf_assign(queries, centroids, n_assign=nprobe)
+    qres = (
+        qa.withColumn("_mv", micro_fixed(F.col("embedding")))
+        .join(F.broadcast(cmicro), "centroid_id")
+        .select(F.col("vec_id").alias("q_id"), "centroid_id", residual.alias("rv"))
+    )
+    # per-(query, probed-cell) subvectors → per-cell LUT
+    parts = F.array(
+        *[
+            F.struct(F.lit(i).alias("m"), F.slice("rv", i * sub_dim + 1, sub_dim).alias("sv"))
+            for i in range(m)
+        ]
+    )
+    q_sub = qres.select("q_id", "centroid_id", F.explode(parts).alias("p")).select(
+        "q_id", "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "q_id", "centroid_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+    )
+    cand = (
+        codes.join(F.broadcast(lut), ["centroid_id", "m", "code"])
+        .filter(F.col("q_id") != F.col("c_id"))
         .groupBy("q_id", "c_id")
         .agg(F.sum("d").alias("adc_dist"))
     )

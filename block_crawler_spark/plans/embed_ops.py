@@ -623,3 +623,95 @@ WHERE rank <= {PQ_TOPK}
 
 
 QUERIES["emb_ivfpq_topk"] = (ivfpq_topk_query, _ivfpq_sql())
+
+
+def ivfpq_residual_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full Jégou §IV layout
+    (``emb_ivfpq_topk`` is the documented no-residual variant): PQ codes
+    quantize ``v − centroid(cell(v))`` so the codebook's budget goes to
+    within-cell displacement; the LUT becomes per (query, probed cell).
+    Residuals are micro-int subtractions (exact), so every ADC distance
+    still hash-matches the replica.  Same candidate shape: (probed-cell ⋈
+    corpus-cell) equi-join on the codes table, float vectors never join
+    (``operators.pq.ivfpq_residual_topk``)."""
+    from ..operators.pq import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivfpq_residual_topk(
+        queries, emb, centroids, PQ_M, PQ_SUB, PQ_TOPK, n_codewords=PQ_K, nprobe=IVFPQ_NPROBE
+    )
+
+
+_RES_DIST = (
+    f"CAST(list_sum(list_transform(range({PQ_SUB}), "
+    "i -> (s.sv[i+1]-c.cvec[i+1])*(s.sv[i+1]-c.cvec[i+1]))) AS BIGINT)"
+)
+
+
+def _ivfpq_residual_sql() -> str:
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{NORM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {IVFPQ_CELLS}),
+centv AS (
+  SELECT c.cid, v.v AS cv FROM cent c JOIN vecs v ON v.vec_id = c.cid
+),
+cscored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e, cent c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM cscored
+),
+ca AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+qa AS (SELECT vec_id AS q_id, cid FROM cranked WHERE rn <= {IVFPQ_NPROBE} AND vec_id < {KNN_QUERY_IDS}),
+rcorp AS (
+  SELECT v.vec_id, ca.cid,
+         list_transform(range(len(v.v)), i -> v.v[i+1] - cv.cv[i+1]) AS rv
+  FROM vecs v JOIN ca ON ca.vec_id = v.vec_id JOIN centv cv ON cv.cid = ca.cid
+),
+rsub AS (
+  SELECT vec_id, cid, m, list_slice(rv, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+  FROM rcorp, range({PQ_M}) t(m)
+),
+cb AS (SELECT m, vec_id AS code, sv AS cvec FROM rsub WHERE vec_id < {PQ_K}),
+enc AS (
+  SELECT vec_id, cid, m, CAST(MIN(d*{PQ_K}+code) % {PQ_K} AS BIGINT) AS code
+  FROM (SELECT s.vec_id, s.cid, s.m, c.code, {_RES_DIST} AS d
+        FROM rsub s JOIN cb c USING (m))
+  GROUP BY vec_id, cid, m
+),
+qres AS (
+  SELECT qa.q_id, qa.cid,
+         list_transform(range(len(v.v)), i -> v.v[i+1] - cv.cv[i+1]) AS rv
+  FROM qa JOIN vecs v ON v.vec_id = qa.q_id JOIN centv cv ON cv.cid = qa.cid
+),
+qsub AS (
+  SELECT q_id, cid, m, list_slice(rv, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+  FROM qres, range({PQ_M}) t(m)
+),
+lut AS (
+  SELECT s.q_id, s.cid, s.m, c.code, {_RES_DIST} AS d
+  FROM qsub s JOIN cb c USING (m)
+),
+cand AS (
+  SELECT l.q_id, e.vec_id AS c_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON e.cid = l.cid AND e.m = l.m AND e.code = l.code
+  WHERE l.q_id <> e.vec_id
+  GROUP BY l.q_id, e.vec_id
+)
+SELECT q_id, c_id, adc_dist, rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+QUERIES["emb_ivfpq_residual_topk"] = (ivfpq_residual_topk_query, _ivfpq_residual_sql())
