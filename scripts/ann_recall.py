@@ -147,6 +147,22 @@ def main() -> int:
             "recall_l2": recall_vs(approx, truth_l2),
             "cost": round(nprobe / n_cells, 4),
         }
+
+    # residual encoding (Jégou §IV full form) vs the no-residual variant at
+    # matched cells/nprobe — measures what residual quantization buys on
+    # this corpus (isotropic vectors: expected ≈ a wash; clustered real
+    # embeddings are where residuals pay)
+    from block_crawler_spark.operators.pq import ivfpq_residual_topk  # noqa: E402
+
+    out["ivfpq_residual"] = {}
+    for nprobe in (2, 4, 8):
+        approx = ivfpq_residual_topk(
+            queries, emb, cent, m, sub, args.k, n_codewords=k_cb, nprobe=nprobe
+        )
+        out["ivfpq_residual"][f"cells={n_cells},nprobe={nprobe}"] = {
+            "recall_l2": recall_vs(approx, truth_l2),
+            "cost": round(nprobe / n_cells, 4),
+        }
     for c in codes_by.values():
         c.unpersist()
     print(json.dumps(out))
