@@ -1123,3 +1123,78 @@ FROM q GROUP BY source, CAST(quality_ppm // 100000 AS BIGINT)
 
 
 QUERIES["doc_quality_hist_by_source"] = (quality_hist_query, _quality_hist_sql())
+
+
+CONTAINMENT_THRESHOLD_PPM = 800_000  # max-direction containment cut
+
+
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: for LSH candidate pairs, the shingle
+    CONTAINMENT in both directions — |A∩B|/|A| and |A∩B|/|B| in ppm — and
+    keep pairs where either direction ≥ 0.8.  Jaccard misses
+    subset duplication by construction (a quoted or embedded document has
+    tiny Jaccard against its container but containment ≈ 1), and subset
+    dups are exactly what training-data quote/boilerplate leakage looks
+    like.
+
+    Scale shape: identical to the MinHash pipeline (shingle → signature →
+    band equi-join → verify on true sets); the verify fans the bounded
+    candidate set against the shingle table in two hash equi-joins.
+    Honest recall caveat (in-code, mirrored by the oracle): symmetric
+    MinHash banding under-recalls low-Jaccard/high-containment pairs —
+    total recall needs an asymmetric scheme; candidates here are the
+    standard bands, so this measures containment ON the candidate set."""
+    from ..operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K)
+    sh = sigs.select("doc_id", "shingles")
+    cands = minhash_lsh_candidates(sigs)
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_a", F.size("sh_a").cast("long"))
+        .withColumn("n_b", F.size("sh_b").cast("long"))
+        .withColumn("cont_a_ppm", F.expr("CAST(inter * 1000000 DIV n_a AS BIGINT)"))
+        .withColumn("cont_b_ppm", F.expr("CAST(inter * 1000000 DIV n_b AS BIGINT)"))
+    )
+    return j.filter(
+        F.greatest("cont_a_ppm", "cont_b_ppm") >= CONTAINMENT_THRESHOLD_PPM
+    ).select("id_a", "id_b", "inter", "n_a", "n_b", "cont_a_ppm", "cont_b_ppm")
+
+
+def _containment_sql() -> str:
+    sig_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), shn AS (
+  SELECT doc_id, {_shingle_sql_expr()} AS sh FROM tk
+), sg AS (
+  SELECT doc_id, sh, [{sig_list}] AS sig FROM shn
+), bands AS (
+  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bv
+  FROM sg, unnest(range({n_bands})) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         CAST(len(x.sh) AS BIGINT) AS n_a,
+         CAST(len(y.sh) AS BIGINT) AS n_b
+  FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, inter, n_a, n_b,
+       CAST(inter * 1000000 // n_a AS BIGINT) AS cont_a_ppm,
+       CAST(inter * 1000000 // n_b AS BIGINT) AS cont_b_ppm
+FROM pairs
+WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b) >= {CONTAINMENT_THRESHOLD_PPM}
+"""
+
+
+QUERIES["dedup_containment_pairs"] = (containment_pairs_query, _containment_sql())

@@ -215,3 +215,41 @@ def test_simhash_band_pairs_64bit_recall_supersets_32bit(spark):
         for r in simhash_band_pairs(s64, bits=64, bands=4, max_hamming=3).collect()
     }
     assert found_3 == truth_3
+
+
+def test_containment_catches_subset_duplication_jaccard_misses(spark):
+    """A short document fully embedded in a long one: Jaccard is tiny (the
+    container dilutes the union) but containment of the short side is
+    1.0 — the quote/boilerplate-leakage case the symmetric near-dup cut
+    can never flag."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    short = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(8))
+    docs = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs)
+    sh = sigs.select("doc_id", "shingles")
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("cont_a_ppm", F.expr("CAST(inter * 1000000 DIV size(sh_a) AS BIGINT)"))
+        .withColumn("jacc_ppm", F.expr("CAST(inter * 1000000 DIV size(array_union(sh_a, sh_b)) AS BIGINT)"))
+        .collect()
+    )
+    # the pair must band-collide (shared prefix shingles dominate the short
+    # doc's signature) and show the asymmetry
+    assert j, "subset pair must surface as an LSH candidate on this fixture"
+    row = j[0]
+    assert row["cont_a_ppm"] == 1_000_000, row
+    assert row["jacc_ppm"] <= 500_000, row  # far under the containment cut (0.8)
+    # the symmetric Jaccard verifier at a standard 0.6 near-dup cut drops
+    # the pair that containment flags at 1.0 — the asymmetry in one line
+    assert jaccard_pairs(sigs, minhash_lsh_candidates(sigs), threshold=0.6).count() == 0
