@@ -508,6 +508,7 @@ QUERIES["emb_pq_topk"] = (pq_topk_query, _pq_sql())
 # ---------------------------------------------------------------------------
 
 PQ_TRAIN_ITERS = 2
+PQ_TRAIN_SAMPLE = 256  # Lloyd runs on a bounded deterministic sample
 IVFPQ_CELLS = 16
 IVFPQ_NPROBE = 4
 
@@ -517,33 +518,42 @@ def pq_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     same seed set by two per-subspace fixed-point Lloyd iterations
     (``pq_train_codebook`` — grouped over all M subspaces in one loop), so
     the trained CODEWORDS, the codes, and the ADC distances all hash-check
-    against the unrolled SQL replica.  Measured recall@5 vs brute cosine is
-    tracked next to the seed baseline in scripts/ann_recall.py."""
+    against the unrolled SQL replica.  Training runs on a bounded
+    deterministic sample (``vec_id < PQ_TRAIN_SAMPLE`` — round 7): at
+    corpus scale you never Lloyd the full table, you train the codebook on
+    a sample and ENCODE everything, so the registry pins that shape; the
+    full corpus is still encoded and searched.  Measured recall@5 vs brute
+    cosine is tracked next to the seed baseline in scripts/ann_recall.py."""
     from ..operators.pq import pq_adc_topk, pq_encode, pq_train_codebook
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_train_codebook(emb, PQ_M, PQ_K, PQ_SUB, iters=PQ_TRAIN_ITERS)
+    train = emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+    cb = pq_train_codebook(train, PQ_M, PQ_K, PQ_SUB, iters=PQ_TRAIN_ITERS)
     codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
 
 def _pq_trained_cb_ctes(iters: int) -> list[str]:
-    """Unrolled per-subspace Lloyd: cb0 (seeds) → a{n}/u{n}/cb{n} per
+    """Unrolled per-subspace Lloyd over the bounded TRAINING SAMPLE
+    (``tsub`` — the corpus-scale shape): cb0 (seeds) → a{n}/u{n}/cb{n} per
     iteration; ``cb{iters}`` is the trained codebook (m, code, cvec)."""
-    parts = [f"cb0 AS (SELECT m, vec_id AS code, sv AS cvec FROM sub WHERE vec_id < {PQ_K})"]
+    parts = [
+        f"tsub AS (SELECT * FROM sub WHERE vec_id < {PQ_TRAIN_SAMPLE})",
+        f"cb0 AS (SELECT m, vec_id AS code, sv AS cvec FROM tsub WHERE vec_id < {PQ_K})",
+    ]
     for n in range(iters):
         parts.append(
             f"""a{n + 1} AS (
   SELECT vec_id, m, CAST(MIN(d*{PQ_K}+code) % {PQ_K} AS BIGINT) AS code
-  FROM (SELECT s.vec_id, s.m, c.code, {_PQ_DIST} AS d FROM sub s JOIN cb{n} c USING (m))
+  FROM (SELECT s.vec_id, s.m, c.code, {_PQ_DIST} AS d FROM tsub s JOIN cb{n} c USING (m))
   GROUP BY vec_id, m
 )"""
         )
         parts.append(
             f"""u{n + 1} AS (
   SELECT m, code, i, CAST(floor(CAST(SUM(sv[i+1]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cval
-  FROM a{n + 1} JOIN sub USING (vec_id, m) CROSS JOIN range({PQ_SUB}) t(i)
+  FROM a{n + 1} JOIN tsub USING (vec_id, m) CROSS JOIN range({PQ_SUB}) t(i)
   GROUP BY m, code, i
 )"""
         )
