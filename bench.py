@@ -66,6 +66,11 @@ HEADLINE = [
     "emb_ivfpq_topk",
     "doc_bpe_token_stats",
     "doc_pack_sequences_bpe",
+    "emb_ivfpq_residual_topk",
+    "doc_bpe_pair_freqs",
+    "doc_source_overlap",
+    "doc_quality_hist_by_source",
+    "dedup_containment_pairs",
 ]
 
 

@@ -271,43 +271,45 @@ def ivfpq_residual_topk(
         F.col("vec_id").alias("centroid_id"), micro_fixed(F.col("embedding")).alias("cv")
     )
     residual = F.zip_with("_mv", "cv", lambda a, b: a - b)
-
-    ca = ivf_assign(corpus, centroids)
-    rcorpus = (
-        ca.withColumn("_mv", micro_fixed(F.col("embedding")))
-        .join(F.broadcast(cmicro), "centroid_id")
-        .select("vec_id", "centroid_id", residual.alias("rv"))
-    )
-    rsub = _subvectors(rcorpus, "vec_id", "rv", m, sub_dim, fixed=True)
-    cb = rsub.filter(F.col("_id") < n_codewords).select(
-        "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
-    )
-    best = F.min(F.struct("d", "code")).alias("b")
-    codes = (
-        rsub.join(F.broadcast(cb), "m")
-        .select("_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d"))
-        .groupBy("_id", "m")
-        .agg(best)
-        .select(F.col("_id").alias("c_id"), "m", F.col("b.code").alias("code"))
-        .join(rcorpus.select(F.col("vec_id").alias("c_id"), "centroid_id"), "c_id")
-    )
-
-    qa = ivf_assign(queries, centroids, n_assign=nprobe)
-    qres = (
-        qa.withColumn("_mv", micro_fixed(F.col("embedding")))
-        .join(F.broadcast(cmicro), "centroid_id")
-        .select(F.col("vec_id").alias("q_id"), "centroid_id", residual.alias("rv"))
-    )
-    # per-(query, probed-cell) subvectors → per-cell LUT
     parts = F.array(
         *[
             F.struct(F.lit(i).alias("m"), F.slice("rv", i * sub_dim + 1, sub_dim).alias("sv"))
             for i in range(m)
         ]
     )
-    q_sub = qres.select("q_id", "centroid_id", F.explode(parts).alias("p")).select(
-        "q_id", "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+
+    def residual_sub(vectors: DataFrame, id_alias: str, n_assign: int) -> DataFrame:
+        """(id_alias, centroid_id, m, sv): per-(vector, assigned-cell)
+        residual subvectors — cell id carried THROUGH the explode so the
+        codes need no join back to the assignment (the corpus residual
+        lineage runs once, not three times)."""
+        a = ivf_assign(vectors, centroids, n_assign=n_assign)
+        res = (
+            a.withColumn("_mv", micro_fixed(F.col("embedding")))
+            .join(F.broadcast(cmicro), "centroid_id")
+            .select(F.col("vec_id").alias(id_alias), "centroid_id", residual.alias("rv"))
+        )
+        return res.select(id_alias, "centroid_id", F.explode(parts).alias("p")).select(
+            id_alias, "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+        )
+
+    # codebook from the SEEDS' residuals only — a seed's cell assignment
+    # depends on nothing but its own row, so this tiny lineage (≤ K
+    # vectors through the window) equals filtering the full residual table
+    cb = residual_sub(corpus.filter(F.col("vec_id") < n_codewords), "c_id", 1).select(
+        "m", F.col("c_id").alias("code"), F.col("sv").alias("cvec")
     )
+    best = F.min(F.struct("d", "code")).alias("b")
+    codes = (
+        residual_sub(corpus, "c_id", 1)
+        .join(F.broadcast(cb), "m")
+        .select("c_id", "centroid_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d"))
+        .groupBy("c_id", "centroid_id", "m")
+        .agg(best)
+        .select("c_id", "centroid_id", "m", F.col("b.code").alias("code"))
+    )
+
+    q_sub = residual_sub(queries, "q_id", nprobe)
     lut = q_sub.join(F.broadcast(cb), "m").select(
         "q_id", "centroid_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
     )
