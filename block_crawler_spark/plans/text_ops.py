@@ -1198,3 +1198,79 @@ WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b) >= {CONTAINMENT_T
 
 
 QUERIES["dedup_containment_pairs"] = (containment_pairs_query, _containment_sql())
+
+
+QUALITY_BUDGET_DIV = 3  # keep the best third of tokens
+
+
+def quality_budget_cut_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven quality threshold selection: the quality_ppm cut that
+    keeps the highest-quality documents until a token budget (total/3) is
+    reached — the planning step between quality SCORING and quality
+    FILTERING (pick the cut from data, don't guess it).  One row out:
+    (cut_ppm, docs_kept, tokens_kept, budget_tok).
+
+    Scale shape: one scan → ≤101-bucket hash-agg (quality centi-buckets) →
+    a window cumsum over those ≤101 rows + a 1-row budget broadcast — the
+    corpus is never sorted, the selection happens on the bounded
+    histogram."""
+    scored = with_quality_ppm(load_table(spark, sf_dir, "documents"))
+    per = scored.select(
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.expr("CAST(quality_ppm DIV 10000 AS BIGINT)").alias("qb"),
+    )
+    hist = per.groupBy("qb").agg(
+        F.sum("n_tok").alias("tok"), F.count("*").cast("long").alias("n")
+    )
+    total = per.agg(F.sum("n_tok").alias("tot"))
+    w = Window.orderBy(F.col("qb").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum_tok", F.sum("tok").over(w))
+        .withColumn("cum_docs", F.sum("n").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn("budget_tok", F.expr(f"CAST(tot DIV {QUALITY_BUDGET_DIV} AS BIGINT)"))
+    )
+    return (
+        cum.filter(F.col("cum_tok") >= F.col("budget_tok"))
+        .orderBy(F.col("qb").desc())
+        .limit(1)
+        .select(
+            F.expr("CAST(qb * 10000 AS BIGINT)").alias("cut_ppm"),
+            F.col("cum_docs").cast("long").alias("docs_kept"),
+            F.col("cum_tok").cast("long").alias("tokens_kept"),
+            "budget_tok",
+        )
+    )
+
+
+def _quality_budget_cut_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({_EN}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '{PUNCT_PATTERN_SQL}', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT CAST(n_tok AS BIGINT) AS n_tok,
+         CAST((4 * least(CAST(n_tok AS BIGINT) * 10000, 1000000)
+             + 4 * CAST(n_stop * 1000000 // n_tok AS BIGINT)
+             + 2 * (1000000 - CAST(n_punct * 1000000 // n_chars AS BIGINT))) // 10 // 10000 AS BIGINT) AS qb
+  FROM base
+), hist AS (
+  SELECT qb, CAST(sum(n_tok) AS BIGINT) AS tok, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY qb
+), cum AS (
+  SELECT qb,
+         CAST(sum(tok) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+         CAST(sum(n) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+  FROM hist
+), tot AS (SELECT CAST(sum(n_tok) // {QUALITY_BUDGET_DIV} AS BIGINT) AS budget_tok FROM q)
+SELECT CAST(qb * 10000 AS BIGINT) AS cut_ppm, cum_docs AS docs_kept, cum_tok AS tokens_kept, budget_tok
+FROM cum, tot
+WHERE cum_tok >= budget_tok
+ORDER BY qb DESC
+LIMIT 1
+"""
+
+
+QUERIES["doc_quality_budget_cut"] = (quality_budget_cut_query, _quality_budget_cut_sql())
