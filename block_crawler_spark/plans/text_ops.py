@@ -1274,3 +1274,47 @@ LIMIT 1
 
 
 QUERIES["doc_quality_budget_cut"] = (quality_budget_cut_query, _quality_budget_cut_sql())
+
+
+def dedup_cluster_size_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER SIZE distribution: how many transitive-closure
+    clusters exist at each size (singletons included) and how many
+    documents they hold — the statistic that says whether duplication is a
+    long tail of pairs or a few mega-clusters (mirror dumps), which decides
+    keep-one-per-cluster vs source-level exclusion.
+
+    Scale shape: the connected-components labels (iterative min-label
+    propagation, rounds ∝ cluster diameter) feed two tiny hash-aggs —
+    per-cluster size, then per-size counts; both keyed far below corpus
+    cardinality."""
+    labels = dedup_cc_query(spark, sf_dir)
+    per_cluster = labels.groupBy("keep_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+def _dedup_cluster_size_hist_sql() -> str:
+    cc_sql = _dedup_cc_sql().strip()
+    # the recursive WITH must stay the outermost clause: splice the cc body
+    # in as-is and layer the two aggregations around its SELECT
+    assert cc_sql.startswith("WITH RECURSIVE")
+    body = cc_sql[len("WITH RECURSIVE"):]
+    head, _, final_select = body.rpartition("SELECT d.doc_id")
+    head = head.rstrip().rstrip(",")
+    return f"""
+WITH RECURSIVE {head},
+labels AS (
+  SELECT d.doc_id{final_select}
+), per_cluster AS (
+  SELECT keep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM labels GROUP BY keep_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM per_cluster GROUP BY cluster_size
+"""
+
+
+QUERIES["dedup_cluster_size_hist"] = (dedup_cluster_size_hist_query, _dedup_cluster_size_hist_sql())
