@@ -131,7 +131,12 @@ def _bulk_crawl(
         # the retry-safe sink sequence lives in ONE place — see its docstring
         store.apply_silver(silver, data_version, blockchains=[blockchain])
         store.set_config(blockchain, data_version, top)
-        tick(None, top)
+        if stats is not None and top is not None:
+            # count from where the bronze actually starts — high-block
+            # bronze (18M+) must not report ~18M blocks for a 1k-block load
+            # (same clamp the chunked path applies below)
+            lo0 = blocks.agg({"number": "min"}).collect()[0][0] or 0
+            tick(lo0, top)
         return top
 
     if top is None:  # empty bronze: nothing to chunk over
@@ -184,13 +189,15 @@ def cmd_crawl(args) -> int:
     store = SilverStore(spark, args.silver)
     dv, _ = store.get_config(args.blockchain)
     stats, ticker = _make_ticker(args)
-    with GracefulStop() as stop:
-        top = _bulk_crawl(
-            spark, store, logs, blocks, args.blockchain, dv, height=None,
-            chunk_size=args.chunk_size, signals=stop, stats=stats,
-        )
-    if ticker is not None:
-        ticker.stop(final_line=True)
+    try:
+        with GracefulStop() as stop:
+            top = _bulk_crawl(
+                spark, store, logs, blocks, args.blockchain, dv, height=None,
+                chunk_size=args.chunk_size, signals=stop, stats=stats,
+            )
+    finally:
+        if ticker is not None:
+            ticker.stop(final_line=True)
     out = {"crawled_to": top, "transfers": store.read("token_transfers").count()}
     if stop.interrupted:
         out["interrupted"] = True  # progress committed at the last finished chunk
@@ -220,14 +227,16 @@ def cmd_load(args) -> int:
     if args.increment_data_version:
         dv = store.increment_data_version(args.blockchain)
     stats, ticker = _make_ticker(args)
-    with GracefulStop() as stop:
-        top = _bulk_crawl(
-            spark, store, logs, blocks, args.blockchain, dv, height=args.height,
-            chunk_size=args.chunk_size, signals=stop,
-            restart=args.increment_data_version, stats=stats,
-        )
-    if ticker is not None:
-        ticker.stop(final_line=True)
+    try:
+        with GracefulStop() as stop:
+            top = _bulk_crawl(
+                spark, store, logs, blocks, args.blockchain, dv, height=args.height,
+                chunk_size=args.chunk_size, signals=stop,
+                restart=args.increment_data_version, stats=stats,
+            )
+    finally:
+        if ticker is not None:
+            ticker.stop(final_line=True)
     out = {
         "loaded_to": top,
         "data_version": dv,
@@ -291,9 +300,11 @@ def cmd_tail(args) -> int:
         ticker.start()
     runner = TailRunner(store, src, blockchain=args.blockchain, trail_blocks=args.trail_blocks,
                         process_interval=args.process_interval, stats=stats)
-    n = runner.run(max_batches=1 if args.once else None, sleep=not args.once)
-    if ticker is not None:
-        ticker.stop(final_line=True)
+    try:
+        n = runner.run(max_batches=1 if args.once else None, sleep=not args.once)
+    finally:
+        if ticker is not None:
+            ticker.stop(final_line=True)
     print(json.dumps({"batches": n, "config": store.get_config(args.blockchain)}))
     return 0
 

@@ -42,6 +42,7 @@ def minhash_signatures(
     storage_level=None,
     stage_path: str | None = None,
     return_staged: bool = False,
+    materialize: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame | None]:
     """MinHash signature per document: h_i = min over shingles of md5(i|s).
 
@@ -71,7 +72,12 @@ def minhash_signatures(
     if stage_path is not None:
         staged.write.mode("overwrite").parquet(stage_path)
         staged = docs.sparkSession.read.parquet(stage_path)
-    else:
+    elif materialize:
+        # NB: DataFrame cache() pins the plan in the CacheManager until an
+        # explicit unpersist — a one-shot caller that cannot unpersist after
+        # its action (a lazily-returned registry query) should pass
+        # ``materialize=False`` and pay the shingle recompute per consumer
+        # instead of leaking one pinned frame per invocation
         staged = staged.cache() if storage_level is None else staged.persist(storage_level)
 
     def seeded_min(seed: str):

@@ -174,9 +174,14 @@ def verify_chain_continuity(
     compose was docstring advice with no API).  Continuity is transitive,
     so per-range calls whose ranges share ONE overlapping block compose to
     the unbounded answer: ``[0, N] ∪ [N, 2N] ∪ …`` finds exactly the
-    unbounded check's violations (each range re-checks its first link; a
-    violation AT the boundary is reported by the range that contains the
-    failing block's predecessor link).
+    unbounded check's violations.  A range ADDITIONALLY asserts that its
+    ``min_block`` itself is present: when the first block found in range
+    sits above ``min_block``, that first block is flagged ``height_gap`` —
+    without this, a gap exactly AT a shared range boundary would be
+    invisible to both adjacent ranges (the left range ends before it, the
+    right range's first row has no lag predecessor; round-7 review
+    finding).  Pick boundaries on blocks known to exist (the previous
+    range's committed top — every caller has one).
     """
     from pyspark.sql import Window
 
@@ -192,9 +197,15 @@ def verify_chain_continuity(
     # prev_number fails the +1 test too, and labeling it height_gap (the
     # pre-round-5 behavior) both misclassifies the reorg and makes the
     # parent_hash compare run against the wrong sibling row
-    return prev.filter(F.col("prev_number").isNotNull()).select(
+    first_gapped = (
+        F.col("prev_number").isNull()
+        & F.lit(min_block is not None)
+        & (F.col("number") > F.lit(min_block if min_block is not None else 0))
+    )
+    return prev.filter(F.col("prev_number").isNotNull() | first_gapped).select(
         "number",
-        F.when(F.col("number") == F.col("prev_number"), F.lit("duplicate_height"))
+        F.when(first_gapped, F.lit("height_gap"))
+        .when(F.col("number") == F.col("prev_number"), F.lit("duplicate_height"))
         .when(F.col("number") != F.col("prev_number") + 1, F.lit("height_gap"))
         .when(F.col("parent_hash") != F.col("prev_hash"), F.lit("parent_mismatch"))
         .alias("error"),

@@ -1147,7 +1147,10 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_candidates, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K)
+    # materialize=False: a lazily-returned query can never unpersist, so
+    # recompute the shingle stage per consumer instead of pinning one
+    # cached frame per invocation (the pq_train_codebook leak class)
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
     sh = sigs.select("doc_id", "shingles")
     cands = minhash_lsh_candidates(sigs)
     j = (

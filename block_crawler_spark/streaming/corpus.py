@@ -98,8 +98,11 @@ class CorpusIngestStore:
     # ``cbucket`` idiom from the silver store): each index dir is written
     # ``partitionBy(ibucket = pmod(xxhash64(fp), N))`` so the exact-dedup
     # probe reads only the batch's fp buckets (static partition pruning)
-    # instead of the whole seen set.  Fixed at store creation — a pure
-    # function of fp, so every heal re-buckets identically.
+    # instead of the whole seen set.  This field is only the INITIAL value:
+    # the first write pins it to ``root/_INDEX_BUCKETS`` and every later
+    # open adopts the pinned value (round-7 review: reopening with a
+    # different N would prune on bucket ids that don't match the on-disk
+    # partitioning and silently re-admit seen fingerprints).
     index_buckets: int = 16
     # batches at or under this row count broadcast their probe keys into the
     # collision joins (the index is scanned, never exchanged); a larger
@@ -257,10 +260,38 @@ class CorpusIngestStore:
     def _index_cols(self) -> list[str]:
         return [f.split()[0] for f in self._index_schema().split(",")]
 
+    def _effective_index_buckets(self) -> int:
+        """The bucket count the on-disk layout was written with: the pinned
+        ``_INDEX_BUCKETS`` value when present (adopt-on-open — the disk is
+        the truth), else this instance's ``index_buckets``."""
+        cached = getattr(self, "_eff_index_buckets", None)
+        if cached is not None:
+            return cached
+        try:
+            with open(os.path.join(self.root, "_INDEX_BUCKETS")) as f:
+                n = int(f.read().strip())
+        except (OSError, ValueError):
+            n = self.index_buckets
+        self._eff_index_buckets = n
+        return n
+
+    def _pin_index_buckets(self) -> None:
+        """Persist the layout's bucket count on the first write path (reads
+        never write); temp-then-rename so concurrent pinners are safe."""
+        marker = os.path.join(self.root, "_INDEX_BUCKETS")
+        if os.path.exists(marker):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(self._effective_index_buckets()))
+        os.replace(tmp, marker)
+
     def _ibucket_expr(self):
-        """The index's fp-bucket partition value — a pure function of fp, so
-        rows re-bucket identically on every heal/compaction."""
-        return F.pmod(F.xxhash64(F.col("fp")), F.lit(self.index_buckets)).cast("int")
+        """The index's fp-bucket partition value — a pure function of fp and
+        the PINNED bucket count, so rows re-bucket identically on every
+        heal/compaction and across re-opens."""
+        return F.pmod(F.xxhash64(F.col("fp")), F.lit(self._effective_index_buckets())).cast("int")
 
     def _index_committed(self, d: str) -> bool:
         """True iff ``d``'s index dir is committed IN THE BUCKETED LAYOUT:
@@ -290,6 +321,7 @@ class CorpusIngestStore:
         expose a half-written dir — whoever renames second just discards its
         temp copy.  Idempotent and cheap when in sync (existence checks
         only)."""
+        self._pin_index_buckets()
         live = self._live_dirs()
         cols = self._index_cols()
         for d in live:
@@ -367,6 +399,7 @@ class CorpusIngestStore:
         an immutable ``batch-<id>`` directory.  Re-invocation with an
         already-committed id is a no-op (replay after crash)."""
         out = os.path.join(self._docs_root(), f"batch-{batch_id}")
+        self._pin_index_buckets()
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             return
         if self.quality_min_ppm is not None:

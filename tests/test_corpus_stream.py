@@ -348,3 +348,21 @@ def test_large_batch_skips_forced_broadcast_but_stays_correct(spark, tmp_path):
         1,
     )
     assert _corpus_ids(store) == [1, 2, 5]
+
+
+def test_index_bucket_count_is_pinned_to_the_layout(spark, tmp_path):
+    """Reopening a corpus with a different index_buckets must adopt the
+    on-disk layout's pinned value — otherwise the fp-probe would prune on
+    bucket ids that don't match the written partitioning and silently
+    re-admit seen fingerprints (round-7 review finding)."""
+    import os
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), index_buckets=32)
+    store.ingest_batch(_docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]), 0)
+    assert os.path.exists(os.path.join(store.root, "_INDEX_BUCKETS"))
+
+    reopened = CorpusIngestStore(spark, str(tmp_path / "corpus"))  # default 16
+    assert reopened._effective_index_buckets() == 32
+    # dedup still correct through the pruned probe on the adopted layout
+    reopened.ingest_batch(_docs(spark, [(3, "ALPHA beta  gamma"), (4, "new words here")]), 1)
+    assert _corpus_ids(reopened) == [1, 2, 4]

@@ -197,6 +197,22 @@ def test_verify_chain_continuity_range_bounded_composes(spark):
     # and the bound really prunes: a range past the defects comes back clean
     assert verify_chain_continuity(blocks, min_block=14, max_block=16).count() == 0
 
+    # a gap exactly AT a shared boundary: blocks 0..20 except 10 — the left
+    # range ends before it and the right range's first row has no lag
+    # predecessor, so without the min_block-presence assertion both ranges
+    # would miss it (round-7 review finding)
+    rows2 = [(n, f"0x{n:02x}", f"0x{n - 1:02x}") for n in range(0, 21) if n != 10]
+    blocks2 = spark.createDataFrame(rows2, "number long, hash string, parent_hash string")
+    unbounded2 = {(r["number"], r["error"]) for r in verify_chain_continuity(blocks2).collect()}
+    composed2 = set()
+    for lo, hi in ((0, 10), (10, 20)):
+        composed2 |= {
+            (r["number"], r["error"])
+            for r in verify_chain_continuity(blocks2, min_block=lo, max_block=hi).collect()
+        }
+    assert unbounded2 == {(11, "height_gap")}
+    assert composed2 == unbounded2, (composed2, unbounded2)
+
 
 def test_reconcile_tx_receipts(spark):
     """Matched pair clean; missing receipt, orphan receipt, index mismatch,
