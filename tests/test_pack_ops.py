@@ -188,3 +188,34 @@ def test_bpe_pair_freqs_counts_post_merge_symbols(spark):
     counts = [r["n_occ"] for r in rows]
     assert counts == sorted(counts, reverse=True) and counts[-1] > 0
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_count_fuzz_matches_python_reference(spark):
+    """Seeded fuzz: 200 random strings over a mixed alphabet (letters,
+    digits, punctuation, whitespace runs, unicode) must count identically
+    in Spark and a pure-Python replay — one Spark job for the whole set."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.functions.text import BPE_MERGES, TOKEN_PATTERN, bpe_token_count
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz" * 4 + "0123456789.,;:!?'\"()- \t\n" + "éüïñç东"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))) for _ in range(200)
+    ]
+
+    def py_count(text):
+        total = 0
+        for t in re.findall(TOKEN_PATTERN, text.lower()):
+            for pair, sym in BPE_MERGES:
+                t = t.replace(pair, sym)
+            total += len(t)
+        return total
+
+    df = spark.createDataFrame(list(enumerate(samples)), "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    bad = [(samples[i], got[i], py_count(samples[i])) for i in range(200) if got[i] != py_count(samples[i])]
+    assert not bad, bad[:3]
