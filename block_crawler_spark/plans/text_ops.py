@@ -1321,3 +1321,108 @@ FROM per_cluster GROUP BY cluster_size
 
 
 QUERIES["dedup_cluster_size_hist"] = (dedup_cluster_size_hist_query, _dedup_cluster_size_hist_sql())
+
+
+WINNOW_PAIR_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+WINNOW_PAIR_MAX_DF = 50  # fingerprints in more docs than this are stop-prints
+
+
+def winnow_pair_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pair detection by shared winnowing fingerprints — the
+    ORDER-SENSITIVE complement to MinHash pairs: two documents sharing a
+    contiguous run of text share the window minima inside it, so partially
+    overlapping documents (shared paragraphs, plagiarized spans) surface
+    even when whole-document Jaccard is negligible.  Output per pair:
+    shared-fingerprint count, per-doc totals, and overlap vs the smaller
+    side (containment-flavored, in ppm).
+
+    Scale shape: distinct (doc_id, fp) → drop STOP-PRINTS (fingerprints in
+    more than ``WINNOW_PAIR_MAX_DF`` docs — a boilerplate minimum shared by
+    thousands of docs would otherwise make the self-join fan out as
+    docs-per-fp²; the cap bounds pair fan-out per fp by MAX_DF², the same
+    df-cap idiom as stop-shingle removal) → fp equi-join → per-pair count.
+    No cross join; cost tracks true shared-text volume."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 3,
+            F.expr("transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"),
+        )
+        .otherwise(F.array(F.array_join("t", " ")))
+        .alias("sh"),
+    )
+    hashed = sh.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
+        "doc_id", "pos", F.md5("s").alias("hv")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
+    d = hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
+    live = d.join(
+        d.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= WINNOW_PAIR_MAX_DF),
+        "fp",
+    ).select("doc_id", "fp")
+    per = live.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a, b = live.alias("a"), live.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    pa = per.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    pb = per.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_shared * 1000000 DIV least(n_a, n_b) AS BIGINT)").alias("overlap_ppm"),
+        )
+    )
+
+
+def _winnow_pair_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN len(t) >= 3 THEN array_to_string(list_slice(t, i+1, i+3), ' ')
+              ELSE array_to_string(t, ' ') END AS s
+  FROM tk, unnest(range(CASE WHEN len(t) >= 3 THEN len(t)-2 ELSE 1 END)) AS u(i)
+), h AS (
+  SELECT doc_id, pos, md5(s) AS hv FROM sh
+), wmin AS (
+  SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+  FROM h
+), d AS (
+  SELECT DISTINCT doc_id, fp FROM wmin
+), live AS (
+  SELECT d.doc_id, d.fp FROM d
+  JOIN (SELECT fp, count(*) AS df FROM d GROUP BY fp HAVING count(*) <= {WINNOW_PAIR_MAX_DF}) f
+  USING (fp)
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM live GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_PAIR_MIN_SHARED}
+)
+SELECT p.id_a, p.id_b, p.n_shared, pa.n_fp AS n_a, pb.n_fp AS n_b,
+       CAST(p.n_shared * 1000000 // least(pa.n_fp, pb.n_fp) AS BIGINT) AS overlap_ppm
+FROM pairs p
+JOIN per pa ON pa.doc_id = p.id_a
+JOIN per pb ON pb.doc_id = p.id_b
+"""
+
+
+QUERIES["dedup_winnow_span_pairs"] = (winnow_pair_query, _winnow_pair_sql())

@@ -253,3 +253,34 @@ def test_containment_catches_subset_duplication_jaccard_misses(spark):
     # the symmetric Jaccard verifier at a standard 0.6 near-dup cut drops
     # the pair that containment flags at 1.0 — the asymmetry in one line
     assert jaccard_pairs(sigs, minhash_lsh_candidates(sigs), threshold=0.6).count() == 0
+
+
+def test_winnow_pairs_catch_partial_span_overlap(spark, tmp_path, monkeypatch):
+    """A copied paragraph inside an otherwise-unrelated document: the
+    winnowing pair detector flags the pair via the shared span's window
+    minima — order-sensitive local overlap that whole-document Jaccard
+    dilutes."""
+    from block_crawler_spark.plans import text_ops as T
+
+    para = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    doc_a = para + " and then some closing words only in a"
+    doc_b = " ".join(f"unrelated{i}" for i in range(20)) + " " + para
+    doc_c = " ".join(f"other{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, doc_a, "en", "s", len(doc_a)), (2, doc_b, "en", "s", len(doc_b)), (3, doc_c, "en", "s", len(doc_c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "docs.parquet")
+    docs.write.parquet(out)
+
+    import block_crawler_spark.plans.text_ops as mod
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "documents"
+        return spark_.read.parquet(out)
+
+    monkeypatch.setattr(mod, "load_table", fake_load)
+    rows = {(r["id_a"], r["id_b"]): r for r in T.winnow_pair_query(spark, "ignored").collect()}
+    assert (1, 2) in rows, rows
+    assert rows[(1, 2)]["n_shared"] >= T.WINNOW_PAIR_MIN_SHARED
+    assert not any(3 in k for k in rows), "unrelated doc must not pair"
