@@ -1426,3 +1426,98 @@ JOIN per pb ON pb.doc_id = p.id_b
 
 
 QUERIES["dedup_winnow_span_pairs"] = (winnow_pair_query, _winnow_pair_sql())
+
+
+CMS_D = 4  # sketch rows (independent md5-seeded hash functions)
+CMS_W = 64  # sketch columns per row
+CMS_TOP = 20  # report the exact top-N tokens' estimates
+
+
+def token_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch over the corpus token stream, audited
+    against exact counts: build a ``CMS_D × CMS_W`` counter grid (column =
+    md5-seeded hash of the token per row), then report, for the exact
+    top-``CMS_TOP`` tokens, both the true count and the sketch estimate
+    (min over rows).  The classic CMS guarantee — estimate ≥ truth, error
+    bounded by collisions — becomes hash-checkable because every hash is
+    md5-derived and every counter is an integer (unlike engine-private
+    approx_count sketches, the same grid builds bit-identically anywhere).
+
+    Scale shape: the sketch build is ONE shuffle on (row, col) — D·W = 256
+    grouped keys with heavy map-side partials, the fixed-size-state shape
+    that lets a 100 TB token stream reduce to a KB-sized summary; the
+    estimate probe joins the broadcast top-token list against the 256-cell
+    grid.  Output: (token, exact_n, cms_n), cms_n ≥ exact_n always."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(tok(F.lower(F.trim(F.col("text"))))).alias("t"))
+
+    def col_expr(row: int, t="t"):
+        h = F.md5(F.concat(F.lit(f"cms{row}|"), F.col(t)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W).cast("long")
+
+    cells = (
+        stream.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(r).cast("long").alias("row"), col_expr(r).alias("col"))
+                    for r in range(CMS_D)
+                ])
+            ).alias("rc")
+        )
+        .select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("long").alias("cell_n"))
+    )
+
+    exact = stream.groupBy("t").agg(F.count("*").cast("long").alias("exact_n"))
+    w = Window.orderBy(F.desc("exact_n"), F.asc("t"))
+    top = exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= CMS_TOP)
+    probes = top.select(
+        "t",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).cast("long").alias("row"), col_expr(r).alias("col"))
+                for r in range(CMS_D)
+            ])
+        ).alias("rc"),
+    ).select("t", "exact_n", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(cells, ["row", "col"])
+        .groupBy(F.col("t").alias("token"), "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+
+
+def _token_cms_sql() -> str:
+    col = "CAST(CAST('0x' || substr(md5('cms' || r || '|' || t), 1, 8) AS BIGINT) % {w} AS BIGINT)".format(
+        w=CMS_W
+    )
+    return f"""
+WITH stream AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents
+), cells AS (
+  SELECT r AS row, {col} AS col, CAST(count(*) AS BIGINT) AS cell_n
+  FROM stream, unnest(range({CMS_D})) AS u(r)
+  GROUP BY r, {col}
+), exact AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM stream GROUP BY t
+), top AS (
+  SELECT t, exact_n FROM (
+    SELECT t, exact_n, row_number() OVER (ORDER BY exact_n DESC, t ASC) AS rk FROM exact
+  ) WHERE rk <= {CMS_TOP}
+), probes AS (
+  SELECT t, exact_n, r AS row, {col} AS col
+  FROM top, unnest(range({CMS_D})) AS u(r)
+)
+SELECT p.t AS token, p.exact_n, CAST(MIN(c.cell_n) AS BIGINT) AS cms_n
+FROM probes p JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY p.t, p.exact_n
+"""
+
+
+QUERIES["doc_token_cms_estimates"] = (token_cms_query, _token_cms_sql())

@@ -113,3 +113,16 @@ def test_crawl_cli_stats_line(spark, tmp_path, capsys):
     assert "chunks=" in stats_lines[-1] and "blocks=" in stats_lines[-1]
     summary = json.loads(out.splitlines()[-1])
     assert summary["crawled_to"] is not None
+
+
+def test_cms_overestimates_never_under(spark):
+    """The count-min invariant on real data: min-over-rows estimate ≥ exact
+    count for every probed token, with equality when no collision lands in
+    any of the token's cells."""
+    from block_crawler_spark.plans.text_ops import token_cms_query
+
+    rows = token_cms_query(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows), [
+        (r["token"], r["exact_n"], r["cms_n"]) for r in rows if r["cms_n"] < r["exact_n"]
+    ]
