@@ -725,3 +725,52 @@ WHERE rank <= {PQ_TOPK}
 
 
 QUERIES["emb_ivfpq_residual_topk"] = (ivfpq_residual_topk_query, _ivfpq_residual_sql())
+
+
+def ivf_cell_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health check: per-cell population of the coarse quantizer
+    (the ``emb_ivfpq_topk`` layout, 16 seed cells) plus each cell's share
+    of the corpus in ppm.  Cell balance is THE operational ANN metric — a
+    skewed quantizer makes nprobe pruning worthless (hot cells scan like
+    brute force) and under-fills the rest; this is what you monitor to
+    decide when to retrain/resize the cell count (cells ∝ √corpus).
+    Shape: the assignment's broadcast centroid scoring + one tiny
+    (≤ n_cells keys) hash-agg and a 1-row total broadcast."""
+    from ..operators.ann import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+    ca = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    per = ca.groupBy("centroid_id").agg(F.count("*").cast("long").alias("n_vecs"))
+    total = per.agg(F.sum("n_vecs").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id",
+            "n_vecs",
+            F.expr("CAST(n_vecs * 1000000 DIV tot AS BIGINT)").alias("share_ppm"),
+        )
+    )
+
+
+def _ivf_cell_balance_sql() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {IVFPQ_CELLS}),
+cscored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e, cent c
+),
+ca AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM cscored
+  ) WHERE rn = 1
+),
+per AS (SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs FROM ca GROUP BY cid),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM per)
+SELECT centroid_id, n_vecs, CAST(n_vecs * 1000000 // tot AS BIGINT) AS share_ppm
+FROM per, tot
+"""
+
+
+QUERIES["emb_ivf_cell_balance"] = (ivf_cell_balance_query, _ivf_cell_balance_sql())
