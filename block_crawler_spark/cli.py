@@ -116,15 +116,26 @@ def _bulk_crawl(
     if height is not None:
         logs = logs.filter(F.col("block_number") <= height)
         blocks = blocks.filter(F.col("number") <= height)
-    top = height if height is not None else blocks.agg({"number": "max"}).collect()[0][0]
+    # ONE min/max aggregation serves the resume clamp, the top probe, and
+    # the ticker — round-8 advice: the non-chunked path previously ran a
+    # second blocks.agg(min) job purely for telemetry
+    lohi = blocks.agg(
+        F.min("number").alias("lo"), F.max("number").alias("hi")
+    ).collect()[0]
+    bottom = lohi["lo"] if lohi["lo"] is not None else 0
+    top = height if height is not None else lohi["hi"]
 
     def tick(lo, hi):
         # driver-observable ticker facts per committed chunk (the reference's
         # 60 s stats writer runs during bulk loads too, shared.py:187-305;
-        # executor-side volumes live in the Spark UI — see streaming/stats.py)
+        # executor-side volumes live in the Spark UI — see streaming/stats.py).
+        # height_span is the chunk's block-height extent, NOT a processed-row
+        # count: bronze may be sparse inside the range, and counting actual
+        # rows would cost an extra Spark job per chunk (round-8 advice — the
+        # old name "blocks" overcounted on sparse bronze)
         if stats is not None and hi is not None:
             stats.increment("chunks")
-            stats.increment("blocks", hi - (lo or 0) + 1)
+            stats.increment("height_span", hi - (lo or 0) + 1)
 
     if chunk_size is None:
         silver = crawl_plan(spark, logs, blocks, blockchain=blockchain, data_version=data_version)
@@ -132,11 +143,10 @@ def _bulk_crawl(
         store.apply_silver(silver, data_version, blockchains=[blockchain])
         store.set_config(blockchain, data_version, top)
         if stats is not None and top is not None:
-            # count from where the bronze actually starts — high-block
-            # bronze (18M+) must not report ~18M blocks for a 1k-block load
+            # span from where the bronze actually starts — high-block
+            # bronze (18M+) must not report an ~18M span for a 1k-block load
             # (same clamp the chunked path applies below)
-            lo0 = blocks.agg({"number": "min"}).collect()[0][0] or 0
-            tick(lo0, top)
+            tick(bottom, top)
         return top
 
     if top is None:  # empty bronze: nothing to chunk over
@@ -144,7 +154,6 @@ def _bulk_crawl(
     # clamp the start to the bronze range: without this, a fresh store over
     # high-block bronze (say blocks 18M+) would grind through millions of
     # empty chunk jobs from block 0 (round-5 review)
-    bottom = blocks.agg({"number": "min"}).collect()[0][0] or 0
     _dv, last = store.get_config(blockchain)
     lo = bottom if restart or last is None else last + 1
     lo = max(lo, bottom)

@@ -107,7 +107,16 @@ def pq_train_codebook(
     (ADVICE r6: each invocation used to leak one cached RDD for the
     session).  At corpus scale persist the subvector table to a parquet
     stage instead (same lever as ``dedup.minhash_signatures``)."""
-    sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim).cache()
+    return _lloyd_train_sub(_subvectors(emb, "vec_id", "embedding", m, sub_dim), k, iters)
+
+
+def _lloyd_train_sub(sub: DataFrame, k: int, iters: int) -> DataFrame:
+    """The grouped Lloyd loop over an ``(_id, m, sv)`` subvector frame —
+    shared by :func:`pq_train_codebook` (raw subvectors) and the residual
+    path of :func:`ivfpq_residual_topk` (residual subvectors; round 8).
+    Seeds are ``_id < k``; returns the (m, code, cvec) codebook
+    driver-materialized (≤ M·K rows) with the loop cache released."""
+    sub = sub.cache()
     cents = sub.filter(F.col("_id") < k).select(
         "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
     )
@@ -136,7 +145,7 @@ def pq_train_codebook(
     # the loop cache — a localCheckpoint would itself pin an RDD; a
     # collect/recreate of ≤ M·K rows is bounded by construction and leaves
     # the session with zero persisted state per invocation
-    cents = emb.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    cents = sub.sparkSession.createDataFrame(cents.collect(), cents.schema)
     sub.unpersist()
     return cents
 
@@ -243,6 +252,8 @@ def ivfpq_residual_topk(
     k: int,
     n_codewords: int,
     nprobe: int = 4,
+    train_iters: int = 0,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVFADC WITH residual encoding — the full Jégou et al. §IV layout
     (:func:`ivfpq_adc_topk` is the documented no-residual variant): PQ
@@ -256,9 +267,12 @@ def ivfpq_residual_topk(
     Exactness: residuals are ``micro(v) − micro(centroid)`` in int64 space
     (exact; subtracting micros, never micro-ing a float difference), so
     every ADC distance still hash-matches the DuckDB replica.  Codebook
-    seeds are the residuals of ``vec_id < n_codewords`` (the seed-set
-    idiom; swap :func:`pq_train_codebook` over the residual table to
-    train).
+    seeds are the residuals of ``vec_id < n_codewords``; ``train_iters > 0``
+    refines them with the shared grouped Lloyd loop over the RESIDUAL
+    subvectors of the ``vec_id < train_sample`` rows (round 8 — the trained
+    twin of the seed-set residual codebook, same fixed-point exactness as
+    :func:`pq_train_codebook`, so even the trained residual codewords
+    hash-check against the SQL replica).
 
     Scale shape: identical to the no-residual form — candidates come from
     the (probed-cell ⋈ corpus-cell) equi-join on the CODES table (now

@@ -180,8 +180,13 @@ def verify_chain_continuity(
     without this, a gap exactly AT a shared range boundary would be
     invisible to both adjacent ranges (the left range ends before it, the
     right range's first row has no lag predecessor; round-7 review
-    finding).  Pick boundaries on blocks known to exist (the previous
-    range's committed top — every caller has one).
+    finding).  A WHOLLY empty range cannot pass either: when ``min_block``
+    is set and the filter yields zero rows, a synthetic
+    ``(min_block, height_gap)`` violation is emitted — otherwise a range
+    whose every block was lost would produce zero violations and the audit
+    would read as clean (round-8 advice finding).  Pick boundaries on
+    blocks known to exist (the previous range's committed top — every
+    caller has one).
     """
     from pyspark.sql import Window
 
@@ -193,6 +198,20 @@ def verify_chain_continuity(
     prev = blocks.select("number", "hash", "parent_hash").withColumn(
         "prev_number", F.lag("number").over(w)
     ).withColumn("prev_hash", F.lag("hash").over(w))
+    empty_range = None
+    if min_block is not None:
+        # one synthetic row, alive only when the whole range is missing: a
+        # 1-row anti-join against (any row in range, limit 1) — both sides
+        # are ≤1 row, so the nested-loop anti join is a no-op at scale
+        any_row = blocks.select(F.lit(1).alias("one")).limit(1)
+        empty_range = (
+            blocks.sparkSession.range(1)
+            .join(any_row, F.lit(True), "left_anti")
+            .select(
+                F.lit(min_block).cast("long").alias("number"),
+                F.lit("height_gap").alias("error"),
+            )
+        )
     # duplicate_height must be tested BEFORE the gap check: number ==
     # prev_number fails the +1 test too, and labeling it height_gap (the
     # pre-round-5 behavior) both misclassifies the reorg and makes the
@@ -202,7 +221,7 @@ def verify_chain_continuity(
         & F.lit(min_block is not None)
         & (F.col("number") > F.lit(min_block if min_block is not None else 0))
     )
-    return prev.filter(F.col("prev_number").isNotNull() | first_gapped).select(
+    out = prev.filter(F.col("prev_number").isNotNull() | first_gapped).select(
         "number",
         F.when(first_gapped, F.lit("height_gap"))
         .when(F.col("number") == F.col("prev_number"), F.lit("duplicate_height"))
@@ -210,6 +229,9 @@ def verify_chain_continuity(
         .when(F.col("parent_hash") != F.col("prev_hash"), F.lit("parent_mismatch"))
         .alias("error"),
     ).filter(F.col("error").isNotNull())
+    if empty_range is not None:
+        out = out.unionByName(empty_range)
+    return out
 
 
 def reconcile_tx_receipts(transactions: DataFrame, receipts: DataFrame) -> DataFrame:

@@ -1447,9 +1447,11 @@ def token_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped keys with heavy map-side partials, the fixed-size-state shape
     that lets a 100 TB token stream reduce to a KB-sized summary; the
     estimate probe joins the broadcast top-token list against the 256-cell
-    grid.  Output: (token, exact_n, cms_n), cms_n ≥ exact_n always."""
-    from pyspark.sql import Window
-
+    grid.  The exact-top-N audit side is a ``orderBy().limit(CMS_TOP)`` —
+    Spark compiles that to TakeOrderedAndProject (per-partition partial
+    top-N, driver merge of ≤N·partitions rows), never a single-partition
+    window over the full vocabulary (round-8 fix of the r7 funnel
+    finding).  Output: (token, exact_n, cms_n), cms_n ≥ exact_n always."""
     from ..functions.text import tokens as tok
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1474,8 +1476,11 @@ def token_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     exact = stream.groupBy("t").agg(F.count("*").cast("long").alias("exact_n"))
-    w = Window.orderBy(F.desc("exact_n"), F.asc("t"))
-    top = exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= CMS_TOP)
+    # TakeOrderedAndProject, NOT row_number() over a global window: the
+    # token vocabulary is corpus-sized, and a partition-less WindowExec
+    # funnels it through one task (operators/ann.py's single-partition
+    # rule); the tie-break on t keeps the cut deterministic either way
+    top = exact.orderBy(F.desc("exact_n"), F.asc("t")).limit(CMS_TOP)
     probes = top.select(
         "t",
         "exact_n",
@@ -1507,9 +1512,7 @@ WITH stream AS (
 ), exact AS (
   SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM stream GROUP BY t
 ), top AS (
-  SELECT t, exact_n FROM (
-    SELECT t, exact_n, row_number() OVER (ORDER BY exact_n DESC, t ASC) AS rk FROM exact
-  ) WHERE rk <= {CMS_TOP}
+  SELECT t, exact_n FROM exact ORDER BY exact_n DESC, t ASC LIMIT {CMS_TOP}
 ), probes AS (
   SELECT t, exact_n, r AS row, {col} AS col
   FROM top, unnest(range({CMS_D})) AS u(r)

@@ -40,12 +40,17 @@ Three levers bound the residual scan as the corpus grows:
 path); each index dir is PARTITIONED by ``ibucket = pmod(xxhash64(fp),
 index_buckets)`` (round 7 — the silver store's cbucket idiom), so the
 exact-dedup fp probe statically prunes its scan to the batch's fp buckets
-instead of the whole seen set; and the remaining full-index consumers (the
-doc_id identity probe, the near-dup band derivation) read only their
-columns — at 1 B admitted docs the fp column is ~32 GB, a pruned fraction
-of which is a per-micro-batch read a 1000-executor cluster absorbs.  On an
-object store the same layout maps onto a transactional table partitioned by
-``ibucket`` — nothing else changes.
+instead of the whole seen set; and (round 8) near-dup stores keep a SECOND
+side table (``root/bindex``) holding each admitted doc's exploded LSH band
+rows partitioned by ``bbucket = pmod(xxhash64(band_index, band_value),
+index_buckets)``, so the near-dup band probe also prunes to the batch's
+band buckets instead of re-deriving bands from every admitted signature —
+previously the last per-batch unbounded scan on the ingest path.  The one
+remaining full-index consumer (the doc_id identity probe) reads a single
+pruned column — at 1 B admitted docs ~8 GB, a per-micro-batch read a
+1000-executor cluster absorbs.  On an object store the same layout maps
+onto transactional tables partitioned by ``ibucket``/``bbucket`` — nothing
+else changes.
 
 Read set vs replay set are tracked separately: ``docs/_LIVE`` (atomic
 pointer file, same idiom as the silver store's ``_CURRENT``) lists the
@@ -66,7 +71,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
 from ..functions.text import fingerprint, shingles
 from ..operators.dedup import (
@@ -254,11 +258,20 @@ class CorpusIngestStore:
     def _index_root(self) -> str:
         return os.path.join(self.root, "index")
 
+    def _bindex_root(self) -> str:
+        """Root of the near-dup band side table: one dir per live docs dir,
+        rows ``(doc_id, band_index, band_value)`` partitioned by
+        ``bbucket`` — the band analog of the fp-bucketed ``index``."""
+        return os.path.join(self.root, "bindex")
+
     def _index_schema(self) -> str:
         return "doc_id long, fp string" + (", sig array<string>" if self.near_dup else "")
 
     def _index_cols(self) -> list[str]:
         return [f.split()[0] for f in self._index_schema().split(",")]
+
+    _BINDEX_COLS = ["doc_id", "band_index", "band_value"]
+    _BINDEX_SCHEMA = "doc_id long, band_index int, band_value string"
 
     def _effective_index_buckets(self) -> int:
         """The bucket count the on-disk layout was written with: the pinned
@@ -293,13 +306,23 @@ class CorpusIngestStore:
         heal/compaction and across re-opens."""
         return F.pmod(F.xxhash64(F.col("fp")), F.lit(self._effective_index_buckets())).cast("int")
 
-    def _index_committed(self, d: str) -> bool:
-        """True iff ``d``'s index dir is committed IN THE BUCKETED LAYOUT:
-        ``_SUCCESS`` present and no bare top-level parquet files (a
-        pre-bucketed dir has those; it re-projects once and prunes after).
-        An empty committed dir (every batch row deduped away) qualifies —
-        ``partitionBy`` writes no data files for zero rows."""
-        dst = os.path.join(self._index_root(), d)
+    def _bbucket_expr(self):
+        """The band table's partition value — a pure function of the band key
+        (index AND value: the LSH collision join matches on both) and the
+        same pinned bucket count as ``ibucket``."""
+        return F.pmod(
+            F.xxhash64(F.col("band_index"), F.col("band_value")),
+            F.lit(self._effective_index_buckets()),
+        ).cast("int")
+
+    def _index_committed(self, d: str, root: str | None = None) -> bool:
+        """True iff ``d``'s side-table dir under ``root`` (default: the fp
+        index) is committed IN THE BUCKETED LAYOUT: ``_SUCCESS`` present and
+        no bare top-level parquet files (a pre-bucketed dir has those; it
+        re-projects once and prunes after).  An empty committed dir (every
+        batch row deduped away) qualifies — ``partitionBy`` writes no data
+        files for zero rows."""
+        dst = os.path.join(root if root is not None else self._index_root(), d)
         if not os.path.exists(os.path.join(dst, "_SUCCESS")):
             return False
         try:
@@ -307,48 +330,103 @@ class CorpusIngestStore:
         except OSError:
             return False
 
-    def _sync_index(self) -> None:
-        """Make the durable index mirror the docs live set, dir for dir.
-        Docs are the source of truth and the index is a pure projection of
-        them, so this is self-healing against a crash at ANY point: a live
-        docs dir with no committed (bucketed-layout) index dir gets
-        (re)projected; an index dir whose docs dir is no longer live
-        (folded batch, superseded snapshot) is pruned.
+    @staticmethod
+    def _dir_has_data(dst: str) -> bool:
+        """True iff a committed bucketed dir holds any data file under a
+        partition subdir.  Distinguishes GENUINE emptiness (partitionBy of
+        zero rows: ``_SUCCESS`` only) from a dir whose read failed for some
+        other reason — the two must not be conflated, or an unreadable dir
+        would silently drop its fingerprints from the seen set (round-8
+        advice)."""
+        try:
+            with os.scandir(dst) as it:
+                for e in it:
+                    if e.is_dir() and "=" in e.name and os.listdir(e.path):
+                        return True
+        except OSError:
+            pass
+        return False
 
-        Runs only on the WRITE paths (ingest/compact — reads are
-        side-effect-free, ADVICE r6 corpus.py:262); each projection lands in
-        a temp dir then renames into place, so a concurrent healer can never
-        expose a half-written dir — whoever renames second just discards its
-        temp copy.  Idempotent and cheap when in sync (existence checks
-        only)."""
-        self._pin_index_buckets()
-        live = self._live_dirs()
-        cols = self._index_cols()
+    def _replace_dir(self, tmp: str, dst: str) -> None:
+        """Swap ``tmp`` into place at ``dst`` without ever exposing a
+        half-deleted dir: the old dir is renamed ASIDE (atomic), the new one
+        renamed IN (atomic), then the aside copy is reclaimed.  A reader
+        racing the swap sees either the complete old dir, the complete new
+        dir, or no dir at all (→ lazy projection from docs, the source of
+        truth) — never a dir whose ``_SUCCESS`` survives while its data
+        files are mid-``rmtree`` (round-8 advice: rmtree-then-rename could
+        silently drop fingerprints from the seen set)."""
+        aside = f"{dst}.old-{os.getpid()}"
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, aside)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent healer won
+            if not os.path.exists(dst) and os.path.exists(aside):
+                os.rename(aside, dst)  # restore — never leave the dir absent
+                return
+        shutil.rmtree(aside, ignore_errors=True)
+
+    def _heal_side_table(self, live: list[str], root: str, project, bucket_col: str) -> None:
+        """Heal ONE side table (fp index or band index) against the live docs
+        set: (re)project uncovered dirs from docs, prune dirs whose docs dir
+        is no longer live.  ``project(docs_df)`` returns the rows to store;
+        ``bucket_col`` is the partition column."""
         for d in live:
-            if self._index_committed(d):
+            if self._index_committed(d, root=root):
                 continue
-            dst = os.path.join(self._index_root(), d)
+            dst = os.path.join(root, d)
             tmp = f"{dst}.tmp-{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
-            self.spark.read.parquet(os.path.join(self._docs_root(), d)).select(*cols).withColumn(
-                "ibucket", self._ibucket_expr()
-            ).write.mode("overwrite").partitionBy("ibucket").parquet(tmp)
-            if os.path.exists(dst):
-                # pre-bucketed layout (or a racing healer's half): replace —
-                # single-writer on the ingest path makes this safe
-                shutil.rmtree(dst, ignore_errors=True)
-            try:
-                os.rename(tmp, dst)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)  # concurrent healer won
+            project(self.spark.read.parquet(os.path.join(self._docs_root(), d))).write.mode(
+                "overwrite"
+            ).partitionBy(bucket_col).parquet(tmp)
+            self._replace_dir(tmp, dst)
         keep = set(live)
         try:
-            entries = os.listdir(self._index_root())
+            entries = os.listdir(root)
         except OSError:
             return
         for d in entries:
             if d not in keep:
-                shutil.rmtree(os.path.join(self._index_root(), d), ignore_errors=True)
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def _sync_index(self) -> None:
+        """Make the durable side tables mirror the docs live set, dir for
+        dir.  Docs are the source of truth and both indexes are pure
+        projections of them, so this is self-healing against a crash at ANY
+        point: a live docs dir with no committed (bucketed-layout) index dir
+        gets (re)projected; an index dir whose docs dir is no longer live
+        (folded batch, superseded snapshot) is pruned.  Near-dup stores heal
+        the band table too — an existing corpus written before the band
+        index existed adopts the layout on its next ingest/compact.
+
+        Runs only on the WRITE paths (ingest/compact — reads are
+        side-effect-free, ADVICE r6 corpus.py:262); each projection lands in
+        a temp dir then swaps in via :meth:`_replace_dir`.  Idempotent and
+        cheap when in sync (existence checks only)."""
+        from ..operators.dedup import band_buckets as _bands
+
+        self._pin_index_buckets()
+        live = self._live_dirs()
+        cols = self._index_cols()
+        self._heal_side_table(
+            live,
+            self._index_root(),
+            lambda docs: docs.select(*cols).withColumn("ibucket", self._ibucket_expr()),
+            "ibucket",
+        )
+        if self.near_dup:
+            self._heal_side_table(
+                live,
+                self._bindex_root(),
+                lambda docs: _bands(docs.select("doc_id", "sig")).withColumn(
+                    "bbucket", self._bbucket_expr()
+                ),
+                "bbucket",
+            )
 
     def index(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """The narrow seen-set table: (doc_id, fp[, sig]) for every admitted
@@ -362,27 +440,94 @@ class CorpusIngestStore:
         (static ``PartitionFilters``) and applies the same predicate as a
         data filter to any lazily-projected dir — the exact-dedup fp probe
         reads O(batch buckets / index_buckets) of the seen set."""
+
+        def project(docs: DataFrame, bucket_list) -> DataFrame:
+            if bucket_list is not None:
+                docs = docs.filter(self._ibucket_expr().isin(bucket_list))
+            return docs.select(*self._index_cols())
+
+        return self._read_side_table(
+            self._index_root(),
+            self._index_cols(),
+            self._index_schema(),
+            "ibucket",
+            buckets,
+            project,
+        )
+
+    def band_index(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """The near-dup band side table: one row per (admitted doc, LSH
+        band) — ``(doc_id, band_index, band_value)``.  ``buckets`` prunes
+        committed dirs to those ``bbucket=K`` partitions, so the per-batch
+        band probe reads O(batch band buckets / index_buckets) of the
+        admitted band set instead of re-deriving bands from every admitted
+        signature (round 8 — previously the last unbounded per-batch scan).
+        Side-effect-free like :meth:`index`: uncovered or unreadable dirs
+        project lazily from docs (the source of truth)."""
+        from ..operators.dedup import band_buckets as _bands
+
+        def project(docs: DataFrame, bucket_list) -> DataFrame:
+            out = _bands(docs.select("doc_id", "sig"))
+            if bucket_list is not None:
+                out = out.filter(self._bbucket_expr().isin(bucket_list))
+            return out.select(*self._BINDEX_COLS)
+
+        return self._read_side_table(
+            self._bindex_root(),
+            self._BINDEX_COLS,
+            self._BINDEX_SCHEMA,
+            "bbucket",
+            buckets,
+            project,
+        )
+
+    def _read_side_table(
+        self,
+        root: str,
+        cols: list[str],
+        schema: str,
+        bucket_col: str,
+        buckets: Sequence[int] | None,
+        project,
+    ) -> DataFrame:
+        """Shared read path of both side tables.  Per live dir: a committed
+        dir WITH data files scans (bucket partition filters applied); a
+        committed dir with no data files is genuinely empty (partitionBy of
+        zero rows) and contributes nothing; a dir that is uncovered,
+        mid-swap, or FAILS to read falls back to ``project``-ing the docs
+        dir — a read failure must never silently shrink the seen set
+        (round-8 advice: the old path treated any AnalysisException as
+        'committed empty')."""
         dirs = self._live_dirs()
         if not dirs:
-            return self.spark.createDataFrame([], self._index_schema())
-        cols = self._index_cols()
+            return self.spark.createDataFrame([], schema)
         bucket_list = [int(b) for b in buckets] if buckets is not None else None
         parts: list[DataFrame] = []
         for d in dirs:
-            if self._index_committed(d):
+            df = None
+            if self._index_committed(d, root=root):
+                dst = os.path.join(root, d)
+                if not self._dir_has_data(dst):
+                    continue  # genuinely committed-empty: zero rows stored
                 try:
-                    df = self.spark.read.parquet(os.path.join(self._index_root(), d))
-                except AnalysisException:
-                    continue  # committed empty dir: no files, nothing to scan
-                if bucket_list is not None and "ibucket" in df.columns:
-                    df = df.filter(F.col("ibucket").isin(bucket_list))
-            else:
-                df = self.spark.read.parquet(os.path.join(self._docs_root(), d))
-                if bucket_list is not None:
-                    df = df.filter(self._ibucket_expr().isin(bucket_list))
-            parts.append(df.select(*cols))
+                    # footer/schema failures surface here (Spark runs the
+                    # footer-inference job eagerly) — as AnalysisException or
+                    # a raw SparkException depending on where the corruption
+                    # bites, so the net is deliberately wide: ANY failure to
+                    # open the side table falls back to the docs projection
+                    # (correct, merely slower); only a failure mid-query of a
+                    # successfully opened dir still propagates (fail loud)
+                    df = self.spark.read.parquet(dst)
+                    if bucket_list is not None and bucket_col in df.columns:
+                        df = df.filter(F.col(bucket_col).isin(bucket_list))
+                    df = df.select(*cols)
+                except Exception:  # noqa: BLE001 — fallback is the source of truth
+                    df = None
+            if df is None:
+                df = project(self.spark.read.parquet(os.path.join(self._docs_root(), d)), bucket_list)
+            parts.append(df)
         if not parts:
-            return self.spark.createDataFrame([], self._index_schema())
+            return self.spark.createDataFrame([], schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -489,17 +634,19 @@ class CorpusIngestStore:
     ) -> tuple[DataFrame, list[DataFrame]]:
         """Drop near-duplicates, first within the batch (keep-lowest-id),
         then against every admitted document.  Candidates come from LSH band
-        equi-joins — the admitted side banded straight from the INDEX table's
-        stored signatures (no re-shingling, no wide-corpus scan), the batch
-        side broadcast (small batches) so the admitted side never shuffles;
-        every candidate is verified on true shingle sets before it blocks
-        anything.  Only the verified candidates' text is fetched from the
-        corpus (semi-join with the candidate ids).  ``cross`` — the band
-        collision pairs — is consumed twice (candidate ids for the text
-        fetch, then the verify join), so it is persisted for the batch; the
-        index band-derivation lineage runs once.  Returns (survivors with
-        their ``sig`` column, the persisted frames for the caller to
-        unpersist after its write action)."""
+        equi-joins — the admitted side read from the BAND index table's
+        stored (doc_id, band_index, band_value) rows with the scan pruned to
+        the batch's band buckets (no re-shingling, no wide-corpus scan, no
+        full-signature re-banding — round 8), the batch side broadcast
+        (small batches) so the admitted side never shuffles; every candidate
+        is verified on true shingle sets before it blocks anything.  Only
+        the verified candidates' text is fetched from the corpus (semi-join
+        with the candidate ids).  The batch's band rows are consumed twice
+        (the bucket-probe collect, then the collision join) and ``cross`` —
+        the band collision pairs — is consumed twice (candidate ids for the
+        text fetch, then the verify join), so both are persisted for the
+        batch.  Returns (survivors with their ``sig`` column, the persisted
+        frames for the caller to unpersist after its write action)."""
         staged: list[DataFrame] = []
         sigs, sig_stage = minhash_signatures(fresh.select("doc_id", "text"), return_staged=True)
         if sig_stage is not None:
@@ -510,9 +657,17 @@ class CorpusIngestStore:
         drop_in = in_pairs.select(F.col("id_b").alias("doc_id")).distinct()
         sigs = sigs.join(drop_in, "doc_id", "anti")
 
+        batch_bands = band_buckets(sigs.select("doc_id", "sig")).cache()
+        staged.append(batch_bands)
+        # the batch's band-bucket footprint: ≤ batch_rows × n_bands values,
+        # collected driver-side to drive static partition pruning of the
+        # admitted band table (the ibucket idiom, applied to bands)
+        bbuckets = sorted(
+            r["b"] for r in batch_bands.select(self._bbucket_expr().alias("b")).distinct().collect()
+        )
         cross = band_pairs(
-            band_buckets(self.index().select("doc_id", "sig")),
-            self._hint(band_buckets(sigs.select("doc_id", "sig")), small_batch),
+            self.band_index(buckets=bbuckets),
+            self._hint(batch_bands, small_batch),
         ).cache()
         staged.append(cross)
         old_sh = (

@@ -366,3 +366,108 @@ def test_index_bucket_count_is_pinned_to_the_layout(spark, tmp_path):
     # dedup still correct through the pruned probe on the adopted layout
     reopened.ingest_batch(_docs(spark, [(3, "ALPHA beta  gamma"), (4, "new words here")]), 1)
     assert _corpus_ids(reopened) == [1, 2, 4]
+
+
+def test_band_index_is_bucketed_and_near_dup_probe_prunes(spark, tmp_path):
+    """Near-dup stores keep a second side table (bindex) of exploded LSH band
+    rows partitioned by bbucket; the per-batch band probe passes the batch's
+    band buckets and the admitted-band scan carries static PartitionFilters
+    — the probe reads O(batch band buckets / index_buckets) of the admitted
+    band set, never every admitted signature (round 8: previously the last
+    unbounded per-batch scan)."""
+    import os
+
+    from block_crawler_spark.operators.dedup import band_buckets, band_pairs, minhash_signatures
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    store.ingest_batch(_docs(spark, [(1, BASE), (2, "one two three four five six seven")]), 0)
+    bdir = os.path.join(store._bindex_root(), "batch-0")
+    assert os.path.exists(os.path.join(bdir, "_SUCCESS"))
+    assert any(d.startswith("bbucket=") for d in os.listdir(bdir)), "band index must be bucketed"
+
+    sigs = minhash_signatures(_docs(spark, [(9, BASE.replace("tango", "zulu"))]).select("doc_id", "text"), materialize=False)
+    batch_bands = band_buckets(sigs.select("doc_id", "sig"))
+    bb = sorted(r["b"] for r in batch_bands.select(store._bbucket_expr().alias("b")).distinct().collect())
+    assert 0 < len(bb) <= store._effective_index_buckets()
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = (
+            band_pairs(store.band_index(buckets=bb), batch_bands)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters" in plan and "bbucket" in plan.split("PartitionFilters", 1)[1][:300], plan
+    assert "corpus/docs" not in plan, "committed band-index dirs must serve the probe, not the corpus"
+
+
+def test_band_index_heals_and_legacy_corpus_adopts_layout(spark, tmp_path):
+    """A near-dup corpus written before the band index existed (simulated by
+    deleting bindex) still blocks near-dups — band_index() projects lazily
+    from docs — and the next ingest heals the band table durably."""
+    import os
+    import shutil
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    store.ingest_batch(_docs(spark, [(1, BASE), (2, "one two three four five six seven")]), 0)
+    shutil.rmtree(store._bindex_root())
+
+    reader = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    assert reader.band_index().count() > 0, "lazy projection must cover the missing band table"
+    assert not os.path.exists(reader._bindex_root()), "read path must not write the band index"
+    # ingest over the legacy layout: near-dup of doc 1 blocked, new doc admitted
+    reader.ingest_batch(
+        _docs(spark, [(3, BASE.replace("tango", "zulu")), (4, "totally different words here now")]), 1
+    )
+    assert _corpus_ids(reader) == [1, 2, 4]
+    assert reader._index_committed("batch-0", root=reader._bindex_root())
+    assert reader._index_committed("batch-1", root=reader._bindex_root())
+    # compaction folds the band table with everything else and stays correct
+    assert reader.compact() == 2
+    reader.ingest_batch(_docs(spark, [(5, BASE.replace("alpha", "yankee"))]), 2)
+    assert _corpus_ids(reader) == [1, 2, 4]
+
+
+def test_unreadable_index_dir_falls_back_to_docs_not_empty(spark, tmp_path):
+    """A committed index dir whose data files fail to read must NOT be
+    treated as empty: the read falls back to projecting the docs dir (the
+    source of truth), so the seen set never silently shrinks and a
+    previously admitted fingerprint cannot be re-admitted (round-8 advice:
+    the old path swallowed any AnalysisException as 'committed empty')."""
+    import os
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]), 0)
+    idx = os.path.join(store._index_root(), "batch-0")
+    # corrupt every data file in place: _SUCCESS and the partition dirs
+    # survive, so the dir still looks committed and non-empty
+    for sub in os.listdir(idx):
+        p = os.path.join(idx, sub)
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                with open(os.path.join(p, f), "wb") as fh:
+                    fh.write(b"not a parquet file")
+    reader = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    fps = sorted(r["fp"] for r in reader.seen_fingerprints().collect())
+    assert len(fps) == 2, "read failure must fall back to docs, not drop fingerprints"
+    # a dup of the affected batch is still blocked end-to-end
+    reader.ingest_batch(_docs(spark, [(3, "ALPHA  beta gamma"), (4, "fresh words")]), 1)
+    assert _corpus_ids(reader) == [1, 2, 4]
+
+
+def test_committed_empty_index_dir_is_skipped_not_projected(spark, tmp_path):
+    """The genuine-emptiness case stays cheap: a batch whose every row was
+    deduped away commits an index dir with no data files, and reads skip it
+    without touching the docs dir."""
+    import os
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(_docs(spark, [(1, "alpha beta gamma")]), 0)
+    store.ingest_batch(_docs(spark, [(2, "ALPHA beta  gamma")]), 1)  # fully deduped
+    idx1 = os.path.join(store._index_root(), "batch-1")
+    assert os.path.exists(os.path.join(idx1, "_SUCCESS"))
+    assert not store._dir_has_data(idx1)
+    assert store.index().count() == 1
+    assert _corpus_ids(store) == [1]

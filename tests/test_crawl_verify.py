@@ -247,3 +247,24 @@ def test_reconcile_tx_receipts(spark):
         "0xcreate": "field_mismatch",
         "0xorphan": "orphan_receipt",
     }
+
+
+def test_verify_chain_continuity_wholly_empty_range_is_flagged(spark):
+    """A range whose EVERY block is missing must not pass the audit: with
+    min_block set and zero rows surviving the filter, a synthetic
+    (min_block, height_gap) violation is emitted (round-8 advice — the
+    first_gapped guard only fires when at least one block survives)."""
+    from block_crawler_spark.operators.verify import verify_chain_continuity
+
+    rows = [(n, f"0x{n:02x}", f"0x{n - 1:02x}") for n in range(0, 5)]
+    blocks = spark.createDataFrame(rows, "number long, hash string, parent_hash string")
+    got = [(r["number"], r["error"]) for r in verify_chain_continuity(
+        blocks, min_block=10, max_block=20
+    ).collect()]
+    assert got == [(10, "height_gap")], got
+    # a populated range stays unaffected by the synthetic-row machinery
+    assert verify_chain_continuity(blocks, min_block=0, max_block=4).count() == 0
+    # and an unbounded call over empty bronze still reports nothing (no
+    # min_block → no range assertion to make)
+    empty = spark.createDataFrame([], "number long, hash string, parent_hash string")
+    assert verify_chain_continuity(empty).count() == 0

@@ -110,7 +110,7 @@ def test_crawl_cli_stats_line(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     stats_lines = [ln for ln in out.splitlines() if ln.startswith("STATS ")]
     assert stats_lines, out
-    assert "chunks=" in stats_lines[-1] and "blocks=" in stats_lines[-1]
+    assert "chunks=" in stats_lines[-1] and "height_span=" in stats_lines[-1]
     summary = json.loads(out.splitlines()[-1])
     assert summary["crawled_to"] is not None
 
