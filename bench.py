@@ -71,6 +71,14 @@ HEADLINE = [
     "doc_source_overlap",
     "doc_quality_hist_by_source",
     "dedup_containment_pairs",
+    # round 8: the r7-added tail (previously untrended — ADVICE r7) and the
+    # round's new trained-residual query
+    "dedup_winnow_span_pairs",
+    "dedup_cluster_size_hist",
+    "doc_quality_budget_cut",
+    "doc_token_cms_estimates",
+    "emb_ivf_cell_balance",
+    "emb_ivfpq_residual_trained",
 ]
 
 

@@ -426,13 +426,15 @@ def cmd_curate(args) -> int:
     from pyspark.sql import functions as F
 
     from .plans.pack_ops import PACK_SHARDS, SEQ_LEN_TOK
-    from .plans.pipeline import QUALITY_MIN_PPM, manifest_from_packed, packed_docs
+    from .plans.pipeline import manifest_from_packed, packed_docs
 
     spark = _spark("curate")
     per = packed_docs(
         spark,
         args.documents,
-        quality_min=args.quality_min if args.quality_min is not None else QUALITY_MIN_PPM,
+        # None → the data-driven budget cut (doc_quality_budget_cut's
+        # cut_ppm broadcast into the quality stage — round 8)
+        quality_min=args.quality_min,
         shards=args.shards if args.shards is not None else PACK_SHARDS,
         seq_len=args.seq_len if args.seq_len is not None else SEQ_LEN_TOK,
         sampling=args.sampling,
@@ -601,7 +603,8 @@ def main(argv=None) -> int:
     # cmd_curate, so the CLI tracks the registry queries' parameters without
     # importing pyspark at argparse time
     sp.add_argument("--quality-min", type=int, default=None,
-                    help="minimum quality_ppm to keep a document (default: pipeline.QUALITY_MIN_PPM)")
+                    help="explicit quality_ppm floor; omit for the data-driven budget cut "
+                         "(doc_quality_budget_cut: the threshold keeping the best third of tokens)")
     sp.add_argument("--shards", type=int, default=None,
                     help="pack shard count — size so one shard's tokens fit an executor at your scale "
                          "(default: pack_ops.PACK_SHARDS)")

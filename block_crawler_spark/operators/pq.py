@@ -307,12 +307,22 @@ def ivfpq_residual_topk(
             id_alias, "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
         )
 
-    # codebook from the SEEDS' residuals only — a seed's cell assignment
-    # depends on nothing but its own row, so this tiny lineage (≤ K
-    # vectors through the window) equals filtering the full residual table
-    cb = residual_sub(corpus.filter(F.col("vec_id") < n_codewords), "c_id", 1).select(
-        "m", F.col("c_id").alias("code"), F.col("sv").alias("cvec")
-    )
+    if train_iters > 0:
+        # trained residual codebook: Lloyd over the residual subvectors of a
+        # bounded deterministic sample (the corpus-scale shape — train on a
+        # sample, encode everything), seeded by the same vec_id < K residuals
+        # the untrained path uses, so training strictly refines the baseline
+        tsub = residual_sub(
+            corpus.filter(F.col("vec_id") < (train_sample or n_codewords)), "_id", 1
+        ).select("_id", "m", "sv")
+        cb = _lloyd_train_sub(tsub, n_codewords, train_iters)
+    else:
+        # codebook from the SEEDS' residuals only — a seed's cell assignment
+        # depends on nothing but its own row, so this tiny lineage (≤ K
+        # vectors through the window) equals filtering the full residual table
+        cb = residual_sub(corpus.filter(F.col("vec_id") < n_codewords), "c_id", 1).select(
+            "m", F.col("c_id").alias("code"), F.col("sv").alias("cvec")
+        )
     best = F.min(F.struct("d", "code")).alias("b")
     codes = (
         residual_sub(corpus, "c_id", 1)

@@ -534,12 +534,14 @@ def pq_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
 
-def _pq_trained_cb_ctes(iters: int) -> list[str]:
+def _pq_trained_cb_ctes(iters: int, src: str = "sub") -> list[str]:
     """Unrolled per-subspace Lloyd over the bounded TRAINING SAMPLE
     (``tsub`` — the corpus-scale shape): cb0 (seeds) → a{n}/u{n}/cb{n} per
-    iteration; ``cb{iters}`` is the trained codebook (m, code, cvec)."""
+    iteration; ``cb{iters}`` is the trained codebook (m, code, cvec).
+    ``src`` is the subvector CTE to sample from — ``sub`` (raw subvectors)
+    or ``rsub`` (residual subvectors; the trained-residual query)."""
     parts = [
-        f"tsub AS (SELECT * FROM sub WHERE vec_id < {PQ_TRAIN_SAMPLE})",
+        f"tsub AS (SELECT vec_id, m, sv FROM {src} WHERE vec_id < {PQ_TRAIN_SAMPLE})",
         f"cb0 AS (SELECT m, vec_id AS code, sv AS cvec FROM tsub WHERE vec_id < {PQ_K})",
     ]
     for n in range(iters):
@@ -660,7 +662,12 @@ _RES_DIST = (
 )
 
 
-def _ivfpq_residual_sql() -> str:
+def _ivfpq_residual_sql(trained: bool = False) -> str:
+    if trained:
+        chain = ",\n".join(_pq_trained_cb_ctes(PQ_TRAIN_ITERS, src="rsub"))
+        cb = f"{chain},\ncb AS (SELECT m, code, cvec FROM cb{PQ_TRAIN_ITERS})"
+    else:
+        cb = f"cb AS (SELECT m, vec_id AS code, sv AS cvec FROM rsub WHERE vec_id < {PQ_K})"
     return f"""
 WITH vecs AS (
   SELECT vec_id,
@@ -690,7 +697,7 @@ rsub AS (
   SELECT vec_id, cid, m, list_slice(rv, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
   FROM rcorp, range({PQ_M}) t(m)
 ),
-cb AS (SELECT m, vec_id AS code, sv AS cvec FROM rsub WHERE vec_id < {PQ_K}),
+{cb},
 enc AS (
   SELECT vec_id, cid, m, CAST(MIN(d*{PQ_K}+code) % {PQ_K} AS BIGINT) AS code
   FROM (SELECT s.vec_id, s.cid, s.m, c.code, {_RES_DIST} AS d
@@ -725,6 +732,41 @@ WHERE rank <= {PQ_TOPK}
 
 
 QUERIES["emb_ivfpq_residual_topk"] = (ivfpq_residual_topk_query, _ivfpq_residual_sql())
+
+
+def ivfpq_residual_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained twin of ``emb_ivfpq_residual_topk``: the residual
+    codebook is refined by two grouped fixed-point Lloyd iterations over
+    the residual subvectors of the bounded ``vec_id < PQ_TRAIN_SAMPLE``
+    sample (train on a sample, encode everything — the corpus-scale shape
+    ``emb_pq_trained_topk`` pins for flat PQ).  Closes the r7 gap: the
+    seeded→trained recall delta was measured for flat PQ (+11 points) but
+    the residual path only documented the swap-in; now the trained residual
+    codewords, codes, and ADC distances all hash-check against the unrolled
+    SQL replica, and scripts/ann_recall.py measures the recall point."""
+    from ..operators.pq import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    return ivfpq_residual_topk(
+        queries,
+        emb,
+        centroids,
+        PQ_M,
+        PQ_SUB,
+        PQ_TOPK,
+        n_codewords=PQ_K,
+        nprobe=IVFPQ_NPROBE,
+        train_iters=PQ_TRAIN_ITERS,
+        train_sample=PQ_TRAIN_SAMPLE,
+    )
+
+
+QUERIES["emb_ivfpq_residual_trained"] = (
+    ivfpq_residual_trained_query,
+    _ivfpq_residual_sql(trained=True),
+)
 
 
 def ivf_cell_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:

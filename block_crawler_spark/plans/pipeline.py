@@ -43,13 +43,15 @@ from .text_ops import (
     STRATIFIED_SAMPLE_SQL,
     _decontaminate_sql,
     _minhash_sql,
+    _quality_budget_cut_sql,
     decontaminate_query,
     minhash_pairs_query,
+    quality_budget_cut_query,
     quality_ppm,
     stratified_sample_query,
 )
 
-QUALITY_MIN_PPM = 320_000  # keeps ~90% of the synthetic corpus
+QUALITY_MIN_PPM = 320_000  # explicit-threshold mode (keeps ~90% of the corpus)
 
 
 def _mixture_sampled_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,18 +78,34 @@ def _mixture_sampled_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curated_doc_ids(
     spark: SparkSession,
     sf_dir: str,
-    quality_min: int = QUALITY_MIN_PPM,
+    quality_min: int | None = None,
     sampling: str = "stratified",
 ) -> DataFrame:
     """Survivor set (doc_id) after quality → exact dedup → near-dup →
     decontamination → sampling.  Exposed separately so callers can hang any
     downstream stage (packing, shard writing, chunking) off it.
 
+    ``quality_min``: an explicit quality_ppm floor, or ``None`` (default,
+    round 8) for the DATA-DRIVEN cut — the 1-row result of
+    ``doc_quality_budget_cut`` (the quality_ppm threshold that keeps the
+    best third of tokens, selected on a ≤101-bucket histogram) broadcast
+    into the quality-filter stage, so the flagship pipeline uses the
+    measured cut instead of a guessed constant.
+
     ``sampling``: ``"stratified"`` (fixed per-source rates — the
     oracle-checked registry configuration) or ``"mixture"`` (rates derived
     from the token-budget mixture plan, ``doc_mixture_plan``)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    good = quality_ppm(spark, sf_dir).filter(F.col("quality_ppm") >= quality_min).select("doc_id")
+    scored = quality_ppm(spark, sf_dir)
+    if quality_min is None:
+        cut = quality_budget_cut_query(spark, sf_dir).select("cut_ppm")
+        good = (
+            scored.crossJoin(F.broadcast(cut))
+            .filter(F.col("quality_ppm") >= F.col("cut_ppm"))
+            .select("doc_id")
+        )
+    else:
+        good = scored.filter(F.col("quality_ppm") >= quality_min).select("doc_id")
     exact_keep = (
         exact_dedup(load_table(spark, sf_dir, "documents"))
         .select(F.col("keep_id").alias("doc_id"))
@@ -112,7 +130,7 @@ def curated_doc_ids(
 def packed_docs(
     spark: SparkSession,
     sf_dir: str,
-    quality_min: int = QUALITY_MIN_PPM,
+    quality_min: int | None = None,
     shards: int = PACK_SHARDS,
     seq_len: int = SEQ_LEN_TOK,
     sampling: str = "stratified",
@@ -154,8 +172,10 @@ def _curation_sql() -> str:
     pairs = _minhash_sql().strip()
     decon = _decontaminate_sql().strip()
     samp = STRATIFIED_SAMPLE_SQL.strip()
+    budget_cut = _quality_budget_cut_sql().strip()
     return f"""
 WITH q AS ({quality}),
+bc AS ({budget_cut}),
 ek AS (SELECT keep_id FROM ({exact})),
 np AS ({pairs}),
 dc AS ({decon}),
@@ -165,7 +185,7 @@ surv AS (
          CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tok,
          CAST('0x' || substr(md5('pack|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
   FROM documents d
-  WHERE d.doc_id IN (SELECT doc_id FROM q WHERE quality_ppm >= {QUALITY_MIN_PPM})
+  WHERE d.doc_id IN (SELECT doc_id FROM q WHERE quality_ppm >= (SELECT cut_ppm FROM bc))
     AND d.doc_id IN (SELECT keep_id FROM ek)
     AND d.doc_id NOT IN (SELECT id_b FROM np)
     AND d.doc_id IN (SELECT doc_id FROM dc WHERE NOT contaminated)

@@ -16,13 +16,29 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # Ordering matters to external samplers that take a prefix of the merged
 # dict (Python dicts preserve insertion order).  The prefix is rotated per
 # round so every family accumulates current driver-green rows — and any
-# query ADDED in a round must sit inside the prefix that round (ADVICE r6:
-# new code gets verified the round it lands, not rounds later).  Round 5
-# fronted the LLM-pipeline families; round 6 fronted the relational tail
-# (all r6-green); round 7 fronts embed_ops (the two r6-added ANN queries'
-# first driver rows) + text/pack (r7-added BPE queries, r6-changed dedup
-# family) + pipeline/media, with the r6-certified relational modules last.
-_MODULES = (embed_ops, text_ops, pack_ops, pipeline, media_ops, tpch, events_ops, nft_ops, tx_ops)
+# query ADDED OR CHANGED in a round must sit inside the prefix that round
+# (ADVICE r6: new code gets verified the round it lands, not rounds later).
+# Round 5 fronted the LLM-pipeline families; round 6 the relational tail;
+# round 7 embed_ops + text/pack.  Round 8 fronts ``_FRONT`` — the queries
+# whose implementation changed this round (the new trained-residual query,
+# the PQ family over the refactored Lloyd loop, the de-funneled CMS audit,
+# the budget-cut-composed pipeline) — then the relational tail
+# (tpch 28 + events 14), filling the 50-query prefix exactly; nft/tx/media
+# and the remaining LLM families carry their r6/r7 certifications with
+# implementing modules unchanged since.
+_FRONT = (
+    "emb_ivfpq_residual_trained",  # NEW r8
+    "emb_ivfpq_residual_topk",
+    "emb_pq_trained_topk",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "doc_token_cms_estimates",
+    "doc_quality_budget_cut",
+    "doc_curation_pipeline",
+    "tx_sender_gas_stats",  # r8: presentation sort dropped
+    "tx_creations_by_block_bucket",  # r8: presentation sort dropped
+)
+_MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -32,4 +48,9 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(m.QUERIES)
-    return merged
+    missing = [n for n in _FRONT if n not in merged]
+    if missing:
+        raise ValueError(f"_FRONT names not in any module: {missing}")
+    return {n: merged[n] for n in _FRONT} | {
+        n: q for n, q in merged.items() if n not in _FRONT
+    }

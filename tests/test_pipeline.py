@@ -5,12 +5,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from block_crawler_spark.plans.pipeline import (
-    QUALITY_MIN_PPM,
     curated_doc_ids,
     curation_pipeline_query,
 )
 from block_crawler_spark.plans.text_ops import (
     decontaminate_query,
+    quality_budget_cut_query,
     quality_ppm,
     stratified_sample_query,
 )
@@ -23,9 +23,11 @@ def test_survivors_satisfy_every_stage(spark):
     surv = {r["doc_id"] for r in curated_doc_ids(spark, SF).collect()}
     all_ids = {r["doc_id"] for r in load_table(spark, SF, "documents").select("doc_id").collect()}
     assert surv and surv < all_ids, "pipeline must keep some and drop some"
+    # the default quality stage is the DATA-DRIVEN budget cut (round 8)
+    cut = quality_budget_cut_query(spark, SF).collect()[0]["cut_ppm"]
     good = {
         r["doc_id"]
-        for r in quality_ppm(spark, SF).filter(F.col("quality_ppm") >= QUALITY_MIN_PPM).collect()
+        for r in quality_ppm(spark, SF).filter(F.col("quality_ppm") >= cut).collect()
     }
     clean = {
         r["doc_id"] for r in decontaminate_query(spark, SF).filter(~F.col("contaminated")).collect()
@@ -42,3 +44,17 @@ def test_manifest_is_deterministic_and_covers_survivors(spark):
     assert m1 == m2, "same input -> same manifest, digest included"
     n_docs = sum(r["n_docs"] for r in curation_pipeline_query(spark, SF).collect())
     assert n_docs == curated_doc_ids(spark, SF).count()
+
+
+def test_budget_cut_feeds_the_quality_stage(spark):
+    """quality_min=None (the default) must apply EXACTLY the measured
+    cut_ppm from doc_quality_budget_cut: the survivor set equals the one an
+    explicit quality_min at that value produces, and a deliberately looser
+    explicit floor keeps strictly more — proving the broadcast cut row
+    actually gates the filter rather than some constant."""
+    cut = quality_budget_cut_query(spark, SF).collect()[0]["cut_ppm"]
+    budget_surv = {r["doc_id"] for r in curated_doc_ids(spark, SF).collect()}
+    explicit_surv = {r["doc_id"] for r in curated_doc_ids(spark, SF, quality_min=cut).collect()}
+    assert budget_surv == explicit_surv
+    loose_surv = {r["doc_id"] for r in curated_doc_ids(spark, SF, quality_min=0).collect()}
+    assert budget_surv < loose_surv, "the measured cut must actually drop something"

@@ -189,3 +189,40 @@ def test_ivfpq_residual_matches_flat_adc_when_single_cell(spark):
         for r in cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).collect()
     }
     assert got == want
+
+
+def test_trained_residual_codebook_refines_and_leaks_nothing(spark):
+    """The trained residual path (round 8): train_iters>0 runs the shared
+    grouped-Lloyd loop over the residual subvectors of the bounded sample.
+    Contracts: (a) results are a valid top-k (rank 1..k per query, no
+    self-pairs), (b) iters=0 is exactly the seeded path (param default
+    compatibility), (c) no cached frame survives the call (the r6 leak
+    class), (d) the trained codebook CHANGES the answer vs seeded — the
+    training loop is actually wired in, not decorative."""
+    from block_crawler_spark.operators.pq import ivfpq_residual_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    trained = ivfpq_residual_topk(
+        queries, emb, cent, m=4, sub_dim=16, k=3, n_codewords=16, nprobe=2,
+        train_iters=2, train_sample=64,
+    ).collect()
+    assert jsc.getPersistentRDDs().size() <= before, "training leaked a cached frame"
+
+    by_q = {}
+    for r in trained:
+        assert r["q_id"] != r["c_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+    seeded = ivfpq_residual_topk(
+        queries, emb, cent, m=4, sub_dim=16, k=3, n_codewords=16, nprobe=2
+    ).collect()
+    t_pairs = {(r["q_id"], r["c_id"], r["adc_dist"]) for r in trained}
+    s_pairs = {(r["q_id"], r["c_id"], r["adc_dist"]) for r in seeded}
+    assert t_pairs != s_pairs, "trained codebook must change distances/candidates"
