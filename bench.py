@@ -79,6 +79,11 @@ HEADLINE = [
     "doc_token_cms_estimates",
     "emb_ivf_cell_balance",
     "emb_ivfpq_residual_trained",
+    "doc_pack_fill_stats",
+    "doc_token_concentration",
+    "emb_dim_variance",
+    "evt_key_skew_topk",
+    "emb_pq_balanced_topk",
 ]
 
 

@@ -473,36 +473,43 @@ def cmd_ingest(args) -> int:
     from .streaming.corpus import CorpusIngestStore
 
     spark = _spark("ingest")
+    stats, ticker = _make_ticker(args)
     store = CorpusIngestStore(
         spark,
         args.corpus,
         near_dup=args.near_dup,
         jaccard_threshold=args.jaccard_threshold,
         quality_min_ppm=args.quality_min,
+        stats=stats,
     )
     ck = args.checkpoint or f"{args.corpus}/_checkpoint"
     before = store.corpus().count()
     query = store.start_stream(args.source, ck)
     try:
-        finished = query.awaitTermination(args.timeout)
-    except StreamingQueryException as e:
-        # a failed drain keeps the CLI's JSON-line error contract (same shape
-        # as the timeout path) instead of dying with a raw traceback; the
-        # checkpoint makes a re-run resume from the failed micro-batch
-        print(json.dumps({"error": f"ingest stream failed: {e.desc if hasattr(e, 'desc') else e}",
-                          "corpus": args.corpus}), file=sys.stderr)
-        return 1
-    if not finished:
-        # a still-running drain must NOT be compacted under (the store's
-        # compact-between-batches contract) or reported as complete
         try:
-            query.stop()
-        except StreamingQueryException:
-            pass  # the query raced into a failure between awaitTermination and stop
-        print(json.dumps({"error": "ingest drain exceeded --timeout; stopped mid-drain "
-                                   "(checkpointed — re-run to resume)", "corpus": args.corpus}),
-              file=sys.stderr)
-        return 1
+            finished = query.awaitTermination(args.timeout)
+        except StreamingQueryException as e:
+            # a failed drain keeps the CLI's JSON-line error contract (same
+            # shape as the timeout path) instead of dying with a raw
+            # traceback; the checkpoint makes a re-run resume from the
+            # failed micro-batch
+            print(json.dumps({"error": f"ingest stream failed: {e.desc if hasattr(e, 'desc') else e}",
+                              "corpus": args.corpus}), file=sys.stderr)
+            return 1
+        if not finished:
+            # a still-running drain must NOT be compacted under (the store's
+            # compact-between-batches contract) or reported as complete
+            try:
+                query.stop()
+            except StreamingQueryException:
+                pass  # the query raced into a failure between awaitTermination and stop
+            print(json.dumps({"error": "ingest drain exceeded --timeout; stopped mid-drain "
+                                       "(checkpointed — re-run to resume)", "corpus": args.corpus}),
+                  file=sys.stderr)
+            return 1
+    finally:
+        if ticker is not None:
+            ticker.stop(final_line=True)
     folded = store.compact() if args.compact else 0
     total = store.corpus().count()
     print(
@@ -625,6 +632,9 @@ def main(argv=None) -> int:
     sp.add_argument("--compact", action="store_true", help="fold batch dirs into one snapshot after the drain")
     sp.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: CORPUS/_checkpoint)")
     sp.add_argument("--timeout", type=int, default=600, help="max seconds to wait for the drain")
+    sp.add_argument("--stats-interval", type=float, default=0.0,
+                    help="print a STATS line with corpus.* admission counters every N seconds "
+                         "(0 = off; counters cost one extra small count job per micro-batch)")
     sp.set_defaults(fn=cmd_ingest)
     sp = sub.add_parser("function-digest")
     sp.add_argument("signature")

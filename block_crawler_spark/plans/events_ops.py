@@ -609,3 +609,54 @@ QUERIES["evt_value_percentiles"] = (value_percentiles, _percentiles_sql())
 _order = list(QUERIES)
 _order.insert(_order.index("evt_outliers_mad") + 1, _order.pop(_order.index("evt_value_percentiles")))
 QUERIES = {k: QUERIES[k] for k in _order}
+
+
+SKEW_TOPK = 20
+
+
+def key_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over the events stream: the top-20 heaviest
+    user_id keys with their row counts and per-key share of all events
+    (ppm).  This is the measurement that DECIDES the skew treatment — the
+    two-phase salted aggregation (operators/skew.py) and AQE skew-join
+    splitting only pay for themselves when a few keys actually dominate;
+    run this first, salt second (the reference has no such surface; public
+    Spark skew practice, e.g. AQE's skewJoin thresholds, is the model).
+
+    Scale shape: one hash-agg shuffle on the key (map-side partials), the
+    top-20 via orderBy().limit() → TakeOrderedAndProject, a rank window
+    over only those ≤20 survivors, and a 1-row total broadcast.  All
+    emitted numerics BIGINT."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+    top = per.orderBy(F.desc("n_events"), F.asc("user_id")).limit(SKEW_TOPK)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))  # ≤20 rows post-limit
+    total = ev.agg(F.count("*").cast("long").alias("total_events"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "user_id",
+            "n_events",
+            F.expr("CAST(n_events * 1000000 DIV total_events AS BIGINT)").alias("share_ppm"),
+        )
+    )
+
+
+KEY_SKEW_SQL = f"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+), top AS (
+  SELECT user_id, n_events FROM per ORDER BY n_events DESC, user_id ASC LIMIT {SKEW_TOPK}
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS total_events FROM events)
+SELECT row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank,
+       user_id, n_events,
+       CAST(n_events * 1000000 // total_events AS BIGINT) AS share_ppm
+FROM top, tot
+"""
+
+
+QUERIES["evt_key_skew_topk"] = (key_skew_topk, KEY_SKEW_SQL)

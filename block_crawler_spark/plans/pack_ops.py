@@ -353,10 +353,66 @@ def _pack_sequences_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_query(spark, sf_dir, n_tok_mode="bpe")
 
 
+def pack_fill_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit per shard: how full the cut bins actually
+    are.  Padding waste is a direct training cost (every under-filled
+    sequence burns compute on pad tokens), so the pipeline needs the
+    fill-rate measured, not assumed: per shard — bin count, token total,
+    mean fill ppm of SEQ_LEN, and the min/max per-bin token loads (the
+    doc-starts-where-it-begins rule lets a bin overflow by one document's
+    tail, so max > 1e6 ppm is expected and quantified here, not a bug).
+
+    Scale shape: reuses the packing window (one hash-by-shard shuffle +
+    per-shard cumsum), then two bounded hash-aggs — (shard, bin) keys, then
+    shard keys.  All ppm fields are BIGINT fixed-point."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
+    bins = assign_bins(per).groupBy("shard", "bin_id").agg(F.sum("n_tok").alias("bin_tok"))
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("bin_tok").cast("long").alias("tok_sum"),
+            F.expr(f"CAST(sum(bin_tok) * 1000000 DIV (count(*) * {SEQ_LEN_TOK}) AS BIGINT)").alias(
+                "mean_fill_ppm"
+            ),
+            F.min("bin_tok").cast("long").alias("min_bin_tok"),
+            F.max("bin_tok").cast("long").alias("max_bin_tok"),
+        )
+    )
+
+
+PACK_FILL_SQL = f"""
+WITH per AS (
+  SELECT doc_id,
+         {_n_tok_sql("ws")} AS n_tok,
+         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM per
+), bins AS (
+  SELECT shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
+         CAST(sum(n_tok) AS BIGINT) AS bin_tok
+  FROM cum GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(bin_tok) AS BIGINT) AS tok_sum,
+       CAST(sum(bin_tok) * 1000000 // (count(*) * {SEQ_LEN_TOK}) AS BIGINT) AS mean_fill_ppm,
+       CAST(min(bin_tok) AS BIGINT) AS min_bin_tok,
+       CAST(max(bin_tok) AS BIGINT) AS max_bin_tok
+FROM bins
+GROUP BY shard
+"""
+
+
 QUERIES = {
     "doc_chunk_stats": (chunk_stats_query, CHUNK_SQL),
     "doc_chunk_dup_stats": (chunk_dup_stats_query, CHUNK_DUP_SQL),
     "doc_pack_sequences": (pack_sequences_query, PACK_SQL),
     "doc_pack_sequences_bpe": (_pack_sequences_bpe_query, _pack_sql("bpe")),
     "doc_mixture_plan": (mixture_plan_query, MIXTURE_SQL),
+    "doc_pack_fill_stats": (pack_fill_stats_query, PACK_FILL_SQL),
 }

@@ -19,13 +19,14 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # query ADDED OR CHANGED in a round must sit inside the prefix that round
 # (ADVICE r6: new code gets verified the round it lands, not rounds later).
 # Round 5 fronted the LLM-pipeline families; round 6 the relational tail;
-# round 7 embed_ops + text/pack.  Round 8 fronts ``_FRONT`` — the queries
-# whose implementation changed this round (the new trained-residual query,
-# the PQ family over the refactored Lloyd loop, the de-funneled CMS audit,
-# the budget-cut-composed pipeline) — then the relational tail
-# (tpch 28 + events 14), filling the 50-query prefix exactly; nft/tx/media
-# and the remaining LLM families carry their r6/r7 certifications with
-# implementing modules unchanged since.
+# round 7 embed_ops + text/pack.  Round 8 fronts ``_FRONT`` — every query
+# ADDED this round (trained residual, balanced PQ, the four audit ops) and
+# every query whose implementation CHANGED (the PQ family over the
+# refactored Lloyd loop, the de-funneled CMS audit, the budget-cut-composed
+# pipeline, the de-sorted tx pair, the de-duplicated range join) — then the
+# relational tail (tpch 28 + the first events queries) up to the 50-query
+# prefix; nft/media and the remaining LLM families carry their r6/r7
+# certifications with implementing modules unchanged since.
 _FRONT = (
     "emb_ivfpq_residual_trained",  # NEW r8
     "emb_ivfpq_residual_topk",
@@ -37,6 +38,11 @@ _FRONT = (
     "doc_curation_pipeline",
     "tx_sender_gas_stats",  # r8: presentation sort dropped
     "tx_creations_by_block_bucket",  # r8: presentation sort dropped
+    "doc_pack_fill_stats",  # NEW r8
+    "doc_token_concentration",  # NEW r8
+    "emb_dim_variance",  # NEW r8
+    "evt_key_skew_topk",  # NEW r8
+    "emb_pq_balanced_topk",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

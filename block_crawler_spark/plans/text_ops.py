@@ -1524,3 +1524,70 @@ GROUP BY p.t, p.exact_n
 
 
 QUERIES["doc_token_cms_estimates"] = (token_cms_query, _token_cms_sql())
+
+
+TOKCON_TOP = 100  # concentration is reported at top-1 / top-10 / top-100
+
+
+def token_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration — the Zipf-health summary a corpus audit
+    wants before vocabulary decisions: what fraction of ALL token
+    occurrences the single most frequent token, the top-10, and the
+    top-100 account for (plus total/distinct token counts).  A corpus
+    whose top-10 mass is abnormally high is boilerplate-heavy; one whose
+    distinct count explodes relative to mass has tokenizer problems.
+
+    Scale shape: one token-count shuffle (map-side partials), then the
+    top-100 via ``orderBy().limit()`` → TakeOrderedAndProject (never a
+    global row_number window — the r7 CMS lesson), a rank window over ONLY
+    those ≤100 survivor rows, and a 1-row total broadcast.  Output is one
+    row, all BIGINT."""
+    from ..functions.text import tokens as tok
+
+    stream = load_table(spark, sf_dir, "documents").select(
+        F.explode(tok(F.lower(F.trim(F.col("text"))))).alias("t")
+    )
+    counts = stream.groupBy("t").agg(F.count("*").cast("long").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("t")).limit(TOKCON_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("t"))  # ≤100 rows post-limit (bounded)
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("total_tokens").alias("total_tokens"),
+            F.first("distinct_tokens").alias("distinct_tokens"),
+            F.expr("CAST(sum(CASE WHEN rk <= 1 THEN n ELSE 0 END) * 1000000 DIV first(total_tokens) AS BIGINT)").alias("top1_ppm"),
+            F.expr("CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1000000 DIV first(total_tokens) AS BIGINT)").alias("top10_ppm"),
+            F.expr("CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) * 1000000 DIV first(total_tokens) AS BIGINT)").alias("top100_ppm"),
+        )
+    )
+
+
+def _token_concentration_sql() -> str:
+    return f"""
+WITH stream AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents
+), counts AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n FROM stream GROUP BY t
+), top AS (
+  SELECT t, n FROM counts ORDER BY n DESC, t ASC LIMIT {TOKCON_TOP}
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, t ASC) AS rk FROM top
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens, CAST(count(*) AS BIGINT) AS distinct_tokens
+  FROM counts
+)
+SELECT total_tokens, distinct_tokens,
+       CAST(sum(CASE WHEN rk <= 1 THEN n ELSE 0 END) * 1000000 // total_tokens AS BIGINT) AS top1_ppm,
+       CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1000000 // total_tokens AS BIGINT) AS top10_ppm,
+       CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) * 1000000 // total_tokens AS BIGINT) AS top100_ppm
+FROM ranked, tot
+GROUP BY total_tokens, distinct_tokens
+"""
+
+
+QUERIES["doc_token_concentration"] = (token_concentration_query, _token_concentration_sql())

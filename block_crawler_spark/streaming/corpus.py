@@ -114,6 +114,14 @@ class CorpusIngestStore:
     # force-broadcast (driver OOM), so it falls back to letting AQE pick the
     # join strategy (ADVICE r6 corpus.py:332)
     broadcast_max_batch_rows: int = 1_000_000
+    # optional StatsService (streaming/stats.py): per-batch admission
+    # counters for the 60 s ticker — corpus.batches / corpus.docs_in
+    # (within-batch unique candidates) / corpus.admitted / corpus.blocked /
+    # corpus.replays.  The admitted count costs one extra small job per
+    # batch (a count of the committed narrow dir), so it only runs when a
+    # ticker is attached (round 8 — the reference's stats writer reports
+    # the tail's row volumes the same way, shared.py:187-305)
+    stats: object | None = None
 
     def _docs_root(self) -> str:
         return os.path.join(self.root, "docs")
@@ -546,6 +554,8 @@ class CorpusIngestStore:
         out = os.path.join(self._docs_root(), f"batch-{batch_id}")
         self._pin_index_buckets()
         if os.path.exists(os.path.join(out, "_SUCCESS")):
+            if self.stats is not None:
+                self.stats.increment("corpus.replays")
             return
         if self.quality_min_ppm is not None:
             # quality gate BEFORE dedup: rejected docs never enter the seen
@@ -592,6 +602,12 @@ class CorpusIngestStore:
         # the source of truth; a crash in between is healed by the next
         # ingest/compact, and reads lazily project uncovered dirs meanwhile)
         self._sync_index()
+        if self.stats is not None:
+            admitted = self.spark.read.schema(self._stored_schema()).parquet(out).count()
+            self.stats.increment("corpus.batches")
+            self.stats.increment("corpus.docs_in", n_rows)
+            self.stats.increment("corpus.admitted", admitted)
+            self.stats.increment("corpus.blocked", n_rows - admitted)
 
     def _hint(self, df: DataFrame, small_batch: bool) -> DataFrame:
         """Broadcast the batch-derived side only when the batch is known

@@ -136,6 +136,27 @@ def main() -> int:
             "bytes_frac": round(m / (4 * m * sub), 4),
         }
 
+    # round 8: OPQ-lite — variance-balanced dimension permutation before PQ
+    # (squared-L2 is permutation-invariant; only subspace grouping changes)
+    from block_crawler_spark.plans.embed_ops import PQ_M, PQ_SUB, dim_variance_query  # noqa: E402
+
+    stats = dim_variance_query(spark, args.sf).collect()
+    ranked = sorted(stats, key=lambda r: (-(r["n"] * r["sumsq_micro"] - r["sum_micro"] ** 2), r["dim"]))
+    perm = [0] * len(ranked)
+    for r_i, row in enumerate(ranked):
+        perm[(r_i % PQ_M) * PQ_SUB + (r_i // PQ_M)] = int(row["dim"])
+    permuted = emb.select("vec_id", F.array(*[F.col("embedding")[p] for p in perm]).alias("embedding"))
+    cbb = pq_codebook(permuted, m, k_cb, sub)
+    codesb = pq_encode(permuted, cbb, m, sub).cache()
+    flatb = pq_adc_topk(permuted.filter(F.col("vec_id") < args.queries), codesb, cbb, m, sub, k=args.k)
+    out["pq"]["balanced"] = {
+        "recall_l2": recall_vs(flatb, truth_l2),
+        "recall_cos": recall_vs(flatb, truth),
+        "cost": 1.0,
+        "bytes_frac": round(m / (4 * m * sub), 4),
+    }
+    codesb.unpersist()
+
     out["ivfpq"] = {}
     n_cells = 16  # the registry query's IVFPQ layout
     cent = emb.filter(F.col("vec_id") < n_cells)

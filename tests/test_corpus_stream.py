@@ -471,3 +471,49 @@ def test_committed_empty_index_dir_is_skipped_not_projected(spark, tmp_path):
     assert not store._dir_has_data(idx1)
     assert store.index().count() == 1
     assert _corpus_ids(store) == [1]
+
+
+def test_admission_counters_track_batches(spark, tmp_path):
+    """With a StatsService attached, ingest reports the reference-style
+    ticker facts: docs_in (within-batch unique candidates), admitted,
+    blocked (= docs_in − admitted), batches, and replays — and the counters
+    stay coherent across a replayed batch id (no double counting)."""
+    from block_crawler_spark.streaming.stats import StatsService
+
+    stats = StatsService()
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), stats=stats)
+    # 3 rows, one within-batch dup → docs_in 2, both admitted
+    store.ingest_batch(_docs(spark, [(1, "alpha beta"), (2, "ALPHA  beta"), (3, "gamma delta")]), 0)
+    # 2 rows, one cross-batch dup → docs_in 2, admitted 1, blocked 1
+    store.ingest_batch(_docs(spark, [(4, "gamma  DELTA"), (5, "epsilon zeta")]), 1)
+    snap = stats.snapshot()
+    assert snap["corpus.batches"] == 2
+    assert snap["corpus.docs_in"] == 4
+    assert snap["corpus.admitted"] == 3
+    assert snap["corpus.blocked"] == 1
+    # replay of a committed id is a no-op AND counted as such
+    store.ingest_batch(_docs(spark, [(4, "gamma  DELTA"), (5, "epsilon zeta")]), 1)
+    snap = stats.snapshot()
+    assert snap["corpus.replays"] == 1
+    assert snap["corpus.batches"] == 2 and snap["corpus.admitted"] == 3
+    assert _corpus_ids(store) == [1, 3, 5]
+
+
+def test_cli_ingest_stats_ticker(spark, tmp_path, capsys):
+    """--stats-interval on the ingest CLI prints a final STATS line with the
+    corpus.* counters."""
+    import json as _json
+
+    from block_crawler_spark.cli import main
+
+    _docs(spark, [(1, "one two three"), (2, "four five six"), (3, "ONE two  three")]).write.parquet(
+        str(tmp_path / "drop")
+    )
+    rc = main(["ingest", "--source", str(tmp_path / "drop"), "--corpus", str(tmp_path / "corpus"),
+               "--stats-interval", "600"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    stats_lines = [ln for ln in out.splitlines() if ln.startswith("STATS ")]
+    assert stats_lines and "corpus.admitted=2" in stats_lines[-1], out
+    summary = _json.loads(out.splitlines()[-1])
+    assert summary["docs_admitted"] == 2
