@@ -84,6 +84,9 @@ HEADLINE = [
     "emb_dim_variance",
     "evt_key_skew_topk",
     "emb_pq_balanced_topk",
+    "evt_funnel_counts",
+    "evt_retention_cohorts",
+    "dedup_stream_admission_sim",
 ]
 
 

@@ -660,3 +660,115 @@ FROM top, tot
 
 
 QUERIES["evt_key_skew_topk"] = (key_skew_topk, KEY_SKEW_SQL)
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis — signup → view → purchase, each stage
+    strictly AFTER the previous one in the user's event sequence (event_id
+    is the sequence key, as in ``evt_sessionize``): per-stage user counts
+    and the conversion rate from the previous stage (ppm).  The classic
+    product-analytics operator the events surface was missing.
+
+    Scale shape: three user_id hash-aggs chained by two user_id equi-joins
+    — ONE key partitioning reused end-to-end (no window over the event
+    stream, no per-user collect); output is 3 rows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("event_id").alias("s_id")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("event_id") > F.col("s_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("v_id"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("event_id") > F.col("v_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("p_id"))
+    )
+    counts = (
+        s.agg(F.count("*").alias("n")).select(F.lit(1).alias("stage"), F.lit("signup").alias("funnel_stage"), "n")
+        .unionByName(v.agg(F.count("*").alias("n")).select(F.lit(2).alias("stage"), F.lit("signup>view").alias("funnel_stage"), "n"))
+        .unionByName(p.agg(F.count("*").alias("n")).select(F.lit(3).alias("stage"), F.lit("signup>view>purchase").alias("funnel_stage"), "n"))
+    )
+    w = Window.orderBy("stage")  # 3 rows — bounded by construction
+    return counts.select(
+        F.col("stage").cast("long").alias("stage"),
+        "funnel_stage",
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("CAST(n * 1000000 DIV lag(n, 1, n) OVER (ORDER BY stage) AS BIGINT)").alias("conv_ppm"),
+    )
+
+
+FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(event_id) AS s_id FROM events WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.event_id) AS v_id
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.event_id > s.s_id
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.event_id) AS p_id
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.event_id > v.v_id
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS stage, 'signup' AS funnel_stage, CAST(count(*) AS BIGINT) AS n FROM s
+  UNION ALL SELECT 2, 'signup>view', CAST(count(*) AS BIGINT) FROM v
+  UNION ALL SELECT 3, 'signup>view>purchase', CAST(count(*) AS BIGINT) FROM p
+)
+SELECT CAST(stage AS BIGINT) AS stage, funnel_stage, n AS n_users,
+       CAST(n * 1000000 // lag(n, 1, n) OVER (ORDER BY stage) AS BIGINT) AS conv_ppm
+FROM counts
+"""
+
+
+QUERIES["evt_funnel_counts"] = (funnel_counts, FUNNEL_SQL)
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (their
+    cohort), counted on each later activity day as an offset from the
+    cohort day — the analytics table behind every retention curve.
+
+    Scale shape: per-user min-day agg (one user_id shuffle) joined back to
+    the distinct (user, day) activity set (same key), then a bounded
+    (cohort, offset) hash-agg — days² keys at most.  Dates emit as strings
+    (the driver hash contract)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = e.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, day FROM e
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES["evt_retention_cohorts"] = (retention_cohorts, RETENTION_SQL)

@@ -43,6 +43,9 @@ _FRONT = (
     "emb_dim_variance",  # NEW r8
     "evt_key_skew_topk",  # NEW r8
     "emb_pq_balanced_topk",  # NEW r8
+    "evt_funnel_counts",  # NEW r8
+    "evt_retention_cohorts",  # NEW r8
+    "dedup_stream_admission_sim",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -22,6 +22,7 @@ from ..functions.text import (
     PUNCT_PATTERN_SQL,
     STOPWORDS,
     TOKEN_PATTERN,
+    fingerprint,
     lang_id,
     n_tokens,
     regex_token_count,
@@ -1591,3 +1592,78 @@ GROUP BY total_tokens, distinct_tokens
 
 
 QUERIES["doc_token_concentration"] = (token_concentration_query, _token_concentration_sql())
+
+
+def stream_admission_sim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked relational twin of the streaming corpus store's
+    exact-dedup admission rule (``streaming/corpus.py`` — whose end-to-end
+    behavior is pytest/probe-pinned but not SQL-expressible as a stream):
+    docs with ``doc_id % 5 == 4`` play the incoming micro-batch, the rest
+    the admitted corpus.  The synthetic corpus is duplicate-free, so the
+    batch deterministically re-submits earlier texts to make every branch
+    fire: ids ``% 25 == 24`` carry the text of ``doc_id − 5`` (another
+    BATCH doc → ``blocked_batch``, the within-batch keep-lowest-id rule),
+    ids ``% 10 == 9`` the text of ``doc_id − 4`` (an ADMITTED doc →
+    ``blocked_seen``, the collision-shaped fp probe), the rest their own
+    (→ ``admitted``).  The query emits per-verdict doc counts — a
+    value-level hash of the admission SEMANTICS to hold next to the
+    streaming pytest/probe evidence.
+
+    Scale shape: one fp hash-agg on the batch side + one batch-vs-admitted
+    fp semi-join (at store runtime that probe is partition-pruned by
+    fp bucket; the relational form is the same equi-join) + a 3-key agg."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    src = F.expr(
+        "CASE WHEN doc_id % 25 = 24 THEN doc_id - 5 "
+        "WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END"
+    )
+    batch = (
+        base.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", src.alias("src_id"))
+        .join(base.select(F.col("doc_id").alias("src_id"), "fp"), "src_id")
+        .select("doc_id", "fp")
+    )
+    admitted = base.filter(F.col("doc_id") % 5 != 4)
+    firsts = batch.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    seen = admitted.select("fp").distinct()
+    verdicts = (
+        batch.join(firsts, "fp")
+        .join(seen.withColumn("is_seen", F.lit(1)), "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), F.lit("blocked_batch"))
+            .when(F.col("is_seen").isNotNull(), F.lit("blocked_seen"))
+            .otherwise(F.lit("admitted"))
+            .alias("verdict"),
+        )
+    )
+    return verdicts.groupBy("verdict").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+ADMISSION_SIM_SQL = """
+WITH docs AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents
+), batch AS (
+  SELECT b.doc_id, s.fp
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 25 = 24 THEN doc_id - 5
+                    WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END AS src_id
+        FROM docs WHERE doc_id % 5 = 4) b
+  JOIN docs s ON s.doc_id = b.src_id
+), admitted AS (
+  SELECT DISTINCT fp FROM docs WHERE doc_id % 5 <> 4
+), firsts AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM batch GROUP BY fp
+)
+SELECT CASE WHEN b.doc_id <> f.keep_id THEN 'blocked_batch'
+            WHEN a.fp IS NOT NULL THEN 'blocked_seen'
+            ELSE 'admitted' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM batch b JOIN firsts f USING (fp) LEFT JOIN admitted a ON a.fp = b.fp
+GROUP BY 1
+"""
+
+
+QUERIES["dedup_stream_admission_sim"] = (stream_admission_sim_query, ADMISSION_SIM_SQL)

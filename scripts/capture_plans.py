@@ -65,6 +65,7 @@ ADJUDICATED = {
     ("doc_token_concentration", "SinglePartitionWindow"): "rank window over the ≤100-row TakeOrderedAndProject survivors",
     ("evt_key_skew_topk", _BNLJ): "1-row total-events broadcast onto the ≤20-row top set (share ppm)",
     ("evt_key_skew_topk", "SinglePartitionWindow"): "rank window over the ≤20-row TakeOrderedAndProject survivors",
+    ("evt_funnel_counts", "SinglePartitionWindow"): "lag window over the 3-row per-stage union (bounded by the funnel length)",
 }
 
 

@@ -73,3 +73,40 @@ def test_key_skew_ranks_and_shares(spark):
     for r in rows:
         assert r["share_ppm"] == r["n_events"] * 1_000_000 // total
     assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+
+
+def test_admission_sim_matches_the_real_store(spark, tmp_path):
+    """dedup_stream_admission_sim claims to be the relational twin of the
+    corpus store's exact-dedup admission rule — prove it: feed the ACTUAL
+    CorpusIngestStore the same admitted set + synthetic batch and the
+    store's admitted count must equal the sim's 'admitted' verdict count
+    (and the blocked counts must account for the rest)."""
+    from block_crawler_spark.plans.text_ops import stream_admission_sim_query
+    from block_crawler_spark.streaming.corpus import CorpusIngestStore
+
+    sim = {r["verdict"]: r["n_docs"] for r in stream_admission_sim_query(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    admitted0 = docs.filter(F.col("doc_id") % 5 != 4)
+    src = F.expr(
+        "CASE WHEN doc_id % 25 = 24 THEN doc_id - 5 "
+        "WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END"
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "lang", "source", src.alias("src_id"))
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), "text", "n_chars"),
+            "src_id",
+        )
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    n_batch = batch.count()
+    assert sum(sim.values()) == n_batch
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    store.ingest_batch(admitted0, 0)
+    n0 = store.corpus().count()
+    store.ingest_batch(batch, 1)
+    store_admitted = store.corpus().count() - n0
+    assert store_admitted == sim.get("admitted", 0), (sim, store_admitted)
+    assert sim.get("blocked_batch", 0) > 0 and sim.get("blocked_seen", 0) > 0
