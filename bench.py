@@ -87,6 +87,8 @@ HEADLINE = [
     "evt_funnel_counts",
     "evt_retention_cohorts",
     "dedup_stream_admission_sim",
+    "doc_hapax_per_source",
+    "doc_ngram_novelty",
 ]
 
 

@@ -484,7 +484,7 @@ def cmd_ingest(args) -> int:
     )
     ck = args.checkpoint or f"{args.corpus}/_checkpoint"
     before = store.corpus().count()
-    query = store.start_stream(args.source, ck)
+    query = store.start_stream(args.source, ck, max_files_per_trigger=args.max_files_per_trigger)
     try:
         try:
             finished = query.awaitTermination(args.timeout)
@@ -635,6 +635,10 @@ def main(argv=None) -> int:
     sp.add_argument("--stats-interval", type=float, default=0.0,
                     help="print a STATS line with corpus.* admission counters every N seconds "
                          "(0 = off; counters cost one extra small count job per micro-batch)")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="backfill throttle: bound each micro-batch to N source files so a "
+                         "corpus-scale drop drains as many small batches (replay unit stays "
+                         "O(batch), the broadcast fast path stays on)")
     sp.set_defaults(fn=cmd_ingest)
     sp = sub.add_parser("function-digest")
     sp.add_argument("signature")

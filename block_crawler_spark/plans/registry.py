@@ -46,6 +46,8 @@ _FRONT = (
     "evt_funnel_counts",  # NEW r8
     "evt_retention_cohorts",  # NEW r8
     "dedup_stream_admission_sim",  # NEW r8
+    "doc_hapax_per_source",  # NEW r8
+    "doc_ngram_novelty",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

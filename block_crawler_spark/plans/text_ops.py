@@ -1667,3 +1667,112 @@ GROUP BY 1
 
 
 QUERIES["dedup_stream_admission_sim"] = (stream_admission_sim_query, ADMISSION_SIM_SQL)
+
+
+def hapax_per_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary health per source: hapax legomena (tokens occurring
+    exactly once WITHIN the source) as a share of the source's distinct
+    vocabulary, plus the underlying counts.  A source whose hapax share
+    collapses is template/boilerplate text; one where it explodes is
+    OCR/tokenizer noise — the standard corpus-linguistics screen applied
+    per ingestion source.
+
+    Scale shape: one (source, token) hash-agg (map-side partials collapse
+    the within-doc repeats) feeding a per-source agg — keys bounded by
+    sources × vocabulary, never corpus rows."""
+    from ..functions.text import tokens as tok
+
+    stream = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tok(F.lower(F.trim(F.col("text"))))).alias("t")
+    )
+    per = stream.groupBy("source", "t").agg(F.count("*").alias("n"))
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax_tokens"),
+        F.expr("CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "hapax_ppm"
+        ),
+    )
+
+
+HAPAX_SQL = """
+WITH stream AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents
+), per AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS n FROM stream GROUP BY source, t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hapax_ppm
+FROM per
+GROUP BY source
+"""
+
+
+QUERIES["doc_hapax_per_source"] = (hapax_per_source_query, HAPAX_SQL)
+
+
+NOVELTY_BUCKET = 50  # novelty curve granularity (docs per doc_id bucket)
+
+
+def ngram_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each ``doc_id`` bucket of 50 docs, the ppm
+    of its (doc, shingle) observations whose 3-gram shingle FIRST appears
+    in that bucket's docs (owner = lowest doc_id carrying the shingle).
+    Falling novelty across buckets is the expected dedup-after-dedup
+    signature; a flat curve near 1e6 means sources never overlap, and a
+    cliff localizes where a mirrored dump entered the corpus — the
+    data-ordering diagnostic curriculum/streaming ingest decisions read.
+
+    Scale shape: explode to distinct (doc, shingle) → one shingle-keyed
+    min-agg (the first-owner table) → an equi-join back on shingle → a
+    ≤corpus/50-key bucket agg.  Same join discipline as the dedup family:
+    shingle keys shuffle once, nothing is quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    first = docs.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        docs.join(first, "sh")
+        .groupBy(F.expr(f"CAST(doc_id DIV {NOVELTY_BUCKET} AS BIGINT)").alias("doc_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_shingle_obs"),
+            F.sum(
+                F.when(
+                    F.expr(f"first_doc DIV {NOVELTY_BUCKET}") == F.expr(f"doc_id DIV {NOVELTY_BUCKET}"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_obs"),
+            F.expr(
+                f"CAST(sum(CASE WHEN first_doc DIV {NOVELTY_BUCKET} = doc_id DIV {NOVELTY_BUCKET} "
+                "THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+), first AS (
+  SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
+)
+SELECT CAST(s.doc_id // {NOVELTY_BUCKET} AS BIGINT) AS doc_bucket,
+       CAST(count(*) AS BIGINT) AS n_shingle_obs,
+       CAST(sum(CASE WHEN f.first_doc // {NOVELTY_BUCKET} = s.doc_id // {NOVELTY_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS novel_obs,
+       CAST(sum(CASE WHEN f.first_doc // {NOVELTY_BUCKET} = s.doc_id // {NOVELTY_BUCKET} THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM sh s JOIN first f USING (sh)
+GROUP BY 1
+"""
+
+
+QUERIES["doc_ngram_novelty"] = (ngram_novelty_query, _ngram_novelty_sql())

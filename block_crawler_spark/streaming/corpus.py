@@ -726,10 +726,27 @@ class CorpusIngestStore:
                 "Use the original checkpoint, or a fresh corpus root."
             )
 
-    def start_stream(self, source_dir: str, checkpoint_dir: str, available_now: bool = True) -> StreamingQuery:
-        """Tail a document drop-directory into the deduplicated corpus."""
+    def start_stream(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """Tail a document drop-directory into the deduplicated corpus.
+
+        ``max_files_per_trigger`` bounds each micro-batch to that many
+        source files — the backfill throttle: draining a corpus-scale drop
+        directory as ONE availableNow batch would hit the broadcast gate
+        and make the crash-replay unit the whole backfill; splitting keeps
+        every batch inside the small-batch fast path and each replay
+        O(batch).  (Spark's file source honors maxFilesPerTrigger under
+        availableNow by splitting the catalog into multiple batches.)"""
         self._pin_checkpoint(checkpoint_dir)
-        stream = self.spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+        reader = self.spark.readStream.schema(DOC_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        stream = reader.parquet(source_dir)
         writer = stream.writeStream.foreachBatch(self.ingest_batch).option(
             "checkpointLocation", checkpoint_dir
         )

@@ -517,3 +517,21 @@ def test_cli_ingest_stats_ticker(spark, tmp_path, capsys):
     assert stats_lines and "corpus.admitted=2" in stats_lines[-1], out
     summary = _json.loads(out.splitlines()[-1])
     assert summary["docs_admitted"] == 2
+
+
+def test_max_files_per_trigger_splits_the_drain(spark, tmp_path):
+    """A multi-file drop with max_files_per_trigger=1 drains as multiple
+    micro-batches (the backfill throttle) — and cross-batch dedup still
+    holds across the split batches."""
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, "alpha beta gamma")]).coalesce(1).write.mode("append").parquet(src)
+    _docs(spark, [(2, "ALPHA beta  gamma"), (3, "delta epsilon")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"))
+    q = store.start_stream(src, str(tmp_path / "ck"), max_files_per_trigger=1)
+    q.awaitTermination(120)
+    batches = [d for d in __import__("os").listdir(store._docs_root()) if d.startswith("batch-")]
+    assert len(batches) >= 2, batches
+    ids = _corpus_ids(store)
+    assert 1 in ids and 3 in ids and len(ids) == 2 + (2 in ids and 1 not in ids)
