@@ -118,12 +118,18 @@ def _bulk_crawl(
         blocks = blocks.filter(F.col("number") <= height)
     # ONE min/max aggregation serves the resume clamp, the top probe, and
     # the ticker — round-8 advice: the non-chunked path previously ran a
-    # second blocks.agg(min) job purely for telemetry
-    lohi = blocks.agg(
-        F.min("number").alias("lo"), F.max("number").alias("hi")
-    ).collect()[0]
-    bottom = lohi["lo"] if lohi["lo"] is not None else 0
-    top = height if height is not None else lohi["hi"]
+    # second blocks.agg(min) job purely for telemetry.  Skipped entirely on
+    # the one configuration that needs neither bound (explicit height,
+    # single-pass, no ticker): that path used to run zero agg jobs and
+    # must keep running zero (round-8 review)
+    if height is not None and chunk_size is None and stats is None:
+        bottom, top = 0, height
+    else:
+        lohi = blocks.agg(
+            F.min("number").alias("lo"), F.max("number").alias("hi")
+        ).collect()[0]
+        bottom = lohi["lo"] if lohi["lo"] is not None else 0
+        top = height if height is not None else lohi["hi"]
 
     def tick(lo, hi):
         # driver-observable ticker facts per committed chunk (the reference's

@@ -928,7 +928,12 @@ moments AS (
   GROUP BY i
 ),
 ranked AS (
-  SELECT dim, row_number() OVER (ORDER BY (n*sq - s*s) DESC, dim ASC) - 1 AS r FROM moments
+  -- HUGEINT: n*sq and s*s exceed int64 at a few thousand near-unit-energy
+  -- rows (n²·1e12 > 2^63); the Spark twin ranks with exact Python ints, so
+  -- the replica must stay exact too (128-bit covers n ≤ 9e6 with headroom)
+  SELECT dim, row_number() OVER (
+    ORDER BY (CAST(n AS HUGEINT)*sq - CAST(s AS HUGEINT)*s) DESC, dim ASC) - 1 AS r
+  FROM moments
 ),
 slots AS (
   SELECT dim, (r % {PQ_M}) * {PQ_SUB} + (r // {PQ_M}) AS slot FROM ranked

@@ -695,7 +695,7 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v.agg(F.count("*").alias("n")).select(F.lit(2).alias("stage"), F.lit("signup>view").alias("funnel_stage"), "n"))
         .unionByName(p.agg(F.count("*").alias("n")).select(F.lit(3).alias("stage"), F.lit("signup>view>purchase").alias("funnel_stage"), "n"))
     )
-    w = Window.orderBy("stage")  # 3 rows — bounded by construction
+    # lag window over 3 rows — bounded by construction
     return counts.select(
         F.col("stage").cast("long").alias("stage"),
         "funnel_stage",

@@ -51,9 +51,6 @@ from .text_ops import (
     stratified_sample_query,
 )
 
-QUALITY_MIN_PPM = 320_000  # explicit-threshold mode (keeps ~90% of the corpus)
-
-
 def _mixture_sampled_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs kept by the token-budget mixture plan: per-source rate_ppm from
     the mixture-rate computation broadcast back onto the corpus, doc kept

@@ -1758,11 +1758,12 @@ def ngram_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_novelty_sql() -> str:
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
-         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
-  WHERE len(toks) >= 3
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  -- same short-doc fallback as every other shingle twin in this module:
+  -- < 3 tokens emits the single full-text shingle, matching Spark shingles()
+  SELECT doc_id, unnest({_shingle_sql_expr()}) AS sh FROM tk
 ), first AS (
   SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh
 )

@@ -339,20 +339,22 @@ class CorpusIngestStore:
             return False
 
     @staticmethod
-    def _dir_has_data(dst: str) -> bool:
-        """True iff a committed bucketed dir holds any data file under a
-        partition subdir.  Distinguishes GENUINE emptiness (partitionBy of
-        zero rows: ``_SUCCESS`` only) from a dir whose read failed for some
-        other reason — the two must not be conflated, or an unreadable dir
-        would silently drop its fingerprints from the seen set (round-8
-        advice)."""
+    def _dir_has_data(dst: str) -> bool | None:
+        """``True`` iff a committed bucketed dir holds a data file under a
+        partition subdir, ``False`` iff it is VERIFIABLY empty (partitionBy
+        of zero rows: the listing succeeded and showed no data), ``None``
+        iff the listing itself failed (mid-swap, permissions, transient
+        I/O).  The three must not be conflated: treating an unreadable dir
+        as empty would silently drop its fingerprints from the seen set
+        (round-8 advice) — the caller falls back to the docs projection on
+        ``None`` exactly as it does when the parquet open fails."""
         try:
             with os.scandir(dst) as it:
                 for e in it:
                     if e.is_dir() and "=" in e.name and os.listdir(e.path):
                         return True
         except OSError:
-            pass
+            return None
         return False
 
     def _replace_dir(self, tmp: str, dst: str) -> None:
@@ -515,22 +517,24 @@ class CorpusIngestStore:
             df = None
             if self._index_committed(d, root=root):
                 dst = os.path.join(root, d)
-                if not self._dir_has_data(dst):
-                    continue  # genuinely committed-empty: zero rows stored
-                try:
-                    # footer/schema failures surface here (Spark runs the
-                    # footer-inference job eagerly) — as AnalysisException or
-                    # a raw SparkException depending on where the corruption
-                    # bites, so the net is deliberately wide: ANY failure to
-                    # open the side table falls back to the docs projection
-                    # (correct, merely slower); only a failure mid-query of a
-                    # successfully opened dir still propagates (fail loud)
-                    df = self.spark.read.parquet(dst)
-                    if bucket_list is not None and bucket_col in df.columns:
-                        df = df.filter(F.col(bucket_col).isin(bucket_list))
-                    df = df.select(*cols)
-                except Exception:  # noqa: BLE001 — fallback is the source of truth
-                    df = None
+                has_data = self._dir_has_data(dst)
+                if has_data is False:
+                    continue  # VERIFIED committed-empty: zero rows stored
+                if has_data:  # None (unreadable listing) keeps df=None → docs fallback
+                    try:
+                        # footer/schema failures surface here (Spark runs the
+                        # footer-inference job eagerly) — as AnalysisException or
+                        # a raw SparkException depending on where the corruption
+                        # bites, so the net is deliberately wide: ANY failure to
+                        # open the side table falls back to the docs projection
+                        # (correct, merely slower); only a failure mid-query of a
+                        # successfully opened dir still propagates (fail loud)
+                        df = self.spark.read.parquet(dst)
+                        if bucket_list is not None and bucket_col in df.columns:
+                            df = df.filter(F.col(bucket_col).isin(bucket_list))
+                        df = df.select(*cols)
+                    except Exception:  # noqa: BLE001 — fallback is the source of truth
+                        df = None
             if df is None:
                 df = project(self.spark.read.parquet(os.path.join(self._docs_root(), d)), bucket_list)
             parts.append(df)
