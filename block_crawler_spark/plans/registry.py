@@ -48,6 +48,14 @@ _FRONT = (
     "dedup_stream_admission_sim",  # NEW r8
     "doc_hapax_per_source",  # NEW r8
     "doc_ngram_novelty",  # NEW r8
+    "doc_tfidf_top_terms",  # NEW r8
+    "doc_intradoc_dup_stats",  # NEW r8
+    "doc_gopher_rules",  # NEW r8
+    "emb_sq_topk",  # NEW r8
+    "dedup_semantic_cells",  # NEW r8
+    "doc_lang_confusion",  # NEW r8
+    "dedup_minhash_est_error",  # NEW r8
+    "emb_power_topdim",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -28,6 +28,7 @@ from ..functions.text import (
     regex_token_count,
     shingles,
     stopword_hits,
+    tokens,
 )
 from ..operators.dedup import (
     dedup_assignments,
@@ -1777,3 +1778,383 @@ GROUP BY 1
 
 
 QUERIES["doc_ngram_novelty"] = (ngram_novelty_query, _ngram_novelty_sql())
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms per source
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_PER_SOURCE = 5
+TFIDF_MIN_TOTAL_TF = 5  # noise floor: a term must occur corpus-wide at least this often
+
+
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most DISTINCTIVE terms per source — the corpus-linguistics screen for
+    "what does this source talk about that the others don't".  Scoring is an
+    integer-exact TF-IDF analog: a term's concentration
+    ``tf_in_source * 1e6 DIV tf_corpus_wide`` (a term everyone uses scores
+    ~its source-share; a term only this source uses scores 1e6), floored by
+    a corpus-wide frequency minimum so hapax noise never ranks.
+
+    Scale shape: one (source, term) hash-agg over the token stream
+    (map-side partials collapse within-doc repeats), a vocabulary-bounded
+    re-agg for corpus totals, a vocab-sized equi-join on the term, and a
+    per-source top-k window — WindowGroupLimit pushes the rank filter into
+    the shuffle, so only k rows per source survive the exchange.  Nothing
+    is ever corpus-row-sized after the first agg; no global sort.
+    """
+    from ..functions.text import tokens as tok
+
+    stream = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tok(F.lower(F.trim(F.col("text"))))).alias("t")
+    )
+    tf = stream.groupBy("source", "t").agg(F.count("*").alias("tf"))
+    tot = tf.groupBy("t").agg(
+        F.sum("tf").alias("tf_total"), F.count("*").alias("n_sources")
+    )
+    scored = (
+        tf.join(tot, "t")
+        .filter(F.col("tf_total") >= TFIDF_MIN_TOTAL_TF)
+        .withColumn("conc_ppm", F.expr("CAST(tf * 1000000 DIV tf_total AS BIGINT)"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("conc_ppm"), F.desc("tf"), F.asc("t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_PER_SOURCE)
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("tf_total").cast("long").alias("tf_total"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "conc_ppm",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH stream AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents
+), tf AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS tf FROM stream GROUP BY source, t
+), tot AS (
+  SELECT t, CAST(sum(tf) AS BIGINT) AS tf_total, CAST(count(*) AS BIGINT) AS n_sources
+  FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.source, tf.t, tf.tf, tot.tf_total, tot.n_sources,
+         CAST(tf.tf * 1000000 // tot.tf_total AS BIGINT) AS conc_ppm
+  FROM tf JOIN tot USING (t)
+  WHERE tot.tf_total >= {TFIDF_MIN_TOTAL_TF}
+)
+SELECT source, t AS term, tf, tf_total, n_sources, conc_ppm,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY conc_ppm DESC, tf DESC, t ASC) AS rank
+      FROM scored)
+WHERE rank <= {TFIDF_TOP_PER_SOURCE}
+"""
+
+
+QUERIES["doc_tfidf_top_terms"] = (tfidf_top_terms_query, _tfidf_sql())
+
+
+# ---------------------------------------------------------------------------
+# intra-document duplication (self-repetition at the shingle level)
+# ---------------------------------------------------------------------------
+
+INTRADOC_DUP_FLAG_PPM = 8_000  # ≥0.8% repeated shingles flags a doc
+
+
+def _intradoc_dup_cols() -> tuple[Column, Column]:
+    """(total shingle count incl. repeats, distinct shingle count) for a
+    document — shares the exact shingle construction (k=3, lowercase,
+    whitespace split, short-doc fallback) with the dedup family."""
+    t = tokens(F.lower(F.trim(F.col("text"))))
+    total = F.when(F.size(t) >= 3, F.size(t) - 2).otherwise(F.lit(1))
+    distinct = F.size(shingles(F.trim(F.col("text"))))
+    return total.cast("long"), distinct.cast("long")
+
+
+def intradoc_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition at the shingle level, aggregated per
+    source — the C4/Gopher "repetitious text" screen: a doc whose 3-gram
+    stream collapses under dedup is template/looping output, and a SOURCE
+    whose mean collapses is a generator, not prose.  ``dup_ppm`` =
+    repeated-shingle share of the doc's shingle stream.
+
+    Scale shape: zero-shuffle per-row array expressions (the shingle set is
+    built and measured inside one projection; text never leaves its
+    partition) feeding a single per-source hash-agg of four counters."""
+    d = load_table(spark, sf_dir, "documents")
+    total, distinct = _intradoc_dup_cols()
+    per = d.select(
+        "source", total.alias("n_sh"), distinct.alias("n_distinct")
+    ).withColumn(
+        "dup_ppm", F.expr("CAST((n_sh - n_distinct) * 1000000 DIV n_sh AS BIGINT)")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(dup_ppm) DIV count(*) AS BIGINT)").alias("mean_dup_ppm"),
+        F.max("dup_ppm").cast("long").alias("max_dup_ppm"),
+        F.sum(
+            F.when(F.col("dup_ppm") >= INTRADOC_DUP_FLAG_PPM, 1).otherwise(0)
+        ).cast("long").alias("n_flagged"),
+    )
+
+
+def _intradoc_dup_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), per AS (
+  SELECT source,
+         CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END AS BIGINT) AS n_sh,
+         CAST(len({_shingle_sql_expr()}) AS BIGINT) AS n_distinct
+  FROM tk
+), d AS (
+  SELECT source, CAST((n_sh - n_distinct) * 1000000 // n_sh AS BIGINT) AS dup_ppm FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dup_ppm) // count(*) AS BIGINT) AS mean_dup_ppm,
+       CAST(max(dup_ppm) AS BIGINT) AS max_dup_ppm,
+       CAST(sum(CASE WHEN dup_ppm >= {INTRADOC_DUP_FLAG_PPM} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM d GROUP BY source
+"""
+
+
+QUERIES["doc_intradoc_dup_stats"] = (intradoc_dup_stats_query, _intradoc_dup_sql())
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule panel
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOK = 25
+GOPHER_MAX_TOK = 80
+GOPHER_MIN_WORDLEN_MILLI = 3_000   # mean word length in [3.0, 4.6] chars
+GOPHER_MAX_WORDLEN_MILLI = 4_600
+GOPHER_MIN_STOPWORDS = 2           # Gopher: a real-prose doc has ≥2 stopword hits
+GOPHER_MAX_DUP_PPM = 10_000        # ≤1% repeated shingles
+
+
+def gopher_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule panel (Rae et al. 2021 §A1.1 shape, integer-exact
+    thresholds): per-document pass/fail on four independent screens —
+    token-count bounds, mean-word-length bounds, minimum stopword evidence,
+    and the repetition cap — rolled up per source so the panel reads as
+    "which rule would remove how much of which source".  Unlike the scalar
+    ``quality_ppm`` blend, each rule stays separately attributable (the
+    Gopher paper's point: a blend can't tell you WHY a source is losing
+    mass).
+
+    Scale shape: every rule is a zero-shuffle per-row expression over the
+    token array; one per-source hash-agg of six counters ends the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.trim(F.col("text"))))
+    n_tok = F.size(t).cast("long")
+    nospace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+    total, distinct = _intradoc_dup_cols()
+    per = (
+        d.select("source", n_tok.alias("n_tok"), nospace.alias("nospace"),
+                 stopword_hits(F.col("text")).cast("long").alias("n_stop"),
+                 total.alias("n_sh"), distinct.alias("n_distinct"))
+        .withColumn("wordlen_milli", F.expr("CAST(nospace * 1000 DIV n_tok AS BIGINT)"))
+        .withColumn("dup_ppm", F.expr("CAST((n_sh - n_distinct) * 1000000 DIV n_sh AS BIGINT)"))
+        .withColumn("p_len", (F.col("n_tok") >= GOPHER_MIN_TOK) & (F.col("n_tok") <= GOPHER_MAX_TOK))
+        .withColumn("p_wordlen", (F.col("wordlen_milli") >= GOPHER_MIN_WORDLEN_MILLI)
+                    & (F.col("wordlen_milli") <= GOPHER_MAX_WORDLEN_MILLI))
+        .withColumn("p_stop", F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+        .withColumn("p_rep", F.col("dup_ppm") <= GOPHER_MAX_DUP_PPM)
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt("p_len").alias("pass_len"),
+        cnt("p_wordlen").alias("pass_wordlen"),
+        cnt("p_stop").alias("pass_stop"),
+        cnt("p_rep").alias("pass_rep"),
+        F.sum(
+            F.when(F.col("p_len") & F.col("p_wordlen") & F.col("p_stop") & F.col("p_rep"), 1).otherwise(0)
+        ).cast("long").alias("pass_all"),
+        F.expr(
+            "CAST(sum(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("pass_all_ppm"),
+    )
+
+
+def _gopher_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT source, text, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), per AS (
+  SELECT source,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nospace,
+         CAST(len(list_filter(t, x -> x IN ({_EN}))) AS BIGINT) AS n_stop,
+         CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END AS BIGINT) AS n_sh,
+         CAST(len({_shingle_sql_expr()}) AS BIGINT) AS n_distinct
+  FROM tk
+), flags AS (
+  SELECT source,
+         n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK} AS p_len,
+         (nospace * 1000 // n_tok) BETWEEN {GOPHER_MIN_WORDLEN_MILLI} AND {GOPHER_MAX_WORDLEN_MILLI} AS p_wordlen,
+         n_stop >= {GOPHER_MIN_STOPWORDS} AS p_stop,
+         ((n_sh - n_distinct) * 1000000 // n_sh) <= {GOPHER_MAX_DUP_PPM} AS p_rep
+  FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       CAST(sum(CASE WHEN p_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+       CAST(sum(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+       CAST(sum(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+       CAST(sum(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       CAST(sum(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS pass_all_ppm
+FROM flags GROUP BY source
+"""
+
+
+QUERIES["doc_gopher_rules"] = (gopher_rules_query, _gopher_sql())
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (labeled lang vs n-gram heuristic prediction)
+# ---------------------------------------------------------------------------
+
+def lang_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-argmax language identifier against
+    the corpus's LABELED ``lang`` column — the classifier audit that says
+    which language pairs the heuristic confuses and how much of each
+    labeled slice survives a predicted-language filter (``recall_ppm``).
+    The scalar ``doc_lang_id`` emits per-doc predictions; this rolls them
+    into the decision-grade matrix.
+
+    Scale shape: prediction is a zero-shuffle CASE chain over per-language
+    stopword counts; one (lang, lang_pred) hash-agg (≤|langs|² keys) plus a
+    per-lang re-agg joined back — bounded output, nothing corpus-sized
+    after the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return cm.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.col("lang_total").cast("long").alias("lang_total"),
+        F.expr("CAST(n_docs * 1000000 DIV lang_total AS BIGINT)").alias("recall_ppm"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in STOPWORDS
+    )
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    best = f"greatest({', '.join('h_' + lang for lang in STOPWORDS)})"
+    case = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs_desc)
+    return f"""
+WITH h AS (
+  SELECT lang,
+         {hits}
+  FROM documents
+), pred AS (
+  SELECT lang, CASE {case} END AS lang_pred FROM h
+), cm AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs FROM pred GROUP BY lang, lang_pred
+), tot AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM cm GROUP BY lang
+)
+SELECT cm.lang, cm.lang_pred, cm.n_docs, tot.lang_total,
+       CAST(cm.n_docs * 1000000 // tot.lang_total AS BIGINT) AS recall_ppm
+FROM cm JOIN tot USING (lang)
+"""
+
+
+QUERIES["doc_lang_confusion"] = (lang_confusion_query, _lang_confusion_sql())
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit (estimate vs exact Jaccard on candidates)
+# ---------------------------------------------------------------------------
+
+def minhash_est_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash pipeline (the ``doc_token_cms``
+    pattern applied to the dedup sketch): for every LSH candidate pair,
+    the signature-match ESTIMATE of Jaccard (matching components / num
+    hashes) next to the EXACT shingle-set Jaccard, plus the absolute error
+    — the measurement that justifies (or indicts) the 8-hash budget.
+
+    Scale shape: identical to the near-dup pair query — candidates from the
+    band equi-join only (never all-pairs), shingle arrays re-joined for the
+    exact side (the stage boundary minhash_signatures already materializes);
+    the estimate adds a zip_with fold over the 8-component signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K).cache()
+    cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    side = lambda suf: sigs.select(  # noqa: E731
+        F.col("doc_id").alias(f"id_{suf}"),
+        F.col("shingles").alias(f"sh_{suf}"),
+        F.col("sig").alias(f"sig_{suf}"),
+    )
+    j = (
+        cands.join(side("a"), "id_a")
+        .join(side("b"), "id_b")
+        .withColumn(
+            "est_matches",
+            F.expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, m) -> acc + m)"),
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
+        .withColumn("est_ppm", F.expr(f"CAST(est_matches * 1000000 DIV {NUM_HASHES} AS BIGINT)"))
+        .withColumn("exact_ppm", F.expr("CAST(inter * 1000000 DIV uni AS BIGINT)"))
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "est_ppm",
+        "exact_ppm",
+        F.expr("CAST(abs(est_ppm - exact_ppm) AS BIGINT)").alias("abs_err_ppm"),
+    )
+
+
+def _minhash_est_error_sql() -> str:
+    sig_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), shn AS (
+  SELECT doc_id, {_shingle_sql_expr()} AS sh FROM tk
+), sg AS (
+  SELECT doc_id, sh, [{sig_list}] AS sig FROM shn
+), bands AS (
+  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bv
+  FROM sg, unnest(range({n_bands})) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range({NUM_HASHES}), i -> CASE WHEN x.sig[i+1] = y.sig[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS est_matches,
+         CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni
+  FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b
+)
+SELECT id_a, id_b,
+       CAST(est_matches * 1000000 // {NUM_HASHES} AS BIGINT) AS est_ppm,
+       CAST(inter * 1000000 // uni AS BIGINT) AS exact_ppm,
+       CAST(abs(est_matches * 1000000 // {NUM_HASHES} - inter * 1000000 // uni) AS BIGINT) AS abs_err_ppm
+FROM pairs
+"""
+
+
+QUERIES["dedup_minhash_est_error"] = (minhash_est_error_query, _minhash_est_error_sql())

@@ -194,6 +194,43 @@ def main() -> int:
         }
     for c in codes_by.values():
         c.unpersist()
+
+    # round 8: SQ8 — per-dim 256-bin scalar quantization (emb_sq_topk's
+    # layout) vs exact integer L2; isolates the 4×-compression rank loss
+    from block_crawler_spark.plans.embed_ops import SQ_BINS  # noqa: E402
+
+    vm = emb.select(F.col("vec_id").alias("c_id"), micro_fixed(F.col("embedding")).alias("v"))
+    dimstats = (
+        vm.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("d").collect()
+    )
+    lo = [int(r["lo"]) for r in dimstats]
+    hi = [int(r["hi"]) for r in dimstats]
+    nd = len(lo)
+    recon_expr = (
+        f"transform(sequence(0, {nd - 1}), i -> element_at(lo, i+1) + "
+        f"(least(((element_at(v, i+1) - element_at(lo, i+1)) * {SQ_BINS}) "
+        f"DIV greatest(element_at(hi, i+1) - element_at(lo, i+1), 1), {SQ_BINS - 1}) * 2 + 1) "
+        f"* (element_at(hi, i+1) - element_at(lo, i+1)) DIV {2 * SQ_BINS})"
+    )
+    recon = (
+        vm.withColumn("lo", F.array(*[F.lit(x) for x in lo]))
+        .withColumn("hi", F.array(*[F.lit(x) for x in hi]))
+        .select("c_id", F.expr(recon_expr).alias("rv"))
+    )
+    sq = (
+        qm.crossJoin(recon)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", int_sqdist(F.col("qv"), F.col("rv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= args.k)
+    )
+    out["sq"] = {
+        "recall_l2": recall_vs(sq, truth_l2),
+        "cost": 1.0,
+        "bytes_frac": 0.25,  # 8 bits/dim vs float32
+    }
     print(json.dumps(out))
     return 0
 

@@ -110,3 +110,205 @@ def test_admission_sim_matches_the_real_store(spark, tmp_path):
     store_admitted = store.corpus().count() - n0
     assert store_admitted == sim.get("admitted", 0), (sim, store_admitted)
     assert sim.get("blocked_batch", 0) > 0 and sim.get("blocked_seen", 0) > 0
+
+
+def test_tfidf_top_terms_ranks_and_bounds(spark):
+    from block_crawler_spark.plans.text_ops import (
+        TFIDF_MIN_TOTAL_TF,
+        TFIDF_TOP_PER_SOURCE,
+        tfidf_top_terms_query,
+    )
+
+    rows = tfidf_top_terms_query(spark, SF).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert 1 <= r["rank"] <= TFIDF_TOP_PER_SOURCE
+        assert 0 < r["conc_ppm"] <= 1_000_000
+        assert r["tf"] <= r["tf_total"]
+        assert r["tf_total"] >= TFIDF_MIN_TOTAL_TF
+        assert 1 <= r["n_sources"]
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1)), src
+        # rank order follows concentration (the primary sort key)
+        concs = [r["conc_ppm"] for r in rs]
+        assert concs == sorted(concs, reverse=True), src
+
+
+def test_intradoc_dup_unit_and_aggregate_invariants(spark):
+    from block_crawler_spark.plans.text_ops import _intradoc_dup_cols, intradoc_dup_stats_query
+
+    # unit: "a b a b a b" → 6 tokens → 4 shingles, 2 distinct → 500000 ppm
+    total, distinct = _intradoc_dup_cols()
+    df = spark.createDataFrame([("a b a b a b",), ("x y",)], ["text"])
+    got = df.select(total.alias("n_sh"), distinct.alias("n_distinct")).collect()
+    assert (got[0]["n_sh"], got[0]["n_distinct"]) == (4, 2)
+    assert (got[1]["n_sh"], got[1]["n_distinct"]) == (1, 1)  # short-doc fallback
+
+    rows = intradoc_dup_stats_query(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mean_dup_ppm"] <= r["max_dup_ppm"] <= 1_000_000
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+
+
+def test_gopher_rules_panel_invariants(spark):
+    from block_crawler_spark.plans.text_ops import gopher_rules_query
+
+    rows = gopher_rules_query(spark, SF).collect()
+    assert rows
+    saw_partial_fail = False
+    for r in rows:
+        for c in ("pass_len", "pass_wordlen", "pass_stop", "pass_rep"):
+            assert 0 <= r[c] <= r["n_docs"]
+        # the conjunction can't beat its weakest conjunct
+        assert r["pass_all"] <= min(
+            r["pass_len"], r["pass_wordlen"], r["pass_stop"], r["pass_rep"]
+        )
+        assert r["pass_all_ppm"] == r["pass_all"] * 1_000_000 // r["n_docs"]
+        if r["pass_all"] < r["n_docs"]:
+            saw_partial_fail = True
+    # thresholds are calibrated to actually split the synthetic corpus —
+    # a panel that passes everything tests nothing
+    assert saw_partial_fail
+
+
+def test_sq_topk_ranks_and_quantization_bounds(spark):
+    from block_crawler_spark.plans.embed_ops import SQ_TOPK_K, sq_topk_query
+
+    rows = sq_topk_query(spark, SF).collect()
+    assert len(rows) == SQ_TOPK_K
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, SQ_TOPK_K + 1))
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    # the query vector reconstructs itself to within per-bin quantization
+    # error — orders of magnitude under any true inter-vector distance, so
+    # it must rank first
+    assert rows[0]["vec_id"] == 0
+
+
+def test_sq_reconstruction_stays_in_bin(spark):
+    """SQ8 code/reconstruction invariants on the real corpus: every
+    reconstruction lies within its dimension's [lo, hi] and within one bin
+    width of the original — the contract that makes SQ distances rank-safe."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.operators.ann import micro_fixed
+    from block_crawler_spark.plans.embed_ops import SQ_BINS
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
+    dims = (
+        vecs.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("d").collect()
+    )
+    lo = [int(r["lo"]) for r in dims]
+    hi = [int(r["hi"]) for r in dims]
+    sample = vecs.limit(20).collect()
+    for row in sample:
+        for i, x in enumerate(row["v"]):
+            span = hi[i] - lo[i]
+            c = min((x - lo[i]) * SQ_BINS // max(span, 1), SQ_BINS - 1)
+            assert 0 <= c < SQ_BINS
+            recon = lo[i] + (2 * c + 1) * span // (2 * SQ_BINS)
+            assert lo[i] <= recon <= hi[i]
+            assert abs(recon - x) <= span // SQ_BINS + 1, (i, x, recon)
+
+
+def test_semantic_cells_exact_recall_characterization(spark):
+    """dedup_semantic_cells = (brute close pairs) ∩ (same trained cell) —
+    the SemDeDup pruning trade stated as an exact set identity."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.operators.ann import int_sqdist, kmeans_lloyd_fixed, micro_fixed
+    from block_crawler_spark.plans.embed_ops import (
+        SEM_CELLS_ITERS,
+        SEM_CELLS_K,
+        SEM_SQDIST_MAX,
+        semantic_cells_query,
+    )
+
+    got = {(r["id_a"], r["id_b"]) for r in semantic_cells_query(spark, SF).collect()}
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    a = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
+        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
+    )
+    brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assign, _ = kmeans_lloyd_fixed(emb, k=SEM_CELLS_K, iters=SEM_CELLS_ITERS)
+    cell = {r["vid"]: r["cid"] for r in assign.collect()}
+    expected = {(x, y) for (x, y) in brute_pairs if cell[x] == cell[y]}
+    assert got == expected
+    assert got <= brute_pairs
+
+
+def test_lang_confusion_mass_conservation(spark):
+    from block_crawler_spark.plans.text_ops import lang_confusion_query
+
+    rows = lang_confusion_query(spark, SF).collect()
+    assert rows
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    assert n_docs_total == load_table(spark, SF, "documents").count()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_docs"]
+        assert 0 < r["recall_ppm"] <= 1_000_000
+    for r in rows:
+        assert by_lang[r["lang"]] == r["lang_total"], "lang_total = the row label's marginal"
+
+
+def test_minhash_est_error_brackets_the_threshold_pairs(spark):
+    from block_crawler_spark.plans.text_ops import (
+        JACCARD_PPM_THRESHOLD,
+        minhash_est_error_query,
+        minhash_pairs_query,
+    )
+
+    audit = {(r["id_a"], r["id_b"]): r for r in minhash_est_error_query(spark, SF).collect()}
+    assert audit
+    for r in audit.values():
+        assert 0 <= r["est_ppm"] <= 1_000_000
+        assert 0 <= r["exact_ppm"] <= 1_000_000
+        assert r["abs_err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+    # the thresholded near-dup pairs are exactly the audit pairs whose EXACT
+    # jaccard clears the cut — same candidates, same shingle sets
+    kept = {(r["id_a"], r["id_b"]) for r in minhash_pairs_query(spark, SF).collect()}
+    from_audit = {k for k, r in audit.items() if r["exact_ppm"] >= JACCARD_PPM_THRESHOLD}
+    assert kept == from_audit
+
+
+def test_power_iteration_finds_planted_dominant_axis(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from block_crawler_spark.plans.embed_ops import POWER_SCALE, power_iterate_topdim, power_topdim_query
+
+    # planted corpus: dimension 3 carries 10× the energy of any other
+    base = [0.01] * 64
+    rows = []
+    for i in range(50):
+        v = list(base)
+        v[3] = 2.0 if i % 2 == 0 else -2.0  # dominant axis, mixed sign
+        v[(i * 7) % 64] += 0.05             # noise
+        rows.append(([float(x) for x in v],))
+    df = spark.createDataFrame(rows, ["embedding"])
+    comp = {r["dim"]: r["component"] for r in power_iterate_topdim(df).collect()}
+    assert len(comp) == 64
+    top = max(comp, key=lambda d: abs(comp[d]))
+    assert top == 3
+    assert abs(comp[3]) >= POWER_SCALE  # normalization pins the max axis to ~scale
+
+    # real corpus: complete dim set, normalized max component
+    real = {r["dim"]: r["component"] for r in power_topdim_query(spark, SF).collect()}
+    assert sorted(real) == list(range(64))
+    mx = max(abs(x) for x in real.values())
+    assert POWER_SCALE <= mx < 2 * POWER_SCALE
