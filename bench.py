@@ -97,6 +97,8 @@ HEADLINE = [
     "doc_lang_confusion",
     "dedup_minhash_est_error",
     "emb_power_topdim",
+    "dedup_pair_pagerank",
+    "evt_funnel_latency",
 ]
 
 

@@ -431,3 +431,56 @@ def simhash_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def pair_pagerank(
+    pairs: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-point PageRank over the (undirected) near-dup pair graph —
+    the centrality screen on dedup clusters: a document with high rank is a
+    hub that near-duplicates MANY others (template/boilerplate epicenter),
+    which plain pair counts and component sizes both miss (a long chain and
+    a star have the same component size but very different hubs).
+
+    Integer semantics, bit-identical across engines: rank starts at
+    ``scale`` per node; each iteration distributes ``pr DIV deg`` along
+    every edge and recombines as ``base + damp·Σcontrib DIV damp_den`` with
+    ``base = scale·(damp_den−damp_num) DIV damp_den`` — truncate-toward-zero
+    division everywhere (Spark ``DIV`` == DuckDB ``//``), sums are exact
+    int64 (overflow needs > 10¹² participating nodes).
+
+    Scale shape (the distributed-PageRank canon): per iteration one edge ⋈
+    rank equi-join + one dst-keyed agg — shuffles on the node id only, edge
+    set never replicated; ``localCheckpoint`` truncates lineage per round
+    exactly as :func:`dedup_components` does.  Returns one row per node
+    that appears in any pair: (node, deg, pr).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg")).localCheckpoint()
+    base = scale * (damp_den - damp_num) // damp_den
+    pr = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST({base} + {damp_num} * s DIV {damp_den} AS BIGINT)").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.join(deg.select(F.col("src").alias("node"), "deg"), "node").select("node", "deg", "pr")

@@ -772,3 +772,98 @@ GROUP BY 1, 2
 
 
 QUERIES["evt_retention_cohorts"] = (retention_cohorts, RETENTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency percentiles (time-to-convert per transition)
+# ---------------------------------------------------------------------------
+
+_LAT_PCTS = (50, 90, 99)
+
+
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel transition: for each user the
+    first signup, the first view strictly AFTER it, and the first purchase
+    strictly after that (second-granularity ordering — both engines floor
+    the ns timestamp to epoch seconds, so the µs-vs-ns storage gap can't
+    bite), then exact nearest-rank p50/p90/p99 of the three latencies.
+    Answers the question ``evt_funnel_counts`` (volumes) can't: not how
+    many convert, but how LONG conversion takes at the tail.
+
+    Scale shape: three user_id hash-aggs chained by same-key equi-joins
+    (the funnel shape), then the shared scale-safe bucketed rank selection
+    (:func:`_exact_rank_values`) — per-transition counts never funnel
+    through one task's sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts_s").alias("s_ts")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_s") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("v_ts"), F.first("s_ts").alias("s_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("p_ts"), F.first("v_ts").alias("v_ts"), F.first("s_ts").alias("s_ts"))
+    )
+    lat = (
+        v.select(F.lit("signup>view").alias("event_type"), (F.col("v_ts") - F.col("s_ts")).cast("long").alias("lat_s"))
+        .unionByName(p.select(F.lit("view>purchase").alias("event_type"), (F.col("p_ts") - F.col("v_ts")).cast("long").alias("lat_s")))
+        .unionByName(p.select(F.lit("signup>purchase").alias("event_type"), (F.col("p_ts") - F.col("s_ts")).cast("long").alias("lat_s")))
+    )
+    # the rank selection scans its input three times (stats, buckets,
+    # candidates); without a materialization point each scan would re-run
+    # the whole funnel join chain (51 exchanges captured vs the expected
+    # ~9).  localCheckpoint — not cache() — so the block is ContextCleaner-
+    # collectable and nothing pins per invocation (the repo's leak rule).
+    lat = lat.localCheckpoint()
+    ranks = {f"p{pp}_s": f"(n * {pp} + 99) div 100" for pp in _LAT_PCTS}
+    return _exact_rank_values(lat, "lat_s", ranks).select(
+        F.col("event_type").alias("transition"), "n", *[f"p{pp}_s" for pp in _LAT_PCTS]
+    )
+
+
+def _funnel_latency_sql() -> str:
+    picks = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN lat_s END) AS BIGINT) AS p{p}_s"
+        for p in _LAT_PCTS
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), s AS (
+  SELECT user_id, MIN(ts_s) AS s_ts FROM ev WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.ts_s) AS v_ts, MIN(s.s_ts) AS s_ts
+  FROM ev e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts_s > s.s_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts_s) AS p_ts, MIN(v.v_ts) AS v_ts, MIN(v.s_ts) AS s_ts
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_s > v.v_ts GROUP BY e.user_id
+), lat AS (
+  SELECT 'signup>view' AS transition, v_ts - s_ts AS lat_s FROM v
+  UNION ALL SELECT 'view>purchase', p_ts - v_ts FROM p
+  UNION ALL SELECT 'signup>purchase', p_ts - s_ts FROM p
+), c AS (
+  SELECT transition, COUNT(*) AS n FROM lat GROUP BY transition
+), r AS (
+  SELECT lat.transition, lat.lat_s, c.n,
+         row_number() OVER (PARTITION BY lat.transition ORDER BY lat.lat_s) AS rn
+  FROM lat JOIN c USING (transition)
+)
+SELECT transition, CAST(MAX(n) AS BIGINT) AS n,
+       {picks}
+FROM r GROUP BY transition
+"""
+
+
+QUERIES["evt_funnel_latency"] = (funnel_latency, _funnel_latency_sql())

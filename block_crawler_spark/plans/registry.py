@@ -56,6 +56,8 @@ _FRONT = (
     "doc_lang_confusion",  # NEW r8
     "dedup_minhash_est_error",  # NEW r8
     "emb_power_topdim",  # NEW r8
+    "dedup_pair_pagerank",  # NEW r8
+    "evt_funnel_latency",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -2158,3 +2158,58 @@ FROM pairs
 
 
 QUERIES["dedup_minhash_est_error"] = (minhash_est_error_query, _minhash_est_error_sql())
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 2
+
+
+def pair_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub detection in the near-dup graph: fixed-point PageRank
+    (``operators.dedup.pair_pagerank``) over the thresholded MinHash pair
+    edges — ranks the template/boilerplate EPICENTERS that component size
+    alone can't distinguish from long chains.  Two unrolled iterations,
+    integer-exact; the oracle replays the identical recurrence in SQL."""
+    from ..operators.dedup import pair_pagerank
+
+    pairs = minhash_pairs_query(spark, sf_dir)
+    return pair_pagerank(pairs, iters=PR_ITERS).select(
+        F.col("node").alias("doc_id"), "deg", F.col("pr").alias("pr_micro")
+    )
+
+
+def _pair_pagerank_sql() -> str:
+    pair_sql = _minhash_sql().strip()
+    scale, dn, dd = 1_000_000, 85, 100
+    base = scale * (dd - dn) // dd
+    parts = [
+        f"np AS ({pair_sql})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM np UNION SELECT id_b, id_a FROM np)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS pr FROM deg)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT e.dst, CAST(SUM(p.pr // d.deg) AS BIGINT) AS s
+  FROM edges e JOIN deg d ON d.src = e.src JOIN pr{t - 1} p ON p.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"pr{t} AS (SELECT dst AS node, CAST({base} + {dn} * s // {dd} AS BIGINT) AS pr FROM c{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.node AS doc_id, d.deg, p.pr AS pr_micro
+FROM pr{PR_ITERS} p JOIN deg d ON d.src = p.node
+"""
+    )
+
+
+QUERIES["dedup_pair_pagerank"] = (pair_pagerank_query, _pair_pagerank_sql())

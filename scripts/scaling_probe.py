@@ -43,6 +43,9 @@ PROBES = [
     "doc_shuffle_shards",  # deterministic training-order shuffle (round 5)
     "emb_ivfpq_topk",  # IVF cell pruning × ADC on the codes table (round 6)
     "doc_pack_sequences_bpe",  # toy-BPE budget packing — merge chain in codegen (round 7)
+    "emb_sq_topk",  # SQ8 coding + TakeOrderedAndProject top-k (round 8)
+    "dedup_pair_pagerank",  # iterative edge-join PageRank over the pair graph (round 8)
+    "doc_tfidf_top_terms",  # vocab-bounded aggs + per-source WindowGroupLimit (round 8)
 ]
 
 

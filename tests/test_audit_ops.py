@@ -312,3 +312,34 @@ def test_power_iteration_finds_planted_dominant_axis(spark):
     assert sorted(real) == list(range(64))
     mx = max(abs(x) for x in real.values())
     assert POWER_SCALE <= mx < 2 * POWER_SCALE
+
+
+def test_pair_pagerank_hub_outranks_leaves(spark):
+    from block_crawler_spark.operators.dedup import pair_pagerank
+    from block_crawler_spark.plans.text_ops import pair_pagerank_query
+
+    # planted star: 0 is the hub of 4 leaves; 10-11-12 is a chain
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12)], ["id_a", "id_b"]
+    )
+    pr = {r["node"]: r for r in pair_pagerank(pairs).collect()}
+    assert pr[0]["deg"] == 4
+    assert all(pr[0]["pr"] > pr[leaf]["pr"] for leaf in (1, 2, 3, 4))
+    assert pr[11]["pr"] > pr[10]["pr"]  # chain middle beats endpoints
+
+    rows = pair_pagerank_query(spark, SF).collect()
+    assert rows
+    base = 1_000_000 * 15 // 100
+    for r in rows:
+        assert r["deg"] >= 1
+        assert r["pr_micro"] >= base  # damping floor
+
+
+def test_funnel_latency_percentiles_are_ordered(spark):
+    from block_crawler_spark.plans.events_ops import funnel_latency
+
+    rows = {r["transition"]: r for r in funnel_latency(spark, SF).collect()}
+    assert set(rows) == {"signup>view", "view>purchase", "signup>purchase"}
+    for t, r in rows.items():
+        assert r["n"] > 0, t
+        assert 1 <= r["p50_s"] <= r["p90_s"] <= r["p99_s"], t  # strictly-after => >=1s
