@@ -99,6 +99,7 @@ HEADLINE = [
     "emb_power_topdim",
     "dedup_pair_pagerank",
     "evt_funnel_latency",
+    "dedup_semantic_keep",
 ]
 
 

@@ -1221,3 +1221,48 @@ FROM w{T}, m{T}
 
 
 QUERIES["emb_power_topdim"] = (power_topdim_query, _power_sql())
+
+
+def semantic_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup survivorship: trained-cell close pairs
+    (``dedup_semantic_cells``) → transitive closure → one survivor (minimum
+    vec_id) per semantic cluster — the embedding-space twin of
+    ``dedup_connected_components``, composing three families (k-means
+    training, cell-pruned pair join, iterative min-label propagation) into
+    the keep/drop verdict a curation pipeline actually consumes.
+
+    Scale shape: inherits the cell-bounded pair join and the
+    edge-set-sized CC rounds; the final assignment is one left join of the
+    corpus against the component map."""
+    from ..operators.dedup import dedup_assignments_cc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_cells_query(spark, sf_dir).select("id_a", "id_b")
+    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+def _semantic_keep_sql() -> str:
+    pair_sql = _semantic_cells_sql().strip()
+    return f"""
+WITH RECURSIVE sp AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS keep_id FROM reach GROUP BY src
+)
+SELECT e.vec_id,
+       COALESCE(c.keep_id, e.vec_id) AS keep_id,
+       COALESCE(c.keep_id, e.vec_id) <> e.vec_id AS is_duplicate
+FROM embeddings e LEFT JOIN comp c USING (vec_id)
+"""
+
+
+QUERIES["dedup_semantic_keep"] = (semantic_keep_query, _semantic_keep_sql())

@@ -1941,27 +1941,22 @@ GOPHER_MIN_STOPWORDS = 2           # Gopher: a real-prose doc has ≥2 stopword 
 GOPHER_MAX_DUP_PPM = 10_000        # ≤1% repeated shingles
 
 
-def gopher_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule panel (Rae et al. 2021 §A1.1 shape, integer-exact
-    thresholds): per-document pass/fail on four independent screens —
-    token-count bounds, mean-word-length bounds, minimum stopword evidence,
-    and the repetition cap — rolled up per source so the panel reads as
-    "which rule would remove how much of which source".  Unlike the scalar
-    ``quality_ppm`` blend, each rule stays separately attributable (the
-    Gopher paper's point: a blend can't tell you WHY a source is losing
-    mass).
-
-    Scale shape: every rule is a zero-shuffle per-row expression over the
-    token array; one per-source hash-agg of six counters ends the plan."""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.lower(F.trim(F.col("text"))))
-    n_tok = F.size(t).cast("long")
-    nospace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+def with_gopher_flags(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the four per-document Gopher rule flags (``p_len``,
+    ``p_wordlen``, ``p_stop``, ``p_rep``) plus their integer intermediates
+    to any frame with a text column — the ONE definition of the rule panel,
+    shared by the ``doc_gopher_rules`` registry query and the streaming
+    corpus store's optional admission screen (``gopher_rules=True``), the
+    same single-definition contract as :func:`with_quality_ppm`."""
+    text = F.col(text_col)
+    t = tokens(F.lower(F.trim(text)))
     total, distinct = _intradoc_dup_cols()
-    per = (
-        d.select("source", n_tok.alias("n_tok"), nospace.alias("nospace"),
-                 stopword_hits(F.col("text")).cast("long").alias("n_stop"),
-                 total.alias("n_sh"), distinct.alias("n_distinct"))
+    return (
+        d.withColumn("n_tok", F.size(t).cast("long"))
+        .withColumn("nospace", F.length(F.regexp_replace(text, r"\s", "")).cast("long"))
+        .withColumn("n_stop", stopword_hits(text).cast("long"))
+        .withColumn("n_sh", total)
+        .withColumn("n_distinct", distinct)
         .withColumn("wordlen_milli", F.expr("CAST(nospace * 1000 DIV n_tok AS BIGINT)"))
         .withColumn("dup_ppm", F.expr("CAST((n_sh - n_distinct) * 1000000 DIV n_sh AS BIGINT)"))
         .withColumn("p_len", (F.col("n_tok") >= GOPHER_MIN_TOK) & (F.col("n_tok") <= GOPHER_MAX_TOK))
@@ -1970,6 +1965,22 @@ def gopher_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_stop", F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
         .withColumn("p_rep", F.col("dup_ppm") <= GOPHER_MAX_DUP_PPM)
     )
+
+
+def gopher_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule panel (Rae et al. 2021 §A1.1 shape, integer-exact
+    thresholds): per-document pass/fail on four independent screens —
+    token-count bounds, mean-word-length bounds, minimum stopword evidence,
+    and the repetition cap — rolled up per source so the panel reads as
+    "which rule would remove how much of which source".  Unlike the scalar
+    ``quality_ppm`` blend, each rule stays separately attributable (the
+    Gopher paper's point: a blend can't tell you WHY a source is losing
+    mass).  The per-doc flags come from :func:`with_gopher_flags`, which the
+    streaming corpus store shares as its admission screen.
+
+    Scale shape: every rule is a zero-shuffle per-row expression over the
+    token array; one per-source hash-agg of six counters ends the plan."""
+    per = with_gopher_flags(load_table(spark, sf_dir, "documents"))
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
     return per.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),

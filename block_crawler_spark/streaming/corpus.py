@@ -98,6 +98,15 @@ class CorpusIngestStore:
     near_dup: bool = False
     jaccard_threshold: float = 0.5
     quality_min_ppm: int | None = None
+    # optional Gopher-panel admission screen: a document must pass ALL four
+    # rule flags of plans.text_ops.with_gopher_flags (token-count bounds,
+    # mean-word-length bounds, stopword evidence, repetition cap) — the
+    # SAME definition the doc_gopher_rules registry query aggregates, so
+    # batch audit numbers predict streaming admission exactly.  Composes
+    # with quality_min_ppm (both screens run before dedup: a rejected doc
+    # never enters the seen set, so a later compliant duplicate can still
+    # be admitted).
+    gopher_rules: bool = False
     # fp-bucket count for the index side table's partition layout (the
     # ``cbucket`` idiom from the silver store): each index dir is written
     # ``partitionBy(ibucket = pmod(xxhash64(fp), N))`` so the exact-dedup
@@ -572,6 +581,16 @@ class CorpusIngestStore:
             batch = (
                 with_quality_ppm(batch)
                 .filter(F.col("quality_ppm") >= self.quality_min_ppm)
+                .select(*orig_cols)
+            )
+        if self.gopher_rules:
+            # rule screen BEFORE dedup, same rationale as the quality gate
+            from ..plans.text_ops import with_gopher_flags
+
+            orig_cols = batch.columns
+            batch = (
+                with_gopher_flags(batch)
+                .filter(F.col("p_len") & F.col("p_wordlen") & F.col("p_stop") & F.col("p_rep"))
                 .select(*orig_cols)
             )
         fresh = batch.withColumn("fp", fingerprint(F.col("text")))

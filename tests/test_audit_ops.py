@@ -343,3 +343,16 @@ def test_funnel_latency_percentiles_are_ordered(spark):
     for t, r in rows.items():
         assert r["n"] > 0, t
         assert 1 <= r["p50_s"] <= r["p90_s"] <= r["p99_s"], t  # strictly-after => >=1s
+
+
+def test_semantic_keep_closure_invariants(spark):
+    from block_crawler_spark.plans.embed_ops import semantic_cells_query, semantic_keep_query
+
+    keep = {r["vec_id"]: r for r in semantic_keep_query(spark, SF).collect()}
+    assert len(keep) == load_table(spark, SF, "embeddings").count()
+    for r in keep.values():
+        assert r["keep_id"] <= r["vec_id"]
+        assert r["is_duplicate"] == (r["keep_id"] != r["vec_id"])
+    # closure: both endpoints of every close pair land in the same cluster
+    for p in semantic_cells_query(spark, SF).collect():
+        assert keep[p["id_a"]]["keep_id"] == keep[p["id_b"]]["keep_id"]

@@ -535,3 +535,29 @@ def test_max_files_per_trigger_splits_the_drain(spark, tmp_path):
     assert len(batches) >= 2, batches
     ids = _corpus_ids(store)
     assert 1 in ids and 3 in ids and len(ids) == 2 + (2 in ids and 1 not in ids)
+
+
+def test_gopher_rules_admission_screen(spark, tmp_path):
+    """gopher_rules=True rejects at ingest with the SAME per-doc flags the
+    doc_gopher_rules registry query aggregates, and — like the quality
+    gate — a rejected doc does not poison the seen set."""
+    from block_crawler_spark.plans.text_ops import with_gopher_flags
+
+    # 30 distinct short words with stopword evidence: passes all four rules
+    good = "the quick brown fox and dogs " + " ".join(f"w{i:02d}" for i in range(24))
+    bad = "too short"  # fails the token-count bound
+    probe = _docs(spark, [(1, good), (2, bad)])
+    flags = {
+        r["doc_id"]: (r["p_len"], r["p_wordlen"], r["p_stop"], r["p_rep"])
+        for r in with_gopher_flags(probe).collect()
+    }
+    assert all(flags[1]), flags[1]
+    assert not all(flags[2]), flags[2]
+
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), gopher_rules=True)
+    store.ingest_batch(probe, 0)
+    assert _corpus_ids(store) == [1]
+    # the good text re-submitted as a new doc is still dedup-blocked —
+    # the rule screen runs BEFORE dedup, it doesn't replace it
+    store.ingest_batch(_docs(spark, [(3, good), (4, bad)]), 1)
+    assert _corpus_ids(store) == [1]
