@@ -100,6 +100,7 @@ HEADLINE = [
     "dedup_pair_pagerank",
     "evt_funnel_latency",
     "dedup_semantic_keep",
+    "evt_window_sliding",
 ]
 
 

@@ -1140,10 +1140,12 @@ def power_topdim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape per iteration: one zero-shuffle dot projection + one
     posexplode agg bounded by the dimensionality (64 keys, map-side
-    partials), with the 64-long u vector driver-materialized between
-    iterations (the repo's bounded-frame idiom); the FINAL normalization
-    stays in-plan via a 1-row max broadcast so the returned frame is a live
-    Spark plan."""
+    partials), with the 64-long w vector driver-materialized after EVERY
+    iteration including the last (the repo's bounded-frame idiom) — an
+    in-plan final normalization would fan the bounded w table into two plan
+    branches and re-run the corpus-wide final pass twice (the r8
+    lazy-subtree double-execution class), so the result is rebuilt with
+    createDataFrame from the single collect instead."""
     return power_iterate_topdim(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -1156,8 +1158,7 @@ def power_iterate_topdim(emb: DataFrame, vec_col: str = "embedding", n_dim: int 
         return q if a >= 0 else -q
 
     u = [POWER_SCALE] * n_dim
-    w_df = None
-    for it in range(POWER_ITERS):
+    for _ in range(POWER_ITERS):
         uc = F.array(*[F.lit(x) for x in u])
         dots = vecs.withColumn("u", uc).withColumn(
             "ds",
@@ -1165,23 +1166,18 @@ def power_iterate_topdim(emb: DataFrame, vec_col: str = "embedding", n_dim: int 
                 f"aggregate(zip_with(v, u, (a, b) -> a * b), 0L, (acc, x) -> acc + x) DIV {POWER_SCALE}"
             ),
         )
-        w_df = (
+        rows = (
             dots.select(F.posexplode("v").alias("d", "x"), "ds")
             .groupBy("d")
             .agg(F.sum(F.col("x") * F.col("ds")).cast("long").alias("w"))
+            .orderBy("d")
+            .collect()
         )
-        if it < POWER_ITERS - 1:
-            rows = w_df.orderBy("d").collect()
-            w = [int(r["w"]) for r in rows]
-            m_div = max(_tdiv(max(abs(x) for x in w), POWER_SCALE), 1)
-            u = [_tdiv(x, m_div) for x in w]
-    m_df = w_df.agg(F.max(F.abs(F.col("w"))).alias("m"))
-    return (
-        w_df.crossJoin(F.broadcast(m_df))
-        .select(
-            F.col("d").cast("long").alias("dim"),
-            F.expr(f"CAST(w DIV greatest(m DIV {POWER_SCALE}, 1) AS BIGINT)").alias("component"),
-        )
+        w = [int(r["w"]) for r in rows]
+        m_div = max(_tdiv(max(abs(x) for x in w), POWER_SCALE), 1)
+        u = [_tdiv(x, m_div) for x in w]
+    return emb.sparkSession.createDataFrame(
+        [(d, c) for d, c in enumerate(u)], "dim long, component long"
     )
 
 

@@ -867,3 +867,44 @@ FROM r GROUP BY transition
 
 
 QUERIES["evt_funnel_latency"] = (funnel_latency, _funnel_latency_sql())
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) windows — the tumbling query's hopping sibling
+# ---------------------------------------------------------------------------
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 2-hour windows sliding by 1 hour via Spark's native
+    ``F.window`` (each event lands in exactly two windows) — the overlap
+    form the tumbling ``evt_window_hourly`` can't express, and the same
+    expression a streaming plan would use with a watermark in front.
+    The oracle replays the hop by double-emitting each row at its hour
+    floor and the hour before (the definition of a 2h/1h hop for
+    epoch-aligned windows).
+
+    Scale shape: one hash-agg whose input is exactly 2× the scan (the hop
+    factor, a constant) — keys bounded by hours × event types."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _cents(F.sum(_dec("value")).cast("decimal(38,2)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+WINDOW_SLIDING_SQL = """
+WITH hopped AS (
+  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start, event_type, value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value
+FROM hopped GROUP BY 1, 2
+"""
+
+
+QUERIES["evt_window_sliding"] = (window_sliding, WINDOW_SLIDING_SQL)

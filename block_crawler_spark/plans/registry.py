@@ -61,6 +61,7 @@ _FRONT = (
     "dedup_pair_pagerank",  # NEW r8
     "evt_funnel_latency",  # NEW r8
     "dedup_semantic_keep",  # NEW r8
+    "evt_window_sliding",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -144,7 +144,11 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 
-def _lang_sql() -> str:
+def _lang_pred_sql_parts() -> tuple[str, str]:
+    """(per-language hit expressions, argmax CASE chain) — ONE definition of
+    the SQL prediction mirror (including the reverse-code tie-break that
+    must match functions.text.lang_id), shared by the per-doc query and the
+    confusion matrix."""
     hits = ",\n         ".join(
         f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in STOPWORDS[lang])}))) AS h_{lang}"
         for lang in STOPWORDS
@@ -152,6 +156,11 @@ def _lang_sql() -> str:
     langs_desc = sorted(STOPWORDS, reverse=True)
     best = f"greatest({', '.join('h_' + lang for lang in STOPWORDS)})"
     case = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs_desc)
+    return hits, case
+
+
+def _lang_sql() -> str:
+    hits, case = _lang_pred_sql_parts()
     return f"""
 WITH h AS (
   SELECT doc_id, lang,
@@ -186,7 +195,10 @@ FROM documents GROUP BY 1
 
 def minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K).cache()
+    # materialize=False: a lazily-returned registry query can never
+    # unpersist, so a cache() here would pin one frame per invocation (the
+    # pq_train_codebook leak class) — pay the shingle recompute instead
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
     cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sh = sigs.select("doc_id", "shingles")
     j = (
@@ -209,25 +221,33 @@ def _shingle_sql_expr() -> str:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_cand_ctes() -> str:
+    """The shared tk→shn→sg→bands→cand CTE chain (signature layout, band
+    stride, candidate join) — ONE definition so the pair query and the
+    estimator-error audit can never band differently."""
     sig_list = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // BAND_SIZE
-    return f"""
-WITH tk AS (
+    band_expr = " || ".join(f"sig[{BAND_SIZE}*b+{j + 1}]" for j in range(BAND_SIZE))
+    return f"""tk AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
 ), shn AS (
   SELECT doc_id, {_shingle_sql_expr()} AS sh FROM tk
 ), sg AS (
   SELECT doc_id, sh, [{sig_list}] AS sig FROM shn
 ), bands AS (
-  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bv
+  SELECT doc_id, b, {band_expr} AS bv
   FROM sg, unnest(range({n_bands})) AS u(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
   FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
-), pairs AS (
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_cand_ctes()}, pairs AS (
   SELECT id_a, id_b,
          CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni
@@ -1868,13 +1888,13 @@ QUERIES["doc_tfidf_top_terms"] = (tfidf_top_terms_query, _tfidf_sql())
 INTRADOC_DUP_FLAG_PPM = 8_000  # ≥0.8% repeated shingles flags a doc
 
 
-def _intradoc_dup_cols() -> tuple[Column, Column]:
+def _intradoc_dup_cols(text_col: str = "text") -> tuple[Column, Column]:
     """(total shingle count incl. repeats, distinct shingle count) for a
     document — shares the exact shingle construction (k=3, lowercase,
     whitespace split, short-doc fallback) with the dedup family."""
-    t = tokens(F.lower(F.trim(F.col("text"))))
+    t = tokens(F.lower(F.trim(F.col(text_col))))
     total = F.when(F.size(t) >= 3, F.size(t) - 2).otherwise(F.lit(1))
-    distinct = F.size(shingles(F.trim(F.col("text"))))
+    distinct = F.size(shingles(F.trim(F.col(text_col))))
     return total.cast("long"), distinct.cast("long")
 
 
@@ -1950,7 +1970,7 @@ def with_gopher_flags(d: DataFrame, text_col: str = "text") -> DataFrame:
     same single-definition contract as :func:`with_quality_ppm`."""
     text = F.col(text_col)
     t = tokens(F.lower(F.trim(text)))
-    total, distinct = _intradoc_dup_cols()
+    total, distinct = _intradoc_dup_cols(text_col)
     return (
         d.withColumn("n_tok", F.size(t).cast("long"))
         .withColumn("nospace", F.length(F.regexp_replace(text, r"\s", "")).cast("long"))
@@ -2063,13 +2083,7 @@ def lang_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_confusion_sql() -> str:
-    hits = ",\n         ".join(
-        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in STOPWORDS[lang])}))) AS h_{lang}"
-        for lang in STOPWORDS
-    )
-    langs_desc = sorted(STOPWORDS, reverse=True)
-    best = f"greatest({', '.join('h_' + lang for lang in STOPWORDS)})"
-    case = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs_desc)
+    hits, case = _lang_pred_sql_parts()
     return f"""
 WITH h AS (
   SELECT lang,
@@ -2107,7 +2121,8 @@ def minhash_est_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side (the stage boundary minhash_signatures already materializes);
     the estimate adds a zip_with fold over the 8-component signatures."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K).cache()
+    # materialize=False: same leak-class rule as minhash_pairs_query above
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
     cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     side = lambda suf: sigs.select(  # noqa: E731
         F.col("doc_id").alias(f"id_{suf}"),
@@ -2136,24 +2151,8 @@ def minhash_est_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_est_error_sql() -> str:
-    sig_list = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
-    )
-    n_bands = NUM_HASHES // BAND_SIZE
     return f"""
-WITH tk AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
-), shn AS (
-  SELECT doc_id, {_shingle_sql_expr()} AS sh FROM tk
-), sg AS (
-  SELECT doc_id, sh, [{sig_list}] AS sig FROM shn
-), bands AS (
-  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bv
-  FROM sg, unnest(range({n_bands})) AS u(b)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
-), pairs AS (
+WITH {_minhash_cand_ctes()}, pairs AS (
   SELECT id_a, id_b,
          CAST(list_sum(list_transform(range({NUM_HASHES}), i -> CASE WHEN x.sig[i+1] = y.sig[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS est_matches,
          CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,

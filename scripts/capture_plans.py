@@ -68,7 +68,6 @@ ADJUDICATED = {
     ("evt_funnel_counts", "SinglePartitionWindow"): "lag window over the 3-row per-stage union (bounded by the funnel length)",
     ("emb_sq_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors",
     ("dedup_semantic_cells", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table",
-    ("emb_power_topdim", _BNLJ): "1-row max-|w| broadcast for the final renormalization (w is the 64-row per-dim table)",
     ("dedup_semantic_keep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast 8-row trained centroid table",
 }
 

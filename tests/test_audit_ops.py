@@ -356,3 +356,43 @@ def test_semantic_keep_closure_invariants(spark):
     # closure: both endpoints of every close pair land in the same cluster
     for p in semantic_cells_query(spark, SF).collect():
         assert keep[p["id_a"]]["keep_id"] == keep[p["id_b"]]["keep_id"]
+
+
+def test_minhash_family_queries_leave_no_cached_frames(spark):
+    """The minhash registry queries use materialize=False (round-8 review):
+    a lazily-returned query can never unpersist, so a cache() inside would
+    pin one frame per invocation in the CacheManager — the
+    pq_train_codebook leak class.  The check targets the CacheManager
+    specifically (DataFrame caches are held until explicit unpersist);
+    pair_pagerank's localCheckpoint blocks are NOT the leak class — they
+    are ContextCleaner-collectable once the RDD is garbage-collected."""
+    from block_crawler_spark.plans.text_ops import (
+        minhash_est_error_query,
+        minhash_pairs_query,
+        pair_pagerank_query,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    for fn in (minhash_pairs_query, minhash_est_error_query, pair_pagerank_query):
+        fn(spark, SF).collect()
+    assert cm.isEmpty() == was_empty, "a registry query pinned a DataFrame cache"
+
+
+def test_sliding_window_is_sum_of_its_tumbling_halves(spark):
+    """A 2h/1h hopping window's count equals the sum of the two tumbling
+    hourly buckets it covers — the algebraic identity tying
+    evt_window_sliding to evt_window_hourly."""
+    from block_crawler_spark.plans.events_ops import window_hourly, window_sliding
+
+    hourly = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in window_hourly(spark, SF).collect()
+    }
+    from datetime import timedelta
+
+    for r in window_sliding(spark, SF).collect():
+        h0 = hourly.get((r["window_start"], r["event_type"]), (0, 0))
+        h1 = hourly.get((r["window_start"] + timedelta(hours=1), r["event_type"]), (0, 0))
+        assert r["n"] == h0[0] + h1[0]
+        assert r["total_value"] == h0[1] + h1[1]
