@@ -101,6 +101,7 @@ HEADLINE = [
     "evt_funnel_latency",
     "dedup_semantic_keep",
     "evt_window_sliding",
+    "evt_markov_transitions",
 ]
 
 

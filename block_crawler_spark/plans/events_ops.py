@@ -908,3 +908,58 @@ FROM hopped GROUP BY 1, 2
 
 
 QUERIES["evt_window_sliding"] = (window_sliding, WINDOW_SLIDING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix (sequence modeling over user streams)
+# ---------------------------------------------------------------------------
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event-type
+    sequence (ordered by the ``event_id`` total order): for every
+    consecutive (prev_type → type) pair, the count and the transition
+    probability in ppm of all transitions LEAVING prev_type — the
+    sequence-model view of user behavior (what follows what) that the
+    per-type aggregates can't express.
+
+    Scale shape: one user-partitioned lag window (shuffle on user_id — the
+    partition carries one user's events, never a global sort), then a
+    ≤|types|²-key hash-agg and a ≤|types|-row marginal re-join."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    steps = (
+        e.select("user_id", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cm = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out_tot = cm.groupBy("prev_type").agg(F.sum("n").alias("out_total"))
+    return cm.join(out_tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.col("out_total").cast("long").alias("out_total"),
+        F.expr("CAST(n * 1000000 DIV out_total AS BIGINT)").alias("prob_ppm"),
+    )
+
+
+MARKOV_SQL = """
+WITH steps AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events
+), cm AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_total FROM cm GROUP BY prev_type
+)
+SELECT cm.prev_type, cm.next_type, cm.n, tot.out_total,
+       CAST(cm.n * 1000000 // tot.out_total AS BIGINT) AS prob_ppm
+FROM cm JOIN tot USING (prev_type)
+"""
+
+
+QUERIES["evt_markov_transitions"] = (markov_transitions, MARKOV_SQL)

@@ -2223,3 +2223,5 @@ FROM pr{PR_ITERS} p JOIN deg d ON d.src = p.node
 
 
 QUERIES["dedup_pair_pagerank"] = (pair_pagerank_query, _pair_pagerank_sql())
+
+

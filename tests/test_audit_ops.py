@@ -396,3 +396,23 @@ def test_sliding_window_is_sum_of_its_tumbling_halves(spark):
         h1 = hourly.get((r["window_start"] + timedelta(hours=1), r["event_type"]), (0, 0))
         assert r["n"] == h0[0] + h1[0]
         assert r["total_value"] == h0[1] + h1[1]
+
+
+def test_markov_transitions_conserve_steps(spark):
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.plans.events_ops import markov_transitions
+
+    rows = markov_transitions(spark, SF).collect()
+    assert rows
+    by_prev: dict[str, int] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0) + r["n"]
+        assert 0 < r["prob_ppm"] <= 1_000_000
+    for r in rows:
+        assert by_prev[r["prev_type"]] == r["out_total"]
+    # total transitions = Σ per-user (events - 1)
+    e = load_table(spark, SF, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    expected = sum(r["c"] - 1 for r in per_user.collect())
+    assert sum(r["n"] for r in rows) == expected
