@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_semantic_keep",
     "evt_window_sliding",
     "evt_markov_transitions",
+    "evt_cube_type_day",
+    "dedup_edit_distance_pairs",
 ]
 
 

@@ -963,3 +963,55 @@ FROM cm JOIN tot USING (prev_type)
 
 
 QUERIES["evt_markov_transitions"] = (markov_transitions, MARKOV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (all grouping-set combinations in one pass)
+# ---------------------------------------------------------------------------
+
+def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): counts and value totals at ALL four
+    grouping levels — (type, day), (type), (day), grand total — in one scan
+    (the grouping-sets capability `agg_rollup_region_nation` only exercises
+    as a hierarchy).  Subtotals surface via '<ALL>' sentinels; weekday is
+    an integer-exact derivation (epoch-day mod 7) identical on both
+    engines, sidestepping locale-dependent day-name functions.
+
+    Scale shape: Spark expands CUBE to a 4× row replication feeding ONE
+    hash-agg (constant fan-out, map-side partials) — keys bounded by
+    (types+1) × 8."""
+    e = load_table(spark, sf_dir, "events")
+    # epoch-day mod 7 (1970-01-01 was a Thursday; the label is just a bucket)
+    wd = F.expr("CAST(floor(unix_timestamp(ts) / 86400) % 7 AS BIGINT)")
+    return (
+        e.select("event_type", wd.alias("wd"), F.col("value"))
+        .cube("event_type", "wd")
+        .agg(
+            F.count("*").alias("n"),
+            _cents(F.sum(_dec("value")).cast("decimal(38,2)")).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<ALL>")).alias("event_type"),
+            F.coalesce(F.col("wd").cast("string"), F.lit("<ALL>")).alias("weekday"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(event_type, '<ALL>') AS event_type,
+       COALESCE(CAST(wd AS VARCHAR), '<ALL>') AS weekday,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value
+FROM (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT) AS wd,
+         value
+  FROM events
+)
+GROUP BY CUBE (event_type, wd)
+"""
+
+
+QUERIES["evt_cube_type_day"] = (cube_type_day, CUBE_SQL)

@@ -2225,3 +2225,51 @@ FROM pr{PR_ITERS} p JOIN deg d ON d.src = p.node
 QUERIES["dedup_pair_pagerank"] = (pair_pagerank_query, _pair_pagerank_sql())
 
 
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates (levenshtein, JVM built-in)
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 80     # chars of normalized text compared (bounds the O(n·m) DP)
+LEV_MAX_DIST = 24   # emit pairs at or under this distance
+
+
+def edit_distance_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: LSH band candidates scored by
+    LEVENSHTEIN distance over the first ``LEV_PREFIX`` chars of the
+    whitespace-normalized text — the edit-distance lens catches
+    insertions/typo variants that token-set Jaccard dilutes (one edited
+    word flips three shingles), and the prefix cap bounds the O(n·m) DP
+    row cost to a constant.  Both engines' ``levenshtein`` is the classic
+    unit-cost DP, so the distance is engine-exact.
+
+    Scale shape: identical to every candidate verifier here — the DP runs
+    only on the band equi-join's survivors, never all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
+    cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    norm = F.substring(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, LEV_PREFIX)
+    t = docs.select("doc_id", norm.alias("nt"))
+    j = (
+        cands.join(t.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("ta")), "id_a")
+        .join(t.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("tb")), "id_b")
+        .withColumn("edit_dist", F.levenshtein(F.col("ta"), F.col("tb")).cast("long"))
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+    )
+    return j.select("id_a", "id_b", "edit_dist")
+
+
+def _edit_distance_sql() -> str:
+    return f"""
+WITH {_minhash_cand_ctes()}, t AS (
+  SELECT doc_id, substr(regexp_replace(lower(trim(text)), '\\\\s+', ' ', 'g'), 1, {LEV_PREFIX}) AS nt
+  FROM documents
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist
+FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
+WHERE levenshtein(a.nt, b.nt) <= {LEV_MAX_DIST}
+"""
+
+
+QUERIES["dedup_edit_distance_pairs"] = (edit_distance_pairs_query, _edit_distance_sql())

@@ -416,3 +416,51 @@ def test_markov_transitions_conserve_steps(spark):
     per_user = e.groupBy("user_id").agg(F.count("*").alias("c"))
     expected = sum(r["c"] - 1 for r in per_user.collect())
     assert sum(r["n"] for r in rows) == expected
+
+
+def test_cube_subtotals_are_consistent(spark):
+    from block_crawler_spark.plans.events_ops import cube_type_day
+
+    rows = cube_type_day(spark, SF).collect()
+    cells = {(r["event_type"], r["weekday"]): (r["n"], r["total_value"]) for r in rows}
+    grand = cells[("<ALL>", "<ALL>")]
+    # every marginal sums its detail cells, and the grand total sums both ways
+    type_marginals = [k for k in cells if k[0] != "<ALL>" and k[1] == "<ALL>"]
+    day_marginals = [k for k in cells if k[0] == "<ALL>" and k[1] != "<ALL>"]
+    for et, _ in type_marginals:
+        detail = [v for (a, b), v in cells.items() if a == et and b != "<ALL>"]
+        assert cells[(et, "<ALL>")][0] == sum(n for n, _ in detail)
+        assert cells[(et, "<ALL>")][1] == sum(t for _, t in detail)
+    assert grand[0] == sum(cells[k][0] for k in type_marginals)
+    assert grand[0] == sum(cells[k][0] for k in day_marginals)
+    assert grand[1] == sum(cells[k][1] for k in type_marginals)
+
+
+def test_edit_distance_pairs_verify_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.plans.text_ops import (
+        LEV_MAX_DIST,
+        LEV_PREFIX,
+        edit_distance_pairs_query,
+    )
+
+    rows = edit_distance_pairs_query(spark, SF).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["nt"]
+        for r in load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.substring(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, LEV_PREFIX
+            ).alias("nt"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["edit_dist"] <= LEV_MAX_DIST
+        a, b = docs[r["id_a"]], docs[r["id_b"]]
+        # classic levenshtein bounds: |len(a)-len(b)| <= dist; 0 iff equal
+        assert r["edit_dist"] >= abs(len(a) - len(b))
+        assert (r["edit_dist"] == 0) == (a == b)
