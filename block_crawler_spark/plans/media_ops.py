@@ -91,7 +91,11 @@ def media_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched multimodal stage; only feature-sized rows are joined —
     content bytes never shuffle (the perceptual-hash pattern with a
     deterministic, oracle-checkable signature)."""
-    feats = media_binary_features_query(spark, sf_dir).cache()
+    # no cache(): a lazily-returned registry query can never unpersist, so
+    # caching here would pin one CacheManager frame per invocation (the
+    # leak class fixed across the minhash family in round 8) — the two
+    # consumers pay a second Arrow feature pass instead
+    feats = media_binary_features_query(spark, sf_dir)
     a = feats.select(
         F.col("doc_id").alias("id_a"), "n_bytes",
         F.col("byte_sum").alias("sum_a"), F.col("content_md5").alias("md5_a"),
