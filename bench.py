@@ -104,6 +104,7 @@ HEADLINE = [
     "evt_markov_transitions",
     "evt_cube_type_day",
     "dedup_edit_distance_pairs",
+    "emb_balanced_sample",
 ]
 
 

@@ -1262,3 +1262,102 @@ FROM embeddings e LEFT JOIN comp c USING (vec_id)
 
 
 QUERIES["dedup_semantic_keep"] = (semantic_keep_query, _semantic_keep_sql())
+
+
+CELL_CAP = 40  # max survivors kept per trained cell (the balance knob)
+
+
+def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side curation pipeline (the ``doc_curation_pipeline``
+    twin): semantic-dedup SURVIVORS (transitive-closure keep over
+    trained-cell close pairs) then CLUSTER-BALANCED subsampling — at most
+    ``CELL_CAP`` vectors per trained cell, lowest ids first (deterministic)
+    — the SemDeDup + cluster-balance recipe training-data pipelines run
+    before spending embedding budget on over-dense regions.
+
+    Scale shape: inherits the bounded Lloyd train + cell equi-join + CC
+    rounds; the cap is a per-cell rank window (WindowGroupLimit pushes the
+    filter into the shuffle, so at most CELL_CAP rows per cell survive the
+    exchange).  Output: (vec_id, cell, cell_rank) of the kept set."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dedup_assignments_cc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE Lloyd train shared by the cell assignment and the pair stage —
+    # composing via semantic_keep_query would embed a second identical
+    # training loop (Lloyd collects driver-side, so it would EXECUTE twice)
+    assign, _ = kmeans_lloyd_fixed(emb, k=SEM_CELLS_K, iters=SEM_CELLS_ITERS)
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    av = assign.select("vid", "cid").join(vecs, "vid")
+    a = av.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
+    b = av.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
+        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
+        .select("id_a", "id_b")
+    )
+    keep = dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id").filter(
+        ~F.col("is_duplicate")
+    )
+    survivors = keep.select("vec_id").join(
+        assign.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell")), "vec_id"
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    return (
+        survivors.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cell_rank") <= CELL_CAP)
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "cell_rank")
+    )
+
+
+def _balanced_sample_sql() -> str:
+    K, ITERS, D = SEM_CELLS_K, SEM_CELLS_ITERS, _KM_DIM
+    dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    pair_sql = _semantic_cells_sql().strip()
+    parts = _kmeans_cte_chain(K, ITERS)
+    parts.append(
+        f"""af AS (
+  SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{ITERS}) GROUP BY vid
+)"""
+    )
+    parts.append(f"sp AS ({pair_sql})")
+    parts.append(
+        """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+)"""
+    )
+    parts.append(
+        """reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)"""
+    )
+    parts.append(
+        "comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS keep_id FROM reach GROUP BY src)"
+    )
+    parts.append(
+        """surv AS (
+  SELECT a.vid AS vec_id, a.cid AS cell
+  FROM af a LEFT JOIN comp c ON c.vec_id = a.vid
+  WHERE COALESCE(c.keep_id, a.vid) = a.vid
+)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, cell, CAST(cell_rank AS BIGINT) AS cell_rank
+FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS cell_rank FROM surv)
+WHERE cell_rank <= {CELL_CAP}
+"""
+    )
+
+
+QUERIES["emb_balanced_sample"] = (balanced_sample_query, _balanced_sample_sql())

@@ -65,6 +65,7 @@ _FRONT = (
     "evt_markov_transitions",  # NEW r8
     "evt_cube_type_day",  # NEW r8
     "dedup_edit_distance_pairs",  # NEW r8
+    "emb_balanced_sample",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

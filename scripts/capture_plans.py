@@ -69,6 +69,7 @@ ADJUDICATED = {
     ("emb_sq_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors",
     ("dedup_semantic_cells", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table",
     ("dedup_semantic_keep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast 8-row trained centroid table",
+    ("emb_balanced_sample", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table (shared by the cell and pair stages)",
 }
 
 

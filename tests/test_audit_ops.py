@@ -464,3 +464,27 @@ def test_edit_distance_pairs_verify_candidates(spark):
         # classic levenshtein bounds: |len(a)-len(b)| <= dist; 0 iff equal
         assert r["edit_dist"] >= abs(len(a) - len(b))
         assert (r["edit_dist"] == 0) == (a == b)
+
+
+def test_balanced_sample_composition_invariants(spark):
+    from block_crawler_spark.plans.embed_ops import (
+        CELL_CAP,
+        balanced_sample_query,
+        semantic_keep_query,
+    )
+
+    rows = balanced_sample_query(spark, SF).collect()
+    assert rows
+    survivors = {
+        r["vec_id"] for r in semantic_keep_query(spark, SF).collect() if not r["is_duplicate"]
+    }
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] in survivors, "sampled set ⊆ dedup survivors"
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        assert len(rs) <= CELL_CAP
+        rs.sort(key=lambda r: r["cell_rank"])
+        assert [r["cell_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        ids = [r["vec_id"] for r in rs]
+        assert ids == sorted(ids), "lowest ids kept first (deterministic)"
