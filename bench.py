@@ -105,6 +105,8 @@ HEADLINE = [
     "evt_cube_type_day",
     "dedup_edit_distance_pairs",
     "emb_balanced_sample",
+    "emb_ivfsq_topk",
+    "dedup_rate_by_source",
 ]
 
 

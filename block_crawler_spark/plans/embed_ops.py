@@ -963,6 +963,25 @@ SQ_BINS = 256            # 8-bit codes: 1/4 the footprint of float32 per dim
 SQ_TOPK_K = 10
 
 
+def _sq_dist_expr(n_dim: int) -> str:
+    """Exact int64 L2 between the exact query micros (``qv``) and the SQ8
+    bin-midpoint reconstruction of ``v`` against bounds ``lo``/``hi`` — the
+    ONE definition of the SQ code/reconstruction rule, shared by the flat
+    scan and the IVF-pruned variant.  code c_i = min((x_i-lo_i)·B DIV
+    span_i, B−1) (256 equal bins, the x=hi edge clamped into the top bin);
+    reconstruction = lo_i + (2c_i+1)·span_i DIV 2B, inside [lo_i, hi_i] for
+    every code — all operands nonnegative, so DIV (truncate) == floor on
+    both engines."""
+    return (
+        f"aggregate(transform(sequence(0, {n_dim - 1}), i -> "
+        "(element_at(qv, i+1) - (element_at(lo, i+1) + "
+        f"(least(((element_at(v, i+1) - element_at(lo, i+1)) * {SQ_BINS}) "
+        f"DIV greatest(element_at(hi, i+1) - element_at(lo, i+1), 1), {SQ_BINS - 1}) * 2 + 1) "
+        f"* (element_at(hi, i+1) - element_at(lo, i+1)) DIV {2 * SQ_BINS})) "
+        "), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+
+
 def sq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (SQ8) top-k: each dimension is quantized to an 8-bit
     code against per-dimension [min,max] bounds, and search ranks by exact
@@ -996,20 +1015,7 @@ def sq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hi", F.array(*[F.lit(x) for x in hi]))
         .withColumn("qv", F.array(*[F.lit(x) for x in qv]))
     )
-    # code c_i = min((x_i-lo_i)*256 DIV span_i, 255) — 256 equal bins, the
-    # x=hi edge clamped into the top bin; reconstruction = bin midpoint
-    # lo_i + (2c_i+1)*span_i DIV 512, which stays inside [lo_i, hi_i] for
-    # every code — all operands nonnegative, so DIV (truncate) == floor on
-    # both engines
-    dist = (
-        f"aggregate(transform(sequence(0, {n_dim - 1}), i -> "
-        "(element_at(qv, i+1) - (element_at(lo, i+1) + "
-        f"(least(((element_at(v, i+1) - element_at(lo, i+1)) * {SQ_BINS}) "
-        f"DIV greatest(element_at(hi, i+1) - element_at(lo, i+1), 1), {SQ_BINS - 1}) * 2 + 1) "
-        f"* (element_at(hi, i+1) - element_at(lo, i+1)) DIV {2 * SQ_BINS})) "
-        "), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
-    )
-    scored = coded.select("vec_id", F.expr(dist).alias("dist"))
+    scored = coded.select("vec_id", F.expr(_sq_dist_expr(n_dim)).alias("dist"))
     topk = scored.orderBy(F.asc("dist"), F.asc("vec_id")).limit(SQ_TOPK_K)
     from pyspark.sql import Window
 
@@ -1361,3 +1367,109 @@ WHERE cell_rank <= {CELL_CAP}
 
 
 QUERIES["emb_balanced_sample"] = (balanced_sample_query, _balanced_sample_sql())
+
+
+IVFSQ_CELLS = 16
+IVFSQ_NPROBE = 4
+
+
+def ivfsq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (the faiss ``IVF,SQ8`` layout): IVF cell pruning composed
+    with SQ8 scoring — completes the engine's quantization matrix
+    (flat SQ8 = ``emb_sq_topk``, IVF+PQ = ``emb_ivfpq_topk``; this is the
+    third corner, the most common practical index when 4× compression is
+    enough and codebook training isn't wanted).  Candidates come from the
+    (query-probe ⋈ corpus-cell) equi-join; distances are the shared exact
+    SQ rule (:func:`_sq_dist_expr`) between the query's exact micros and
+    the candidate's bin-midpoint reconstruction.
+
+    Scale shape: assignment is the broadcast-centroid join (cells are
+    dimension-sized); scoring touches ~nprobe/n_cells of the corpus; the
+    per-dim bounds are one collected 64-row agg re-broadcast as literals."""
+    from ..operators.ann import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVFSQ_CELLS)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
+    dims = (
+        vecs.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("d").collect()
+    )
+    n_dim = len(dims)
+    lo = F.array(*[F.lit(int(r["lo"])) for r in dims])
+    hi = F.array(*[F.lit(int(r["hi"])) for r in dims])
+    qa = ivf_assign(queries, cent, n_assign=IVFSQ_NPROBE).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "centroid_id"
+    )
+    ca = ivf_assign(emb, cent).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "centroid_id"
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        qa.join(ca, "centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("qv", micro_fixed(F.col("q_vec")))
+        .withColumn("v", micro_fixed(F.col("c_vec")))
+        .withColumn("lo", lo)
+        .withColumn("hi", hi)
+        .withColumn("dist", F.expr(_sq_dist_expr(n_dim)))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", "c_id", "rank", "dist")
+    )
+
+
+def _ivfsq_sql() -> str:
+    D, B = _KM_DIM, SQ_BINS
+    recon = (
+        f"(lo[i+1] + (least(((cv.v[i+1] - lo[i+1]) * {B}) // greatest(hi[i+1] - lo[i+1], 1), {B - 1}) * 2 + 1)"
+        f" * (hi[i+1] - lo[i+1]) // {2 * B})"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, MIN(v[i+1]) AS lo, MAX(v[i+1]) AS hi FROM vecs CROSS JOIN range({D}) t(i) GROUP BY i
+),
+lh AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM dims),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVFSQ_CELLS}),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS sim
+  FROM embeddings e, cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM scored
+),
+corpus_cells AS (SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1),
+query_probes AS (
+  SELECT vec_id, cid AS centroid_id FROM ranked
+  WHERE rn <= {IVFSQ_NPROBE} AND vec_id < {KNN_QUERY_IDS}
+),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM query_probes q JOIN corpus_cells c ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+),
+dists AS (
+  SELECT cand.q_id, cand.c_id,
+         CAST(list_sum(list_transform(range({D}), i ->
+           (qv.v[i+1] - {recon}) * (qv.v[i+1] - {recon})
+         )) AS BIGINT) AS dist
+  FROM cand JOIN vecs qv ON qv.vec_id = cand.q_id
+            JOIN vecs cv ON cv.vec_id = cand.c_id, lh
+)
+SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rank FROM dists)
+WHERE rank <= {KNN_K}
+"""
+
+
+QUERIES["emb_ivfsq_topk"] = (ivfsq_topk_query, _ivfsq_sql())

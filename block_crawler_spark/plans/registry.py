@@ -66,6 +66,8 @@ _FRONT = (
     "evt_cube_type_day",  # NEW r8
     "dedup_edit_distance_pairs",  # NEW r8
     "emb_balanced_sample",  # NEW r8
+    "emb_ivfsq_topk",  # NEW r8
+    "dedup_rate_by_source",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -2273,3 +2273,47 @@ WHERE levenshtein(a.nt, b.nt) <= {LEV_MAX_DIST}
 
 
 QUERIES["dedup_edit_distance_pairs"] = (edit_distance_pairs_query, _edit_distance_sql())
+
+
+# ---------------------------------------------------------------------------
+# Dedup attribution per source (which feed loses how much to near-dup)
+# ---------------------------------------------------------------------------
+
+def dedup_rate_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship PER SOURCE: the transitive-closure keep/drop
+    verdict (``dedup_connected_components``) joined back to the source
+    column and aggregated — the attribution that turns a corpus-wide dedup
+    rate into a per-feed decision (a feed losing half its mass to
+    duplicates is a mirror; one losing nothing may be under-crawled).
+    Complements ``doc_gopher_rules``' quality attribution with the dedup
+    axis.
+
+    Scale shape: the closure inherits the edge-set-sized CC rounds; the
+    attribution adds one doc_id equi-join and a ≤|sources|-key agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = dedup_cc_query(spark, sf_dir)
+    j = verdicts.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)).cast("long").alias("n_dups"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+def _dedup_rate_by_source_sql() -> str:
+    cc_sql = _dedup_cc_sql().strip()
+    # the closure query already carries WITH RECURSIVE — nest it whole
+    return f"""
+WITH verdicts AS ({cc_sql})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN v.is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN v.is_duplicate THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM verdicts v JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+QUERIES["dedup_rate_by_source"] = (dedup_rate_by_source_query, _dedup_rate_by_source_sql())

@@ -70,6 +70,7 @@ ADJUDICATED = {
     ("dedup_semantic_cells", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table",
     ("dedup_semantic_keep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast 8-row trained centroid table",
     ("emb_balanced_sample", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table (shared by the cell and pair stages)",
+    ("emb_ivfsq_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (SQ scoring is the cell equi-join)",
 }
 
 

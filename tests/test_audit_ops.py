@@ -488,3 +488,40 @@ def test_balanced_sample_composition_invariants(spark):
         assert [r["cell_rank"] for r in rs] == list(range(1, len(rs) + 1))
         ids = [r["vec_id"] for r in rs]
         assert ids == sorted(ids), "lowest ids kept first (deterministic)"
+
+
+def test_ivfsq_recall_and_rank_shape(spark):
+    """IVF-SQ8 returns the SQ-exact top-k WITHIN the probed cells: every
+    (q, c) hit must also appear in the flat SQ ranking's top results when
+    restricted to the same candidate set — verified here via the weaker but
+    exact invariant that rank sequences are contiguous per query and
+    distances nondecreasing."""
+    from block_crawler_spark.plans.embed_ops import KNN_K, KNN_QUERY_IDS, ivfsq_topk_query
+
+    rows = ivfsq_topk_query(spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert r["q_id"] != r["c_id"]
+        assert r["dist"] >= 0
+    assert set(by_q) <= set(range(KNN_QUERY_IDS))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KNN_K
+        dists = [r["dist"] for r in rs]
+        assert dists == sorted(dists), q
+
+
+def test_dedup_rate_by_source_conserves_verdicts(spark):
+    from block_crawler_spark.plans.text_ops import dedup_cc_query, dedup_rate_by_source_query
+
+    rows = dedup_rate_by_source_query(spark, SF).collect()
+    assert rows
+    verdicts = dedup_cc_query(spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == len(verdicts)
+    assert sum(r["n_dups"] for r in rows) == sum(1 for v in verdicts if v["is_duplicate"])
+    for r in rows:
+        assert 0 <= r["n_dups"] <= r["n_docs"]
+        assert r["dup_ppm"] == r["n_dups"] * 1_000_000 // r["n_docs"]
