@@ -231,6 +231,36 @@ def main() -> int:
         "cost": 1.0,
         "bytes_frac": 0.25,  # 8 bits/dim vs float32
     }
+
+    # IVF-SQ8 (emb_ivfsq_topk's layout at matched cells): cell pruning on
+    # top of the SQ8 distance — the third corner of the quantization matrix
+    from block_crawler_spark.operators.ann import ivf_assign  # noqa: E402
+    from block_crawler_spark.plans.embed_ops import _sq_dist_expr  # noqa: E402
+
+    out["ivfsq"] = {}
+    cent16 = emb.filter(F.col("vec_id") < 16)
+    ca = ivf_assign(emb, cent16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "centroid_id"
+    )
+    for nprobe in (1, 2, 4, 8):
+        qa = ivf_assign(queries, cent16, n_assign=nprobe).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "centroid_id"
+        )
+        sq_ivf = (
+            qa.join(ca, "centroid_id")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn("qv", micro_fixed(F.col("q_vec")))
+            .withColumn("v", micro_fixed(F.col("c_vec")))
+            .withColumn("lo", F.array(*[F.lit(x) for x in lo]))
+            .withColumn("hi", F.array(*[F.lit(x) for x in hi]))
+            .withColumn("d", F.expr(_sq_dist_expr(nd)))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+        )
+        out["ivfsq"][f"cells=16,nprobe={nprobe}"] = {
+            "recall_l2": recall_vs(sq_ivf, truth_l2),
+            "cost": round(nprobe / 16, 4),
+        }
     print(json.dumps(out))
     return 0
 
