@@ -107,6 +107,7 @@ HEADLINE = [
     "emb_balanced_sample",
     "emb_ivfsq_topk",
     "dedup_rate_by_source",
+    "doc_length_percentiles",
 ]
 
 

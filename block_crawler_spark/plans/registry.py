@@ -68,6 +68,7 @@ _FRONT = (
     "emb_balanced_sample",  # NEW r8
     "emb_ivfsq_topk",  # NEW r8
     "dedup_rate_by_source",  # NEW r8
+    "doc_length_percentiles",  # NEW r8
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -2317,3 +2317,56 @@ GROUP BY d.source
 
 
 QUERIES["dedup_rate_by_source"] = (dedup_rate_by_source_query, _dedup_rate_by_source_sql())
+
+
+# ---------------------------------------------------------------------------
+# Document-length percentiles per source (the curation length profile)
+# ---------------------------------------------------------------------------
+
+_LEN_PCTS = (50, 90, 99)
+
+
+def length_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of token length PER SOURCE — the
+    length profile every curation decision references (truncation budget,
+    packing bin size, the Gopher length bounds) computed the scale-safe
+    way: the shared bucketed rank selection
+    (``events_ops._exact_rank_values``), which never funnels a source's
+    rows through one task's sort.
+
+    Scale shape: one zero-shuffle length projection, then the selection's
+    three bounded passes (per-source stats, ≤sources×B bucket histogram,
+    candidate-bucket ranking)."""
+    from .events_ops import _exact_rank_values
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("event_type"), n_tokens(F.col("text")).cast("long").alias("n_tok")
+    )
+    ranks = {f"p{p}_tok": f"(n * {p} + 99) div 100" for p in _LEN_PCTS}
+    return _exact_rank_values(d, "n_tok", ranks).select(
+        F.col("event_type").alias("source"), "n", *[f"p{p}_tok" for p in _LEN_PCTS]
+    )
+
+
+def _length_percentiles_sql() -> str:
+    picks = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN n_tok END) AS BIGINT) AS p{p}_tok"
+        for p in _LEN_PCTS
+    )
+    return f"""
+WITH d AS (
+  SELECT source, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok FROM documents
+), c AS (
+  SELECT source, COUNT(*) AS n FROM d GROUP BY source
+), r AS (
+  SELECT d.source, d.n_tok, c.n,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.n_tok) AS rn
+  FROM d JOIN c USING (source)
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+       {picks}
+FROM r GROUP BY source
+"""
+
+
+QUERIES["doc_length_percentiles"] = (length_percentiles_query, _length_percentiles_sql())

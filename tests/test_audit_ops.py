@@ -525,3 +525,31 @@ def test_dedup_rate_by_source_conserves_verdicts(spark):
     for r in rows:
         assert 0 <= r["n_dups"] <= r["n_docs"]
         assert r["dup_ppm"] == r["n_dups"] * 1_000_000 // r["n_docs"]
+
+
+def test_length_percentiles_match_naive_ranks(spark):
+    """The bucketed selection must equal the naive sorted nearest-rank pick
+    — verified per source against a driver-side sort."""
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.plans.text_ops import length_percentiles_query
+
+    got = {r["source"]: r for r in length_percentiles_query(spark, SF).collect()}
+    assert got
+    from block_crawler_spark.functions.text import n_tokens
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("source", n_tokens(F.col("text")).alias("n_tok"))
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_tok"])
+    for src, lens in by_src.items():
+        lens.sort()
+        n = len(lens)
+        r = got[src]
+        assert r["n"] == n
+        for p in (50, 90, 99):
+            assert r[f"p{p}_tok"] == lens[(n * p + 99) // 100 - 1], (src, p)
