@@ -1063,6 +1063,23 @@ SEM_CELLS_ITERS = 2
 SEM_SQDIST_MAX = 1_100_000_000_000  # micro² L2 ≈ cosine ≥ 0.45 at unit norm
 
 
+def _semantic_pairs(assign: DataFrame, vecs: DataFrame) -> DataFrame:
+    """The ONE pair-generation stage over a (vid, cid) assignment and the
+    micro-fixed vectors — shared by ``dedup_semantic_cells`` and
+    ``emb_balanced_sample`` so a threshold or join-shape change can never
+    diverge the two survivors sets.  Returns (id_a, id_b, cell, sqdist)."""
+    av = assign.select("vid", "cid").join(vecs, "vid")
+    a = av.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
+    b = av.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
+        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
+        .select("id_a", "id_b", F.col("cid").cast("long").alias("cell"), "sqdist")
+    )
+
+
 def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with CLUSTER pruning: train fixed-point
     k-means (the IVF trainer), assign every vector to its cell, and emit
@@ -1080,16 +1097,7 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assign, _ = kmeans_lloyd_fixed(emb, k=SEM_CELLS_K, iters=SEM_CELLS_ITERS)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    av = assign.select("vid", "cid").join(vecs, "vid")
-    a = av.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
-    b = av.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
-    return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
-        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
-        .select("id_a", "id_b", F.col("cid").cast("long").alias("cell"), "sqdist")
-    )
+    return _semantic_pairs(assign, vecs)
 
 
 def _semantic_cells_sql() -> str:
@@ -1295,16 +1303,7 @@ def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training loop (Lloyd collects driver-side, so it would EXECUTE twice)
     assign, _ = kmeans_lloyd_fixed(emb, k=SEM_CELLS_K, iters=SEM_CELLS_ITERS)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    av = assign.select("vid", "cid").join(vecs, "vid")
-    a = av.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
-    b = av.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
-        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
-        .select("id_a", "id_b")
-    )
+    pairs = _semantic_pairs(assign, vecs).select("id_a", "id_b")
     keep = dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id").filter(
         ~F.col("is_duplicate")
     )
@@ -1322,7 +1321,6 @@ def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _balanced_sample_sql() -> str:
     K, ITERS, D = SEM_CELLS_K, SEM_CELLS_ITERS, _KM_DIM
     dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
-    pair_sql = _semantic_cells_sql().strip()
     parts = _kmeans_cte_chain(K, ITERS)
     parts.append(
         f"""af AS (
@@ -1330,7 +1328,17 @@ def _balanced_sample_sql() -> str:
   FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{ITERS}) GROUP BY vid
 )"""
     )
-    parts.append(f"sp AS ({pair_sql})")
+    # the pair stage reads the SAME af/vecs chain the sampler uses — never a
+    # second nested (shadowed) k-means (round-8 review)
+    parts.append(
+        f"""sp AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid
+  JOIN vecs va ON va.vid = a.vid
+  JOIN vecs vb ON vb.vid = b.vid
+  WHERE list_sum(list_transform(range({D}), i -> (va.v[i+1]-vb.v[i+1])*(va.v[i+1]-vb.v[i+1]))) <= {SEM_SQDIST_MAX}
+)"""
+    )
     parts.append(
         """edges AS (
   SELECT id_a AS src, id_b AS dst FROM sp

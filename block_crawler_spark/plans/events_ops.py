@@ -305,8 +305,10 @@ WHERE rnk <= 5
 _SELECT_BUCKETS = 1024  # candidate sets in selection pass 3 are ~n/1024 rows
 
 
-def _exact_rank_values(e: DataFrame, val: str, ranks: dict[str, str]) -> DataFrame:
-    """Exact per-event_type values of ``val`` at a SET of 1-based ranks of
+def _exact_rank_values(
+    e: DataFrame, val: str, ranks: dict[str, str], group_col: str = "event_type"
+) -> DataFrame:
+    """Exact per-``group_col`` values of ``val`` at a SET of 1-based ranks of
     the sorted multiset — WITHOUT a per-type full sort.  ``ranks`` maps an
     output column name to a SQL expression over ``n`` (the group count),
     e.g. ``{"p50_cents": "(n * 50 + 99) div 100"}``.
@@ -332,26 +334,26 @@ def _exact_rank_values(e: DataFrame, val: str, ranks: dict[str, str]) -> DataFra
     """
     B = _SELECT_BUCKETS
     labels = list(ranks)
-    stats = e.groupBy("event_type").agg(
+    stats = e.groupBy(group_col).agg(
         F.count("*").alias("n"), F.min(val).alias("lo"), F.max(val).alias("hi")
     )
     const = stats.filter(F.col("hi") == F.col("lo")).select(
-        "event_type", "n", *[F.col("lo").cast("long").alias(lb) for lb in labels]
+        group_col, "n", *[F.col("lo").cast("long").alias(lb) for lb in labels]
     )
     var_stats = stats.filter(F.col("hi") != F.col("lo")).withColumn(
         "w", F.expr(f"(hi - lo) div {B} + 1")
     )
-    rows = e.join(F.broadcast(var_stats.select("event_type", "lo", "w")), "event_type").withColumn(
+    rows = e.join(F.broadcast(var_stats.select(group_col, "lo", "w")), group_col).withColumn(
         "bkt", F.expr(f"({val} - lo) div w")
     )
     cum = (
-        rows.groupBy("event_type", "bkt")
+        rows.groupBy(group_col, "bkt")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(Window.partitionBy("event_type").orderBy("bkt")))
+        .withColumn("cum", F.sum("cnt").over(Window.partitionBy(group_col).orderBy("bkt")))
         .withColumn("off", F.col("cum") - F.col("cnt"))
     )
     targets = var_stats.select(
-        "event_type",
+        group_col,
         F.explode(
             F.array(
                 *[
@@ -363,19 +365,19 @@ def _exact_rank_values(e: DataFrame, val: str, ranks: dict[str, str]) -> DataFra
                 ]
             )
         ).alias("t"),
-    ).select("event_type", "t.which", "t.r")
+    ).select(group_col, "t.which", "t.r")
     spec = (
-        targets.join(cum, "event_type")
+        targets.join(cum, group_col)
         .filter((F.col("off") < F.col("r")) & (F.col("r") <= F.col("cum")))
-        .select("event_type", "which", "bkt", (F.col("r") - F.col("off")).alias("local_r"))
+        .select(group_col, "which", "bkt", (F.col("r") - F.col("off")).alias("local_r"))
     )
-    cand = rows.join(F.broadcast(spec), ["event_type", "bkt"])
-    wloc = Window.partitionBy("event_type", "which", "bkt").orderBy(F.col(val).asc())
+    cand = rows.join(F.broadcast(spec), [group_col, "bkt"])
+    wloc = Window.partitionBy(group_col, "which", "bkt").orderBy(F.col(val).asc())
     picked = cand.withColumn("rn", F.row_number().over(wloc)).filter(F.col("rn") == F.col("local_r"))
-    varres = picked.groupBy("event_type").agg(
+    varres = picked.groupBy(group_col).agg(
         *[F.max(F.when(F.col("which") == lb, F.col(val))).cast("long").alias(lb) for lb in labels]
-    ).join(var_stats.select("event_type", "n"), "event_type")
-    return varres.select("event_type", "n", *labels).unionByName(const)
+    ).join(var_stats.select(group_col, "n"), group_col)
+    return varres.select(group_col, "n", *labels).unionByName(const)
 
 
 def _middle_rank_sum(e: DataFrame, val: str, out: str) -> DataFrame:
@@ -815,9 +817,9 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts_s").alias("p_ts"), F.first("v_ts").alias("v_ts"), F.first("s_ts").alias("s_ts"))
     )
     lat = (
-        v.select(F.lit("signup>view").alias("event_type"), (F.col("v_ts") - F.col("s_ts")).cast("long").alias("lat_s"))
-        .unionByName(p.select(F.lit("view>purchase").alias("event_type"), (F.col("p_ts") - F.col("v_ts")).cast("long").alias("lat_s")))
-        .unionByName(p.select(F.lit("signup>purchase").alias("event_type"), (F.col("p_ts") - F.col("s_ts")).cast("long").alias("lat_s")))
+        v.select(F.lit("signup>view").alias("transition"), (F.col("v_ts") - F.col("s_ts")).cast("long").alias("lat_s"))
+        .unionByName(p.select(F.lit("view>purchase").alias("transition"), (F.col("p_ts") - F.col("v_ts")).cast("long").alias("lat_s")))
+        .unionByName(p.select(F.lit("signup>purchase").alias("transition"), (F.col("p_ts") - F.col("s_ts")).cast("long").alias("lat_s")))
     )
     # the rank selection scans its input three times (stats, buckets,
     # candidates); without a materialization point each scan would re-run
@@ -826,8 +828,8 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collectable and nothing pins per invocation (the repo's leak rule).
     lat = lat.localCheckpoint()
     ranks = {f"p{pp}_s": f"(n * {pp} + 99) div 100" for pp in _LAT_PCTS}
-    return _exact_rank_values(lat, "lat_s", ranks).select(
-        F.col("event_type").alias("transition"), "n", *[f"p{pp}_s" for pp in _LAT_PCTS]
+    return _exact_rank_values(lat, "lat_s", ranks, group_col="transition").select(
+        "transition", "n", *[f"p{pp}_s" for pp in _LAT_PCTS]
     )
 
 

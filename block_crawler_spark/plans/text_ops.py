@@ -2340,11 +2340,11 @@ def length_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events_ops import _exact_rank_values
 
     d = load_table(spark, sf_dir, "documents").select(
-        F.col("source").alias("event_type"), n_tokens(F.col("text")).cast("long").alias("n_tok")
+        "source", n_tokens(F.col("text")).cast("long").alias("n_tok")
     )
     ranks = {f"p{p}_tok": f"(n * {p} + 99) div 100" for p in _LEN_PCTS}
-    return _exact_rank_values(d, "n_tok", ranks).select(
-        F.col("event_type").alias("source"), "n", *[f"p{p}_tok" for p in _LEN_PCTS]
+    return _exact_rank_values(d, "n_tok", ranks, group_col="source").select(
+        "source", "n", *[f"p{p}_tok" for p in _LEN_PCTS]
     )
 
 
