@@ -112,10 +112,20 @@ HEADLINE = [
 
 
 def _last_round_timings() -> dict[str, float]:
-    """Per-query seconds from the newest committed BENCH_r*.json (the
-    drivers' per-round records); {} when none parses."""
+    """Per-query seconds from the newest available record: the committed
+    ``bench_telemetry.json`` sidecar first (the only per-query store since
+    r9 — the final stdout line is deliberately compact), then historical
+    BENCH_r*.json records (≤ r8 carried the queries dict); {} when none
+    parses."""
     import glob
 
+    try:
+        with open(os.path.join(_REPO, "bench_telemetry.json")) as f:
+            q = json.load(f).get("queries")
+        if isinstance(q, dict) and q:
+            return {k: float(v) for k, v in q.items()}
+    except (OSError, ValueError):
+        pass
     for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")), reverse=True):
         try:
             with open(path) as f:
@@ -189,11 +199,18 @@ def main() -> None:
             sample(name, registry[name][0], extra=2)
 
     total = round(sum(timings.values()), 3)
-    # Telemetry goes on its own earlier line (and a sidecar file): the driver
-    # captures a bounded tail of stdout, and r5's combined line was long
-    # enough to truncate its own head (BENCH_r05 parsed:null).  The compact
-    # headline JSON must be the FINAL line and short enough to survive.
-    telemetry = {"load_avg_per_query": query_loads, "rerun_outliers": reruns}
+    # Telemetry (including the PER-QUERY timings dict) goes on its own
+    # earlier line and a sidecar file: the driver captures a bounded tail of
+    # stdout, and a long final line truncates its own HEAD — r5's combined
+    # line did (BENCH_r05 parsed:null), and by r8 the queries dict alone had
+    # regrown the final line past the capture (BENCH_r08 parsed:null, ADVICE
+    # r8).  The FINAL line is therefore a compact constant-size object —
+    # {metric, value, unit, sf, n_queries} — that survives any registry size.
+    telemetry = {
+        "queries": timings,
+        "load_avg_per_query": query_loads,
+        "rerun_outliers": reruns,
+    }
     try:
         with open(os.path.join(_REPO, "bench_telemetry.json"), "w") as f:
             json.dump(telemetry, f)
@@ -206,8 +223,8 @@ def main() -> None:
                 "metric": "headline query wall-clock (noop sink), best-of-3 per query, sum",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_dir,
+                "n_queries": len(timings),
             }
         )
     )

@@ -281,6 +281,16 @@ def ivfpq_residual_topk(
     still query-side-tiny."""
     from .ann import ivf_assign
 
+    # A sample smaller than the codeword count would silently shrink the
+    # codebook (seeds are _id < n_codewords), so reject it up front — and
+    # compare against None, not truthiness, so train_sample=0 errors
+    # instead of quietly meaning "unset" (ADVICE r8).
+    if train_iters > 0 and train_sample is not None and train_sample < n_codewords:
+        raise ValueError(
+            f"train_sample={train_sample} must be >= n_codewords={n_codewords}: "
+            "the first n_codewords sampled residuals seed the codebook"
+        )
+
     cmicro = centroids.select(
         F.col("vec_id").alias("centroid_id"), micro_fixed(F.col("embedding")).alias("cv")
     )
@@ -312,8 +322,10 @@ def ivfpq_residual_topk(
         # bounded deterministic sample (the corpus-scale shape — train on a
         # sample, encode everything), seeded by the same vec_id < K residuals
         # the untrained path uses, so training strictly refines the baseline
+        # (sample-vs-codeword-count validation happened at function entry)
+        sample_n = n_codewords if train_sample is None else train_sample
         tsub = residual_sub(
-            corpus.filter(F.col("vec_id") < (train_sample or n_codewords)), "_id", 1
+            corpus.filter(F.col("vec_id") < sample_n), "_id", 1
         ).select("_id", "m", "sv")
         cb = _lloyd_train_sub(tsub, n_codewords, train_iters)
     else:

