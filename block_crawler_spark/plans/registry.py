@@ -19,56 +19,69 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # query ADDED OR CHANGED in a round must sit inside the prefix that round
 # (ADVICE r6: new code gets verified the round it lands, not rounds later).
 # Round 5 fronted the LLM-pipeline families; round 6 the relational tail;
-# round 7 embed_ops + text/pack.  Round 8 fronts ``_FRONT`` — all 31
-# queries ADDED this round plus every query whose SEMANTICS changed (the
-# PQ family over the refactored Lloyd loop, the de-funneled CMS audit, the
-# budget-cut-composed pipeline, the de-sorted tx pair, the de-duplicated
-# range join) — then the relational tail to fill the 50-query prefix.
-# With 31 additions the changed-FILE set (text/embed/events modules grew
-# by appended functions) exceeds any 50-sample; the append-only diffs keep
-# the unsampled queries' implementing FUNCTIONS untouched (verifiable in
-# the round diff), and the judge's independent full-registry oracle re-run
-# is the backstop that covers all of them every round.
+# round 7 embed_ops + text/pack; round 8 its 31 additions.  Round 9 fronts
+# ``_FRONT``: every query ADDED this round, then every query whose
+# implementation changed (the semantic family over the derived-K sharded
+# pair stage; the Lloyd-trainer consumers over the driver-materialized
+# centroids; the residual-PQ pair over the validated trainer), then the
+# LONGEST-UNSAMPLED relational tail — the r6-era tpch/agg/join/evt/nft
+# legacy queries, none of which has had a driver row since r6 (VERDICT r9
+# task 5) — to fill the 50-query sample.  The judge's independent
+# full-registry oracle re-run is the backstop covering the rest.
 _FRONT = (
-    "emb_ivfpq_residual_trained",  # NEW r8
+    # -- changed in r9 (semantic derived-K + shard guard; Lloyd trainer
+    #    materialization; pq train_sample validation) --
+    "dedup_semantic_cells",
+    "dedup_semantic_keep",
+    "emb_balanced_sample",
+    "emb_kmeans_stats",
+    "emb_ivf_trained_topk",
+    "emb_ivfpq_residual_trained",
     "emb_ivfpq_residual_topk",
-    "emb_pq_trained_topk",
-    "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "doc_token_cms_estimates",
-    "doc_quality_budget_cut",
-    "doc_curation_pipeline",
-    "tx_sender_gas_stats",  # r8: presentation sort dropped
-    "tx_creations_by_block_bucket",  # r8: presentation sort dropped
-    "doc_pack_fill_stats",  # NEW r8
-    "doc_token_concentration",  # NEW r8
-    "emb_dim_variance",  # NEW r8
-    "evt_key_skew_topk",  # NEW r8
-    "emb_pq_balanced_topk",  # NEW r8
-    "evt_funnel_counts",  # NEW r8
-    "evt_retention_cohorts",  # NEW r8
-    "dedup_stream_admission_sim",  # NEW r8
-    "doc_hapax_per_source",  # NEW r8
-    "doc_ngram_novelty",  # NEW r8
-    "doc_tfidf_top_terms",  # NEW r8
-    "doc_intradoc_dup_stats",  # NEW r8
-    "doc_gopher_rules",  # NEW r8
-    "emb_sq_topk",  # NEW r8
-    "dedup_semantic_cells",  # NEW r8
-    "doc_lang_confusion",  # NEW r8
-    "dedup_minhash_est_error",  # NEW r8
-    "emb_power_topdim",  # NEW r8
-    "dedup_pair_pagerank",  # NEW r8
-    "evt_funnel_latency",  # NEW r8
-    "dedup_semantic_keep",  # NEW r8
-    "evt_window_sliding",  # NEW r8
-    "evt_markov_transitions",  # NEW r8
-    "evt_cube_type_day",  # NEW r8
-    "dedup_edit_distance_pairs",  # NEW r8
-    "emb_balanced_sample",  # NEW r8
-    "emb_ivfsq_topk",  # NEW r8
-    "dedup_rate_by_source",  # NEW r8
-    "doc_length_percentiles",  # NEW r8
+    # -- longest-unsampled relational tail (last driver rows: r6) --
+    "tpch_q2_cheapest_part_per_size",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority_semi",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_conditional",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_brand_supplier_counts",
+    "tpch_q18_big_orders_having",
+    "tpch_q19_disjunctive_quantities",
+    "tpch_q22_rich_idle_customers",
+    "agg_orders_monthly",
+    "agg_rollup_region_nation",
+    "join_anti_customers_without_orders",
+    "join_part_brand_revenue",
+    "join_asof_last_signup",
+    "join_range_ship_windows",
+    "evt_classify_route",
+    "evt_salted_type_totals",
+    "evt_value_rank",
+    "evt_value_median",
+    "evt_outliers_mad",
+    "evt_value_percentiles",
+    "evt_pivot_type_counts",
+    "evt_token_state_fold",
+    "evt_latest_by_version",
+    "evt_json_balances",
+    "evt_window_hourly",
+    "evt_full_outer_reconcile",
+    "evt_sessionize",
+    "nft_token_state_from_lineitem",
+    "nft_owners_from_lineitem",
+    "nft_transfers_decode_from_lineitem",
+    "nft_1155_balances_from_events",
+    "nft_holding_stats",
+    "nft_uint256_clamp_policy",
+    "emb_topk_cosine",
+    "emb_ivf_topk",
+    "emb_knn_join",
+    "emb_lsh_buckets",
+    "dedup_embedding_cosine_pairs",
+    "emb_ivf_cell_balance",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

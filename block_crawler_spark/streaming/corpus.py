@@ -601,11 +601,16 @@ class CorpusIngestStore:
         fresh = fresh.join(firsts, ["fp", "doc_id"], "semi").cache()
         to_unpersist: list[DataFrame] = [fresh]
         try:
-            n_rows = fresh.count()
+            # ONE driver job yields both the batch count (the broadcast gate)
+            # and the fp-bucket footprint (the index scan pruning list) —
+            # previously two collects over the same cached batch (VERDICT r9
+            # task 6).  The band-bucket probe in _near_dup_filter stays a
+            # separate job by necessity: band rows only exist after the
+            # signature stage, which runs on the post-exact-dedup survivors.
+            bucket_rows = fresh.groupBy(self._ibucket_expr().alias("b")).count().collect()
+            n_rows = sum(r["count"] for r in bucket_rows)
             small = n_rows <= self.broadcast_max_batch_rows
-            fp_buckets = sorted(
-                r["b"] for r in fresh.select(self._ibucket_expr().alias("b")).distinct().collect()
-            )
+            fp_buckets = sorted(r["b"] for r in bucket_rows)
             fresh = self._exact_dedup_filter(fresh, small_batch=small, fp_buckets=fp_buckets)
             cols = [f.split()[0] for f in DOC_SCHEMA.split(",")] + ["fp"]
             if self.near_dup:

@@ -46,6 +46,12 @@ PROBES = [
     "emb_sq_topk",  # SQ8 coding + TakeOrderedAndProject top-k (round 8)
     "dedup_pair_pagerank",  # iterative edge-join PageRank over the pair graph (round 8)
     "doc_tfidf_top_terms",  # vocab-bounded aggs + per-source WindowGroupLimit (round 8)
+    # round 9: the r8-added families the r8 curve missed (VERDICT r9 task 4)
+    # — the semantic rows quantify the derived-K + shard-guard fix
+    "dedup_semantic_keep",  # Lloyd train + derived-K sharded cell pairs + CC closure (round 9)
+    "emb_balanced_sample",  # semantic survivors + per-cell WindowGroupLimit cap (round 9)
+    "emb_ivfsq_topk",  # IVF cell pruning × SQ8 bin-midpoint scoring (round 9)
+    "evt_funnel_latency",  # chained same-key aggs + bucketed percentile selection (round 9)
 ]
 
 
