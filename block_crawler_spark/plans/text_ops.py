@@ -2370,3 +2370,174 @@ FROM r GROUP BY source
 
 
 QUERIES["doc_length_percentiles"] = (length_percentiles_query, _length_percentiles_sql())
+
+
+# ---------------------------------------------------------------------------
+# Zipf bucket histogram, tokenizer fertility, benchmark-side contamination
+# (round 9)
+# ---------------------------------------------------------------------------
+
+
+def zipf_bucket_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf diagnostic: every distinct token's corpus frequency
+    is dropped into a power-of-two bucket (bucket = ⌊log2 freq⌋ + 1 =
+    binary digit count — exact integer math on both engines, no float log),
+    and each bucket reports its type count and total token mass.  A healthy
+    natural-language corpus shows the Zipf signature (type counts falling
+    ~geometrically with the bucket, the head buckets carrying most mass);
+    a synthetic or template-heavy corpus bends it — the cheap screen run
+    before spending tokenizer-training budget.
+
+    Scale shape: explode → vocabulary-bounded hash count (map-side
+    partials) → ≤64-key bucket agg.  Nothing after the first agg is
+    corpus-row-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.withColumn("bucket", F.length(F.bin(F.col("n"))).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("n").alias("tok_mass"),
+        )
+    )
+
+
+def _zipf_bucket_sql() -> str:
+    return r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS tok_mass
+FROM counts GROUP BY bucket
+"""
+
+
+QUERIES["doc_zipf_bucket_hist"] = (zipf_bucket_hist_query, _zipf_bucket_sql())
+
+
+def token_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE tokens emitted per whitespace
+    word (ppm) — the standard figure for how well a tokenizer fits a
+    corpus slice (fertility near 1 token/word = efficient; high fertility
+    = the tokenizer fragments that source and its documents cost more
+    sequence budget than their text warrants).  Uses the repo's toy-BPE
+    merge chain (functions.text.bpe_token_count) against the whitespace
+    count, both already oracle-pinned.
+
+    Scale shape: one zero-shuffle projection computing both counts per
+    document inside codegen, then a single ≤|sources|-key hash agg."""
+    from ..functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        n_tokens(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.expr("sum(bpe) * 1000000 DIV greatest(sum(ws), 1)").alias("fertility_ppm"),
+    )
+
+
+def _token_fertility_sql() -> str:
+    from ..functions.text import bpe_count_sql_expr
+
+    bpe = bpe_count_sql_expr("text")
+    return rf"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+         {bpe} AS bpe
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(bpe) * 1000000 // GREATEST(SUM(ws), 1) AS BIGINT) AS fertility_ppm
+FROM per_doc GROUP BY source
+"""
+
+
+QUERIES["doc_token_fertility"] = (token_fertility_query, _token_fertility_sql())
+
+
+def contamination_by_bench_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-side contamination attribution: for every held-out
+    benchmark item (``doc_id % DECON_BENCH_MOD == 0``, the same stand-in
+    split as ``doc_decontaminate``), how many TRAINING documents share a
+    word 3-shingle with it and how many of its shingles are compromised —
+    the report an eval owner reads (which eval items are burned?), where
+    ``doc_decontaminate`` answers the trainer's side (which docs to drop?).
+    Zero-overlap items are included: a clean benchmark row is part of the
+    contract.
+
+    Scale shape: mirror of the decontaminate join — the DISTINCT
+    benchmark shingle set is benchmark-bounded, the equi-join against
+    training shingles costs collisions only, and both aggregates are keyed
+    by benchmark doc (benchmark-sized output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+    sh = docs.select(
+        "doc_id", is_bench.alias("bench"), F.explode(shingles(F.col("text"))).alias("s")
+    )
+    bench_sh = sh.filter(F.col("bench")).select(F.col("doc_id").alias("bench_id"), "s").distinct()
+    train_sh = sh.filter(~F.col("bench")).select(F.col("doc_id").alias("train_id"), "s").distinct()
+    hits = bench_sh.join(train_sh, "s").groupBy("bench_id").agg(
+        F.count_distinct("train_id").alias("n_contaminating_docs"),
+        F.count_distinct("s").alias("n_shared_shingles"),
+    )
+    return (
+        docs.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_id"))
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_contaminating_docs"), F.lit(0)).cast("long").alias("n_contaminating_docs"),
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0)).cast("long").alias("n_shared_shingles"),
+        )
+    )
+
+
+def _contamination_by_bench_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, doc_id % {DECON_BENCH_MOD} = 0 AS bench,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shn AS (
+  SELECT doc_id, bench, unnest({_shingle_sql_expr()}) AS s FROM tk
+),
+bench_sh AS (SELECT DISTINCT doc_id AS bench_id, s FROM shn WHERE bench),
+train_sh AS (SELECT DISTINCT doc_id AS train_id, s FROM shn WHERE NOT bench),
+hits AS (
+  SELECT bench_id,
+         COUNT(DISTINCT train_id) AS n_contaminating_docs,
+         COUNT(DISTINCT s) AS n_shared_shingles
+  FROM bench_sh JOIN train_sh USING (s)
+  GROUP BY bench_id
+)
+SELECT d.doc_id AS bench_id,
+       CAST(COALESCE(h.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+       CAST(COALESCE(h.n_shared_shingles, 0) AS BIGINT) AS n_shared_shingles
+FROM documents d LEFT JOIN hits h ON h.bench_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} = 0
+"""
+
+
+QUERIES["doc_contamination_by_bench"] = (
+    contamination_by_bench_query,
+    _contamination_by_bench_sql(),
+)
