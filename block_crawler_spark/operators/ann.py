@@ -299,6 +299,18 @@ def kmeans_lloyd_fixed(
     once per consumer branch.  The returned assignment's lineage is one
     scan → broadcast-centroid join → argmin agg, re-derivable per action
     without re-running training.
+
+    Two caveats the caller owns (ADVICE r9):
+
+    - EAGER: the ``collect`` runs the whole training job at
+      DataFrame-CONSTRUCTION time, so a registry query built on this is
+      not lazy — plan-only tooling (explain/schema inspection) pays full
+      training cost.  Accepted trade for the cache-leak/replan fix; keep
+      plan-inspection passes away from these query fns.
+    - The collect/broadcast is bounded ONLY because ``k`` is: assignment
+      is O(N·k) distances against a k-row broadcast, so callers must cap
+      k at a constant (the semantic family's ``SEM_K_MAX``) — a
+      data-derived uncapped k re-creates the quadratic driver-side.
     """
     vecs = vectors.select(
         F.col(id_col).alias("vid"), micro_fixed(F.col(vec_col), scale).alias("v")

@@ -1059,19 +1059,34 @@ QUERIES["emb_sq_topk"] = (sq_topk_query, _sq_sql())
 # ---------------------------------------------------------------------------
 
 SEM_TARGET_CELL = 25  # target members per trained cell: K = max(8, N // 25)
+SEM_K_MAX = 4096  # hard ceiling on the trained cell count (see _sem_k)
 SEM_CELLS_ITERS = 2
 SEM_SQDIST_MAX = 1_100_000_000_000  # micro² L2 ≈ cosine ≥ 0.45 at unit norm
 SEM_CELL_CAP = 200  # shard guard: a cell beyond this splits into vid-modulo shards
 
 
 def _sem_k(n_vectors: int) -> int:
-    """Corpus-derived cell count for the semantic family: constant TARGET
-    members per cell, so the within-cell pair budget is LINEAR in the
-    corpus (K·(N/K)² = N·TARGET when balanced), never the O((N/K)²·K) =
-    O(N²/K) blow-up a FIXED K gives (VERDICT r8: SEM_CELLS_K=8 made the
-    family all-pairs/8 at scale).  Mirrored verbatim by the oracle's ``kp``
-    CTE — GREATEST(8, COUNT(*) // TARGET)."""
-    return max(8, n_vectors // SEM_TARGET_CELL)
+    """Corpus-derived cell count for the semantic family, CAPPED.
+
+    Derived term: constant TARGET members per cell keeps the within-cell
+    pair budget LINEAR in the corpus (K·(N/K)² = N·TARGET when balanced),
+    never the O(N²/K) blow-up a FIXED K gives (VERDICT r8: SEM_CELLS_K=8
+    made the family all-pairs/8 at scale).
+
+    Cap term (VERDICT r9 task 3): Lloyd ASSIGNMENT is inherently O(N·K)
+    distance evaluations with a K-row broadcast, so an UNcapped K = N/25
+    moves the quadratic into training (O(N²/25)) and scales the "bounded"
+    centroid collect/broadcast with the data (40M rows at 10⁹ vectors).
+    ``SEM_K_MAX`` bounds both: assignment is O(N·SEM_K_MAX) — one corpus
+    scan against a ≤4096-row ≈ 2 MB broadcast — and the per-cell shard
+    guard in :func:`_semantic_pairs` keeps the pair budget at
+    ≤ N·SEM_CELL_CAP/2 under the larger cells a capped K produces (the
+    guard is exactly what makes a capped K pair-safe).  Above the cap the
+    knobs to re-balance are SEM_K_MAX / SEM_CELL_CAP, not the formula.
+
+    Mirrored verbatim by the oracle's ``kp`` CTE —
+    LEAST(GREATEST(8, COUNT(*) // TARGET), SEM_K_MAX)."""
+    return min(max(8, n_vectors // SEM_TARGET_CELL), SEM_K_MAX)
 
 
 def _semantic_pairs(assign: DataFrame, vecs: DataFrame) -> DataFrame:
@@ -1134,13 +1149,15 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding_cosine_pairs`` (sign-LSH buckets): k-means cells
     adapt to the data's density where fixed hyperplanes can't.
 
-    Scale shape: K is CORPUS-DERIVED (``_sem_k`` — constant target cell
-    size), so the within-cell candidate budget is ≈ N·TARGET/2, linear in
-    the corpus; the per-cell shard guard in :func:`_semantic_pairs` caps it
-    at N·SEM_CELL_CAP/2 under ANY cell skew (r8's fixed K=8 made this
-    family O(N²/8) — VERDICT r9 task 2).  Training is the bounded Lloyd
-    loop (broadcast assign + k×dim-bounded update shuffle) with the
-    centroids driver-materialized and the training cache released; recall
+    Scale shape: K is CORPUS-DERIVED AND CAPPED (``_sem_k`` — constant
+    target cell size up to SEM_K_MAX), so the within-cell candidate budget
+    is ≈ N·TARGET/2 below the cap and ≤ N·SEM_CELL_CAP/2 above it (the
+    shard guard in :func:`_semantic_pairs` bounds it under ANY cell skew —
+    r8's fixed K=8 made this family O(N²/8), r9's uncapped K=N/25 moved
+    the quadratic into Lloyd assignment; VERDICT r9 task 3).  Training is
+    the bounded Lloyd loop — assignment O(N·SEM_K_MAX) against a ≤4096-row
+    broadcast, update shuffle ≤ K×dim rows — with the centroids
+    driver-materialized and the training cache released; recall
     misses only pairs straddling a cell (or, when the guard fires, shard)
     boundary — the documented SemDeDup trade, surfaced in-band by the
     cell_pop/n_shards columns."""
@@ -1152,8 +1169,9 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_cte_chain_rt(iters: int) -> list[str]:
     """The unrolled Lloyd CTE list with a RUNTIME-derived cell count (the
-    semantic family's K = max(8, N // TARGET), computed by the ``kp`` CTE
-    from the same corpus the chain trains on — mirroring ``_sem_k``):
+    semantic family's K = min(max(8, N // TARGET), SEM_K_MAX), computed by
+    the ``kp`` CTE from the same corpus the chain trains on — mirroring
+    ``_sem_k``):
     vecs, kp, c0 (seeds = the k lowest-id vectors), a{n}/u{n}/c{n} per
     iteration.  The argmin uses a struct-MIN (lexicographic, ties to the
     lowest cid — DuckDB and Spark agree) instead of the fixed chain's
@@ -1167,7 +1185,7 @@ def _kmeans_cte_chain_rt(iters: int) -> list[str]:
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{S}) AS BIGINT)) AS v
   FROM embeddings
 )""",
-        f"kp AS (SELECT GREATEST(8, COUNT(*) // {SEM_TARGET_CELL}) AS k FROM vecs)",
+        f"kp AS (SELECT LEAST(GREATEST(8, COUNT(*) // {SEM_TARGET_CELL}), {SEM_K_MAX}) AS k FROM vecs)",
         """c0 AS (
   SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS c
   FROM (SELECT v, row_number() OVER (ORDER BY vid) AS rn FROM vecs)

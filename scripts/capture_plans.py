@@ -67,9 +67,9 @@ ADJUDICATED = {
     ("evt_key_skew_topk", "SinglePartitionWindow"): "rank window over the ≤20-row TakeOrderedAndProject survivors",
     ("evt_funnel_counts", "SinglePartitionWindow"): "lag window over the 3-row per-stage union (bounded by the funnel length)",
     ("emb_sq_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors",
-    ("dedup_semantic_cells", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table",
-    ("dedup_semantic_keep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast 8-row trained centroid table",
-    ("emb_balanced_sample", _BNLJ): "Lloyd assignment: corpus × broadcast 8-row trained centroid table (shared by the cell and pair stages)",
+    ("dedup_semantic_cells", _BNLJ): "Lloyd assignment: corpus × broadcast derived-K centroid table, K = min(max(8, N/25), SEM_K_MAX=4096) — ≤4096 rows by construction (r10 cap)",
+    ("dedup_semantic_keep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table",
+    ("emb_balanced_sample", _BNLJ): "Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table (shared by the cell and pair stages)",
     ("emb_ivfsq_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (SQ scoring is the cell equi-join)",
 }
 

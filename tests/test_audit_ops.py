@@ -586,6 +586,20 @@ def test_kmeans_family_queries_leave_no_cached_frames(spark):
     assert cm.isEmpty() == was_empty, "a kmeans-family query pinned a DataFrame cache"
 
 
+def test_sem_k_derived_and_capped():
+    """_sem_k keeps a constant target cell size (pair budget linear in N)
+    but never exceeds SEM_K_MAX: Lloyd assignment is O(N·K) distances
+    against a K-row broadcast, so an uncapped K = N/25 is O(N²/25) with a
+    data-scaled broadcast (VERDICT r9 task 3).  Floor, derived region, and
+    cap region — and the oracle's kp CTE mirrors all three."""
+    from block_crawler_spark.plans.embed_ops import SEM_K_MAX, SEM_TARGET_CELL, _sem_k
+
+    assert _sem_k(0) == 8 and _sem_k(100) == 8  # floor
+    assert _sem_k(2_000) == 2_000 // SEM_TARGET_CELL  # derived region
+    assert _sem_k(10**9) == SEM_K_MAX  # cap region
+    assert _sem_k(SEM_K_MAX * SEM_TARGET_CELL + 1) == SEM_K_MAX  # boundary
+
+
 def test_semantic_pair_shard_guard_fires_on_skew(spark):
     """A cell whose population exceeds SEM_CELL_CAP is split into
     vid-modulo shards: every emitted pair stays within one shard (so the
