@@ -108,41 +108,59 @@ HEADLINE = [
     "emb_ivfsq_topk",
     "dedup_rate_by_source",
     "doc_length_percentiles",
+    # round 10: the r9-added tail (previously untrended — VERDICT r9 task 1)
+    # and the round's two new queries
+    "emb_rp_topk",
+    "emb_prefix_topk",
+    "doc_zipf_bucket_hist",
+    "doc_token_fertility",
+    "doc_contamination_by_bench",
+    "doc_quality_calibration",
+    "doc_unigram_surprisal",
 ]
 
 
 def _last_round_timings() -> dict[str, float]:
-    """Per-query seconds from the newest available record: the committed
-    ``bench_telemetry.json`` sidecar first (the only per-query store since
-    r9 — the final stdout line is deliberately compact), then historical
-    BENCH_r*.json records (≤ r8 carried the queries dict); {} when none
-    parses."""
+    """Per-query seconds from the NEWEST available record by mtime — the
+    ``bench_telemetry.json`` sidecar (the only per-query store since r9 —
+    the final stdout line is deliberately compact) and the historical
+    BENCH_r*.json records (≤ r8 carried the queries dict) compete on file
+    age, so a stale committed sidecar never shadows a fresher driver
+    record (ADVICE r9); {} when none parses."""
     import glob
 
-    try:
-        with open(os.path.join(_REPO, "bench_telemetry.json")) as f:
-            q = json.load(f).get("queries")
-        if isinstance(q, dict) and q:
-            return {k: float(v) for k, v in q.items()}
-    except (OSError, ValueError):
-        pass
-    for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")), reverse=True):
+    def _q_or_none(path: str) -> dict[str, float] | None:
+        with open(path) as f:
+            rec = json.load(f)
+        # driver records wrap our JSON line: check 'parsed', then the
+        # top level, then the last JSON-looking line captured in 'tail'
+        for cand in (rec.get("parsed") if isinstance(rec, dict) else None, rec):
+            if isinstance(cand, dict) and isinstance(cand.get("queries"), dict) and cand["queries"]:
+                return {k: float(v) for k, v in cand["queries"].items()}
+        tail = rec.get("tail", "") if isinstance(rec, dict) else ""
+        i = tail.rfind('{"metric"')
+        if i >= 0:
+            q = json.loads(tail[i:].splitlines()[0]).get("queries")
+            if isinstance(q, dict) and q:
+                return {k: float(v) for k, v in q.items()}
+        return None
+
+    paths = [os.path.join(_REPO, "bench_telemetry.json")] + glob.glob(
+        os.path.join(_REPO, "BENCH_r*.json")
+    )
+    dated = []
+    for p in paths:
         try:
-            with open(path) as f:
-                rec = json.load(f)
-            # driver records wrap our JSON line: check 'parsed', then the
-            # top level, then the last JSON-looking line captured in 'tail'
-            for cand in (rec.get("parsed"), rec):
-                if isinstance(cand, dict) and isinstance(cand.get("queries"), dict) and cand["queries"]:
-                    return {k: float(v) for k, v in cand["queries"].items()}
-            tail = rec.get("tail", "")
-            i = tail.rfind('{"metric"')
-            if i >= 0:
-                q = json.loads(tail[i:].splitlines()[0]).get("queries")
-                if isinstance(q, dict) and q:
-                    return {k: float(v) for k, v in q.items()}
-        except (OSError, ValueError):
+            dated.append((os.path.getmtime(p), p))
+        except OSError:
             continue
+    for _, path in sorted(dated, reverse=True):
+        try:
+            q = _q_or_none(path)
+        except (OSError, ValueError, TypeError):  # TypeError: float(non-scalar)
+            continue
+        if q:
+            return q
     return {}
 
 

@@ -19,69 +19,72 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # query ADDED OR CHANGED in a round must sit inside the prefix that round
 # (ADVICE r6: new code gets verified the round it lands, not rounds later).
 # Round 5 fronted the LLM-pipeline families; round 6 the relational tail;
-# round 7 embed_ops + text/pack; round 8 its 31 additions.  Round 9 fronts
-# ``_FRONT``: every query ADDED this round, then every query whose
-# implementation changed (the semantic family over the derived-K sharded
-# pair stage; the Lloyd-trainer consumers over the driver-materialized
-# centroids; the residual-PQ pair over the validated trainer), then the
-# LONGEST-UNSAMPLED relational tail — the r6-era tpch/agg/join/evt/nft
-# legacy queries, none of which has had a driver row since r6 (VERDICT r9
-# task 5) — to fill the 50-query sample.  The judge's independent
-# full-registry oracle re-run is the backstop covering the rest.
+# round 7 embed_ops + text/pack; round 8 its 31 additions; round 9 the
+# semantic/trainer changes + the r6-era relational tail.  Round 10 fronts
+# ``_FRONT``: FIRST the five queries ADDED in the r9 snapshot commit with
+# no driver row yet (the VERDICT r9 evidence-chain gap), then the two
+# queries ADDED this round, then the semantic family (CHANGED this round:
+# SEM_K_MAX cap), then the LONGEST-UNSAMPLED block — the r7-era
+# text/dedup/pack/media/emb tail, none of which has had a driver row since
+# r7 — topped up with r8-era rows to fill the 50-query sample.  The
+# judge's independent full-registry oracle re-run is the backstop covering
+# the rest.
 _FRONT = (
-    # -- changed in r9 (semantic derived-K + shard guard; Lloyd trainer
-    #    materialization; pq train_sample validation) --
+    # -- added in r9, zero driver evidence until now (VERDICT r10 task 1) --
+    "emb_rp_topk",
+    "emb_prefix_topk",
+    "doc_zipf_bucket_hist",
+    "doc_token_fertility",
+    "doc_contamination_by_bench",
+    # -- added in r10 --
+    "doc_quality_calibration",
+    "doc_unigram_surprisal",
+    # -- changed in r10 (SEM_K_MAX cap on the derived cell count) --
     "dedup_semantic_cells",
     "dedup_semantic_keep",
     "emb_balanced_sample",
-    "emb_kmeans_stats",
-    "emb_ivf_trained_topk",
-    "emb_ivfpq_residual_trained",
-    "emb_ivfpq_residual_topk",
-    # -- longest-unsampled relational tail (last driver rows: r6) --
-    "tpch_q2_cheapest_part_per_size",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority_semi",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_conditional",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_brand_supplier_counts",
-    "tpch_q18_big_orders_having",
-    "tpch_q19_disjunctive_quantities",
-    "tpch_q22_rich_idle_customers",
-    "agg_orders_monthly",
-    "agg_rollup_region_nation",
-    "join_anti_customers_without_orders",
-    "join_part_brand_revenue",
-    "join_asof_last_signup",
-    "join_range_ship_windows",
-    "evt_classify_route",
-    "evt_salted_type_totals",
-    "evt_value_rank",
-    "evt_value_median",
-    "evt_outliers_mad",
-    "evt_value_percentiles",
-    "evt_pivot_type_counts",
-    "evt_token_state_fold",
-    "evt_latest_by_version",
-    "evt_json_balances",
-    "evt_window_hourly",
-    "evt_full_outer_reconcile",
-    "evt_sessionize",
-    "nft_token_state_from_lineitem",
-    "nft_owners_from_lineitem",
-    "nft_transfers_decode_from_lineitem",
-    "nft_1155_balances_from_events",
-    "nft_holding_stats",
-    "nft_uint256_clamp_policy",
-    "emb_topk_cosine",
-    "emb_ivf_topk",
-    "emb_knn_join",
-    "emb_lsh_buckets",
-    "dedup_embedding_cosine_pairs",
-    "emb_ivf_cell_balance",
+    # -- longest-unsampled tail (last driver rows: r7) --
+    "doc_token_stats",
+    "doc_winnow_fingerprint",
+    "doc_kmv_distinct",
+    "dedup_minhash_keep",
+    "dedup_connected_components",
+    "dedup_char_ngram_jaccard",
+    "doc_quality_ppm",
+    "doc_repetition_ppm",
+    "doc_stratified_sample",
+    "doc_top_tokens",
+    "doc_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_pii_stats",
+    "doc_decontaminate",
+    "doc_shuffle_shards",
+    "doc_bpe_token_stats",
+    "doc_bpe_pair_freqs",
+    "doc_source_overlap",
+    "doc_quality_hist_by_source",
+    "dedup_containment_pairs",
+    "doc_chunk_stats",
+    "doc_chunk_dup_stats",
+    "doc_pack_sequences",
+    "doc_pack_sequences_bpe",
+    "doc_mixture_plan",
+    "media_binary_features",
+    "media_near_dup_pairs",
+    "media_frame_stats",
+    "emb_label_dim_sums",
+    "emb_norm_stats",
+    # -- r8-era top-up (last driver rows: r8) --
+    "tx_sender_gas_stats",
+    "tx_creations_by_block_bucket",
+    "doc_curation_pipeline",
+    "doc_quality_budget_cut",
+    "evt_funnel_latency",
+    "emb_sq_topk",
+    "emb_power_topdim",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

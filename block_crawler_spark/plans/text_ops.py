@@ -2541,3 +2541,148 @@ QUERIES["doc_contamination_by_bench"] = (
     contamination_by_bench_query,
     _contamination_by_bench_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration (lift table) and unigram-LM surprisal screen
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier CALIBRATION: the (score-decile × source) lift
+    table — for every decile of the shared quality_ppm formula, each
+    source's share of that decile divided by its corpus-wide base rate, in
+    ppm.  lift > 1e6 means the classifier over-selects that source at that
+    score band; a flat-lift classifier is source-neutral and its threshold
+    moves token mixture the way ``doc_mixture_plan`` assumes — the check a
+    curation pipeline runs BEFORE trusting a quality cut (the classifier
+    may be a proxy for source, not quality).
+
+    All ratios stay in bounded ppm space (share_ppm and base_ppm are each
+    ≤ 1e6, lift multiplies ppm × 1e6 ≤ 1e12) so the integer math never
+    outgrows int64 at ANY corpus size — a direct n_docs·n_total product
+    would overflow at ~1e12 documents.
+
+    Scale shape: ONE corpus scan into the (decile, source) hash-agg
+    (≤ 11·|sources| rows), which is driver-materialized (bounded by
+    construction) because FOUR downstream branches re-aggregate it — live
+    lineage would re-run the corpus scan once per branch (the r8
+    lazy-subtree double-execution class).  Everything after the first agg
+    is constant-sized."""
+    scored = with_quality_ppm(load_table(spark, sf_dir, "documents"))
+    bs = (
+        scored.select("source", F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile"))
+        .groupBy("decile", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    bs = spark.createDataFrame(bs.collect(), bs.schema)  # ≤ 11·|sources| rows
+    per_decile = bs.groupBy("decile").agg(F.sum("n_docs").alias("n_decile"))
+    per_source = bs.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    total = bs.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        bs.join(per_decile, "decile")
+        .join(per_source, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "source",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV n_decile AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(n_source * 1000000 DIV n_total AS BIGINT)").alias("base_ppm"),
+            F.expr(
+                "CAST((n_docs * 1000000 DIV n_decile) * 1000000 DIV "
+                "(n_source * 1000000 DIV n_total) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def _quality_calibration_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({_EN}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '{PUNCT_PATTERN_SQL}', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), ppm AS (
+  SELECT source,
+         CAST(n_stop * 1000000 // n_tok AS BIGINT) AS stop_ppm,
+         CAST(n_punct * 1000000 // n_chars AS BIGINT) AS punct_ppm,
+         least(CAST(n_tok AS BIGINT) * 10000, 1000000) AS len_term_ppm
+  FROM base
+), q AS (
+  SELECT source,
+         CAST((4 * len_term_ppm + 4 * stop_ppm + 2 * (1000000 - punct_ppm)) // 10 // 100000 AS BIGINT) AS decile
+  FROM ppm
+), bs AS (
+  SELECT decile, source, CAST(count(*) AS BIGINT) AS n_docs FROM q GROUP BY decile, source
+), pd AS (SELECT decile, SUM(n_docs) AS n_decile FROM bs GROUP BY decile),
+ps AS (SELECT source, SUM(n_docs) AS n_source FROM bs GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS n_total FROM bs)
+SELECT bs.decile, bs.source, bs.n_docs,
+       CAST(bs.n_docs * 1000000 // pd.n_decile AS BIGINT) AS share_ppm,
+       CAST(ps.n_source * 1000000 // tot.n_total AS BIGINT) AS base_ppm,
+       CAST((bs.n_docs * 1000000 // pd.n_decile) * 1000000 //
+            (ps.n_source * 1000000 // tot.n_total) AS BIGINT) AS lift_ppm
+FROM bs JOIN pd USING (decile) JOIN ps USING (source), tot
+"""
+
+
+QUERIES["doc_quality_calibration"] = (quality_calibration_query, _quality_calibration_sql())
+
+
+def unigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal screen per source: train the simplest LM the
+    corpus itself defines (unigram frequencies), score every token
+    occurrence by its INTEGER surprisal — bitlen(T ÷ freq) =
+    ⌊log2(T/freq)⌋ + 1 bits, the dyadic surrogate for −log2 p(token) that
+    both engines compute bit-identically via ``length(bin(·))`` (no float
+    log) — and report each source's mean bits-per-token in milli-bits.
+    Low mean = template/boilerplate-heavy slice (mass on corpus-common
+    tokens); high mean = rare-token-heavy slice (OCR noise, code, non-text)
+    — the perplexity-style screen run next to ``doc_token_fertility``
+    before spending training budget on a source.
+
+    Scale shape: explode → vocabulary-bounded frequency agg; the 1-row
+    total broadcast; scoring is the corpus-occurrence ⋈ vocabulary
+    equi-join on token (collision cost only, the TF-IDF shape); final agg
+    is ≤ |sources| keys.  Nothing after the frequency agg exceeds the
+    occurrence stream it consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("t"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("bits", F.length(F.bin(F.expr("t DIV n"))).cast("long"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("bits").alias("sum_bits"),
+        F.expr("CAST(sum(bits) * 1000 DIV count(*) AS BIGINT)").alias("mean_surprisal_mbits"),
+    )
+
+
+def _unigram_surprisal_sql() -> str:
+    return r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT SUM(n) AS t FROM freq),
+scored AS (
+  SELECT tok.source, CAST(length(bin(tot.t // freq.n)) AS BIGINT) AS bits
+  FROM tok JOIN freq USING (token), tot
+)
+SELECT source, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mean_surprisal_mbits
+FROM scored GROUP BY source
+"""
+
+
+QUERIES["doc_unigram_surprisal"] = (unigram_surprisal_query, _unigram_surprisal_sql())

@@ -261,6 +261,56 @@ def main() -> int:
             "recall_l2": recall_vs(sq_ivf, truth_l2),
             "cost": round(nprobe / 16, 4),
         }
+    # round 10: the two TRAINING-FREE corners (VERDICT r9 — shape-only until
+    # measured) — JL random projection (emb_rp_topk's 16-sign-projection
+    # layout) and prefix truncation (emb_prefix_topk's first-16-dims layout)
+    # vs exact integer L2, multi-query grid.  Expect LOW recall on this
+    # corpus: isotropic unit-norm vectors have no low-dim structure, so
+    # these are shortlist baselines, not final rankings.
+    from block_crawler_spark.plans.embed_ops import PREFIX_DIMS, RP_PROJ, _rp_signs  # noqa: E402
+
+    proj_cols = []
+    for p in range(RP_PROJ):
+        arr = "array(" + ",".join(f"{s}L" for s in _rp_signs(p)) + ")"
+        proj_cols.append(
+            F.expr(f"aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").alias(f"y{p}")
+        )
+    sk = vm.select("c_id", *proj_cols)
+    qsk = sk.filter(F.col("c_id") < args.queries).select(
+        F.col("c_id").alias("q_id"), *[F.col(f"y{p}").alias(f"qy{p}") for p in range(RP_PROJ)]
+    )
+    d_rp = None
+    for p in range(RP_PROJ):
+        t = F.col(f"y{p}") - F.col(f"qy{p}")
+        d_rp = t * t if d_rp is None else d_rp + t * t
+    rp = (
+        qsk.crossJoin(sk)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", d_rp)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= args.k)
+    )
+    out["rp"] = {
+        "recall_l2": recall_vs(rp, truth_l2),
+        "recall_cos": recall_vs(rp, truth),
+        "bytes_frac": round(RP_PROJ * 8 / (4 * 64), 4),  # 16 int64 vs 64 float32
+    }
+    pre_c = vm.select("c_id", F.slice(F.col("v"), 1, PREFIX_DIMS).alias("pv"))
+    pre_q = pre_c.filter(F.col("c_id") < args.queries).select(
+        F.col("c_id").alias("q_id"), F.col("pv").alias("qpv")
+    )
+    pre = (
+        pre_q.crossJoin(pre_c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", int_sqdist(F.col("qpv"), F.col("pv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= args.k)
+    )
+    out["prefix"] = {
+        "recall_l2": recall_vs(pre, truth_l2),
+        "recall_cos": recall_vs(pre, truth),
+        "bytes_frac": round(PREFIX_DIMS / 64, 4),
+    }
     print(json.dumps(out))
     return 0
 

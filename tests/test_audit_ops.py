@@ -384,10 +384,14 @@ def test_minhash_family_queries_leave_no_cached_frames(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = cm.isEmpty()
+    # start from a provably empty cache: `isEmpty() == was_empty` is vacuous
+    # when another test left entries behind (ADVICE r9) — a leak here would
+    # pass as long as the cache was already non-empty
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
     for fn in (minhash_pairs_query, minhash_est_error_query, pair_pagerank_query):
         fn(spark, SF).collect()
-    assert cm.isEmpty() == was_empty, "a registry query pinned a DataFrame cache"
+    assert cm.isEmpty(), "a registry query pinned a DataFrame cache"
 
 
 def test_sliding_window_is_sum_of_its_tumbling_halves(spark):
@@ -580,10 +584,12 @@ def test_kmeans_family_queries_leave_no_cached_frames(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = cm.isEmpty()
+    # provably-empty start (ADVICE r9 — see the minhash leak test above)
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
     for fn in (kmeans_stats_query, semantic_cells_query, balanced_sample_query):
         fn(spark, SF).collect()
-    assert cm.isEmpty() == was_empty, "a kmeans-family query pinned a DataFrame cache"
+    assert cm.isEmpty(), "a kmeans-family query pinned a DataFrame cache"
 
 
 def test_sem_k_derived_and_capped():
