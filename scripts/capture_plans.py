@@ -71,6 +71,10 @@ ADJUDICATED = {
     ("dedup_semantic_keep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table",
     ("emb_balanced_sample", _BNLJ): "Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table (shared by the cell and pair stages)",
     ("emb_ivfsq_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (SQ scoring is the cell equi-join)",
+    ("emb_rp_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors (emb_sq_topk's class)",
+    ("emb_prefix_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors (emb_sq_topk's class)",
+    ("doc_quality_calibration", _BNLJ): "1-row total-docs broadcast onto the ≤11·|sources|-row driver-materialized lift table (base-rate denominator)",
+    ("doc_unigram_surprisal", _BNLJ): "1-row total-token broadcast (the surprisal reference T) onto the occurrence stream",
 }
 
 
