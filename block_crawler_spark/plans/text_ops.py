@@ -2590,9 +2590,11 @@ def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.expr("CAST(n_docs * 1000000 DIV n_decile AS BIGINT)").alias("share_ppm"),
             F.expr("CAST(n_source * 1000000 DIV n_total AS BIGINT)").alias("base_ppm"),
+            # GREATEST(base, 1): a source under 1-ppm corpus share floors
+            # base_ppm to 0 — DuckDB // would error, Spark DIV would NULL
             F.expr(
                 "CAST((n_docs * 1000000 DIV n_decile) * 1000000 DIV "
-                "(n_source * 1000000 DIV n_total) AS BIGINT)"
+                "greatest(n_source * 1000000 DIV n_total, 1) AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )
@@ -2626,7 +2628,7 @@ SELECT bs.decile, bs.source, bs.n_docs,
        CAST(bs.n_docs * 1000000 // pd.n_decile AS BIGINT) AS share_ppm,
        CAST(ps.n_source * 1000000 // tot.n_total AS BIGINT) AS base_ppm,
        CAST((bs.n_docs * 1000000 // pd.n_decile) * 1000000 //
-            (ps.n_source * 1000000 // tot.n_total) AS BIGINT) AS lift_ppm
+            GREATEST(ps.n_source * 1000000 // tot.n_total, 1) AS BIGINT) AS lift_ppm
 FROM bs JOIN pd USING (decile) JOIN ps USING (source), tot
 """
 

@@ -157,7 +157,7 @@ def test_quality_calibration_is_a_closed_lift_table(spark):
     for r in rows:
         by_decile.setdefault(r["decile"], []).append(r["share_ppm"])
         base_by_source.setdefault(r["source"], set()).add(r["base_ppm"])
-        assert r["lift_ppm"] == r["share_ppm"] * 1_000_000 // r["base_ppm"]
+        assert r["lift_ppm"] == r["share_ppm"] * 1_000_000 // max(r["base_ppm"], 1)
     for decile, shares in by_decile.items():
         assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000
     for source, bases in base_by_source.items():
