@@ -3,6 +3,15 @@
 Keys are stable operator names (SURVEY §2 families + beyond-parity ops);
 values are (spark_fn, duckdb_sql | None).  ``None`` SQL ⇒ the driver records
 a weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
+
+NOT all query fns are lazy (ADVICE r9): the iterative/trained families
+(`emb_kmeans_stats`, `emb_ivf_trained_topk`, the `dedup_semantic_*` /
+`emb_balanced_sample` trio, `emb_power_topdim`, the trained-PQ pair) and
+the bounded-frame materializers (`doc_quality_calibration`) run Spark jobs
+at DataFrame-CONSTRUCTION time — the deliberate collect/recreate discipline
+that keeps lazily-returned lineage bounded and the CacheManager empty.
+Plan-only tooling that calls these fns (scripts/capture_plans.py) pays
+their full training cost per invocation.
 """
 
 from __future__ import annotations
