@@ -121,13 +121,21 @@ HEADLINE = [
 
 
 def _last_round_timings() -> dict[str, float]:
-    """Per-query seconds from the NEWEST available record by mtime — the
-    ``bench_telemetry.json`` sidecar (the only per-query store since r9 —
-    the final stdout line is deliberately compact) and the historical
-    BENCH_r*.json records (≤ r8 carried the queries dict) compete on file
-    age, so a stale committed sidecar never shadows a fresher driver
-    record (ADVICE r9); {} when none parses."""
+    """Per-query seconds for the outlier re-run baseline.
+
+    The ``bench_telemetry.json`` sidecar wins when it parses: it is
+    REWRITTEN by every bench run (including the driver's per-round run),
+    so its content is always the most recent completed run's timings — it
+    cannot be staler than any per-query data a BENCH_r*.json holds.  The
+    r9-advice alternative (mtime competition) was tried and rejected in
+    r10 review: r9+ driver records carry NO per-query dict (their captured
+    tail truncates the telemetry line's head), and in a fresh clone every
+    file shares checkout mtime — so mtime order could only ever promote an
+    ANCIENT (≤ r8) record's timings over the sidecar's.  Fallback, for
+    clones without a sidecar: BENCH_r*.json by round number descending.
+    {} when nothing parses."""
     import glob
+    import re as _re
 
     def _q_or_none(path: str) -> dict[str, float] | None:
         with open(path) as f:
@@ -145,16 +153,12 @@ def _last_round_timings() -> dict[str, float]:
                 return {k: float(v) for k, v in q.items()}
         return None
 
-    paths = [os.path.join(_REPO, "bench_telemetry.json")] + glob.glob(
-        os.path.join(_REPO, "BENCH_r*.json")
-    )
-    dated = []
-    for p in paths:
-        try:
-            dated.append((os.path.getmtime(p), p))
-        except OSError:
-            continue
-    for _, path in sorted(dated, reverse=True):
+    def _round_no(path: str) -> int:
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    bench_records = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")), key=_round_no, reverse=True)
+    for path in [os.path.join(_REPO, "bench_telemetry.json")] + bench_records:
         try:
             q = _q_or_none(path)
         except (OSError, ValueError, TypeError):  # TypeError: float(non-scalar)

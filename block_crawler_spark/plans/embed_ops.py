@@ -1632,6 +1632,25 @@ def _rp_signs(p: int, dim: int = _KM_DIM) -> list[int]:
     ]
 
 
+def rp_proj_cols(vec_col: str = "v") -> tuple[list, list[list[int]]]:
+    """(projection Columns y0..y{RP_PROJ-1}, sign rows) over a micro-fixed
+    int64 array column — the ONE definition of the JL sketch layout, shared
+    by :func:`rp_topk_query` and the recall probe in scripts/ann_recall.py
+    so the published recall numbers can never drift from the registry
+    query's actual sketch (r10 review)."""
+    proj_cols, signs_all = [], []
+    for p in range(RP_PROJ):
+        signs = _rp_signs(p)
+        signs_all.append(signs)
+        arr = "array(" + ",".join(f"{s}L" for s in signs) + ")"
+        proj_cols.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+            ).alias(f"y{p}")
+        )
+    return proj_cols, signs_all
+
+
 def rp_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed random-projection (Johnson–Lindenstrauss) top-k: every vector
     is sketched to RP_PROJ int64 projections y_p = Σ_d micro(x_d)·s_pd with
@@ -1651,17 +1670,7 @@ def rp_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
-    proj_cols = []
-    signs_all = []
-    for p in range(RP_PROJ):
-        signs = _rp_signs(p)
-        signs_all.append(signs)
-        arr = "array(" + ",".join(f"{s}L" for s in signs) + ")"
-        proj_cols.append(
-            F.expr(f"aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").alias(
-                f"y{p}"
-            )
-        )
+    proj_cols, signs_all = rp_proj_cols("v")
     yc = vecs.select("vec_id", *proj_cols)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     qm = [math.floor(float(x) * 1_000_000) for x in q]

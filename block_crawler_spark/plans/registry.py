@@ -7,7 +7,8 @@ a weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
 NOT all query fns are lazy (ADVICE r9): the iterative/trained families
 (`emb_kmeans_stats`, `emb_ivf_trained_topk`, the `dedup_semantic_*` /
 `emb_balanced_sample` trio, `emb_power_topdim`, the trained-PQ pair) and
-the bounded-frame materializers (`doc_quality_calibration`) run Spark jobs
+the bounded-frame materializers (`doc_quality_calibration`,
+`doc_unigram_surprisal`) run Spark jobs
 at DataFrame-CONSTRUCTION time — the deliberate collect/recreate discipline
 that keeps lazily-returned lineage bounded and the CacheManager empty.
 Plan-only tooling that calls these fns (scripts/capture_plans.py) pays

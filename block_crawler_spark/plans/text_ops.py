@@ -2648,19 +2648,21 @@ def unigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the perplexity-style screen run next to ``doc_token_fertility``
     before spending training budget on a source.
 
-    Scale shape: explode → vocabulary-bounded frequency agg; the 1-row
-    total broadcast; scoring is the corpus-occurrence ⋈ vocabulary
-    equi-join on token (collision cost only, the TF-IDF shape); final agg
-    is ≤ |sources| keys.  Nothing after the frequency agg exceeds the
-    occurrence stream it consumes."""
+    Scale shape: explode → vocabulary-bounded frequency agg; scoring is
+    the corpus-occurrence ⋈ vocabulary equi-join on token (collision cost
+    only, the TF-IDF shape); final agg is ≤ |sources| keys.  The 1-row
+    total T is DRIVER-MATERIALIZED and inlined as a literal (the
+    bounded-frame idiom): left in-plan it fans the freq subtree into two
+    branches, re-running the vocabulary agg and adding a third corpus scan
+    per action (the r8 lazy-subtree double-execution class — caught by the
+    r10 plan-capture review).  Eager like the trained families: the total
+    runs at construction time."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
-    total = freq.agg(F.sum("n").alias("t"))
-    scored = (
-        tok.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .withColumn("bits", F.length(F.bin(F.expr("t DIV n"))).cast("long"))
+    t = int(freq.agg(F.sum("n")).head()[0])
+    scored = tok.join(freq, "token").withColumn(
+        "bits", F.length(F.bin(F.expr(f"{t} DIV n"))).cast("long")
     )
     return scored.groupBy("source").agg(
         F.count("*").alias("n_tokens"),

@@ -267,14 +267,9 @@ def main() -> int:
     # vs exact integer L2, multi-query grid.  Expect LOW recall on this
     # corpus: isotropic unit-norm vectors have no low-dim structure, so
     # these are shortlist baselines, not final rankings.
-    from block_crawler_spark.plans.embed_ops import PREFIX_DIMS, RP_PROJ, _rp_signs  # noqa: E402
+    from block_crawler_spark.plans.embed_ops import PREFIX_DIMS, RP_PROJ, rp_proj_cols  # noqa: E402
 
-    proj_cols = []
-    for p in range(RP_PROJ):
-        arr = "array(" + ",".join(f"{s}L" for s in _rp_signs(p)) + ")"
-        proj_cols.append(
-            F.expr(f"aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").alias(f"y{p}")
-        )
+    proj_cols, _ = rp_proj_cols("v")  # the registry query's exact sketch layout
     sk = vm.select("c_id", *proj_cols)
     qsk = sk.filter(F.col("c_id") < args.queries).select(
         F.col("c_id").alias("q_id"), *[F.col(f"y{p}").alias(f"qy{p}") for p in range(RP_PROJ)]
