@@ -117,6 +117,8 @@ HEADLINE = [
     "doc_contamination_by_bench",
     "doc_quality_calibration",
     "doc_unigram_surprisal",
+    "doc_pack_attention_waste",
+    "dedup_threshold_sweep",
 ]
 
 

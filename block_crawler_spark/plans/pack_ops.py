@@ -408,6 +408,63 @@ GROUP BY shard
 """
 
 
+def pack_attention_waste_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention waste of the packed layout (round 10):
+    without document masking, a transformer attends across every token
+    pair inside a packed sequence, so a bin holding docs of sizes
+    n₁..n_k spends T² − Σnᵢ² of its T² attention pairs on CROSS-document
+    positions — pure contamination (and wasted FLOPs under masking).  Per
+    shard: bin count, total/cross pair sums, and waste ppm — the number
+    that decides whether this corpus needs doc-masked attention or
+    best-fit (length-grouped) packing instead of concat-and-split.
+    Complements ``doc_pack_fill_stats``: fill measures PAD waste, this
+    measures ATTENTION waste; the two are the complete packing-cost story.
+
+    Scale shape: the shared :func:`assign_bins` window (one hash-by-shard
+    shuffle + per-shard cumsum), then two bounded hash-aggs — (shard, bin)
+    keys carrying Σn and Σn², then ≤PACK_SHARDS keys.  Integer bounds:
+    T ≤ SEQ_LEN + one doc tail, so T² and the per-shard sums sit far under
+    int64 at any corpus size (the sums grow with bin COUNT, linear)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
+    bins = assign_bins(per).groupBy("shard", "bin_id").agg(
+        F.sum("n_tok").alias("t"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).alias("s2"),
+    )
+    return bins.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("total_pairs"),
+        F.sum(F.col("t") * F.col("t") - F.col("s2")).cast("long").alias("cross_pairs"),
+        F.expr("CAST(sum(t * t - s2) * 1000000 DIV sum(t * t) AS BIGINT)").alias("waste_ppm"),
+    )
+
+
+PACK_ATTENTION_SQL = f"""
+WITH per AS (
+  SELECT doc_id,
+         {_n_tok_sql("ws")} AS n_tok,
+         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM per
+), bins AS (
+  SELECT shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
+         CAST(sum(n_tok) AS BIGINT) AS t,
+         CAST(sum(n_tok * n_tok) AS BIGINT) AS s2
+  FROM cum GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(t * t) AS BIGINT) AS total_pairs,
+       CAST(sum(t * t - s2) AS BIGINT) AS cross_pairs,
+       CAST(sum(t * t - s2) * 1000000 // sum(t * t) AS BIGINT) AS waste_ppm
+FROM bins
+GROUP BY shard
+"""
+
+
 QUERIES = {
     "doc_chunk_stats": (chunk_stats_query, CHUNK_SQL),
     "doc_chunk_dup_stats": (chunk_dup_stats_query, CHUNK_DUP_SQL),
@@ -415,4 +472,5 @@ QUERIES = {
     "doc_pack_sequences_bpe": (_pack_sequences_bpe_query, _pack_sql("bpe")),
     "doc_mixture_plan": (mixture_plan_query, MIXTURE_SQL),
     "doc_pack_fill_stats": (pack_fill_stats_query, PACK_FILL_SQL),
+    "doc_pack_attention_waste": (pack_attention_waste_query, PACK_ATTENTION_SQL),
 }

@@ -49,6 +49,8 @@ _FRONT = (
     # -- added in r10 --
     "doc_quality_calibration",
     "doc_unigram_surprisal",
+    "doc_pack_attention_waste",
+    "dedup_threshold_sweep",
     # -- changed in r10 (SEM_K_MAX cap on the derived cell count) --
     "dedup_semantic_cells",
     "dedup_semantic_keep",
@@ -93,8 +95,6 @@ _FRONT = (
     "doc_curation_pipeline",
     "doc_quality_budget_cut",
     "evt_funnel_latency",
-    "emb_sq_topk",
-    "emb_power_topdim",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

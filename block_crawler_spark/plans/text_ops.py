@@ -2690,3 +2690,60 @@ FROM scored GROUP BY source
 
 
 QUERIES["doc_unigram_surprisal"] = (unigram_surprisal_query, _unigram_surprisal_sql())
+
+
+def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep (round 10): every LSH candidate
+    pair's EXACT Jaccard dropped into a decile bucket, with the count per
+    bucket and the cumulative pairs at-or-above each decile — the curve a
+    curator reads to place the dedup cut (``JACCARD_PPM_THRESHOLD``)
+    before committing to it: a cliff between deciles means the corpus
+    separates cleanly into dup/non-dup; smooth mass means the threshold
+    moves real volume and deserves a manual sample.  Same candidate and
+    exact-verify stages as ``dedup_minhash_lsh_pairs`` (one banding
+    definition), WITHOUT the threshold filter.
+
+    Scale shape: the band-bucket equi-join prices candidates at collision
+    cost; the sweep adds one ≤11-key agg and a cumulative window over
+    those ≤11 rows (bounded by the ppm domain, never corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
+    cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    sh = sigs.select("doc_id", "shingles")
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) * 1000000 DIV "
+                "size(array_union(sh_a, sh_b)) AS BIGINT)"
+            ),
+        )
+    )
+    hist = (
+        j.select(F.expr("CAST(jaccard_ppm DIV 100000 AS BIGINT)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    return hist.withColumn("cum_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long"))
+
+
+def _threshold_sweep_sql() -> str:
+    return f"""
+WITH {_minhash_cand_ctes()}, pairs AS (
+  SELECT CAST((CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000000 //
+               len(list_distinct(list_concat(x.sh, y.sh)))) // 100000 AS BIGINT) AS decile
+  FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b
+), hist AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY decile
+)
+SELECT decile, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pairs_at_or_above
+FROM hist
+"""
+
+
+QUERIES["dedup_threshold_sweep"] = (dedup_threshold_sweep_query, _threshold_sweep_sql())

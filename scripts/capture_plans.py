@@ -74,6 +74,7 @@ ADJUDICATED = {
     ("emb_rp_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors (emb_sq_topk's class)",
     ("emb_prefix_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors (emb_sq_topk's class)",
     ("doc_quality_calibration", _BNLJ): "1-row total-docs broadcast onto the ≤11·|sources|-row driver-materialized lift table (base-rate denominator)",
+    ("dedup_threshold_sweep", "SinglePartitionWindow"): "cumulative window over the ≤11-row jaccard-decile histogram (the budget-cut cumsum class)",
 }
 
 

@@ -164,6 +164,71 @@ def test_quality_calibration_is_a_closed_lift_table(spark):
         assert len(bases) == 1, "a source's base rate is decile-independent"
 
 
+def test_pack_attention_waste_matches_per_bin_recompute(spark):
+    """The shard-level pair algebra (Σ over bins of T² and T² − Σnᵢ²)
+    equals a direct per-bin recompute from the shared assign_bins frame,
+    and the waste sits in (0, 1e6): a bin with ≥2 docs has both within-
+    and cross-document pairs."""
+    from block_crawler_spark.plans.pack_ops import (
+        assign_bins,
+        n_tok_col,
+        pack_attention_waste_query,
+        pack_shard,
+    )
+
+    rows = {r["shard"]: r for r in pack_attention_waste_query(spark, SF).collect()}
+    per = load_table(spark, SF, "documents").select(
+        "doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard")
+    )
+    binned = assign_bins(per).collect()
+    bins: dict = {}
+    for r in binned:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tok"])
+    expect: dict = {}
+    for (shard, _), toks in bins.items():
+        t = sum(toks)
+        e = expect.setdefault(shard, {"n_bins": 0, "total": 0, "cross": 0})
+        e["n_bins"] += 1
+        e["total"] += t * t
+        e["cross"] += t * t - sum(n * n for n in toks)
+    assert set(rows) == set(expect)
+    for shard, e in expect.items():
+        r = rows[shard]
+        assert (r["n_bins"], r["total_pairs"], r["cross_pairs"]) == (
+            e["n_bins"],
+            e["total"],
+            e["cross"],
+        )
+        assert r["waste_ppm"] == e["cross"] * 1_000_000 // e["total"]
+        assert 0 < r["waste_ppm"] < 1_000_000
+
+
+def test_threshold_sweep_consistent_with_thresholded_pairs(spark):
+    """The sweep's cumulative at-or-above count at the registry threshold's
+    decile equals the thresholded pair query's row count (same banding,
+    same exact Jaccard), buckets partition the candidate set, and the
+    cumulative column is the suffix sum of the histogram."""
+    from block_crawler_spark.plans.text_ops import (
+        JACCARD_PPM_THRESHOLD,
+        dedup_threshold_sweep_query,
+        minhash_pairs_query,
+    )
+
+    rows = sorted(dedup_threshold_sweep_query(spark, SF).collect(), key=lambda r: -r["decile"])
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r["n_pairs"]
+        assert r["cum_pairs_at_or_above"] == cum
+    n_at_threshold = minhash_pairs_query(spark, SF).count()
+    cut_decile = JACCARD_PPM_THRESHOLD // 100_000
+    assert JACCARD_PPM_THRESHOLD == cut_decile * 100_000, (
+        "the identity below assumes the registry threshold is decile-aligned"
+    )
+    at_or_above = sum(r["n_pairs"] for r in rows if r["decile"] >= cut_decile)
+    assert at_or_above == n_at_threshold
+
+
 def test_unigram_surprisal_bounds_and_mean(spark):
     from block_crawler_spark.functions.text import tokens
     from block_crawler_spark.plans.text_ops import unigram_surprisal_query
