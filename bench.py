@@ -119,6 +119,7 @@ HEADLINE = [
     "doc_unigram_surprisal",
     "doc_pack_attention_waste",
     "dedup_threshold_sweep",
+    "doc_pack_sorted_fill_stats",
 ]
 
 

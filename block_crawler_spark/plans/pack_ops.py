@@ -191,14 +191,18 @@ GROUP BY ch.doc_id
 # concat-and-split sequence packing
 # ---------------------------------------------------------------------------
 
-def assign_bins(per: DataFrame, seq_len: int = SEQ_LEN_TOK) -> DataFrame:
+def assign_bins(per: DataFrame, seq_len: int = SEQ_LEN_TOK, by_length: bool = False) -> DataFrame:
     """The packing rule, once: given a frame with (doc_id, n_tok, shard),
-    append ``cum`` (within-shard running token total, doc_id order) and
-    ``bin_id`` (the cut the document STARTS in).  Shared by
-    ``doc_pack_sequences`` and the composed pipeline's ``packed_docs`` —
-    the CLI manifest equals the registry output only while this is the
-    single definition of the bin math."""
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    append ``cum`` (within-shard running token total) and ``bin_id`` (the
+    cut the document STARTS in).  Shared by ``doc_pack_sequences`` and the
+    composed pipeline's ``packed_docs`` — the CLI manifest equals the
+    registry output only while this is the single definition of the bin
+    math.  Tape order is doc_id (replayable default); ``by_length`` lays
+    the tape longest-doc-first (n_tok DESC, doc_id tiebreak) — the
+    distributed approximation of length-grouped packing that
+    ``doc_pack_sorted_fill_stats`` compares against."""
+    order = [F.desc("n_tok"), F.asc("doc_id")] if by_length else [F.asc("doc_id")]
+    w = Window.partitionBy("shard").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return per.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
         "bin_id", F.expr(f"(cum - n_tok) div {seq_len}")
     )
@@ -465,6 +469,66 @@ GROUP BY shard
 """
 
 
+def pack_sorted_fill_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate audit of the LENGTH-SORTED packing layout (round 10):
+    the same concat-and-split tape, laid longest-doc-first within each
+    shard (the distributed stand-in for length-grouped / best-fit packing
+    — true FFD is inherently sequential, but a sorted tape already puts
+    same-length docs adjacent so late bins hold small docs and straddle
+    less).  Emits the same per-shard fill columns as
+    ``doc_pack_fill_stats`` so the two layouts diff row-for-row: the
+    decision between replayable doc_id order and lower-overflow sorted
+    order is a measured trade, not a guess.
+
+    Scale shape: identical to the unsorted audit — one hash-by-shard
+    shuffle, per-shard window cumsum (the sort is WITHIN the shard
+    partition, the operator's semantics, not a corpus-wide range
+    shuffle), two bounded hash-aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
+    bins = assign_bins(per, by_length=True).groupBy("shard", "bin_id").agg(
+        F.sum("n_tok").alias("bin_tok")
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("bin_tok").cast("long").alias("tok_sum"),
+            F.expr(f"CAST(sum(bin_tok) * 1000000 DIV (count(*) * {SEQ_LEN_TOK}) AS BIGINT)").alias(
+                "mean_fill_ppm"
+            ),
+            F.min("bin_tok").cast("long").alias("min_bin_tok"),
+            F.max("bin_tok").cast("long").alias("max_bin_tok"),
+        )
+    )
+
+
+PACK_SORTED_FILL_SQL = f"""
+WITH per AS (
+  SELECT doc_id,
+         {_n_tok_sql("ws")} AS n_tok,
+         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM per
+), bins AS (
+  SELECT shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
+         CAST(sum(n_tok) AS BIGINT) AS bin_tok
+  FROM cum GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(bin_tok) AS BIGINT) AS tok_sum,
+       CAST(sum(bin_tok) * 1000000 // (count(*) * {SEQ_LEN_TOK}) AS BIGINT) AS mean_fill_ppm,
+       CAST(min(bin_tok) AS BIGINT) AS min_bin_tok,
+       CAST(max(bin_tok) AS BIGINT) AS max_bin_tok
+FROM bins
+GROUP BY shard
+"""
+
+
 QUERIES = {
     "doc_chunk_stats": (chunk_stats_query, CHUNK_SQL),
     "doc_chunk_dup_stats": (chunk_dup_stats_query, CHUNK_DUP_SQL),
@@ -473,4 +537,5 @@ QUERIES = {
     "doc_mixture_plan": (mixture_plan_query, MIXTURE_SQL),
     "doc_pack_fill_stats": (pack_fill_stats_query, PACK_FILL_SQL),
     "doc_pack_attention_waste": (pack_attention_waste_query, PACK_ATTENTION_SQL),
+    "doc_pack_sorted_fill_stats": (pack_sorted_fill_stats_query, PACK_SORTED_FILL_SQL),
 }

@@ -51,6 +51,7 @@ _FRONT = (
     "doc_unigram_surprisal",
     "doc_pack_attention_waste",
     "dedup_threshold_sweep",
+    "doc_pack_sorted_fill_stats",
     # -- changed in r10 (SEM_K_MAX cap on the derived cell count) --
     "dedup_semantic_cells",
     "dedup_semantic_keep",
@@ -94,7 +95,6 @@ _FRONT = (
     "tx_creations_by_block_bucket",
     "doc_curation_pipeline",
     "doc_quality_budget_cut",
-    "evt_funnel_latency",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -229,6 +229,39 @@ def test_threshold_sweep_consistent_with_thresholded_pairs(spark):
     assert at_or_above == n_at_threshold
 
 
+def test_sorted_packing_conserves_tokens_and_bounds_overflow(spark):
+    """The length-sorted tape packs the SAME tokens (per-shard tok_sum
+    equal to the doc_id-order layout), and in BOTH layouts a bin's
+    overflow past SEQ_LEN is bounded by one document's tail
+    (bin_tok < SEQ_LEN + max doc length in its shard) — the
+    doc-starts-here rule's theorem, layout-independent."""
+    from block_crawler_spark.plans.pack_ops import (
+        SEQ_LEN_TOK,
+        n_tok_col,
+        pack_fill_stats_query,
+        pack_shard,
+        pack_sorted_fill_stats_query,
+    )
+
+    unsorted = {r["shard"]: r for r in pack_fill_stats_query(spark, SF).collect()}
+    by_len = {r["shard"]: r for r in pack_sorted_fill_stats_query(spark, SF).collect()}
+    assert set(unsorted) == set(by_len)
+    max_doc = {
+        r["shard"]: r["m"]
+        for r in load_table(spark, SF, "documents")
+        .select(n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
+        .groupBy("shard")
+        .agg(F.max("n_tok").alias("m"))
+        .collect()
+    }
+    for shard, u in unsorted.items():
+        s = by_len[shard]
+        assert s["tok_sum"] == u["tok_sum"], "a layout change must not create or drop tokens"
+        for r in (u, s):
+            assert r["max_bin_tok"] < SEQ_LEN_TOK + max_doc[shard]
+            assert 0 < r["min_bin_tok"] <= r["max_bin_tok"]
+
+
 def test_unigram_surprisal_bounds_and_mean(spark):
     from block_crawler_spark.functions.text import tokens
     from block_crawler_spark.plans.text_ops import unigram_surprisal_query
