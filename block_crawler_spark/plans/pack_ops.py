@@ -228,18 +228,28 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str, n_tok_mode: str = "ws
     )
 
 
-def _pack_sql(n_tok_mode: str = "ws") -> str:
-    return f"""
-WITH per AS (
+def _pack_cum_cte(n_tok_mode: str = "ws", order_sql: str = "doc_id") -> str:
+    """The per→cum CTE preamble (shard hash + within-shard window cumsum) —
+    the SQL twin of :func:`assign_bins` and, like it, the ONE definition of
+    the bin math (r10 review: four hand-copies had accumulated; text_ops
+    solved the same drift class with ``_minhash_cand_ctes``).  ``order_sql``
+    is the tape order — ``doc_id`` (default) or the length-sorted
+    ``n_tok DESC, doc_id``."""
+    return f"""per AS (
   SELECT doc_id,
          {_n_tok_sql(n_tok_mode)} AS n_tok,
          CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
   FROM documents
 ), cum AS (
   SELECT doc_id, n_tok, shard,
-         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY {order_sql} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM per
-)
+)"""
+
+
+def _pack_sql(n_tok_mode: str = "ws") -> str:
+    return f"""
+WITH {_pack_cum_cte(n_tok_mode)}
 SELECT shard,
        CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -357,7 +367,7 @@ def _pack_sequences_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_query(spark, sf_dir, n_tok_mode="bpe")
 
 
-def pack_fill_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_fill_stats_query(spark: SparkSession, sf_dir: str, by_length: bool = False) -> DataFrame:
     """Packing-efficiency audit per shard: how full the cut bins actually
     are.  Padding waste is a direct training cost (every under-filled
     sequence burns compute on pad tokens), so the pipeline needs the
@@ -366,12 +376,19 @@ def pack_fill_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-starts-where-it-begins rule lets a bin overflow by one document's
     tail, so max > 1e6 ppm is expected and quantified here, not a bug).
 
+    ``by_length`` audits the LENGTH-SORTED tape instead (same columns, the
+    :func:`assign_bins` flag) so the two layouts diff row-for-row — the
+    replayable-order vs low-overflow trade measured, not guessed.
+
     Scale shape: reuses the packing window (one hash-by-shard shuffle +
-    per-shard cumsum), then two bounded hash-aggs — (shard, bin) keys, then
-    shard keys.  All ppm fields are BIGINT fixed-point."""
+    per-shard cumsum — the sort is WITHIN the shard partition, never a
+    corpus-wide range shuffle), then two bounded hash-aggs — (shard, bin)
+    keys, then shard keys.  All ppm fields are BIGINT fixed-point."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
-    bins = assign_bins(per).groupBy("shard", "bin_id").agg(F.sum("n_tok").alias("bin_tok"))
+    bins = assign_bins(per, by_length=by_length).groupBy("shard", "bin_id").agg(
+        F.sum("n_tok").alias("bin_tok")
+    )
     return (
         bins.groupBy("shard")
         .agg(
@@ -386,17 +403,10 @@ def pack_fill_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_FILL_SQL = f"""
-WITH per AS (
-  SELECT doc_id,
-         {_n_tok_sql("ws")} AS n_tok,
-         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
-  FROM documents
-), cum AS (
-  SELECT doc_id, n_tok, shard,
-         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-  FROM per
-), bins AS (
+def _pack_fill_sql(by_length: bool = False) -> str:
+    order_sql = "n_tok DESC, doc_id" if by_length else "doc_id"
+    return f"""
+WITH {_pack_cum_cte("ws", order_sql)}, bins AS (
   SELECT shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
          CAST(sum(n_tok) AS BIGINT) AS bin_tok
   FROM cum GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
@@ -410,6 +420,9 @@ SELECT shard,
 FROM bins
 GROUP BY shard
 """
+
+
+PACK_FILL_SQL = _pack_fill_sql()
 
 
 def pack_attention_waste_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,16 +457,7 @@ def pack_attention_waste_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_ATTENTION_SQL = f"""
-WITH per AS (
-  SELECT doc_id,
-         {_n_tok_sql("ws")} AS n_tok,
-         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
-  FROM documents
-), cum AS (
-  SELECT doc_id, n_tok, shard,
-         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-  FROM per
-), bins AS (
+WITH {_pack_cum_cte("ws")}, bins AS (
   SELECT shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
          CAST(sum(n_tok) AS BIGINT) AS t,
          CAST(sum(n_tok * n_tok) AS BIGINT) AS s2
@@ -470,63 +474,17 @@ GROUP BY shard
 
 
 def pack_sorted_fill_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fill-rate audit of the LENGTH-SORTED packing layout (round 10):
-    the same concat-and-split tape, laid longest-doc-first within each
-    shard (the distributed stand-in for length-grouped / best-fit packing
-    — true FFD is inherently sequential, but a sorted tape already puts
+    """Fill-rate audit of the LENGTH-SORTED packing layout (round 10) —
+    :func:`pack_fill_stats_query` with ``by_length=True`` (the
+    ``_pack_sequences_bpe_query`` wrapper pattern): longest-doc-first per
+    shard, the distributed stand-in for length-grouped / best-fit packing
+    (true FFD is inherently sequential; a sorted tape already puts
     same-length docs adjacent so late bins hold small docs and straddle
-    less).  Emits the same per-shard fill columns as
-    ``doc_pack_fill_stats`` so the two layouts diff row-for-row: the
-    decision between replayable doc_id order and lower-overflow sorted
-    order is a measured trade, not a guess.
-
-    Scale shape: identical to the unsorted audit — one hash-by-shard
-    shuffle, per-shard window cumsum (the sort is WITHIN the shard
-    partition, the operator's semantics, not a corpus-wide range
-    shuffle), two bounded hash-aggs."""
-    docs = load_table(spark, sf_dir, "documents")
-    per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
-    bins = assign_bins(per, by_length=True).groupBy("shard", "bin_id").agg(
-        F.sum("n_tok").alias("bin_tok")
-    )
-    return (
-        bins.groupBy("shard")
-        .agg(
-            F.count("*").cast("long").alias("n_bins"),
-            F.sum("bin_tok").cast("long").alias("tok_sum"),
-            F.expr(f"CAST(sum(bin_tok) * 1000000 DIV (count(*) * {SEQ_LEN_TOK}) AS BIGINT)").alias(
-                "mean_fill_ppm"
-            ),
-            F.min("bin_tok").cast("long").alias("min_bin_tok"),
-            F.max("bin_tok").cast("long").alias("max_bin_tok"),
-        )
-    )
+    less).  Same columns as ``doc_pack_fill_stats`` by construction."""
+    return pack_fill_stats_query(spark, sf_dir, by_length=True)
 
 
-PACK_SORTED_FILL_SQL = f"""
-WITH per AS (
-  SELECT doc_id,
-         {_n_tok_sql("ws")} AS n_tok,
-         CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
-  FROM documents
-), cum AS (
-  SELECT doc_id, n_tok, shard,
-         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-  FROM per
-), bins AS (
-  SELECT shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT) AS bin_id,
-         CAST(sum(n_tok) AS BIGINT) AS bin_tok
-  FROM cum GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
-)
-SELECT shard,
-       CAST(count(*) AS BIGINT) AS n_bins,
-       CAST(sum(bin_tok) AS BIGINT) AS tok_sum,
-       CAST(sum(bin_tok) * 1000000 // (count(*) * {SEQ_LEN_TOK}) AS BIGINT) AS mean_fill_ppm,
-       CAST(min(bin_tok) AS BIGINT) AS min_bin_tok,
-       CAST(max(bin_tok) AS BIGINT) AS max_bin_tok
-FROM bins
-GROUP BY shard
-"""
+PACK_SORTED_FILL_SQL = _pack_fill_sql(by_length=True)
 
 
 QUERIES = {

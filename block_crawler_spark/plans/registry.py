@@ -32,7 +32,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # round 7 embed_ops + text/pack; round 8 its 31 additions; round 9 the
 # semantic/trainer changes + the r6-era relational tail.  Round 10 fronts
 # ``_FRONT``: FIRST the five queries ADDED in the r9 snapshot commit with
-# no driver row yet (the VERDICT r9 evidence-chain gap), then the two
+# no driver row yet (the VERDICT r9 evidence-chain gap), then the five
 # queries ADDED this round, then the semantic family (CHANGED this round:
 # SEM_K_MAX cap), then the LONGEST-UNSAMPLED block — the r7-era
 # text/dedup/pack/media/emb tail, none of which has had a driver row since

@@ -193,21 +193,33 @@ FROM documents GROUP BY 1
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------
 
-def minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the EXACT shingle Jaccard — the ONE
+    definition of the banding + exact-verify stage, shared by
+    ``dedup_minhash_lsh_pairs`` (thresholded) and ``dedup_threshold_sweep``
+    (the full curve) so the two can never band or score differently (the
+    r10 review caught the sweep's first hand-copy dropping the int64 cast
+    on ``size()`` — a latent int32 overflow past ~2148 shared shingles).
+
+    materialize=False on the signatures: a lazily-returned registry query
+    can never unpersist, so a cache() here would pin one frame per
+    invocation (the pq_train_codebook leak class) — pay the shingle
+    recompute instead."""
     docs = load_table(spark, sf_dir, "documents")
-    # materialize=False: a lazily-returned registry query can never
-    # unpersist, so a cache() here would pin one frame per invocation (the
-    # pq_train_codebook leak class) — pay the shingle recompute instead
     sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
     cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sh = sigs.select("doc_id", "shingles")
-    j = (
+    return (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
         .withColumn("jaccard_ppm", F.expr("CAST(inter * 1000000 DIV uni AS BIGINT)"))
     )
+
+
+def minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _exact_jaccard_pairs(spark, sf_dir)
     return j.filter(F.col("jaccard_ppm") >= JACCARD_PPM_THRESHOLD).select(
         "id_a", "id_b", "inter", "uni", "jaccard_ppm"
     )
@@ -2706,23 +2718,9 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the band-bucket equi-join prices candidates at collision
     cost; the sweep adds one ≤11-key agg and a cumulative window over
     those ≤11 rows (bounded by the ppm domain, never corpus-sized)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_k=SHINGLE_K, materialize=False)
-    cands = minhash_lsh_candidates(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
-    sh = sigs.select("doc_id", "shingles")
-    j = (
-        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard_ppm",
-            F.expr(
-                "CAST(size(array_intersect(sh_a, sh_b)) * 1000000 DIV "
-                "size(array_union(sh_a, sh_b)) AS BIGINT)"
-            ),
-        )
-    )
     hist = (
-        j.select(F.expr("CAST(jaccard_ppm DIV 100000 AS BIGINT)").alias("decile"))
+        _exact_jaccard_pairs(spark, sf_dir)
+        .select(F.expr("CAST(jaccard_ppm DIV 100000 AS BIGINT)").alias("decile"))
         .groupBy("decile")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )

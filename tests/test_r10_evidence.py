@@ -1,5 +1,5 @@
 """Evidence tests for the five r9-added queries (shipped without any —
-VERDICT r9 task 1) and the two r10 additions.
+VERDICT r9 task 1) and the five r10 additions.
 
 emb_rp_topk / emb_prefix_topk get the recall-vs-brute characterization
 their docstrings promise: on this corpus (isotropic unit-norm synthetic
