@@ -109,7 +109,7 @@ HEADLINE = [
     "dedup_rate_by_source",
     "doc_length_percentiles",
     # round 10: the r9-added tail (previously untrended — VERDICT r9 task 1)
-    # and the round's five new queries
+    # and the round's seven new queries
     "emb_rp_topk",
     "emb_prefix_topk",
     "doc_zipf_bucket_hist",
@@ -120,6 +120,8 @@ HEADLINE = [
     "doc_pack_attention_waste",
     "dedup_threshold_sweep",
     "doc_pack_sorted_fill_stats",
+    "emb_centroid_outliers",
+    "evt_rate_spikes",
 ]
 
 

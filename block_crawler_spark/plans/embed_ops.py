@@ -1775,3 +1775,81 @@ FROM scored ORDER BY prefix_dist ASC, vec_id ASC LIMIT {TOPK_K}
 
 
 QUERIES["emb_prefix_topk"] = (prefix_topk_query, _prefix_sql())
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier screen: distance-to-centroid flags (round 10)
+# ---------------------------------------------------------------------------
+
+OUTLIER_CELLS = 16
+OUTLIER_MULT = 2  # flag a vector whose sqdist exceeds MULT × its cell's mean
+
+
+def centroid_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER screen: train the 16-cell fixed-point Lloyd
+    index and flag every vector whose squared distance to its own centroid
+    exceeds ``OUTLIER_MULT`` × the cell's mean — the cheap
+    mislabeled/corrupt-vector detector curation pipelines run before
+    trusting an embedding column (an encoder glitch, a wrong-modality row,
+    or truncated text lands far from any cell it joins).  Per-cell report:
+    member count, mean squared distance, outlier count and rate in ppm —
+    cell-keyed so a single bad SOURCE shows up as one hot cell rather than
+    diluting a corpus-wide rate.
+
+    Scale shape: one shared Lloyd train (driver-materialized centroids,
+    K=16 constant); the per-cell (sum, count) agg is collected (≤16 rows —
+    the bounded-frame idiom, so the flag pass joins a broadcast instead of
+    re-planning the assignment subtree); the flag pass is one corpus scan
+    → broadcast join → ≤16-key agg.  The flag compares against the
+    TRUNCATED mean (sum DIV n, identical both engines) rather than
+    dist·n > MULT·sum — the product form overflows int64 once n grows
+    past ~3·10⁴ cells of micro² distances."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_lloyd_fixed(emb, k=OUTLIER_CELLS, iters=KMEANS_ITERS)
+    cell = assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.sum("dist").alias("sum_dist")
+    )
+    cell = spark.createDataFrame(cell.collect(), cell.schema)  # ≤16 rows
+    flagged = assign.join(F.broadcast(cell), "cid").withColumn(
+        "is_out", F.expr(f"dist > {OUTLIER_MULT} * (sum_dist DIV n_members)")
+    )
+    return flagged.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.expr("CAST(sum(dist) DIV count(*) AS BIGINT)").alias("mean_sqdist"),
+        F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+        F.expr("CAST(sum(CAST(is_out AS BIGINT)) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "outlier_ppm"
+        ),
+    ).select(F.col("cid").cast("long").alias("cluster"), "n_members", "mean_sqdist", "n_outliers", "outlier_ppm")
+
+
+def _centroid_outliers_sql() -> str:
+    K, ITERS, M = OUTLIER_CELLS, KMEANS_ITERS, OUTLIER_MULT
+    D = _KM_DIM
+    dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    parts = _kmeans_cte_chain(K, ITERS)
+    parts.append(
+        f"""af AS (
+  SELECT vid, CAST(MIN(d*{K}+cid) % {K} AS BIGINT) AS cid, CAST(MIN(d*{K}+cid) // {K} AS BIGINT) AS dist
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{ITERS}) GROUP BY vid
+)"""
+    )
+    parts.append(
+        "cell AS (SELECT cid, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS sum_dist FROM af GROUP BY cid)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT af.cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(cell.sum_dist // cell.n_members) AS BIGINT) AS mean_sqdist,
+       CAST(SUM(CASE WHEN af.dist > {M} * (cell.sum_dist // cell.n_members) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN af.dist > {M} * (cell.sum_dist // cell.n_members) THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+FROM af JOIN cell USING (cid)
+GROUP BY af.cid
+"""
+    )
+
+
+QUERIES["emb_centroid_outliers"] = (centroid_outliers_query, _centroid_outliers_sql())

@@ -1017,3 +1017,66 @@ GROUP BY CUBE (event_type, wd)
 
 
 QUERIES["evt_cube_type_day"] = (cube_type_day, CUBE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Event-rate spike detection: trailing-baseline anomaly screen (round 10)
+# ---------------------------------------------------------------------------
+
+SPIKE_TRAIL = 24  # trailing OBSERVED hours in the baseline frame
+SPIKE_WARMUP = 12  # minimum trailing hours before a spike can be called
+SPIKE_MULT = 3  # spike: count > MULT × trailing mean
+
+
+def rate_spikes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate SPIKE screen: per (event_type, hour), the count against a
+    trailing baseline of the previous ``SPIKE_TRAIL`` observed hourly
+    buckets — flagged when the hour runs ``SPIKE_MULT``× over the trailing
+    mean with at least ``SPIKE_WARMUP`` hours of history (no flag during
+    cold start).  The monitoring query an ingest pipeline runs over its
+    own event stream: a bot burst, a replayed feed, or a collector bug
+    shows up as a spike long before it distorts downstream aggregates.
+    The comparison is the integer cross-multiplication
+    ``n · trail_n > MULT · trail_sum`` — exact, no mean rounding at all.
+
+    ROWS (not RANGE) framing is deliberate: the baseline is the previous
+    24 OBSERVED buckets, so a silent gap doesn't thin the baseline —
+    identical semantics on both engines.
+
+    Scale shape: one (type, hour)-keyed hash agg (map-side partials) —
+    output \\|types\\|·\\|hours\\| rows, tiny next to the event stream — then a
+    per-type ordered window over that bounded frame (partitionBy type ⇒
+    hash exchange on the type key, never a single-partition sort)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-SPIKE_TRAIL, -1)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("trail_sum"),
+        F.count("n").over(w).cast("long").alias("trail_n"),
+    ).withColumn(
+        "is_spike",
+        F.expr(f"trail_n >= {SPIKE_WARMUP} AND n * trail_n > {SPIKE_MULT} * trail_sum"),
+    )
+
+
+RATE_SPIKES_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trail_sum,
+       CAST(COUNT(n) OVER w AS BIGINT) AS trail_n,
+       (COUNT(n) OVER w >= {SPIKE_WARMUP}
+        AND n * COUNT(n) OVER w > {SPIKE_MULT} * COALESCE(SUM(n) OVER w, 0)) AS is_spike
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN {SPIKE_TRAIL} PRECEDING AND 1 PRECEDING)
+"""
+
+
+QUERIES["evt_rate_spikes"] = (rate_spikes_query, RATE_SPIKES_SQL)

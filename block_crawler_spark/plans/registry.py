@@ -5,8 +5,9 @@ values are (spark_fn, duckdb_sql | None).  ``None`` SQL ⇒ the driver records
 a weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
 
 NOT all query fns are lazy (ADVICE r9): the iterative/trained families
-(`emb_kmeans_stats`, `emb_ivf_trained_topk`, the `dedup_semantic_*` /
-`emb_balanced_sample` trio, `emb_power_topdim`, the trained-PQ pair) and
+(`emb_kmeans_stats`, `emb_ivf_trained_topk`, `emb_centroid_outliers`, the
+`dedup_semantic_*` / `emb_balanced_sample` trio, `emb_power_topdim`, the
+trained-PQ pair) and
 the bounded-frame materializers (`doc_quality_calibration`,
 `doc_unigram_surprisal`) run Spark jobs
 at DataFrame-CONSTRUCTION time — the deliberate collect/recreate discipline
@@ -32,7 +33,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # round 7 embed_ops + text/pack; round 8 its 31 additions; round 9 the
 # semantic/trainer changes + the r6-era relational tail.  Round 10 fronts
 # ``_FRONT``: FIRST the five queries ADDED in the r9 snapshot commit with
-# no driver row yet (the VERDICT r9 evidence-chain gap), then the five
+# no driver row yet (the VERDICT r9 evidence-chain gap), then the seven
 # queries ADDED this round, then the semantic family (CHANGED this round:
 # SEM_K_MAX cap), then the LONGEST-UNSAMPLED block — the r7-era
 # text/dedup/pack/media/emb tail, none of which has had a driver row since
@@ -52,6 +53,8 @@ _FRONT = (
     "doc_pack_attention_waste",
     "dedup_threshold_sweep",
     "doc_pack_sorted_fill_stats",
+    "emb_centroid_outliers",
+    "evt_rate_spikes",
     # -- changed in r10 (SEM_K_MAX cap on the derived cell count) --
     "dedup_semantic_cells",
     "dedup_semantic_keep",
@@ -93,8 +96,6 @@ _FRONT = (
     # -- r8-era top-up (last driver rows: r8) --
     "tx_sender_gas_stats",
     "tx_creations_by_block_bucket",
-    "doc_curation_pipeline",
-    "doc_quality_budget_cut",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -1,5 +1,5 @@
 """Evidence tests for the five r9-added queries (shipped without any —
-VERDICT r9 task 1) and the five r10 additions.
+VERDICT r9 task 1) and the seven r10 additions.
 
 emb_rp_topk / emb_prefix_topk get the recall-vs-brute characterization
 their docstrings promise: on this corpus (isotropic unit-norm synthetic
@@ -260,6 +260,66 @@ def test_sorted_packing_conserves_tokens_and_bounds_overflow(spark):
         for r in (u, s):
             assert r["max_bin_tok"] < SEQ_LEN_TOK + max_doc[shard]
             assert 0 < r["min_bin_tok"] <= r["max_bin_tok"]
+
+
+def test_centroid_outliers_is_a_closed_per_cell_report(spark):
+    """Per-cell members sum to the corpus, mean is the truncated per-cell
+    mean of the shared assignment's distances, and the outlier flag is
+    exactly dist > 2×mean — recomputed driver-side from the same
+    kmeans_lloyd_fixed assignment the query consumes."""
+    from block_crawler_spark.operators.ann import kmeans_lloyd_fixed
+    from block_crawler_spark.plans.embed_ops import (
+        KMEANS_ITERS,
+        OUTLIER_CELLS,
+        OUTLIER_MULT,
+        centroid_outliers_query,
+    )
+
+    rows = {r["cluster"]: r for r in centroid_outliers_query(spark, SF).collect()}
+    emb = load_table(spark, SF, "embeddings")
+    assign, _ = kmeans_lloyd_fixed(emb, k=OUTLIER_CELLS, iters=KMEANS_ITERS)
+    by_cell: dict = {}
+    for r in assign.collect():
+        by_cell.setdefault(r["cid"], []).append(r["dist"])
+    assert sum(r["n_members"] for r in rows.values()) == emb.count()
+    assert set(rows) == set(by_cell)
+    for cid, dists in by_cell.items():
+        r = rows[cid]
+        mean = sum(dists) // len(dists)
+        n_out = sum(1 for d in dists if d > OUTLIER_MULT * mean)
+        assert r["n_members"] == len(dists)
+        assert r["mean_sqdist"] == mean
+        assert r["n_outliers"] == n_out
+        assert r["outlier_ppm"] == n_out * 1_000_000 // len(dists)
+
+
+def test_rate_spikes_flag_rule_and_warmup(spark):
+    """The spike flag equals the integer cross-multiplication rule against
+    a driver-side trailing recompute (previous ≤24 OBSERVED buckets), and
+    no row inside the warmup can be flagged."""
+    from block_crawler_spark.plans.events_ops import (
+        SPIKE_MULT,
+        SPIKE_TRAIL,
+        SPIKE_WARMUP,
+        rate_spikes_query,
+    )
+
+    rows = rate_spikes_query(spark, SF).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour"])
+        ns = [r["n"] for r in series]
+        for i, r in enumerate(series):
+            trail = ns[max(0, i - SPIKE_TRAIL) : i]
+            assert r["trail_n"] == len(trail)
+            assert r["trail_sum"] == sum(trail)
+            expect = len(trail) >= SPIKE_WARMUP and r["n"] * len(trail) > SPIKE_MULT * sum(trail)
+            assert r["is_spike"] == expect
+            if i < SPIKE_WARMUP:
+                assert not r["is_spike"], "cold start must never flag"
 
 
 def test_unigram_surprisal_bounds_and_mean(spark):
