@@ -367,6 +367,36 @@ def _pack_sequences_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_query(spark, sf_dir, n_tok_mode="bpe")
 
 
+def fill_ppm_expr() -> F.Column:
+    """Mean-fill ppm over the grouped bins frame, overflow-free: the token
+    sum is widened to DECIMAL(38,0) BEFORE the ×1e6 scale, because
+    ``sum(bin_tok) * 1000000`` as int64 overflows once a shard holds
+    ≳9.2e12 tokens (~37 TB of text at 4 B/token with the committed 8
+    shards) — under Spark 4's default ANSI mode that KILLS the query with
+    ArithmeticException, exactly at the 100 TB regime this engine targets
+    (pinned in ``test_ppm_exprs_survive_int64_overflow_region``).  DuckDB
+    needs no twin fix: its SUM(BIGINT) promotes to HUGEINT and ``//``
+    truncates, so the oracle SQL is overflow-free as written; Spark DIV on
+    DECIMAL also truncates, so the two engines stay bit-identical
+    (non-negative operands make floor == truncate)."""
+    return F.expr(
+        f"CAST(CAST(sum(bin_tok) AS DECIMAL(38,0)) * 1000000"
+        f" DIV (count(*) * {SEQ_LEN_TOK}) AS BIGINT)"
+    )
+
+
+def waste_ppm_expr() -> F.Column:
+    """Attention-waste ppm over the grouped bins frame, overflow-free via
+    the same DECIMAL(38,0) widening as :func:`fill_ppm_expr` —
+    ``sum(t*t) * 1000000`` wraps int64 once a shard's pair sum passes
+    ~9.2e12 (≈3.5e7 bins ≈ 72 GB of packed text at SEQ_LEN 512), far
+    below target scale.  The widened product tops out near 1e24 for any
+    physical corpus, comfortably inside DECIMAL(38,0)."""
+    return F.expr(
+        "CAST(CAST(sum(t * t - s2) AS DECIMAL(38,0)) * 1000000 DIV sum(t * t) AS BIGINT)"
+    )
+
+
 def pack_fill_stats_query(spark: SparkSession, sf_dir: str, by_length: bool = False) -> DataFrame:
     """Packing-efficiency audit per shard: how full the cut bins actually
     are.  Padding waste is a direct training cost (every under-filled
@@ -394,9 +424,7 @@ def pack_fill_stats_query(spark: SparkSession, sf_dir: str, by_length: bool = Fa
         .agg(
             F.count("*").cast("long").alias("n_bins"),
             F.sum("bin_tok").cast("long").alias("tok_sum"),
-            F.expr(f"CAST(sum(bin_tok) * 1000000 DIV (count(*) * {SEQ_LEN_TOK}) AS BIGINT)").alias(
-                "mean_fill_ppm"
-            ),
+            fill_ppm_expr().alias("mean_fill_ppm"),
             F.min("bin_tok").cast("long").alias("min_bin_tok"),
             F.max("bin_tok").cast("long").alias("max_bin_tok"),
         )
@@ -440,8 +468,12 @@ def pack_attention_waste_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the shared :func:`assign_bins` window (one hash-by-shard
     shuffle + per-shard cumsum), then two bounded hash-aggs — (shard, bin)
     keys carrying Σn and Σn², then ≤PACK_SHARDS keys.  Integer bounds:
-    T ≤ SEQ_LEN + one doc tail, so T² and the per-shard sums sit far under
-    int64 at any corpus size (the sums grow with bin COUNT, linear)."""
+    T ≤ SEQ_LEN + one doc tail keeps T² small, but the per-shard pair SUMS
+    grow linearly with bin count — ``sum(t*t) * 1e6`` wraps int64 at
+    ~72 GB/shard of packed text, so the ppm is computed via
+    :func:`waste_ppm_expr`'s DECIMAL(38,0) widening (DuckDB promotes to
+    HUGEINT natively); the raw ``total_pairs``/``cross_pairs`` columns
+    stay int64-safe to ~9.2e18 pairs per shard (≈37 PB of text)."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select("doc_id", n_tok_col().alias("n_tok"), pack_shard().alias("shard"))
     bins = assign_bins(per).groupBy("shard", "bin_id").agg(
@@ -452,7 +484,7 @@ def pack_attention_waste_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bins"),
         F.sum(F.col("t") * F.col("t")).cast("long").alias("total_pairs"),
         F.sum(F.col("t") * F.col("t") - F.col("s2")).cast("long").alias("cross_pairs"),
-        F.expr("CAST(sum(t * t - s2) * 1000000 DIV sum(t * t) AS BIGINT)").alias("waste_ppm"),
+        waste_ppm_expr().alias("waste_ppm"),
     )
 
 

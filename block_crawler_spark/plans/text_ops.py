@@ -2560,6 +2560,11 @@ QUERIES["doc_contamination_by_bench"] = (
 # (round 10)
 # ---------------------------------------------------------------------------
 
+# Hard ceiling on the calibration lift table's driver-side materialization:
+# 11 deciles × a sane source vocabulary.  `source` is data-derived, so this
+# is an asserted precondition, not a structural bound (r11, ADVICE r10).
+CALIB_MAX_CELLS = 4096
+
 
 def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier CALIBRATION: the (score-decile × source) lift
@@ -2588,7 +2593,19 @@ def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile", "source")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    bs = spark.createDataFrame(bs.collect(), bs.schema)  # ≤ 11·|sources| rows
+    # The collect is bounded by 11 deciles × |sources| — but `source` is
+    # data-derived, not an enum, so a pathological corpus (per-doc source
+    # strings) would scale this collect AND the downstream broadcast with
+    # the data (the r9 uncapped-K class).  Fail loudly past the cap
+    # instead of silently ballooning the driver: a corpus with >CALIB_MAX
+    # (decile, source) cells needs a coarser source rollup first.
+    rows = bs.collect()
+    if len(rows) > CALIB_MAX_CELLS:
+        raise ValueError(
+            f"quality_calibration: {len(rows)} (decile, source) cells exceed "
+            f"CALIB_MAX_CELLS={CALIB_MAX_CELLS}; roll sources up before calibrating"
+        )
+    bs = spark.createDataFrame(rows, bs.schema)
     per_decile = bs.groupBy("decile").agg(F.sum("n_docs").alias("n_decile"))
     per_source = bs.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
     total = bs.agg(F.sum("n_docs").alias("n_total"))
@@ -2672,7 +2689,14 @@ def unigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
-    t = int(freq.agg(F.sum("n")).head()[0])
+    # sum over zero rows is NULL, not 0 — an empty documents table must
+    # return an empty frame like every other registry query, not TypeError
+    t_raw = freq.agg(F.sum("n")).head()[0]
+    if t_raw is None:
+        return spark.createDataFrame(
+            [], "source string, n_tokens bigint, sum_bits bigint, mean_surprisal_mbits bigint"
+        )
+    t = int(t_raw)
     scored = tok.join(freq, "token").withColumn(
         "bits", F.length(F.bin(F.expr(f"{t} DIV n"))).cast("long")
     )

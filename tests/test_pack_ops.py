@@ -219,3 +219,43 @@ def test_bpe_count_fuzz_matches_python_reference(spark):
     got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()}
     bad = [(samples[i], got[i], py_count(samples[i])) for i in range(200) if got[i] != py_count(samples[i])]
     assert not bad, bad[:3]
+
+
+def test_ppm_exprs_survive_int64_overflow_region(spark):
+    """The r10 ppm expressions multiplied int64 pair/token sums by 1e6
+    BEFORE dividing; past ~9.2e12 per-shard sum the product overflows
+    int64 — under Spark 4's default ANSI mode the whole query DIES with
+    ArithmeticException (legacy mode would wrap silently), while DuckDB
+    promotes to HUGEINT and keeps going — a scale cliff at ~72 GB/shard
+    plus a cross-engine divergence (ADVICE r11).  The fixed helpers widen
+    to DECIMAL(38,0) first.  This synthetic frame puts the cross-pair sum
+    at ~1.9e13: the old expression must fail here and the new one must
+    return the exact ppm."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from block_crawler_spark.plans.pack_ops import SEQ_LEN_TOK, fill_ppm_expr, waste_ppm_expr
+
+    t = 3_100_000  # a bin of 3.1M single-token docs: s2 = t, cross = t*t - t
+    s2 = t  # sum(cross) over two bins = 2*(t*t - t) = 1.922e13 -> *1e6 wraps
+    big_tok = 5_000_000_000_000  # sum(bin_tok) = 1e13 -> *1e6 wraps too
+    bins = spark.createDataFrame(
+        [(t, s2, big_tok), (t, s2, big_tok)], "t long, s2 long, bin_tok long"
+    )
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        bins.agg(
+            F.expr("CAST(sum(t * t - s2) * 1000000 DIV sum(t * t) AS BIGINT)").alias("w")
+        ).head()
+    exp_waste = (2 * (t * t - t)) * 1_000_000 // (2 * t * t)
+    got_waste = bins.agg(waste_ppm_expr().alias("w")).head()["w"]
+    assert got_waste == exp_waste
+
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        bins.agg(
+            F.expr(
+                f"CAST(sum(bin_tok) * 1000000 DIV (count(*) * {SEQ_LEN_TOK}) AS BIGINT)"
+            ).alias("f")
+        ).head()
+    exp_fill = (2 * big_tok) * 1_000_000 // (2 * SEQ_LEN_TOK)
+    got_fill = bins.agg(fill_ppm_expr().alias("f")).head()["f"]
+    assert got_fill == exp_fill

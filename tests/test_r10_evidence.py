@@ -20,6 +20,9 @@ from block_crawler_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
+SF_RECALL = "/root/testdata/sf0.01"  # where rp recall exceeds the self-hit floor
+
+
 def _brute_topk_ids(spark, sf):
     from block_crawler_spark.operators.ann import int_sqdist, micro_fixed
     from block_crawler_spark.plans.embed_ops import TOPK_K
@@ -66,6 +69,23 @@ def test_rp_topk_recall_vs_brute(spark):
     # it is why rp_topk is a SHORTLIST stage (rerank survivors exactly),
     # never a final ranking.
     assert recall >= 1 / TOPK_K
+    # At sf0.001 the measured recall EQUALS the floor, so the real
+    # sketch-signal regression gate runs at sf0.01 below.
+
+
+def test_rp_topk_recall_band_above_floor(spark):
+    """Recall gate at a scale where the JL sketch shows signal BEYOND the
+    guaranteed self-hit (ADVICE r10: the floor-only assert was satisfiable
+    by a sketch that destroyed all signal).  Measured 0.3 at sf0.01 on
+    deterministic driver data; the band [0.15, 0.6] fails a layout
+    regression that collapses recall to the 0.1 self-hit floor while
+    leaving headroom against seed-level wiggle."""
+    from block_crawler_spark.plans.embed_ops import rp_topk_query
+
+    rows = rp_topk_query(spark, SF_RECALL).collect()
+    truth = _brute_topk_ids(spark, SF_RECALL)
+    recall = len({r["vec_id"] for r in rows} & truth) / len(truth)
+    assert 0.15 <= recall <= 0.6, f"rp sketch recall@10 drifted: {recall}"
 
 
 def test_prefix_topk_recall_vs_brute(spark):
@@ -76,13 +96,16 @@ def test_prefix_topk_recall_vs_brute(spark):
     _check_topk_contract(rows, "prefix_dist")
     truth = _brute_topk_ids(spark, SF)
     recall = len({r["vec_id"] for r in rows} & truth) / len(truth)
-    # Measured: 0.1 at sf0.001 AND sf0.01 — the first 16 of 64 dims carry
-    # ~1/4 of the energy of a generic (non-Matryoshka-trained) embedding,
-    # so prefix rank is near-independent of full rank on this corpus.
-    # Exactly the baseline number an adaptive-retrieval evaluation needs:
-    # truncation without MRL training buys nothing here (the docstring's
-    # claim, now pinned).
-    assert recall >= 1 / TOPK_K
+    # Measured: exactly 0.1 (the self-hit floor) at sf0.001 AND sf0.01 —
+    # the first 16 of 64 dims carry ~1/4 of the energy of a generic
+    # (non-Matryoshka-trained) embedding, so prefix rank is
+    # near-independent of full rank on this corpus.  Exactly the baseline
+    # number an adaptive-retrieval evaluation needs: truncation without
+    # MRL training buys nothing here.  Pinned as a GOLDEN EQUALITY
+    # (deterministic data, deterministic query): movement in EITHER
+    # direction means the layout or the corpus changed and the docstring's
+    # measured claim must be re-verified.
+    assert recall == 1 / TOPK_K
     assert PREFIX_DIMS < 64  # the query must actually truncate
 
 
