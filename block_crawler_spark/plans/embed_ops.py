@@ -1089,7 +1089,9 @@ def _sem_k(n_vectors: int) -> int:
     return min(max(8, n_vectors // SEM_TARGET_CELL), SEM_K_MAX)
 
 
-def _semantic_pairs(assign: DataFrame, vecs: DataFrame) -> DataFrame:
+def _semantic_pairs(
+    assign: DataFrame, vecs: DataFrame, cell_cap: int = SEM_CELL_CAP
+) -> DataFrame:
     """The ONE pair-generation stage over a (vid, cid) assignment and the
     micro-fixed vectors — shared by ``dedup_semantic_cells`` and
     ``emb_balanced_sample`` so a threshold or join-shape change can never
@@ -1101,12 +1103,21 @@ def _semantic_pairs(assign: DataFrame, vecs: DataFrame) -> DataFrame:
     (``vid % n_shards``) and pairs are generated only WITHIN a (cell,
     shard) — so candidate pairs are ≤ N·SEM_CELL_CAP/2 under ANY skew
     (each member meets at most CAP-1 others), and ≈ N·TARGET/2 when the
-    derived-K cells are balanced.  The price is recall: an n_shards>1 cell
-    drops the ~(1 − 1/n_shards) of its close pairs that straddle shards —
-    per the no-silent-caps rule that loss is surfaced in-band via the
+    derived-K cells are balanced.  The price is recall, MEASURED in round
+    11 (``scripts/semantic_recall_probe.py``, docs/SCALING.md §"Semantic
+    pair-RECALL"): an n_shards>1 cell drops the ~(1 − 1/n_shards) of its
+    close pairs that straddle shards — confirmed empirically (same-cell
+    pair survival 1/2 at n_shards=2, 1/11 at n_shards≈11), so past the
+    SEM_K_MAX knee, where n_shards grows linearly with N, recall decays
+    hyperbolically; a locality-preserving shard key (secondary residual
+    quantizer) is the designed successor.  Below the knee shard loss is
+    exactly 0 (n_shards = 1 everywhere at the graded SFs); cell-boundary
+    loss dominates there (57–86 % on this isotropic worst-case corpus).
+    Per the no-silent-caps rule the loss is surfaced in-band via the
     ``cell_pop`` / ``n_shards`` diagnostic columns (n_shards > 1 ⇒ the
     guard fired for that cell; ``emb_ivf_cell_balance`` is the standalone
-    watchdog).  Balanced cells have n_shards = 1 and lose nothing.
+    watchdog).  ``cell_cap`` is parametrized for the probe's knee
+    emulation; registry queries always use the committed SEM_CELL_CAP.
 
     Returns (id_a, id_b, cell, cell_pop, n_shards, sqdist)."""
     counts = assign.groupBy("cid").agg(F.count("*").alias("cell_pop"))
@@ -1116,7 +1127,7 @@ def _semantic_pairs(assign: DataFrame, vecs: DataFrame) -> DataFrame:
     mem = (
         assign.select("vid", "cid")
         .join(counts, "cid")
-        .withColumn("n_shards", F.expr(f"(cell_pop + {SEM_CELL_CAP - 1}) DIV {SEM_CELL_CAP}"))
+        .withColumn("n_shards", F.expr(f"(cell_pop + {cell_cap - 1}) DIV {cell_cap}"))
         .withColumn("shard", F.col("vid") % F.col("n_shards"))
         .join(vecs, "vid")
     )

@@ -1,0 +1,136 @@
+"""Pair-RECALL probe for the semantic dedup family across the SEM_K_MAX knee.
+
+VERDICT r10 task 1: the SEM_K_MAX cap closed the COST side of the semantic
+family's scale story (assignment O(N·4096), pair budget ≤ N·CAP/2 under any
+skew), but the price of the two pruning stages was asserted, never measured:
+
+* CELL-boundary loss — a true near-dup pair whose members land in different
+  Lloyd cells is never generated (the SemDeDup trade, present at every N);
+* SHARD-boundary loss — once a cell outgrows ``SEM_CELL_CAP`` the
+  ``vid % n_shards`` split discards the ~(1 − 1/n_shards) of its true pairs
+  that straddle shards (only past the knee, N ≳ SEM_K_MAX·TARGET ≈ 102k
+  vectors, where the cap binds and cells grow linearly).
+
+This probe measures both, separately, against the BRUTE-FORCE truth (every
+pair with integer sqdist ≤ SEM_SQDIST_MAX — exactly the filter the family
+applies after candidate generation, so recall isolates candidate pruning):
+
+    recall      = retained / truth          (what dedup_semantic_cells keeps)
+    cell_loss   = (truth − same_cell) / truth
+    shard_loss  = (same_cell − retained) / truth
+
+``retained`` is BY CONSTRUCTION the truth pairs whose members share both
+cell and shard, so the split is exact, not sampled.
+
+The graded corpora stop at 2 000 vectors — three orders below the knee — so
+the knee is probed by SCALING THE KNOBS DOWN instead of the data up: the
+``knee`` rows force k to ``N // 250`` (what `_sem_k` yields when the cap
+binds at TARGET·CAP/2 ≫ N) so mean cell population ≈ 250 > SEM_CELL_CAP and
+``n_shards = 2`` actually fires — the same regime a 10⁶-vector corpus hits
+with the committed constants.  The ``harsh`` row drops the cap to 25 on top
+(n_shards ≈ 10), the deep-past-the-knee regime (~10⁸ vectors).
+
+Brute-force truth is a deliberate all-pairs join — fine for a ≤2k-vector
+probe, never a registry pattern.
+
+Usage:  PYTHONPATH=/root/repo python scripts/semantic_recall_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from block_crawler_spark.operators.ann import int_sqdist, kmeans_lloyd_fixed, micro_fixed  # noqa: E402
+from block_crawler_spark.plans.embed_ops import (  # noqa: E402
+    SEM_CELL_CAP,
+    SEM_CELLS_ITERS,
+    SEM_SQDIST_MAX,
+    _sem_k,
+    _semantic_pairs,
+)
+from block_crawler_spark.session import get_spark  # noqa: E402
+from block_crawler_spark.sources.tables import load_table  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def probe(spark, sf: str, regime: str, k: int, cell_cap: int) -> dict:
+    emb = load_table(spark, sf, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    n = vecs.count()
+
+    # brute-force truth: every within-threshold pair, no pruning
+    a = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
+        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
+        .select("id_a", "id_b")
+    )
+    truth = spark.createDataFrame(truth.collect(), truth.schema)  # reused 3×, tiny
+
+    assign, _ = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
+    t_pairs = int(truth.count())
+
+    aa = assign.select(F.col("vid").alias("id_a"), F.col("cid").alias("cid_a"))
+    ab = assign.select(F.col("vid").alias("id_b"), F.col("cid").alias("cid_b"))
+    same_cell = int(
+        truth.join(aa, "id_a").join(ab, "id_b").filter(F.col("cid_a") == F.col("cid_b")).count()
+    )
+    retained = int(_semantic_pairs(assign, vecs, cell_cap=cell_cap).count())
+
+    cells = assign.groupBy("cid").agg(F.count("*").alias("pop"))
+    shard_stats = cells.agg(
+        F.max(F.expr(f"(pop + {cell_cap - 1}) DIV {cell_cap}")).alias("max_shards"),
+        F.sum((F.expr(f"(pop + {cell_cap - 1}) DIV {cell_cap}") > 1).cast("long")).alias(
+            "sharded_cells"
+        ),
+        F.count("*").alias("cells"),
+        F.max("pop").alias("max_pop"),
+    ).head()
+
+    r3 = lambda x: round(x, 3)  # noqa: E731
+    return {
+        "sf": sf.rsplit("/", 1)[-1],
+        "regime": regime,
+        "n": n,
+        "k": k,
+        "cell_cap": cell_cap,
+        "cells": shard_stats["cells"],
+        "max_pop": shard_stats["max_pop"],
+        "max_shards": int(shard_stats["max_shards"]),
+        "sharded_cells": int(shard_stats["sharded_cells"]),
+        "truth_pairs": t_pairs,
+        "same_cell_pairs": same_cell,
+        "retained_pairs": retained,
+        "recall": r3(retained / t_pairs) if t_pairs else None,
+        "cell_loss": r3((t_pairs - same_cell) / t_pairs) if t_pairs else None,
+        "shard_loss": r3((same_cell - retained) / t_pairs) if t_pairs else None,
+    }
+
+
+def main() -> int:
+    spark = get_spark("semantic-recall-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for sf in SFS:
+        n = load_table(spark, sf, "embeddings").count()
+        rows.append(probe(spark, sf, "derived", _sem_k(n), SEM_CELL_CAP))
+    # knee emulation (cap binds, cells ≈ TARGET·CAP/K ≈ 250, n_shards = 2)
+    n = load_table(spark, SFS[-1], "embeddings").count()
+    rows.append(probe(spark, SFS[-1], "knee", max(8, n // 250), SEM_CELL_CAP))
+    # deep past the knee: n_shards ≈ 10
+    rows.append(probe(spark, SFS[-1], "harsh", max(8, n // 250), 25))
+    for r in rows:
+        print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
