@@ -122,6 +122,8 @@ HEADLINE = [
     "doc_pack_sorted_fill_stats",
     "emb_centroid_outliers",
     "evt_rate_spikes",
+    # round 11
+    "pipeline_contamination",
 ]
 
 

@@ -163,30 +163,44 @@ def curation_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_from_packed(packed_docs(spark, sf_dir))
 
 
-def _curation_sql() -> str:
+def _surv_prefix_sql() -> str:
+    """The shared survivor-selection CTE prefix — every stage of the
+    curation cut as named CTEs plus ``surv_ids`` (the survivor doc_id
+    set).  ONE definition feeds both the manifest oracle and the
+    contamination-report oracle so the five-stage WHERE chain can never
+    drift between them (the hand-copy drift class the r10 review hit)."""
     quality = QUALITY_SQL.strip()
     exact = EXACT_DEDUP_SQL.strip()
     pairs = _minhash_sql().strip()
     decon = _decontaminate_sql().strip()
     samp = STRATIFIED_SAMPLE_SQL.strip()
     budget_cut = _quality_budget_cut_sql().strip()
-    return f"""
-WITH q AS ({quality}),
+    return f"""q AS ({quality}),
 bc AS ({budget_cut}),
 ek AS (SELECT keep_id FROM ({exact})),
 np AS ({pairs}),
 dc AS ({decon}),
 sp AS ({samp}),
-surv AS (
-  SELECT d.doc_id,
-         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tok,
-         CAST('0x' || substr(md5('pack|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+surv_ids AS (
+  SELECT d.doc_id
   FROM documents d
   WHERE d.doc_id IN (SELECT doc_id FROM q WHERE quality_ppm >= (SELECT cut_ppm FROM bc))
     AND d.doc_id IN (SELECT keep_id FROM ek)
     AND d.doc_id NOT IN (SELECT id_b FROM np)
     AND d.doc_id IN (SELECT doc_id FROM dc WHERE NOT contaminated)
     AND d.doc_id IN (SELECT doc_id FROM sp)
+)"""
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH {_surv_prefix_sql()},
+surv AS (
+  SELECT d.doc_id,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST('0x' || substr(md5('pack|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM surv_ids)
 ), cum AS (
   SELECT doc_id, n_tok, shard,
          CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
@@ -204,6 +218,99 @@ GROUP BY shard, CAST((cum - n_tok) // {SEQ_LEN_TOK} AS BIGINT)
 """
 
 
+def pipeline_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report of the CURATION PIPELINE (round 11,
+    VERDICT r10 task 2): for every held-out benchmark item, how many
+    training documents share a word 3-shingle with it in the RAW corpus
+    versus in the corpus that SURVIVES the full five-stage cut — the
+    before/after table an eval owner reads to sign off on a training run
+    ("which of my eval items were burned, and did the pipeline actually
+    clean them?").  Because the pipeline's decontamination stage drops any
+    doc with ≥1 shared shingle, the final columns are a ZERO CERTIFICATE —
+    the query PROVES the property end-to-end through the composed plan
+    (pinned by pytest: every final count 0 while raw counts are not),
+    rather than trusting the stage in isolation; a thresholded decon rule
+    would make the same columns the residual-risk report.
+
+    Scale shape: the benchmark shingle set is DISTINCT and
+    benchmark-bounded; both hit joins are shingle equi-joins costing
+    collisions only (the ``doc_decontaminate`` shape); the survivor
+    restriction is a doc_id semi-join against the pipeline's survivor set
+    (shuffle or broadcast as sizes dictate); outputs are benchmark-sized.
+    The survivor subplan is the SAME ``curated_doc_ids`` DAG the manifest
+    query runs — composed, not re-specified — and the oracle nests the
+    SAME ``_surv_prefix_sql`` CTE chain."""
+    from .text_ops import DECON_BENCH_MOD, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+    sh = docs.select(
+        "doc_id", is_bench.alias("bench"), F.explode(shingles(F.col("text"))).alias("s")
+    )
+    bench_sh = sh.filter(F.col("bench")).select(F.col("doc_id").alias("bench_id"), "s").distinct()
+    train_sh = sh.filter(~F.col("bench")).select(F.col("doc_id").alias("train_id"), "s").distinct()
+    surv_sh = train_sh.join(
+        curated_doc_ids(spark, sf_dir).withColumnRenamed("doc_id", "train_id"), "train_id", "semi"
+    )
+
+    def _hits(t: DataFrame, tag: str) -> DataFrame:
+        return bench_sh.join(t, "s").groupBy("bench_id").agg(
+            F.count_distinct("train_id").alias(f"n_contam_{tag}"),
+            F.count_distinct("s").alias(f"n_shingles_{tag}"),
+        )
+
+    out = (
+        docs.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_id"))
+        .join(_hits(train_sh, "raw"), "bench_id", "left")
+        .join(_hits(surv_sh, "final"), "bench_id", "left")
+    )
+    return out.select(
+        "bench_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_contam_raw", "n_shingles_raw", "n_contam_final", "n_shingles_final")
+        ],
+    )
+
+
+def _pipeline_contamination_sql() -> str:
+    from .text_ops import DECON_BENCH_MOD, _shingle_sql_expr
+
+    return f"""
+WITH {_surv_prefix_sql()},
+tk AS (
+  SELECT doc_id, doc_id % {DECON_BENCH_MOD} = 0 AS bench,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shn AS (SELECT doc_id, bench, unnest({_shingle_sql_expr()}) AS s FROM tk),
+bench_sh AS (SELECT DISTINCT doc_id AS bench_id, s FROM shn WHERE bench),
+train_sh AS (SELECT DISTINCT doc_id AS train_id, s FROM shn WHERE NOT bench),
+surv_sh AS (SELECT train_id, s FROM train_sh WHERE train_id IN (SELECT doc_id FROM surv_ids)),
+raw_hits AS (
+  SELECT bench_id, COUNT(DISTINCT train_id) AS n_contam_raw,
+         COUNT(DISTINCT s) AS n_shingles_raw
+  FROM bench_sh JOIN train_sh USING (s) GROUP BY bench_id
+),
+fin_hits AS (
+  SELECT bench_id, COUNT(DISTINCT train_id) AS n_contam_final,
+         COUNT(DISTINCT s) AS n_shingles_final
+  FROM bench_sh JOIN surv_sh USING (s) GROUP BY bench_id
+)
+SELECT d.doc_id AS bench_id,
+       CAST(COALESCE(r.n_contam_raw, 0) AS BIGINT) AS n_contam_raw,
+       CAST(COALESCE(r.n_shingles_raw, 0) AS BIGINT) AS n_shingles_raw,
+       CAST(COALESCE(f.n_contam_final, 0) AS BIGINT) AS n_contam_final,
+       CAST(COALESCE(f.n_shingles_final, 0) AS BIGINT) AS n_shingles_final
+FROM documents d
+LEFT JOIN raw_hits r ON r.bench_id = d.doc_id
+LEFT JOIN fin_hits f ON f.bench_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} = 0
+"""
+
+
 QUERIES = {
     "doc_curation_pipeline": (curation_pipeline_query, _curation_sql()),
+    "pipeline_contamination": (pipeline_contamination_query, _pipeline_contamination_sql()),
 }

@@ -12,8 +12,13 @@ the bounded-frame materializers (`doc_quality_calibration`,
 `doc_unigram_surprisal`) run Spark jobs
 at DataFrame-CONSTRUCTION time — the deliberate collect/recreate discipline
 that keeps lazily-returned lineage bounded and the CacheManager empty.
-Plan-only tooling that calls these fns (scripts/capture_plans.py) pays
-their full training cost per invocation.
+Since round 11 the Lloyd-trained families share a session-scoped CENTROID
+memo (`embed_ops._CENTROID_MEMO`, keyed (sf_dir, k, iters) — the trainer is
+deterministic, so a memo hit replays only the single-pass assignment and
+results are bit-identical): plan-capture and bench passes that invoke the
+whole registry now train each distinct codebook once per session instead of
+once per query.  The trained-PQ residual family keeps its own trainer
+(different algorithm) and still pays per-invocation cost.
 """
 
 from __future__ import annotations
@@ -41,18 +46,25 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # judge's independent full-registry oracle re-run is the backstop covering
 # the rest.
 _FRONT = (
+    # -- added in r11 --
+    "pipeline_contamination",
+    # -- changed in r11 (ppm DECIMAL widening / collect cap / empty guard /
+    #    shared surv-prefix oracle refactor) --
+    "doc_pack_fill_stats",
+    "doc_pack_attention_waste",
+    "doc_pack_sorted_fill_stats",
+    "doc_quality_calibration",
+    "doc_unigram_surprisal",
+    "doc_curation_pipeline",
     # -- added in r9, zero driver evidence until now (VERDICT r10 task 1) --
     "emb_rp_topk",
     "emb_prefix_topk",
     "doc_zipf_bucket_hist",
     "doc_token_fertility",
     "doc_contamination_by_bench",
-    # -- added in r10 --
-    "doc_quality_calibration",
-    "doc_unigram_surprisal",
-    "doc_pack_attention_waste",
+    # -- added in r10 (the calibration/surprisal/pack trio moved up: also
+    #    CHANGED in r11) --
     "dedup_threshold_sweep",
-    "doc_pack_sorted_fill_stats",
     "emb_centroid_outliers",
     "evt_rate_spikes",
     # -- changed in r10 (SEM_K_MAX cap on the derived cell count) --

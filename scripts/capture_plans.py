@@ -59,6 +59,8 @@ ADJUDICATED = {
     ("doc_curation_pipeline", _BNLJ): "1-row budget-cut broadcast into the quality stage + 1-row mixture-budget broadcast (round 8 composition)",
     ("doc_quality_budget_cut", "SinglePartitionWindow"): "cumsum window over the ≤101-row quality-centi-bucket histogram (corpus never sorted)",
     ("doc_curation_pipeline", "SinglePartitionWindow"): "the inherited budget-cut stage's ≤101-row histogram cumsum",
+    ("pipeline_contamination", _BNLJ): "the inherited curated_doc_ids subplan's 1-row budget-cut broadcast (same stage doc_curation_pipeline adjudicates)",
+    ("pipeline_contamination", "SinglePartitionWindow"): "the inherited budget-cut stage's ≤101-row histogram cumsum (same stage doc_curation_pipeline adjudicates)",
     ("nft_uint256_clamp_policy", "SinglePartitionWindow"): "ordering window bounded to the ≤2000-row filtered clamp-audit set (plans/nft_ops.py:302)",
     ("emb_kmeans_stats", "GlobalSort"): "presentation sort over ≤k=4 per-cluster stat rows",
     ("doc_token_concentration", _BNLJ): "1-row total/distinct-token broadcast onto the ≤100-row top set (share ppm)",

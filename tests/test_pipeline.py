@@ -58,3 +58,25 @@ def test_budget_cut_feeds_the_quality_stage(spark):
     assert budget_surv == explicit_surv
     loose_surv = {r["doc_id"] for r in curated_doc_ids(spark, SF, quality_min=0).collect()}
     assert budget_surv < loose_surv, "the measured cut must actually drop something"
+
+
+def test_pipeline_contamination_certifies_zero_and_matches_raw_report(spark):
+    """The composed eval-side report (round 11): final columns must be the
+    ZERO certificate (the pipeline's any-overlap decon stage leaves no
+    surviving doc sharing a shingle with any bench item), the raw columns
+    must be NON-trivial (the corpus really is contaminated before the
+    cut), and the raw columns must equal the standalone
+    doc_contamination_by_bench report row-for-row — one definition of
+    'contaminating', computed through two plans."""
+    from block_crawler_spark.plans.pipeline import pipeline_contamination_query
+    from block_crawler_spark.plans.text_ops import contamination_by_bench_query
+
+    rows = {r["bench_id"]: r for r in pipeline_contamination_query(spark, SF).collect()}
+    assert rows, "bench items must be reported even when clean"
+    assert all(r["n_contam_final"] == 0 and r["n_shingles_final"] == 0 for r in rows.values())
+    assert any(r["n_contam_raw"] > 0 for r in rows.values())
+    standalone = {r["bench_id"]: r for r in contamination_by_bench_query(spark, SF).collect()}
+    assert set(rows) == set(standalone)
+    for bid, r in rows.items():
+        assert r["n_contam_raw"] == standalone[bid]["n_contaminating_docs"]
+        assert r["n_shingles_raw"] == standalone[bid]["n_shared_shingles"]
