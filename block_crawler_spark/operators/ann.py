@@ -319,19 +319,8 @@ def kmeans_lloyd_fixed(
     w = Window.orderBy("vid")
     cents = seeds.select((F.row_number().over(w) - 1).cast("long").alias("cid"), F.col("v").alias("c"))
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        d = vecs.crossJoin(F.broadcast(cents_df)).withColumn(
-            "dist", int_sqdist(F.col("v"), F.col("c"))
-        )
-        # argmin with lowest-cid tiebreak via struct-min: structs compare
-        # lexicographically, so min((dist, cid)) is exact for any dist
-        # magnitude — unlike the earlier packed `dist*k + cid` int64 key,
-        # which silently overflowed for large scale/dim/|x| (round-5 review)
-        a = d.groupBy("vid").agg(F.min(F.struct("dist", "cid")).alias("dc"))
-        return a.select("vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"))
-
     for _ in range(iters):
-        a = assign(cents)
+        a = centroid_assign(vecs, cents)
         per_dim = a.join(vecs, "vid").select("cid", F.posexplode("v").alias("pos", "val"))
         upd = per_dim.groupBy("cid", "pos").agg(
             F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
@@ -342,6 +331,23 @@ def kmeans_lloyd_fixed(
     # one training execution (the collect), against the cached corpus;
     # then drop the cache and hand back bounded, lineage-free centroids
     cents = vectors.sparkSession.createDataFrame(cents.collect(), cents.schema)
-    final_assign = assign(cents)
+    final_assign = centroid_assign(vecs, cents)
     vecs.unpersist()
     return final_assign, cents
+
+
+def centroid_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """One-pass argmin assignment of a (vid, v) corpus to a BOUNDED
+    (cid, c) centroid table: scan + broadcast join + per-vid agg, no
+    iteration — the re-derivable half of :func:`kmeans_lloyd_fixed`, split
+    out (round 11) so memoized-centroid callers can skip retraining.
+
+    Argmin ties break to the lowest cid via struct-min: structs compare
+    lexicographically, so ``min((dist, cid))`` is exact for any dist
+    magnitude — unlike the earlier packed ``dist*k + cid`` int64 key,
+    which silently overflowed for large scale/dim/|x| (round-5 review)."""
+    d = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", int_sqdist(F.col("v"), F.col("c"))
+    )
+    a = d.groupBy("vid").agg(F.min(F.struct("dist", "cid")).alias("dc"))
+    return a.select("vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"))

@@ -218,6 +218,41 @@ KMEANS_K = 4
 KMEANS_ITERS = 2
 _KM_DIM = 64  # embeddings table dimensionality (pinned by the schema contract)
 
+# Session-scoped memo of TRAINED CENTROIDS, keyed (sf_dir, k, iters) — the
+# r10 verdict's "eager family" cost fix: six registry queries train Lloyd
+# at construction time, and the semantic trio trains the IDENTICAL
+# (sf_dir, _sem_k(N), 2) codebook three times per capture/bench pass.  The
+# trainer is fully deterministic (fixed-point math, lowest-id seeds,
+# lowest-cid ties), so memoizing the ≤SEM_K_MAX-row centroid table —
+# NEVER the N-row assignment — changes no result: a memo hit replays the
+# single-pass `centroid_assign` scan against the stored centroids, which
+# is exactly how the trainer derives its own returned assignment.  Values
+# are collected rows (≤4096 × 64 int64 ≈ 2 MB), bounded because every
+# caller caps k (SEM_K_MAX); the dict is cleared past a safety size so a
+# long-lived session sweeping many sf_dirs cannot grow it unboundedly.
+_CENTROID_MEMO: dict[tuple, tuple[list, object]] = {}
+_CENTROID_MEMO_MAX = 64
+
+
+def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int):
+    """Memoized :func:`kmeans_lloyd_fixed` over the embeddings table of
+    ``sf_dir`` — same (assignments, centroids) contract, one training
+    execution per (sf_dir, k, iters) per session."""
+    from ..operators.ann import centroid_assign
+
+    key = (sf_dir, k, iters)
+    hit = _CENTROID_MEMO.get(key)
+    if hit is None:
+        assign, cents = kmeans_lloyd_fixed(emb, k=k, iters=iters)
+        if len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
+            _CENTROID_MEMO.clear()
+        _CENTROID_MEMO[key] = (cents.collect(), cents.schema)
+        return assign, cents
+    rows, schema = hit
+    cents = emb.sparkSession.createDataFrame(rows, schema)
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    return centroid_assign(vecs, cents), cents
+
 
 def kmeans_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point Lloyd k-means (the IVF centroid trainer): 2 unrolled
@@ -226,7 +261,7 @@ def kmeans_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 on both engines, so even the trained CENTROIDS are hash-checked,
     not just the counts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, cents = kmeans_lloyd_fixed(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    assign, cents = _trained_kmeans(emb, sf_dir, k=KMEANS_K, iters=KMEANS_ITERS)
     stats = assign.groupBy("cid").agg(
         F.count("*").alias("n_members"), F.sum("dist").alias("inertia")
     )
@@ -308,7 +343,7 @@ def ivf_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro space — cosine is scale-invariant, so the micro vectors score
     directly against the float corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = kmeans_lloyd_fixed(emb, k=IVF_TRAINED_CELLS, iters=KMEANS_ITERS)
+    _, cents = _trained_kmeans(emb, sf_dir, k=IVF_TRAINED_CELLS, iters=KMEANS_ITERS)
     centroids = cents.select(F.col("cid").alias("vec_id"), F.col("c").alias("embedding"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return ivf_topk(queries, emb, centroids, k=KNN_K, nprobe=IVF_TRAINED_NPROBE)
@@ -1173,7 +1208,7 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — the documented SemDeDup trade, surfaced in-band by the
     cell_pop/n_shards columns."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, _ = kmeans_lloyd_fixed(emb, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    assign, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     return _semantic_pairs(assign, vecs)
 
@@ -1454,7 +1489,7 @@ def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE Lloyd train shared by the cell assignment and the pair stage —
     # composing via semantic_keep_query would embed a second identical
     # training loop (Lloyd collects driver-side, so it would EXECUTE twice)
-    assign, _ = kmeans_lloyd_fixed(emb, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    assign, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     pairs = _semantic_pairs(assign, vecs).select("id_a", "id_b")
     keep = dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id").filter(
@@ -1816,7 +1851,7 @@ def centroid_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist·n > MULT·sum — the product form overflows int64 once n grows
     past ~3·10⁴ cells of micro² distances."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, _ = kmeans_lloyd_fixed(emb, k=OUTLIER_CELLS, iters=KMEANS_ITERS)
+    assign, _ = _trained_kmeans(emb, sf_dir, k=OUTLIER_CELLS, iters=KMEANS_ITERS)
     cell = assign.groupBy("cid").agg(
         F.count("*").alias("n_members"), F.sum("dist").alias("sum_dist")
     )

@@ -52,6 +52,13 @@ PROBES = [
     "emb_balanced_sample",  # semantic survivors + per-cell WindowGroupLimit cap (round 9)
     "emb_ivfsq_topk",  # IVF cell pruning × SQ8 bin-midpoint scoring (round 9)
     "evt_funnel_latency",  # chained same-key aggs + bucketed percentile selection (round 9)
+    # round 11: the two skew-exposed r10 screens (VERDICT r10 task 5) —
+    # surprisal's corpus-occurrence ⋈ vocabulary token equi-join carries the
+    # heavy-hitter skew ("the" concentrates a partition at scale; AQE
+    # skew-split is the designed mitigation), calibration is the
+    # collect-bounded lift table whose cost is the ONE corpus scan
+    "doc_unigram_surprisal",  # explode → vocab agg → heavy-hitter token equi-join (round 10)
+    "doc_quality_calibration",  # one corpus scan → driver-bounded lift table (round 10)
 ]
 
 

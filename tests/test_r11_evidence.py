@@ -1,0 +1,97 @@
+"""Evidence tests for the round-11 changes: the shared trained-centroid
+memo (result-identity under cold vs warm memo — the one thing a memo must
+prove), and the semantic recall probe's loss-split identity (retained =
+same-cell ∧ same-shard, so the probe's cell/shard split is exact by
+construction, asserted here against an independent recomputation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from block_crawler_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frozen(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_centroid_memo_hit_is_result_identical(spark):
+    """Cold (trains, populates the memo) vs warm (memo hit: stored
+    centroids + single-pass assignment) must produce the same frame for
+    every memoized family — the trainer's determinism makes this an exact
+    equality, not a tolerance check."""
+    from block_crawler_spark.plans import embed_ops
+
+    for fn in (
+        embed_ops.semantic_cells_query,
+        embed_ops.kmeans_stats_query,
+        embed_ops.centroid_outliers_query,
+    ):
+        embed_ops._CENTROID_MEMO.clear()
+        cold = _frozen(fn(spark, SF).collect())
+        assert embed_ops._CENTROID_MEMO, "cold run must populate the memo"
+        warm = _frozen(fn(spark, SF).collect())
+        assert cold == warm, f"{fn.__name__}: memo hit diverged from training"
+
+
+def test_semantic_trio_shares_one_training(spark):
+    """The semantic trio (cells → keep composes cells; balanced sample)
+    all train the identical (sf_dir, _sem_k(N), iters) codebook: after one
+    of them runs, the memo holds exactly one entry and the others reuse it
+    (the r10 verdict's capture/bench cost fix)."""
+    from block_crawler_spark.plans import embed_ops
+
+    embed_ops._CENTROID_MEMO.clear()
+    embed_ops.semantic_cells_query(spark, SF).collect()
+    assert len(embed_ops._CENTROID_MEMO) == 1
+    embed_ops.semantic_keep_query(spark, SF).collect()
+    embed_ops.balanced_sample_query(spark, SF).collect()
+    assert len(embed_ops._CENTROID_MEMO) == 1, "trio must share one codebook entry"
+
+
+def test_semantic_pairs_loss_split_is_exact(spark):
+    """The recall probe's decomposition (cell loss + shard loss + recall
+    = 1) relies on retained pairs being EXACTLY the truth pairs whose
+    members share (cell, shard).  Recompute that set independently from
+    the assignment and a forced 2-shard cap, and compare to what
+    _semantic_pairs emits."""
+    from block_crawler_spark.operators.ann import int_sqdist, kmeans_lloyd_fixed, micro_fixed
+    from block_crawler_spark.plans.embed_ops import (
+        SEM_CELLS_ITERS,
+        SEM_SQDIST_MAX,
+        _semantic_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    # small k + tiny cap so n_shards > 1 genuinely fires in the fixture
+    assign, _ = kmeans_lloyd_fixed(emb, k=8, iters=SEM_CELLS_ITERS)
+    cap = 25
+    got = {
+        (r["id_a"], r["id_b"]) for r in _semantic_pairs(assign, vecs, cell_cap=cap).collect()
+    }
+
+    a = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
+        .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    amap = {r["vid"]: r["cid"] for r in assign.collect()}
+    pops: dict = {}
+    for cid in amap.values():
+        pops[cid] = pops.get(cid, 0) + 1
+    n_shards = {cid: (p + cap - 1) // cap for cid, p in pops.items()}
+    assert max(n_shards.values()) > 1, "fixture must exercise the sharded regime"
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in truth
+        if amap[r["id_a"]] == amap[r["id_b"]]
+        and r["id_a"] % n_shards[amap[r["id_a"]]] == r["id_b"] % n_shards[amap[r["id_b"]]]
+    }
+    assert got == expected
