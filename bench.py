@@ -124,6 +124,7 @@ HEADLINE = [
     "evt_rate_spikes",
     # round 11
     "pipeline_contamination",
+    "doc_bigram_surprisal",
 ]
 
 

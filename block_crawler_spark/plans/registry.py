@@ -48,6 +48,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 _FRONT = (
     # -- added in r11 --
     "pipeline_contamination",
+    "doc_bigram_surprisal",
     # -- changed in r11 (ppm DECIMAL widening / collect cap / empty guard /
     #    shared surv-prefix oracle refactor) --
     "doc_pack_fill_stats",

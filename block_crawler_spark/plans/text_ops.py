@@ -2728,6 +2728,78 @@ FROM scored GROUP BY source
 QUERIES["doc_unigram_surprisal"] = (unigram_surprisal_query, _unigram_surprisal_sql())
 
 
+def bigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM CONDITIONAL surprisal screen per source (round 11 — the
+    natural upgrade of ``doc_unigram_surprisal``): train the corpus's own
+    bigram LM (within-document (prev, tok) adjacency counts), score every
+    bigram occurrence by its integer conditional surprisal —
+    bitlen(n(prev) ÷ n(prev, tok)) = ⌊log2(1/p(tok|prev))⌋ + 1 bits, the
+    same dyadic ``length(bin(·))`` surrogate both engines compute
+    bit-identically — and report each source's mean bits-per-bigram in
+    milli-bits.  Where the unigram screen flags rare-TOKEN slices, this
+    one flags rare-TRANSITION slices: shuffled/templated text scores high
+    even when its token inventory is ordinary (the n-gram LM fact the
+    screen exploits), and boilerplate scores near the 1-bit floor.
+
+    Scale shape: bigrams never leave the document (a transform over the
+    token array — no window, no self-join); the frequency agg is
+    observed-bigram-bounded (≤ corpus bigram vocabulary, not corpus
+    size); the prev-marginal is a second agg OVER THE FREQUENCY TABLE
+    (vocab-bounded input, so the "the"-row hot key costs one combine);
+    scoring is the occurrence ⋈ bigram-vocabulary equi-join (collision
+    cost, the unigram/TF-IDF shape) plus a vocab-bounded marginal join.
+    Fully LAZY — the conditional form needs no corpus-total scalar, so
+    unlike the unigram screen there is no eager driver-materialized
+    total."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens(F.lower(F.trim(F.col("text")))).alias("t"))
+    occ = tk.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS prev, t[i + 1] AS tok))"
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
+    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    scored = (
+        occ.join(freq, ["prev", "tok"])
+        .join(marg, "prev")
+        .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bits").alias("sum_bits"),
+        F.expr("CAST(sum(bits) * 1000 DIV count(*) AS BIGINT)").alias("mean_surprisal_mbits"),
+    )
+
+
+def _bigram_surprisal_sql() -> str:
+    return r"""
+WITH tk AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+occ AS (
+  SELECT source, t[i] AS prev, t[i+1] AS tok
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+),
+freq AS (SELECT prev, tok, COUNT(*) AS n2 FROM occ GROUP BY prev, tok),
+marg AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM freq GROUP BY prev),
+scored AS (
+  SELECT o.source, CAST(length(bin(m.n1 // f.n2)) AS BIGINT) AS bits
+  FROM occ o JOIN freq f USING (prev, tok) JOIN marg m USING (prev)
+)
+SELECT source, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mean_surprisal_mbits
+FROM scored GROUP BY source
+"""
+
+
+QUERIES["doc_bigram_surprisal"] = (bigram_surprisal_query, _bigram_surprisal_sql())
+
+
 def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-threshold sensitivity sweep (round 10): every LSH candidate
     pair's EXACT Jaccard dropped into a decile bucket, with the count per

@@ -98,6 +98,25 @@ class CorpusIngestStore:
     near_dup: bool = False
     jaccard_threshold: float = 0.5
     quality_min_ppm: int | None = None
+    # SEMANTIC admission gate (round 11 — the streaming twin of the batch
+    # dedup_semantic_* family): when True, batches must carry an
+    # ``embedding array<float>`` column, and a document whose embedding
+    # sits within ``semantic_sqdist_max`` (integer micro² L2 — the SAME
+    # threshold constant as the batch family) of ANY admitted document in
+    # its trained cell is blocked.  The trained cells are the broadcast
+    # state: a ≤SEM_K_MAX-row centroid table (train it offline with
+    # ``operators.ann.kmeans_lloyd_fixed`` — e.g. the batch corpus's
+    # ``_sem_k``-capped codebook) passed as ``semantic_centroids`` on
+    # first use and PINNED to ``root/_centroids`` (the _INDEX_BUCKETS
+    # idiom: later opens adopt the pinned codebook, because admission
+    # decisions are only consistent across restarts if every batch
+    # assigns against the same cells).  Like the batch family, recall is
+    # bounded by the single-assignment trade: a near-dup pair straddling
+    # a cell boundary is not blocked (docs/SCALING.md §"Semantic
+    # pair-RECALL" measures that trade on the batch side).
+    semantic: bool = False
+    semantic_sqdist_max: int | None = None
+    semantic_centroids: DataFrame | None = None
     # optional Gopher-panel admission screen: a document must pass ALL four
     # rule flags of plans.text_ops.with_gopher_flags (token-count bounds,
     # mean-word-length bounds, stopword evidence, repetition cap) — the
@@ -263,7 +282,12 @@ class CorpusIngestStore:
                 shutil.rmtree(p, ignore_errors=True)
 
     def _stored_schema(self) -> str:
-        return DOC_SCHEMA + ", fp string" + (", sig array<string>" if self.near_dup else "")
+        return (
+            DOC_SCHEMA
+            + ", fp string"
+            + (", sig array<string>" if self.near_dup else "")
+            + (", embedding array<float>" if self.semantic else "")
+        )
 
     def corpus(self) -> DataFrame:
         dirs = self._live_dirs()
@@ -281,6 +305,14 @@ class CorpusIngestStore:
         ``bbucket`` — the band analog of the fp-bucketed ``index``."""
         return os.path.join(self.root, "bindex")
 
+    def _vindex_root(self) -> str:
+        """Root of the semantic vector side table: one dir per live docs
+        dir, rows ``(doc_id, cid, v)`` — the trained-cell assignment and
+        micro-fixed vector of every admitted doc — partitioned by
+        ``vbucket = pmod(cid, index_buckets)``, so the per-batch semantic
+        probe scans only the cells the batch actually touches."""
+        return os.path.join(self.root, "vindex")
+
     def _index_schema(self) -> str:
         return "doc_id long, fp string" + (", sig array<string>" if self.near_dup else "")
 
@@ -289,6 +321,8 @@ class CorpusIngestStore:
 
     _BINDEX_COLS = ["doc_id", "band_index", "band_value"]
     _BINDEX_SCHEMA = "doc_id long, band_index int, band_value string"
+    _VINDEX_COLS = ["doc_id", "cid", "v"]
+    _VINDEX_SCHEMA = "doc_id long, cid long, v array<bigint>"
 
     def _effective_index_buckets(self) -> int:
         """The bucket count the on-disk layout was written with: the pinned
@@ -331,6 +365,60 @@ class CorpusIngestStore:
             F.xxhash64(F.col("band_index"), F.col("band_value")),
             F.lit(self._effective_index_buckets()),
         ).cast("int")
+
+    def _vbucket_expr(self):
+        """The vector table's partition value — a pure function of the
+        trained cell id and the pinned bucket count.  cid itself is bounded
+        (the caller trains a capped codebook), so plain modulo spreads the
+        cells evenly without hashing."""
+        return F.pmod(F.col("cid"), F.lit(self._effective_index_buckets())).cast("int")
+
+    def _sqdist_max(self) -> int:
+        if self.semantic_sqdist_max is not None:
+            return self.semantic_sqdist_max
+        from ..plans.embed_ops import SEM_SQDIST_MAX
+
+        return SEM_SQDIST_MAX
+
+    def _centroids(self) -> DataFrame:
+        """The PINNED trained-cell codebook (cid, c), driver-cached: reads
+        ``root/_centroids`` when committed; otherwise pins the codebook the
+        store was constructed with (first write) then returns it.  Bounded
+        by the caller's k cap (the SEM_K_MAX contract of the batch family),
+        so the collect/broadcast is constant-sized."""
+        cached = getattr(self, "_cents_rows", None)
+        if cached is None:
+            dst = os.path.join(self.root, "_centroids")
+            if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                df = self.spark.read.parquet(dst).select("cid", "c")
+            else:
+                if self.semantic_centroids is None:
+                    raise ValueError(
+                        "semantic store has no pinned codebook: pass semantic_centroids "
+                        "(train with operators.ann.kmeans_lloyd_fixed) on first use"
+                    )
+                df = self.semantic_centroids.select("cid", "c")
+                os.makedirs(self.root, exist_ok=True)
+                tmp = f"{dst}.tmp-{os.getpid()}"
+                df.write.mode("overwrite").parquet(tmp)
+                self._replace_dir(tmp, dst)
+                df = self.spark.read.parquet(dst).select("cid", "c")
+            cached = (df.collect(), df.schema)
+            self._cents_rows = cached
+        rows, schema = cached
+        return self.spark.createDataFrame(rows, schema)
+
+    def _vindex_project(self, docs: DataFrame) -> DataFrame:
+        """Pure projection docs → (doc_id, cid, v, vbucket): re-derives the
+        assignment from the PINNED codebook, so a healed dir is
+        bit-identical to the one the ingest path wrote."""
+        from ..operators.ann import centroid_assign, micro_fixed
+
+        vecs = docs.select(F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+        asg = centroid_assign(vecs, self._centroids()).join(vecs, "vid")
+        return asg.select(F.col("vid").alias("doc_id"), "cid", "v").withColumn(
+            "vbucket", self._vbucket_expr()
+        )
 
     def _index_committed(self, d: str, root: str | None = None) -> bool:
         """True iff ``d``'s side-table dir under ``root`` (default: the fp
@@ -446,6 +534,8 @@ class CorpusIngestStore:
                 ),
                 "bbucket",
             )
+        if self.semantic:
+            self._heal_side_table(live, self._vindex_root(), self._vindex_project, "vbucket")
 
     def index(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """The narrow seen-set table: (doc_id, fp[, sig]) for every admitted
@@ -496,6 +586,30 @@ class CorpusIngestStore:
             self._BINDEX_COLS,
             self._BINDEX_SCHEMA,
             "bbucket",
+            buckets,
+            project,
+        )
+
+    def vindex(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """The semantic vector side table: (doc_id, cid, v) per admitted
+        doc.  ``buckets`` prunes committed dirs to those ``vbucket=K``
+        partitions — the per-batch semantic probe reads only the admitted
+        rows of the CELLS the batch touches (≤ batch_rows distinct cells),
+        never the whole admitted vector set.  Side-effect-free like
+        :meth:`index`: uncovered or unreadable dirs project lazily from
+        docs + the pinned codebook (the source of truth)."""
+
+        def project(docs: DataFrame, bucket_list) -> DataFrame:
+            out = self._vindex_project(docs)
+            if bucket_list is not None:
+                out = out.filter(F.col("vbucket").isin(bucket_list))
+            return out.select(*self._VINDEX_COLS)
+
+        return self._read_side_table(
+            self._vindex_root(),
+            self._VINDEX_COLS,
+            self._VINDEX_SCHEMA,
+            "vbucket",
             buckets,
             project,
         )
@@ -622,6 +736,13 @@ class CorpusIngestStore:
                 fresh, staged = self._near_dup_filter(fresh, small_batch=small)
                 to_unpersist.extend(staged)
                 cols.append("sig")
+            if self.semantic:
+                # after the text-level gates: a doc must be textually fresh
+                # AND semantically fresh to enter the seen set
+                fresh = fresh.cache()
+                to_unpersist.append(fresh)
+                fresh = self._semantic_filter(fresh, small_batch=small)
+                cols.append("embedding")
             fresh.select(*cols).write.mode("overwrite").parquet(out)
         finally:
             for df in to_unpersist:
@@ -728,6 +849,56 @@ class CorpusIngestStore:
         drop_cross = verified.select(F.col("id_b").alias("doc_id")).distinct()
         sigs = sigs.join(drop_cross, "doc_id", "anti")
         return fresh.join(sigs.select("doc_id", "sig"), "doc_id"), staged
+
+    def _semantic_filter(self, fresh: DataFrame, small_batch: bool = True) -> DataFrame:
+        """Drop semantic near-duplicates, first within the batch
+        (keep-lowest-id, same-cell pairs only — the batch twin of the batch
+        family's within-cell pair join), then against every admitted
+        document.  Shape mirrors the band probe: assign the batch against
+        the ≤k-row broadcast codebook (one pass, no shuffle), collect the
+        batch's cell-bucket footprint driver-side (≤ batch_rows values) to
+        statically prune the admitted vector table's scan, then equi-join
+        on cid with the batch side broadcast — the admitted side is only
+        ever SCANNED.  Every candidate is verified on exact integer sqdist
+        before it blocks anything.  Per-batch cost is
+        |batch| × (admitted rows in the batch's cells): collision-shaped
+        like the band probe; a hot cell makes the probe linear in that
+        cell's population — the single-assignment family's documented
+        residual (the batch side caps pair GENERATION with SEM_CELL_CAP
+        shards, but an admission probe must consult every admitted member
+        of the cell or it would re-admit a duplicate)."""
+        from ..operators.ann import centroid_assign, int_sqdist, micro_fixed
+
+        dmax = self._sqdist_max()
+        vecs = fresh.select(F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+        asg = centroid_assign(vecs, self._centroids()).join(vecs, "vid").select("vid", "cid", "v")
+        # within-batch, same-cell, keep-lowest-id
+        a = asg.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
+        b = asg.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
+        drop_in = (
+            a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(int_sqdist(F.col("va"), F.col("vb")) <= dmax)
+            .select(F.col("id_b").alias("vid"))
+            .distinct()
+        )
+        asg = asg.join(drop_in, "vid", "anti")
+        # the batch's cell-bucket footprint (≤ batch_rows values) — the
+        # whole asg lineage re-derives from the caller-cached batch, so no
+        # extra persist is needed for this one extra small job
+        vbuckets = sorted(
+            r["b"] for r in asg.select(self._vbucket_expr().alias("b")).distinct().collect()
+        )
+        hits = (
+            self.vindex(buckets=vbuckets)
+            .withColumnRenamed("v", "v_adm")
+            .join(self._hint(asg, small_batch), "cid")
+            .filter(int_sqdist(F.col("v_adm"), F.col("v")) <= dmax)
+            .select(F.col("vid").alias("doc_id"))
+            .distinct()
+        )
+        drop_in_ids = drop_in.select(F.col("vid").alias("doc_id"))
+        return fresh.join(drop_in_ids, "doc_id", "anti").join(hits, "doc_id", "anti")
 
     def _pin_checkpoint(self, checkpoint_dir: str) -> None:
         """The ``batch-<id>`` replay tombstones are only meaningful for the

@@ -561,3 +561,115 @@ def test_gopher_rules_admission_screen(spark, tmp_path):
     # the rule screen runs BEFORE dedup, it doesn't replace it
     store.ingest_batch(_docs(spark, [(3, good), (4, bad)]), 1)
     assert _corpus_ids(store) == [1]
+
+
+# -- semantic admission gate (round 11) --------------------------------------
+
+SEM_DOC_SCHEMA = DOC_SCHEMA + ", embedding array<float>"
+
+
+def _sem_docs(spark, rows):
+    """rows: (doc_id, text, embedding list[float])."""
+    return spark.createDataFrame(
+        [(i, t, "en", "srcX", len(t), e) for i, t, e in rows], SEM_DOC_SCHEMA
+    )
+
+
+def _train_cents(spark):
+    """A tiny deterministic 2-cell codebook over two well-separated seeds
+    (the offline-training stand-in)."""
+    from block_crawler_spark.operators.ann import kmeans_lloyd_fixed
+
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    _, cents = kmeans_lloyd_fixed(seed, k=2, iters=1)
+    return cents
+
+
+def test_semantic_gate_blocks_near_vectors_across_batches(spark, tmp_path):
+    store = CorpusIngestStore(
+        spark, str(tmp_path / "corpus"), semantic=True, semantic_centroids=_train_cents(spark)
+    )
+    # batch 0: doc 1 admitted; doc 2 is a semantic near-dup of doc 1
+    # (same cell, tiny sqdist) despite DIFFERENT text → blocked in-batch;
+    # doc 3 is in the other cell → admitted
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [
+                (1, "alpha text", [1.0, 0.0, 0.0, 0.0]),
+                (2, "totally different words", [0.999, 0.01, 0.0, 0.0]),
+                (3, "orthogonal doc", [0.0, 1.0, 0.0, 0.0]),
+            ],
+        ),
+        0,
+    )
+    assert _corpus_ids(store) == [1, 3]
+    # batch 1: doc 4 near-dups ADMITTED doc 1 (cross-batch) → blocked;
+    # doc 5 is near the cell-1 centroid but far from doc 3? no — make it
+    # far from everything admitted (distance to doc 3 large) → admitted
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [
+                (4, "fresh words entirely", [0.998, 0.02, 0.0, 0.0]),
+                (5, "another fresh doc", [0.0, 0.0, 1.0, 0.0]),
+            ],
+        ),
+        1,
+    )
+    assert _corpus_ids(store) == [1, 3, 5]
+    # replay of batch 1 is a no-op
+    store.ingest_batch(
+        _sem_docs(spark, [(4, "fresh words entirely", [0.998, 0.02, 0.0, 0.0])]), 1
+    )
+    assert _corpus_ids(store) == [1, 3, 5]
+    # the vector side table mirrors the admitted set
+    assert sorted(r["doc_id"] for r in store.vindex().collect()) == [1, 3, 5]
+
+
+def test_semantic_gate_adopts_pinned_codebook_on_reopen(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    store = CorpusIngestStore(spark, root, semantic=True, semantic_centroids=_train_cents(spark))
+    store.ingest_batch(_sem_docs(spark, [(1, "alpha", [1.0, 0.0, 0.0, 0.0])]), 0)
+    # reopen WITHOUT passing centroids: the pinned codebook is adopted and
+    # admission decisions stay consistent (doc 2 near-dups admitted doc 1)
+    store2 = CorpusIngestStore(spark, root, semantic=True)
+    store2.ingest_batch(
+        _sem_docs(
+            spark,
+            [
+                (2, "beta", [0.999, 0.005, 0.0, 0.0]),
+                (3, "gamma", [0.0, 1.0, 0.0, 0.0]),
+            ],
+        ),
+        1,
+    )
+    assert _corpus_ids(store2) == [1, 3]
+
+
+def test_semantic_vindex_heals_from_docs(spark, tmp_path):
+    import shutil as _sh
+    import os as _os
+
+    root = str(tmp_path / "corpus")
+    store = CorpusIngestStore(spark, root, semantic=True, semantic_centroids=_train_cents(spark))
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [(1, "alpha", [1.0, 0.0, 0.0, 0.0]), (2, "beta", [0.0, 1.0, 0.0, 0.0])],
+        ),
+        0,
+    )
+    before = sorted(tuple(r) for r in store.vindex().collect())
+    _sh.rmtree(_os.path.join(root, "vindex"))
+    # read path falls back to the docs projection (correct, slower)
+    assert sorted(tuple(r) for r in store.vindex().collect()) == before
+    # and admission against the fallen-back index still blocks
+    store.ingest_batch(_sem_docs(spark, [(3, "gamma", [0.999, 0.01, 0.0, 0.0])]), 1)
+    assert _corpus_ids(store) == [1, 2]
+    # the next write path re-heals the durable dir
+    assert _os.path.exists(_os.path.join(root, "vindex"))
+    assert sorted(tuple(r) for r in store.vindex().collect()) == before

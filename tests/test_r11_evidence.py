@@ -95,3 +95,32 @@ def test_semantic_pairs_loss_split_is_exact(spark):
         and r["id_a"] % n_shards[amap[r["id_a"]]] == r["id_b"] % n_shards[amap[r["id_b"]]]
     }
     assert got == expected
+
+
+def test_bigram_surprisal_conserves_occurrences_and_floors(spark):
+    """Conservation: each doc contributes exactly max(len-1, 0) bigram
+    occurrences (bigrams never cross documents); identity: the reported
+    mean is sum_bits*1000 DIV n_bigrams; floor: every bits value is >= 1
+    (n1 >= n2 by construction) so mean >= 1000 milli-bits."""
+    from block_crawler_spark.functions.text import tokens
+    from block_crawler_spark.plans.text_ops import bigram_surprisal_query
+
+    rows = bigram_surprisal_query(spark, SF).collect()
+    assert rows
+    per_doc = (
+        load_table(spark, SF, "documents")
+        .select(
+            "source",
+            F.greatest(
+                F.size(tokens(F.lower(F.trim(F.col("text"))))) - 1, F.lit(0)
+            ).alias("nb"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nb").alias("nb"))
+    )
+    expected = {r["source"]: r["nb"] for r in per_doc.collect()}
+    for r in rows:
+        assert r["n_bigrams"] == expected[r["source"]]
+        assert r["mean_surprisal_mbits"] == r["sum_bits"] * 1000 // r["n_bigrams"]
+        assert r["mean_surprisal_mbits"] >= 1000
+    assert sum(r["n_bigrams"] for r in rows) == sum(expected.values())
