@@ -1097,7 +1097,7 @@ SEM_TARGET_CELL = 25  # target members per trained cell: K = max(8, N // 25)
 SEM_K_MAX = 4096  # hard ceiling on the trained cell count (see _sem_k)
 SEM_CELLS_ITERS = 2
 SEM_SQDIST_MAX = 1_100_000_000_000  # micro² L2 ≈ cosine ≥ 0.45 at unit norm
-SEM_CELL_CAP = 200  # shard guard: a cell beyond this splits into vid-modulo shards
+SEM_CELL_CAP = 200  # shard guard: a cell beyond this splits into distance bands
 
 
 def _sem_k(n_vectors: int) -> int:
@@ -1134,36 +1134,59 @@ def _semantic_pairs(
 
     Skew guard (VERDICT r8 task 7): Lloyd makes no balance promise, so a
     hot cell could still be corpus-sized.  Each cell's members are split
-    into ``ceil(cell_pop / SEM_CELL_CAP)`` deterministic shards
-    (``vid % n_shards``) and pairs are generated only WITHIN a (cell,
-    shard) — so candidate pairs are ≤ N·SEM_CELL_CAP/2 under ANY skew
-    (each member meets at most CAP-1 others), and ≈ N·TARGET/2 when the
-    derived-K cells are balanced.  The price is recall, MEASURED in round
-    11 (``scripts/semantic_recall_probe.py``, docs/SCALING.md §"Semantic
-    pair-RECALL"): an n_shards>1 cell drops the ~(1 − 1/n_shards) of its
-    close pairs that straddle shards — confirmed empirically (same-cell
-    pair survival 1/2 at n_shards=2, 1/11 at n_shards≈11), so past the
-    SEM_K_MAX knee, where n_shards grows linearly with N, recall decays
-    hyperbolically; a locality-preserving shard key (secondary residual
-    quantizer) is the designed successor.  Below the knee shard loss is
-    exactly 0 (n_shards = 1 everywhere at the graded SFs); cell-boundary
-    loss dominates there (57–86 % on this isotropic worst-case corpus).
-    Per the no-silent-caps rule the loss is surfaced in-band via the
-    ``cell_pop`` / ``n_shards`` diagnostic columns (n_shards > 1 ⇒ the
-    guard fired for that cell; ``emb_ivf_cell_balance`` is the standalone
-    watchdog).  ``cell_cap`` is parametrized for the probe's knee
-    emulation; registry queries always use the committed SEM_CELL_CAP.
+    into ``ceil(cell_pop / SEM_CELL_CAP)`` deterministic shards and pairs
+    are generated only WITHIN a (cell, shard) — so candidate pairs are
+    ≤ N·SEM_CELL_CAP/2 under ANY skew (each member meets at most ~CAP-1
+    others), and ≈ N·TARGET/2 when the derived-K cells are balanced.
+
+    The SHARD KEY is locality-preserving (round 11): members are ranked
+    within their cell by DISTANCE TO THE CENTROID (ties to the lowest
+    vid) and cut into ``n_shards`` equal-frequency bands —
+    ``rank DIV ceil(cell_pop / n_shards)`` — so the balance guarantee is
+    exact (every band ≤ ⌈pop/n_shards⌉ ≤ CAP members) while straddling is
+    CORRELATED WITH DISTANCE: by the triangle inequality a close pair's
+    centroid distances differ by at most the pair distance, so near-dups
+    sit in the same spherical shell and usually the same band.  The
+    predecessor key (``vid % n_shards``, rounds 8–10) made straddling
+    UNIFORM — the round-11 recall probe measured its loss at the
+    predicted 1 − 1/n_shards (same-cell pair survival 1/2 at n_shards=2,
+    1/11 at n_shards≈11, hyperbolic decay past the SEM_K_MAX knee), which
+    is what motivated the switch; the same probe measures the band key's
+    retention (docs/SCALING.md §"Semantic pair-RECALL").  Residual loss:
+    pairs whose shell positions land on opposite sides of a band
+    boundary — bounded-width shells (the triangle inequality) against
+    bands that widen as cells grow, so the loss SHRINKS as the guard
+    fires harder, instead of growing with n_shards.
+
+    Below the knee shard loss is exactly 0 (n_shards = 1 everywhere at
+    the graded SFs); cell-boundary loss dominates there (57–86 % on this
+    isotropic worst-case corpus).  Per the no-silent-caps rule the loss
+    is surfaced in-band via the ``cell_pop`` / ``n_shards`` diagnostic
+    columns (n_shards > 1 ⇒ the guard fired for that cell;
+    ``emb_ivf_cell_balance`` is the standalone watchdog).  ``cell_cap``
+    is parametrized for the probe's knee emulation; registry queries
+    always use the committed SEM_CELL_CAP.
+
+    Cost note: the band rank is one window (hash-partitioned by cid,
+    per-cell local sort — O(m log m) against the pair join's O(m·CAP),
+    subdominant for any cell); ``assign`` must carry the trainer's
+    ``dist`` column (both ``kmeans_lloyd_fixed`` outputs do).
 
     Returns (id_a, id_b, cell, cell_pop, n_shards, sqdist)."""
+    from pyspark.sql.window import Window
+
     counts = assign.groupBy("cid").agg(F.count("*").alias("cell_pop"))
     # counts is K rows — broadcastable at any graded scale; at extreme K
     # (billions of vectors / TARGET) AQE falls back to a shuffle join on
     # cid, the same key the pair join below shuffles on anyway
+    rk = F.row_number().over(Window.partitionBy("cid").orderBy("dist", "vid")) - 1
     mem = (
-        assign.select("vid", "cid")
+        assign.select("vid", "cid", "dist")
         .join(counts, "cid")
         .withColumn("n_shards", F.expr(f"(cell_pop + {cell_cap - 1}) DIV {cell_cap}"))
-        .withColumn("shard", F.col("vid") % F.col("n_shards"))
+        .withColumn("rk", rk.cast("long"))
+        .withColumn("shard", F.expr("rk DIV ((cell_pop + n_shards - 1) DIV n_shards)"))
+        .drop("rk", "dist")
         .join(vecs, "vid")
     )
     a = mem.select(
@@ -1266,16 +1289,22 @@ def _sem_pairs_cte_parts(iters: int) -> list[str]:
     parts = _kmeans_cte_chain_rt(iters)
     parts.append(
         f"""af AS (
-  SELECT vid, (MIN(struct_pack(d := d, cid := cid))).cid AS cid
+  SELECT vid, (MIN(struct_pack(d := d, cid := cid))).cid AS cid,
+         (MIN(struct_pack(d := d, cid := cid))).d AS d
   FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{iters}) GROUP BY vid
 )"""
     )
     parts.append("cnt AS (SELECT cid, COUNT(*) AS cell_pop FROM af GROUP BY cid)")
+    # locality-preserving shard key (round 11): equal-frequency bands over
+    # the within-cell rank by (distance-to-centroid, vid) — the SQL twin of
+    # _semantic_pairs' window; vid % n_shards was the r8-r10 key
     parts.append(
         f"""mem AS (
   SELECT af.vid, af.cid, cnt.cell_pop,
          (cnt.cell_pop + {CAP - 1}) // {CAP} AS n_shards,
-         af.vid % ((cnt.cell_pop + {CAP - 1}) // {CAP}) AS shard
+         (row_number() OVER (PARTITION BY af.cid ORDER BY af.d, af.vid) - 1)
+           // ((cnt.cell_pop + ((cnt.cell_pop + {CAP - 1}) // {CAP}) - 1)
+               // ((cnt.cell_pop + {CAP - 1}) // {CAP})) AS shard
   FROM af JOIN cnt USING (cid)
 )"""
     )

@@ -6,10 +6,13 @@ skew), but the price of the two pruning stages was asserted, never measured:
 
 * CELL-boundary loss — a true near-dup pair whose members land in different
   Lloyd cells is never generated (the SemDeDup trade, present at every N);
-* SHARD-boundary loss — once a cell outgrows ``SEM_CELL_CAP`` the
-  ``vid % n_shards`` split discards the ~(1 − 1/n_shards) of its true pairs
-  that straddle shards (only past the knee, N ≳ SEM_K_MAX·TARGET ≈ 102k
-  vectors, where the cap binds and cells grow linearly).
+* SHARD-boundary loss — once a cell outgrows ``SEM_CELL_CAP`` the shard
+  split discards true pairs that straddle shards (only past the knee,
+  N ≳ SEM_K_MAX·TARGET ≈ 102k vectors, where the cap binds and cells grow
+  linearly).  Measuring the r8–r10 ``vid % n_shards`` key at exactly the
+  predicted 1 − 1/n_shards loss is what motivated the r11 switch to the
+  distance-band key; the ``planted-tight`` rows give the band-vs-modulo
+  head-to-head on true near-dups.
 
 This probe measures both, separately, against the BRUTE-FORCE truth (every
 pair with integer sqdist ≤ SEM_SQDIST_MAX — exactly the filter the family
@@ -64,26 +67,37 @@ def probe(spark, sf: str, regime: str, k: int, cell_cap: int) -> dict:
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     n = vecs.count()
 
-    # brute-force truth: every within-threshold pair, no pruning
+    # brute-force truth: every within-threshold pair, no pruning.  TIGHT
+    # pairs (sqdist ≤ MAX/4, cosine ≳ 0.86 at unit norm) are the actual
+    # near-dup regime — reported separately because the locality of the
+    # r11 distance-band shard key is distance-correlated: the tighter the
+    # pair, the narrower its centroid-distance spread (triangle
+    # inequality), the likelier it shares a band.
+    tight = SEM_SQDIST_MAX // 4
     a = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     b = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sqdist", int_sqdist(F.col("va"), F.col("vb")))
         .filter(F.col("sqdist") <= SEM_SQDIST_MAX)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sqdist")
     )
     truth = spark.createDataFrame(truth.collect(), truth.schema)  # reused 3×, tiny
 
     assign, _ = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
     t_pairs = int(truth.count())
+    t_tight = int(truth.filter(F.col("sqdist") <= tight).count())
 
     aa = assign.select(F.col("vid").alias("id_a"), F.col("cid").alias("cid_a"))
     ab = assign.select(F.col("vid").alias("id_b"), F.col("cid").alias("cid_b"))
     same_cell = int(
         truth.join(aa, "id_a").join(ab, "id_b").filter(F.col("cid_a") == F.col("cid_b")).count()
     )
-    retained = int(_semantic_pairs(assign, vecs, cell_cap=cell_cap).count())
+    kept = _semantic_pairs(assign, vecs, cell_cap=cell_cap)
+    kept = spark.createDataFrame(kept.select("id_a", "id_b", "sqdist").collect(),
+                                 "id_a long, id_b long, sqdist long")
+    retained = int(kept.count())
+    r_tight = int(kept.filter(F.col("sqdist") <= tight).count())
 
     cells = assign.groupBy("cid").agg(F.count("*").alias("pop"))
     shard_stats = cells.agg(
@@ -112,6 +126,78 @@ def probe(spark, sf: str, regime: str, k: int, cell_cap: int) -> dict:
         "recall": r3(retained / t_pairs) if t_pairs else None,
         "cell_loss": r3((t_pairs - same_cell) / t_pairs) if t_pairs else None,
         "shard_loss": r3((same_cell - retained) / t_pairs) if t_pairs else None,
+        "tight_pairs": t_tight,
+        "tight_recall": r3(r_tight / t_tight) if t_tight else None,
+    }
+
+
+def probe_planted(spark, sf: str, k: int, cell_cap: int) -> dict:
+    """The TIGHT-pair regime the graded corpus lacks (it has zero pairs
+    under cos ≈ 0.86 — memory: the synthetic embeddings plant no near
+    dups): append one jittered copy of every vector (+500 micro on dim 0,
+    sqdist 2.5e5 ≪ tight) under a HASH-SCRAMBLED id (a multiplier
+    bijection mod the Mersenne prime 2^31−1 — a structured offset, or an
+    odd multiplier mod a power of two, which preserves the LOW BIT, would
+    make the modulo counterfactual systematically biased), force the sharded regime, and measure how many
+    of the N known-true near-dup pairs each shard key retains:
+
+      band_tight_recall   — what _semantic_pairs (r11 distance-band key)
+                            actually keeps, measured from its output;
+      modulo_tight_recall — the r8–r10 ``vid % n_shards`` counterfactual,
+                            replayed on the SAME assignment.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    plant = emb.select(
+        (F.lit(10**9) + F.pmod(F.col("vec_id") * F.lit(2654435761) + F.lit(911), F.lit(2147483647))).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + CAST(0.0005 AS FLOAT) ELSE x END)").alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(plant)
+    vecs = corpus.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    n = vecs.count()
+    assign, _ = kmeans_lloyd_fixed(corpus, k=k, iters=SEM_CELLS_ITERS)
+    tight = SEM_SQDIST_MAX // 4
+
+    kept_tight = {
+        (r["id_a"], r["id_b"])
+        for r in _semantic_pairs(assign, vecs, cell_cap=cell_cap)
+        .filter(F.col("sqdist") <= tight)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    arows = assign.collect()
+    cell = {r["vid"]: r["cid"] for r in arows}
+    pops: dict = {}
+    for c in cell.values():
+        pops[c] = pops.get(c, 0) + 1
+    planted_pairs = [
+        tuple(sorted((v, 10**9 + (v * 2654435761 + 911) % 2147483647)))
+        for v in (r["vec_id"] for r in emb.select("vec_id").collect())
+    ]
+    t_tight = len(planted_pairs)
+    band_keep = sum(1 for p in planted_pairs if p in kept_tight)
+    mod_keep = 0
+    for x, y in planted_pairs:
+        if cell[x] != cell[y]:
+            continue
+        ns = -(-pops[cell[x]] // cell_cap)
+        if x % ns == y % ns:
+            mod_keep += 1
+    same_cell = sum(1 for x, y in planted_pairs if cell[x] == cell[y])
+    r3 = lambda x: round(x, 3)  # noqa: E731
+    return {
+        "sf": sf.rsplit("/", 1)[-1],
+        "regime": "planted-tight",
+        "n": n,
+        "k": k,
+        "cell_cap": cell_cap,
+        "max_shards": max(-(-p // cell_cap) for p in pops.values()),
+        "tight_pairs": t_tight,
+        "same_cell_tight": same_cell,
+        "band_tight_recall": r3(band_keep / t_tight),
+        "modulo_tight_recall": r3(mod_keep / t_tight),
     }
 
 
@@ -127,6 +213,10 @@ def main() -> int:
     rows.append(probe(spark, SFS[-1], "knee", max(8, n // 250), SEM_CELL_CAP))
     # deep past the knee: n_shards ≈ 10
     rows.append(probe(spark, SFS[-1], "harsh", max(8, n // 250), 25))
+    # tight-pair (true near-dup) retention, band key vs modulo
+    # counterfactual — knee and deep-past-the-knee
+    rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 200))
+    rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 25))
     for r in rows:
         print(json.dumps(r))
     return 0

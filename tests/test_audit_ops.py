@@ -248,13 +248,26 @@ def test_semantic_cells_exact_recall_characterization(spark):
     )
     brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
     assign, _ = kmeans_lloyd_fixed(emb, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    cell = {r["vid"]: r["cid"] for r in assign.collect()}
+    arows = assign.collect()
+    cell = {r["vid"]: r["cid"] for r in arows}
+    dist = {r["vid"]: r["dist"] for r in arows}
     pop: dict[int, int] = {}
     for c in cell.values():
         pop[c] = pop.get(c, 0) + 1
+    # r11 band key: within-cell rank by (dist-to-centroid, vid), cut into
+    # ceil(pop/CAP) equal-frequency bands
+    rank: dict[int, int] = {}
+    by_cell: dict[int, list[int]] = {}
+    for v, c in cell.items():
+        by_cell.setdefault(c, []).append(v)
+    for c, vs in by_cell.items():
+        for i, v in enumerate(sorted(vs, key=lambda v: (dist[v], v))):
+            rank[v] = i
 
     def shard(v: int) -> int:
-        return v % -(-pop[cell[v]] // SEM_CELL_CAP)
+        p = pop[cell[v]]
+        n = -(-p // SEM_CELL_CAP)
+        return rank[v] // (-(-p // n))
 
     expected = {
         (x, y) for (x, y) in brute_pairs if cell[x] == cell[y] and shard(x) == shard(y)
@@ -608,32 +621,35 @@ def test_sem_k_derived_and_capped():
 
 def test_semantic_pair_shard_guard_fires_on_skew(spark):
     """A cell whose population exceeds SEM_CELL_CAP is split into
-    vid-modulo shards: every emitted pair stays within one shard (so the
-    per-task pair budget is ≤ CAP²/2 no matter how hot the cell), the
-    n_shards diagnostic column reports the split, and the dropped mass is
-    exactly the cross-shard pairs — the no-silent-caps rule made testable
-    with a synthetic all-one-cell assignment of identical vectors."""
+    equal-frequency DISTANCE BANDS (round 11: rank by dist-to-centroid,
+    vid ties): every emitted pair stays within one band (so the per-task
+    pair budget is ≤ CAP²/2 no matter how hot the cell), the n_shards
+    diagnostic column reports the split, and the dropped mass is exactly
+    the cross-band pairs — the no-silent-caps rule made testable with a
+    synthetic all-one-cell assignment of identical vectors (dist ties →
+    band = vid rank DIV band_size)."""
     from block_crawler_spark.plans.embed_ops import SEM_CELL_CAP, _semantic_pairs
 
     n = SEM_CELL_CAP + 50  # one cell, guard must split into 2 shards
-    rows = [(i, 0) for i in range(n)]
-    assign = spark.createDataFrame(rows, "vid long, cid long")
+    rows = [(i, 0, 0) for i in range(n)]
+    assign = spark.createDataFrame(rows, "vid long, cid long, dist long")
     # identical vectors: every within-shard pair is at distance 0 (close)
     vecs = assign.select("vid", F.expr("array(1000000L, 0L)").alias("v"))
     pairs = _semantic_pairs(assign, vecs).collect()
     assert pairs, "identical vectors must produce close pairs"
     n_shards = -(-n // SEM_CELL_CAP)
     assert n_shards == 2
+    band = -(-n // n_shards)  # equal-frequency band size (ties → vid rank)
     for p in pairs:
         assert p["cell_pop"] == n
         assert p["n_shards"] == n_shards, "guard diagnostic must report the split"
-        assert p["id_a"] % n_shards == p["id_b"] % n_shards, "pairs never straddle shards"
+        assert p["id_a"] // band == p["id_b"] // band, "pairs never straddle bands"
         assert p["sqdist"] == 0
-    # exact surviving-pair count: C(|shard|, 2) summed over the two shards
-    per_shard = [sum(1 for i in range(n) if i % n_shards == s) for s in range(n_shards)]
+    # exact surviving-pair count: C(|band|, 2) summed over the bands
+    per_shard = [sum(1 for i in range(n) if i // band == s) for s in range(n_shards)]
     assert len(pairs) == sum(c * (c - 1) // 2 for c in per_shard)
     # and the guard is inert below the cap: one fewer member than the cap
-    small = spark.createDataFrame([(i, 0) for i in range(5)], "vid long, cid long")
+    small = spark.createDataFrame([(i, 0, 0) for i in range(5)], "vid long, cid long, dist long")
     svecs = small.select("vid", F.expr("array(1000000L, 0L)").alias("v"))
     spairs = _semantic_pairs(small, svecs).collect()
     assert {p["n_shards"] for p in spairs} == {1}

@@ -55,7 +55,9 @@ def test_semantic_pairs_loss_split_is_exact(spark):
     """The recall probe's decomposition (cell loss + shard loss + recall
     = 1) relies on retained pairs being EXACTLY the truth pairs whose
     members share (cell, shard).  Recompute that set independently from
-    the assignment and a forced 2-shard cap, and compare to what
+    the assignment — including the r11 distance-band shard key (rank
+    within cell by (dist, vid), equal-frequency bands) — under a forced
+    tiny cap so n_shards > 1 genuinely fires, and compare to what
     _semantic_pairs emits."""
     from block_crawler_spark.operators.ann import int_sqdist, kmeans_lloyd_fixed, micro_fixed
     from block_crawler_spark.plans.embed_ops import (
@@ -82,17 +84,24 @@ def test_semantic_pairs_loss_split_is_exact(spark):
         .select("id_a", "id_b")
         .collect()
     )
-    amap = {r["vid"]: r["cid"] for r in assign.collect()}
-    pops: dict = {}
-    for cid in amap.values():
-        pops[cid] = pops.get(cid, 0) + 1
-    n_shards = {cid: (p + cap - 1) // cap for cid, p in pops.items()}
+    arows = assign.collect()
+    amap = {r["vid"]: r["cid"] for r in arows}
+    dmap = {r["vid"]: r["dist"] for r in arows}
+    by_cell: dict = {}
+    for v, c in amap.items():
+        by_cell.setdefault(c, []).append(v)
+    shard: dict = {}
+    for c, vs in by_cell.items():
+        n = (len(vs) + cap - 1) // cap
+        band = (len(vs) + n - 1) // n
+        for i, v in enumerate(sorted(vs, key=lambda v: (dmap[v], v))):
+            shard[v] = i // band
+    n_shards = {c: (len(vs) + cap - 1) // cap for c, vs in by_cell.items()}
     assert max(n_shards.values()) > 1, "fixture must exercise the sharded regime"
     expected = {
         (r["id_a"], r["id_b"])
         for r in truth
-        if amap[r["id_a"]] == amap[r["id_b"]]
-        and r["id_a"] % n_shards[amap[r["id_a"]]] == r["id_b"] % n_shards[amap[r["id_b"]]]
+        if amap[r["id_a"]] == amap[r["id_b"]] and shard[r["id_a"]] == shard[r["id_b"]]
     }
     assert got == expected
 
