@@ -234,13 +234,33 @@ _CENTROID_MEMO: dict[tuple, tuple[list, object]] = {}
 _CENTROID_MEMO_MAX = 64
 
 
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """Cheap staleness fingerprint of the embeddings table under
+    ``sf_dir`` (mtime_ns + size of the parquet file, or the dir listing's
+    mtimes) — part of the memo key, so a REWRITTEN table retrains instead
+    of silently replaying centroids trained on the old rows (r11 review:
+    a path-only key would diverge from the retrain-from-current-rows
+    DuckDB oracle after any data refresh)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = sorted(os.listdir(path))
+            return (st.st_mtime_ns, tuple(parts[:64]), len(parts))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("unstattable",)
+
+
 def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int):
     """Memoized :func:`kmeans_lloyd_fixed` over the embeddings table of
     ``sf_dir`` — same (assignments, centroids) contract, one training
-    execution per (sf_dir, k, iters) per session."""
+    execution per (sf_dir, data fingerprint, k, iters) per session."""
     from ..operators.ann import centroid_assign
 
-    key = (sf_dir, k, iters)
+    key = (sf_dir, _emb_fingerprint(sf_dir), k, iters)
     hit = _CENTROID_MEMO.get(key)
     if hit is None:
         assign, cents = kmeans_lloyd_fixed(emb, k=k, iters=iters)

@@ -233,13 +233,17 @@ def pipeline_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make the same columns the residual-risk report.
 
     Scale shape: the benchmark shingle set is DISTINCT and
-    benchmark-bounded; both hit joins are shingle equi-joins costing
-    collisions only (the ``doc_decontaminate`` shape); the survivor
-    restriction is a doc_id semi-join against the pipeline's survivor set
-    (shuffle or broadcast as sizes dictate); outputs are benchmark-sized.
-    The survivor subplan is the SAME ``curated_doc_ids`` DAG the manifest
-    query runs — composed, not re-specified — and the oracle nests the
-    SAME ``_surv_prefix_sql`` CTE chain."""
+    benchmark-bounded; ONE shingle equi-join (collision cost, the
+    ``doc_decontaminate`` shape) feeds all four columns — the train side
+    carries an ``is_surv`` flag (left join against the survivor set,
+    shuffle or broadcast as sizes dictate) and the final columns are
+    conditional count-distincts over the same joined rows, so the
+    corpus-scale shingle explode runs ONCE per side per action (the r11
+    review caught the two-_hits-branches version running it twice per
+    side).  Outputs are benchmark-sized.  The survivor subplan is the
+    SAME ``curated_doc_ids`` DAG the manifest query runs — composed, not
+    re-specified — and the oracle nests the SAME ``_surv_prefix_sql`` CTE
+    chain."""
     from .text_ops import DECON_BENCH_MOD, shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -249,22 +253,21 @@ def pipeline_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench_sh = sh.filter(F.col("bench")).select(F.col("doc_id").alias("bench_id"), "s").distinct()
     train_sh = sh.filter(~F.col("bench")).select(F.col("doc_id").alias("train_id"), "s").distinct()
-    surv_sh = train_sh.join(
-        curated_doc_ids(spark, sf_dir).withColumnRenamed("doc_id", "train_id"), "train_id", "semi"
+    surv = (
+        curated_doc_ids(spark, sf_dir)
+        .withColumnRenamed("doc_id", "train_id")
+        .withColumn("is_surv", F.lit(True))
     )
-
-    def _hits(t: DataFrame, tag: str) -> DataFrame:
-        return bench_sh.join(t, "s").groupBy("bench_id").agg(
-            F.count_distinct("train_id").alias(f"n_contam_{tag}"),
-            F.count_distinct("s").alias(f"n_shingles_{tag}"),
-        )
-
-    out = (
-        docs.filter(is_bench)
-        .select(F.col("doc_id").alias("bench_id"))
-        .join(_hits(train_sh, "raw"), "bench_id", "left")
-        .join(_hits(surv_sh, "final"), "bench_id", "left")
+    tr = train_sh.join(surv, "train_id", "left").withColumn(
+        "is_surv", F.coalesce(F.col("is_surv"), F.lit(False))
     )
+    hits = bench_sh.join(tr, "s").groupBy("bench_id").agg(
+        F.count_distinct("train_id").alias("n_contam_raw"),
+        F.count_distinct("s").alias("n_shingles_raw"),
+        F.count_distinct(F.when(F.col("is_surv"), F.col("train_id"))).alias("n_contam_final"),
+        F.count_distinct(F.when(F.col("is_surv"), F.col("s"))).alias("n_shingles_final"),
+    )
+    out = docs.filter(is_bench).select(F.col("doc_id").alias("bench_id")).join(hits, "bench_id", "left")
     return out.select(
         "bench_id",
         *[
@@ -287,25 +290,25 @@ tk AS (
 shn AS (SELECT doc_id, bench, unnest({_shingle_sql_expr()}) AS s FROM tk),
 bench_sh AS (SELECT DISTINCT doc_id AS bench_id, s FROM shn WHERE bench),
 train_sh AS (SELECT DISTINCT doc_id AS train_id, s FROM shn WHERE NOT bench),
-surv_sh AS (SELECT train_id, s FROM train_sh WHERE train_id IN (SELECT doc_id FROM surv_ids)),
-raw_hits AS (
-  SELECT bench_id, COUNT(DISTINCT train_id) AS n_contam_raw,
-         COUNT(DISTINCT s) AS n_shingles_raw
-  FROM bench_sh JOIN train_sh USING (s) GROUP BY bench_id
+tr AS (
+  SELECT train_id, s, train_id IN (SELECT doc_id FROM surv_ids) AS is_surv
+  FROM train_sh
 ),
-fin_hits AS (
-  SELECT bench_id, COUNT(DISTINCT train_id) AS n_contam_final,
-         COUNT(DISTINCT s) AS n_shingles_final
-  FROM bench_sh JOIN surv_sh USING (s) GROUP BY bench_id
+hits AS (
+  SELECT bench_id,
+         COUNT(DISTINCT train_id) AS n_contam_raw,
+         COUNT(DISTINCT s) AS n_shingles_raw,
+         COUNT(DISTINCT CASE WHEN is_surv THEN train_id END) AS n_contam_final,
+         COUNT(DISTINCT CASE WHEN is_surv THEN s END) AS n_shingles_final
+  FROM bench_sh JOIN tr USING (s) GROUP BY bench_id
 )
 SELECT d.doc_id AS bench_id,
-       CAST(COALESCE(r.n_contam_raw, 0) AS BIGINT) AS n_contam_raw,
-       CAST(COALESCE(r.n_shingles_raw, 0) AS BIGINT) AS n_shingles_raw,
-       CAST(COALESCE(f.n_contam_final, 0) AS BIGINT) AS n_contam_final,
-       CAST(COALESCE(f.n_shingles_final, 0) AS BIGINT) AS n_shingles_final
+       CAST(COALESCE(h.n_contam_raw, 0) AS BIGINT) AS n_contam_raw,
+       CAST(COALESCE(h.n_shingles_raw, 0) AS BIGINT) AS n_shingles_raw,
+       CAST(COALESCE(h.n_contam_final, 0) AS BIGINT) AS n_contam_final,
+       CAST(COALESCE(h.n_shingles_final, 0) AS BIGINT) AS n_shingles_final
 FROM documents d
-LEFT JOIN raw_hits r ON r.bench_id = d.doc_id
-LEFT JOIN fin_hits f ON f.bench_id = d.doc_id
+LEFT JOIN hits h ON h.bench_id = d.doc_id
 WHERE d.doc_id % {DECON_BENCH_MOD} = 0
 """
 

@@ -2596,14 +2596,16 @@ def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The collect is bounded by 11 deciles × |sources| — but `source` is
     # data-derived, not an enum, so a pathological corpus (per-doc source
     # strings) would scale this collect AND the downstream broadcast with
-    # the data (the r9 uncapped-K class).  Fail loudly past the cap
-    # instead of silently ballooning the driver: a corpus with >CALIB_MAX
-    # (decile, source) cells needs a coarser source rollup first.
-    rows = bs.collect()
+    # the data (the r9 uncapped-K class).  The LIMIT bounds the fetch
+    # itself (an unbounded collect would OOM the driver BEFORE a
+    # post-collect length check could fire — r11 review), so the guard is
+    # protective at any cardinality: a corpus with >CALIB_MAX (decile,
+    # source) cells needs a coarser source rollup first.
+    rows = bs.limit(CALIB_MAX_CELLS + 1).collect()
     if len(rows) > CALIB_MAX_CELLS:
         raise ValueError(
-            f"quality_calibration: {len(rows)} (decile, source) cells exceed "
-            f"CALIB_MAX_CELLS={CALIB_MAX_CELLS}; roll sources up before calibrating"
+            f"quality_calibration: over {CALIB_MAX_CELLS} (decile, source) cells "
+            f"(CALIB_MAX_CELLS); roll sources up before calibrating"
         )
     bs = spark.createDataFrame(rows, bs.schema)
     per_decile = bs.groupBy("decile").agg(F.sum("n_docs").alias("n_decile"))
