@@ -125,6 +125,7 @@ HEADLINE = [
     # round 11
     "pipeline_contamination",
     "doc_bigram_surprisal",
+    "dedup_semantic_cells_mp2",
 ]
 
 

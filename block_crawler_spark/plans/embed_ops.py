@@ -1229,6 +1229,74 @@ def _semantic_pairs(
     )
 
 
+def _top2_assign(emb: DataFrame, sf_dir: str, k: int, iters: int) -> DataFrame:
+    """Multi-probe (p=2) assignment: every vector joined to its TWO
+    nearest trained cells — (vid, cid, dist) with ≤2 rows per vid, ties
+    to the lowest cid (the lexicographic (d, cid) order both engines
+    share).  Scale-safe top-2 without a window over the N×K cross frame
+    (which would SHUFFLE N·K rows): the memoized trainer yields the top-1
+    assignment, a second pass re-scores the corpus against the ≤k-row
+    centroid broadcast carrying the top-1 (one narrow N⋈N vid join) and
+    takes the min over strictly-greater (d, cid) structs — two broadcast
+    scans + two partial-agg shuffles, zero exploded-frame exchanges.
+    Assignment cost is 2× the single-probe family's; the pair stage's
+    budget doubles to ≤ N·SEM_CELL_CAP (each vector meets ≤ 2·(CAP−1)
+    others)."""
+    from ..operators.ann import centroid_assign
+
+    a1, cents = _trained_kmeans(emb, sf_dir, k=k, iters=iters)
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    v2 = vecs.join(
+        a1.select("vid", F.col("cid").alias("cid1"), F.col("dist").alias("dist1")), "vid"
+    )
+    d = v2.crossJoin(F.broadcast(cents)).withColumn("d2", int_sqdist(F.col("v"), F.col("c")))
+    second = (
+        d.filter(
+            F.struct(F.col("d2").alias("d"), F.col("cid").alias("c"))
+            > F.struct(F.col("dist1").alias("d"), F.col("cid1").alias("c"))
+        )
+        .groupBy("vid")
+        .agg(F.min(F.struct(F.col("d2").alias("dist"), F.col("cid"))).alias("mc"))
+        .select("vid", F.col("mc.cid").alias("cid"), F.col("mc.dist").alias("dist"))
+    )
+    return a1.select("vid", "cid", "dist").unionByName(second)
+
+
+def semantic_cells_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs with MULTI-PROBE (p=2) cluster pruning
+    (round 11): like ``dedup_semantic_cells`` but every vector belongs to
+    its TWO nearest trained cells, so a true pair is generated unless it
+    straddles BOTH probes — the standard mitigation for the
+    single-assignment cell-boundary loss the r11 recall probe measured
+    dominating (57–86 % of loose true pairs lost below the knee;
+    docs/SCALING.md §"Semantic pair-RECALL" carries the measured p=2
+    recovery).  Same trained codebook (the session memo), same band-shard
+    guard per cell, same threshold — a pure recall/cost knob: assignment
+    2×, pair budget ≤ N·SEM_CELL_CAP (each vector meets ≤ 2·(CAP−1)
+    others), still linear in N.
+
+    A pair meeting in both shared cells is emitted ONCE: pairs group by
+    (id_a, id_b, sqdist) and keep the lexicographically-lowest
+    (cell, cell_pop, n_shards) diagnostic (struct-min — deterministic both
+    engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign2 = _top2_assign(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    pairs = _semantic_pairs(assign2, vecs)
+    return (
+        pairs.groupBy("id_a", "id_b", "sqdist")
+        .agg(F.min(F.struct("cell", "cell_pop", "n_shards")).alias("m"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("m.cell").alias("cell"),
+            F.col("m.cell_pop").alias("cell_pop"),
+            F.col("m.n_shards").alias("n_shards"),
+            "sqdist",
+        )
+    )
+
+
 def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with CLUSTER pruning: train fixed-point
     k-means (the IVF trainer), assign every vector to its cell, and emit
@@ -1299,21 +1367,34 @@ def _kmeans_cte_chain_rt(iters: int) -> list[str]:
     return parts
 
 
-def _sem_pairs_cte_parts(iters: int) -> list[str]:
+def _sem_pairs_cte_parts(iters: int, probes: int = 1) -> list[str]:
     """The runtime-K Lloyd chain + final assignment (``af``), per-cell
     counts/shards (``mem`` — the skew guard replica), and the sharded
     within-cell close-pair join (``sp``) — the SQL twin of
-    :func:`_semantic_pairs`, shared by all three semantic oracles."""
+    :func:`_semantic_pairs`, shared by all the semantic oracles.
+    ``probes=2`` makes ``af`` the TOP-2 assignment (row_number over the
+    lexicographic (d, cid) order — result-identical to the Spark side's
+    two-pass struct-min) for the multi-probe variant."""
     D, CAP = _KM_DIM, SEM_CELL_CAP
     dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
     parts = _kmeans_cte_chain_rt(iters)
-    parts.append(
-        f"""af AS (
+    if probes == 1:
+        parts.append(
+            f"""af AS (
   SELECT vid, (MIN(struct_pack(d := d, cid := cid))).cid AS cid,
          (MIN(struct_pack(d := d, cid := cid))).d AS d
   FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{iters}) GROUP BY vid
 )"""
-    )
+        )
+    else:
+        parts.append(
+            f"""af AS (
+  SELECT vid, cid, d FROM (
+    SELECT vid, cid, d, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{iters})
+  ) WHERE rn <= {probes}
+)"""
+        )
     parts.append("cnt AS (SELECT cid, COUNT(*) AS cell_pop FROM af GROUP BY cid)")
     # locality-preserving shard key (round 11): equal-frequency bands over
     # the within-cell rank by (distance-to-centroid, vid) — the SQL twin of
@@ -1354,6 +1435,25 @@ SELECT id_a, id_b, cell, cell_pop, n_shards, sqdist FROM sp
 
 
 QUERIES["dedup_semantic_cells"] = (semantic_cells_query, _semantic_cells_sql())
+
+
+def _semantic_cells_mp_sql() -> str:
+    ms = "MIN(struct_pack(cell := cell, cell_pop := cell_pop, n_shards := n_shards))"
+    return (
+        "WITH "
+        + ",\n".join(_sem_pairs_cte_parts(SEM_CELLS_ITERS, probes=2))
+        + f"""
+SELECT id_a, id_b,
+       ({ms}).cell AS cell,
+       ({ms}).cell_pop AS cell_pop,
+       ({ms}).n_shards AS n_shards,
+       sqdist
+FROM sp GROUP BY id_a, id_b, sqdist
+"""
+    )
+
+
+QUERIES["dedup_semantic_cells_mp2"] = (semantic_cells_mp_query, _semantic_cells_mp_sql())
 
 
 # ---------------------------------------------------------------------------

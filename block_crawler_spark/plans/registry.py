@@ -49,6 +49,7 @@ _FRONT = (
     # -- added in r11 --
     "pipeline_contamination",
     "doc_bigram_surprisal",
+    "dedup_semantic_cells_mp2",
     # -- changed in r11 (ppm DECIMAL widening / collect cap / empty guard /
     #    shared surv-prefix oracle refactor) --
     "doc_pack_fill_stats",

@@ -62,7 +62,7 @@ from block_crawler_spark.sources.tables import load_table  # noqa: E402
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
-def probe(spark, sf: str, regime: str, k: int, cell_cap: int) -> dict:
+def probe(spark, sf: str, regime: str, k: int, cell_cap: int, probes: int = 1) -> dict:
     emb = load_table(spark, sf, "embeddings")
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     n = vecs.count()
@@ -84,20 +84,30 @@ def probe(spark, sf: str, regime: str, k: int, cell_cap: int) -> dict:
     )
     truth = spark.createDataFrame(truth.collect(), truth.schema)  # reused 3×, tiny
 
-    assign, _ = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
+    if probes == 2:
+        from block_crawler_spark.plans.embed_ops import _top2_assign
+
+        assign = _top2_assign(emb, sf, k=k, iters=SEM_CELLS_ITERS)
+    else:
+        assign, _ = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
     t_pairs = int(truth.count())
     t_tight = int(truth.filter(F.col("sqdist") <= tight).count())
 
     aa = assign.select(F.col("vid").alias("id_a"), F.col("cid").alias("cid_a"))
     ab = assign.select(F.col("vid").alias("id_b"), F.col("cid").alias("cid_b"))
+    # a multi-probe pair can share two cells: count pairs, not meetings
     same_cell = int(
-        truth.join(aa, "id_a").join(ab, "id_b").filter(F.col("cid_a") == F.col("cid_b")).count()
+        truth.join(aa, "id_a").join(ab, "id_b").filter(F.col("cid_a") == F.col("cid_b"))
+        .select("id_a", "id_b").distinct().count()
     )
-    kept = _semantic_pairs(assign, vecs, cell_cap=cell_cap)
-    kept = spark.createDataFrame(kept.select("id_a", "id_b", "sqdist").collect(),
-                                 "id_a long, id_b long, sqdist long")
-    retained = int(kept.count())
-    r_tight = int(kept.filter(F.col("sqdist") <= tight).count())
+    kept_rows = {
+        (r["id_a"], r["id_b"], r["sqdist"])
+        for r in _semantic_pairs(assign, vecs, cell_cap=cell_cap)
+        .select("id_a", "id_b", "sqdist")
+        .collect()
+    }
+    retained = len(kept_rows)
+    r_tight = sum(1 for _, _, sq in kept_rows if sq <= tight)
 
     cells = assign.groupBy("cid").agg(F.count("*").alias("pop"))
     shard_stats = cells.agg(
@@ -213,6 +223,10 @@ def main() -> int:
     rows.append(probe(spark, SFS[-1], "knee", max(8, n // 250), SEM_CELL_CAP))
     # deep past the knee: n_shards ≈ 10
     rows.append(probe(spark, SFS[-1], "harsh", max(8, n // 250), 25))
+    # multi-probe p=2: how much of the DOMINANT cell-boundary loss does the
+    # second-nearest cell recover, at committed constants and at the knee?
+    rows.append(probe(spark, SFS[-1], "derived-mp2", _sem_k(n), SEM_CELL_CAP, probes=2))
+    rows.append(probe(spark, SFS[-1], "knee-mp2", max(8, n // 250), SEM_CELL_CAP, probes=2))
     # tight-pair (true near-dup) retention, band key vs modulo
     # counterfactual — knee and deep-past-the-knee
     rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 200))

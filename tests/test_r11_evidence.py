@@ -133,3 +133,30 @@ def test_bigram_surprisal_conserves_occurrences_and_floors(spark):
         assert r["mean_surprisal_mbits"] == r["sum_bits"] * 1000 // r["n_bigrams"]
         assert r["mean_surprisal_mbits"] >= 1000
     assert sum(r["n_bigrams"] for r in rows) == sum(expected.values())
+
+
+def test_multiprobe_pairs_superset_and_true(spark):
+    """p=2 multi-probe must (1) emit a SUPERSET of the single-probe pairs
+    (both run the same codebook via the memo, and top-2 contains top-1),
+    (2) emit only TRUE within-threshold pairs (it widens candidates, never
+    the verdict), (3) emit each pair once (the struct-min dedupe)."""
+    from block_crawler_spark.operators.ann import int_sqdist, micro_fixed
+    from block_crawler_spark.plans.embed_ops import (
+        SEM_SQDIST_MAX,
+        semantic_cells_mp_query,
+        semantic_cells_query,
+    )
+
+    single = {(r["id_a"], r["id_b"]) for r in semantic_cells_query(spark, SF).collect()}
+    mp_rows = semantic_cells_mp_query(spark, SF).collect()
+    mp = [(r["id_a"], r["id_b"]) for r in mp_rows]
+    assert len(mp) == len(set(mp)), "a pair meeting in both shared cells must dedupe"
+    assert single <= set(mp), "top-2 cells contain the top-1 cell"
+    vecs = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v")
+    )
+    vmap = {r["vid"]: r["v"] for r in vecs.collect()}
+    for r in mp_rows:
+        a, b = vmap[r["id_a"]], vmap[r["id_b"]]
+        sq = sum((x - y) * (x - y) for x, y in zip(a, b))
+        assert sq == r["sqdist"] <= SEM_SQDIST_MAX
