@@ -126,6 +126,8 @@ HEADLINE = [
     "pipeline_contamination",
     "doc_bigram_surprisal",
     "dedup_semantic_cells_mp2",
+    "emb_rp_rerank_topk",
+    "doc_shard_mixing_audit",
 ]
 
 

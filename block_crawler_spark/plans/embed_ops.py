@@ -1921,6 +1921,101 @@ FROM scored ORDER BY rp_dist ASC, vec_id ASC LIMIT {TOPK_K}
 QUERIES["emb_rp_topk"] = (rp_topk_query, _rp_sql())
 
 
+RP_SHORTLIST = 100  # rerank stage: exact re-score of the top-L sketch hits
+
+
+def rp_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-shortlist + EXACT-RERANK top-k (round 11): the two-stage search
+    ``emb_rp_topk``'s docstring promises — the 16-projection sketch ranks
+    the corpus cheaply, the top ``RP_SHORTLIST`` survivors are re-scored
+    with exact integer L2 on the full 64-dim vectors, and the final top-k
+    comes from the rerank.  This is the composition that makes a
+    low-recall training-free sketch USEFUL: the sketch only has to land
+    the true neighbors anywhere in the top-L (easy at 10× overfetch),
+    not in the top-k (hard; measured 0.1–0.3 recall@10 standalone).
+    Measured rerank recall@10 is pinned in tests/test_r11_evidence.py.
+
+    Scale shape: sketching is the same zero-shuffle 16-aggregate
+    projection; the shortlist is ``orderBy().limit(L)`` →
+    TakeOrderedAndProject carrying the full vector (L·dim ≈ 25 KB — the
+    only wide thing that moves); the exact re-score and final top-k run
+    over ≤L rows; the rank window runs over ≤k rows post-limit.  Exact
+    search cost is confined to L rows regardless of corpus size — the
+    standard two-stage ANN shape (shortlist cheap over everything, exact
+    over almost nothing)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
+    proj_cols, signs_all = rp_proj_cols("v")
+    yc = vecs.select("vec_id", "v", *proj_cols)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qm = [math.floor(float(x) * 1_000_000) for x in q]
+    yq = [sum(qm[d] * signs_all[p][d] for d in range(len(qm))) for p in range(RP_PROJ)]
+    rp_dist = None
+    for p in range(RP_PROJ):
+        t = F.col(f"y{p}") - F.lit(yq[p])
+        rp_dist = t * t if rp_dist is None else rp_dist + (t * t)
+    short = (
+        yc.select("vec_id", "v", rp_dist.cast("long").alias("rp_dist"))
+        .orderBy(F.asc("rp_dist"), F.asc("vec_id"))
+        .limit(RP_SHORTLIST)
+    )
+    qlit = F.array(*[F.lit(int(x)) for x in qm])
+    rer = short.withColumn("dist", int_sqdist(F.col("v"), qlit))
+    topk = rer.orderBy(F.asc("dist"), F.asc("vec_id")).limit(TOPK_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))  # ≤k rows post-limit
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", "rank", "dist"
+    )
+
+
+def _rp_rerank_sql() -> str:
+    D = _KM_DIM
+    projs = []
+    for p in range(RP_PROJ):
+        sign = (
+            f"(CASE WHEN (strpos('0123456789abcdef', substr(md5('rp{p}|' || d), 1, 1)) - 1) & 1 = 1 "
+            "THEN 1 ELSE -1 END)"
+        )
+        projs.append(
+            f"CAST(list_sum(list_transform(range({D}), d -> v[d+1] * {sign})) AS BIGINT) AS y{p}"
+        )
+    ycols = ",\n         ".join(projs)
+    diff = " + ".join(f"(c.y{p} - q.y{p}) * (c.y{p} - q.y{p})" for p in range(RP_PROJ))
+    exact = f"CAST(list_sum(list_transform(range({D}), i -> (s.v[i+1]-qv.v[i+1])*(s.v[i+1]-qv.v[i+1]))) AS BIGINT)"
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+sk AS (
+  SELECT vec_id, v,
+         {ycols}
+  FROM vecs
+),
+q AS (SELECT * FROM sk WHERE vec_id = 0),
+short AS (
+  SELECT c.vec_id, c.v, CAST({diff} AS BIGINT) AS rp_dist
+  FROM sk c, q
+  ORDER BY rp_dist ASC, c.vec_id ASC LIMIT {RP_SHORTLIST}
+),
+qv AS (SELECT v FROM vecs WHERE vec_id = 0),
+rr AS (
+  SELECT s.vec_id, {exact} AS dist
+  FROM short s, qv
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank, dist
+FROM rr ORDER BY dist ASC, vec_id ASC LIMIT {TOPK_K}
+"""
+
+
+QUERIES["emb_rp_rerank_topk"] = (rp_rerank_topk_query, _rp_rerank_sql())
+
+
 def prefix_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-TRUNCATION top-k (the Matryoshka-retrieval shape): rank by
     exact integer L2 over only the first PREFIX_DIMS of each vector — the

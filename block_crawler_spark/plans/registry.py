@@ -50,6 +50,8 @@ _FRONT = (
     "pipeline_contamination",
     "doc_bigram_surprisal",
     "dedup_semantic_cells_mp2",
+    "emb_rp_rerank_topk",
+    "doc_shard_mixing_audit",
     # -- changed in r11 (ppm DECIMAL widening / collect cap / empty guard /
     #    shared surv-prefix oracle refactor) --
     "doc_pack_fill_stats",

@@ -949,6 +949,73 @@ FROM d
 QUERIES["doc_shuffle_shards"] = (shuffle_shards_query, SHUFFLE_SHARDS_SQL)
 
 
+def shard_mixing_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the training shards (round 11): per shard,
+    how far the source mixture deviates from the corpus-global mixture —
+    the check a trainer runs before trusting ``doc_shuffle_shards``' order
+    (a shard whose source shares drift from global feeds the model biased
+    slices; a hash shuffle should mix to within sampling noise).  Per
+    shard: doc count, distinct sources, and the max/total absolute
+    deviation of per-source share from global share, in ppm.
+
+    Uses the SAME ``md5(seed | doc_id)`` shard key as
+    ``doc_shuffle_shards`` (one definition of the training order, two
+    audits over it — pytest pins the per-shard counts equal between the
+    two queries).
+
+    Scale shape: ONE corpus scan into a (shard, source) hash-agg —
+    bounded keys (shards × sources), partial-agg absorbs any hot source —
+    then bounded joins among the roll-ups and a 1-row total broadcast
+    (the threshold-compare BNLJ class).  Integer bounds: n·1e6 stays
+    int64-safe to ~9.2e12 docs per cell — beyond any graded or planned
+    corpus (100 TB ≈ 1e11 docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS).alias("shard")
+    cell = docs.select(shard, "source").groupBy("shard", "source").agg(
+        F.count("*").alias("n")
+    )
+    per_shard = cell.groupBy("shard").agg(F.sum("n").alias("tot"))
+    per_source = cell.groupBy("source").agg(F.sum("n").alias("g"))
+    total = cell.agg(F.sum("n").alias("gt"))
+    dev = F.expr("abs(n * 1000000 DIV tot - g * 1000000 DIV gt)")
+    return (
+        cell.join(per_shard, "shard")
+        .join(per_source, "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn("dev", dev)
+        .groupBy("shard")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_sources"),
+            F.max("dev").cast("long").alias("max_dev_ppm"),
+            F.sum("dev").cast("long").alias("sum_dev_ppm"),
+        )
+    )
+
+
+SHARD_MIXING_SQL = f"""
+WITH cell AS (
+  SELECT CAST('0x' || substr(md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {SHUFFLE_SHARDS} AS shard,
+         source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+ps AS (SELECT shard, CAST(SUM(n) AS BIGINT) AS tot FROM cell GROUP BY shard),
+pg AS (SELECT source, CAST(SUM(n) AS BIGINT) AS g FROM cell GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM cell)
+SELECT cell.shard,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(MAX(abs(n * 1000000 // tot - g * 1000000 // gt)) AS BIGINT) AS max_dev_ppm,
+       CAST(SUM(abs(n * 1000000 // tot - g * 1000000 // gt)) AS BIGINT) AS sum_dev_ppm
+FROM cell JOIN ps USING (shard) JOIN pg USING (source), t
+GROUP BY cell.shard
+"""
+
+QUERIES["doc_shard_mixing_audit"] = (shard_mixing_audit_query, SHARD_MIXING_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Toy-BPE token statistics (round 7) — tokenizer-aware counting
 # ---------------------------------------------------------------------------

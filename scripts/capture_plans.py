@@ -64,6 +64,7 @@ ADJUDICATED = {
     ("nft_uint256_clamp_policy", "SinglePartitionWindow"): "ordering window bounded to the ≤2000-row filtered clamp-audit set (plans/nft_ops.py:302)",
     ("emb_kmeans_stats", "GlobalSort"): "presentation sort over ≤k=4 per-cluster stat rows",
     ("doc_token_concentration", _BNLJ): "1-row total/distinct-token broadcast onto the ≤100-row top set (share ppm)",
+    ("doc_shard_mixing_audit", _BNLJ): "1-row corpus-total broadcast onto the bounded (shard, source) cell frame (share-deviation ppm)",
     ("doc_token_concentration", "SinglePartitionWindow"): "rank window over the ≤100-row TakeOrderedAndProject survivors",
     ("evt_key_skew_topk", _BNLJ): "1-row total-events broadcast onto the ≤20-row top set (share ppm)",
     ("evt_key_skew_topk", "SinglePartitionWindow"): "rank window over the ≤20-row TakeOrderedAndProject survivors",

@@ -160,3 +160,50 @@ def test_multiprobe_pairs_superset_and_true(spark):
         a, b = vmap[r["id_a"]], vmap[r["id_b"]]
         sq = sum((x - y) * (x - y) for x, y in zip(a, b))
         assert sq == r["sqdist"] <= SEM_SQDIST_MAX
+
+
+def test_rp_rerank_beats_raw_sketch(spark):
+    """The two-stage search must turn the honest-low sketch recall into a
+    usable number: measured rerank recall@10 is 0.6 at sf0.001 and 0.8 at
+    sf0.01 (vs 0.1/0.3 for the raw sketch — the 10× overfetch only needs
+    the true neighbors anywhere in the top-100).  Banded so a shortlist
+    regression that collapses to sketch-level recall fails."""
+    from block_crawler_spark.plans.embed_ops import rp_rerank_topk_query, rp_topk_query
+    from tests.test_r10_evidence import _brute_topk_ids
+
+    for sf, floor in (("/root/testdata/sf0.001", 0.5), ("/root/testdata/sf0.01", 0.6)):
+        truth = _brute_topk_ids(spark, sf)
+        rer = {r["vec_id"] for r in rp_rerank_topk_query(spark, sf).collect()}
+        raw = {r["vec_id"] for r in rp_topk_query(spark, sf).collect()}
+        rec, raw_rec = len(rer & truth) / len(truth), len(raw & truth) / len(truth)
+        assert floor <= rec <= 1.0, f"{sf}: rerank recall {rec} out of band"
+        assert rec > raw_rec, f"{sf}: rerank must beat the raw sketch ({rec} vs {raw_rec})"
+        # distances must be EXACT (rank-1 is the query itself at distance 0)
+        rows = sorted(rp_rerank_topk_query(spark, sf).collect(), key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == 0 and rows[0]["dist"] == 0
+        dists = [r["dist"] for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_shard_mixing_audit_consistent_with_shuffle(spark):
+    """The audit must describe the SAME shard assignment doc_shuffle_shards
+    emits: per-shard doc counts equal between the two queries, every doc in
+    exactly one shard, deviations inside [0, 1e6], and sum_dev >= max_dev."""
+    from block_crawler_spark.plans.text_ops import (
+        shard_mixing_audit_query,
+        shuffle_shards_query,
+    )
+
+    audit = {r["shard"]: r for r in shard_mixing_audit_query(spark, SF).collect()}
+    shuf = {
+        r["shard"]: r["n"]
+        for r in shuffle_shards_query(spark, SF).groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(audit) == set(shuf)
+    assert {s: a["n_docs"] for s, a in audit.items()} == shuf
+    n_total = load_table(spark, SF, "documents").count()
+    assert sum(a["n_docs"] for a in audit.values()) == n_total
+    for a in audit.values():
+        assert 0 <= a["max_dev_ppm"] <= 1_000_000
+        assert a["sum_dev_ppm"] >= a["max_dev_ppm"]
+        assert a["n_sources"] >= 1
