@@ -306,6 +306,31 @@ def main() -> int:
         "recall_cos": recall_vs(pre, truth),
         "bytes_frac": round(PREFIX_DIMS / 64, 4),
     }
+    # round 11: JL shortlist → EXACT rerank (emb_rp_rerank_topk's two-stage
+    # shape), multi-query grid over shortlist sizes — how much overfetch
+    # the training-free sketch needs before the exact stage recovers
+    # full-search quality.  cost = L / corpus (exact re-scores per query).
+    out["rp_rerank"] = {}
+    for L in (25, 50, 100, 200):
+        shortlist = (
+            qsk.crossJoin(sk)
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn("d", d_rp)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= L)
+            .select("q_id", "c_id")
+        )
+        rer = (
+            shortlist.join(vm, "c_id")
+            .join(qm, "q_id")
+            .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+        )
+        out["rp_rerank"][f"L={L}"] = {
+            "recall_l2": recall_vs(rer, truth_l2),
+            "cost": round(L / n, 4),
+        }
     print(json.dumps(out))
     return 0
 
