@@ -1242,8 +1242,6 @@ def _top2_assign(emb: DataFrame, sf_dir: str, k: int, iters: int) -> DataFrame:
     Assignment cost is 2× the single-probe family's; the pair stage's
     budget doubles to ≤ N·SEM_CELL_CAP (each vector meets ≤ 2·(CAP−1)
     others)."""
-    from ..operators.ann import centroid_assign
-
     a1, cents = _trained_kmeans(emb, sf_dir, k=k, iters=iters)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     v2 = vecs.join(
@@ -1266,7 +1264,10 @@ def semantic_cells_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs with MULTI-PROBE (p=2) cluster pruning
     (round 11): like ``dedup_semantic_cells`` but every vector belongs to
     its TWO nearest trained cells, so a true pair is generated unless it
-    straddles BOTH probes — the standard mitigation for the
+    straddles BOTH probes (or, past the cap, a distance band inside every
+    shared cell — the doubled memberships inflate cell populations, so
+    the band guard can fire earlier; the knee-mp2 probe row measures that
+    trade) — the standard mitigation for the
     single-assignment cell-boundary loss the r11 recall probe measured
     dominating (57–86 % of loose true pairs lost below the knee;
     docs/SCALING.md §"Semantic pair-RECALL" carries the measured p=2

@@ -963,31 +963,43 @@ def shard_mixing_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits over it — pytest pins the per-shard counts equal between the
     two queries).
 
+    Deviations are computed over the FULL shard × source grid, not just
+    the observed (shard, source) cells: a source entirely ABSENT from a
+    shard is the worst mixing failure, and it must contribute its full
+    global share as deviation (|0 − g| — the r11 review caught the
+    observed-cells-only version silently omitting exactly that term).
+    ``n_sources`` counts sources PRESENT in the shard.
+
     Scale shape: ONE corpus scan into a (shard, source) hash-agg —
     bounded keys (shards × sources), partial-agg absorbs any hot source —
-    then bounded joins among the roll-ups and a 1-row total broadcast
-    (the threshold-compare BNLJ class).  Integer bounds: n·1e6 stays
-    int64-safe to ~9.2e12 docs per cell — beyond any graded or planned
-    corpus (100 TB ≈ 1e11 docs)."""
+    then a bounded grid cross (distinct shards × distinct sources) left
+    joined to the cells, bounded roll-up joins and a 1-row total
+    broadcast (the threshold-compare BNLJ class).  Integer bounds: n·1e6
+    stays int64-safe to ~9.2e12 docs per cell — beyond any graded or
+    planned corpus (100 TB ≈ 1e11 docs)."""
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string")))
     shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS).alias("shard")
     cell = docs.select(shard, "source").groupBy("shard", "source").agg(
         F.count("*").alias("n")
     )
+    grid = cell.select("shard").distinct().crossJoin(cell.select("source").distinct())
+    full = grid.join(cell, ["shard", "source"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
     per_shard = cell.groupBy("shard").agg(F.sum("n").alias("tot"))
     per_source = cell.groupBy("source").agg(F.sum("n").alias("g"))
     total = cell.agg(F.sum("n").alias("gt"))
     dev = F.expr("abs(n * 1000000 DIV tot - g * 1000000 DIV gt)")
     return (
-        cell.join(per_shard, "shard")
+        full.join(per_shard, "shard")
         .join(per_source, "source")
         .crossJoin(F.broadcast(total))
         .withColumn("dev", dev)
         .groupBy("shard")
         .agg(
             F.sum("n").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_sources"),
+            F.sum((F.col("n") > 0).cast("long")).cast("long").alias("n_sources"),
             F.max("dev").cast("long").alias("max_dev_ppm"),
             F.sum("dev").cast("long").alias("sum_dev_ppm"),
         )
@@ -1001,16 +1013,24 @@ WITH cell AS (
          source, CAST(count(*) AS BIGINT) AS n
   FROM documents GROUP BY 1, 2
 ),
+grid AS (
+  SELECT s.shard, src.source
+  FROM (SELECT DISTINCT shard FROM cell) s, (SELECT DISTINCT source FROM cell) src
+),
+fullc AS (
+  SELECT g.shard, g.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN cell c ON g.shard = c.shard AND g.source = c.source
+),
 ps AS (SELECT shard, CAST(SUM(n) AS BIGINT) AS tot FROM cell GROUP BY shard),
 pg AS (SELECT source, CAST(SUM(n) AS BIGINT) AS g FROM cell GROUP BY source),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM cell)
-SELECT cell.shard,
+SELECT fullc.shard,
        CAST(SUM(n) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sources,
        CAST(MAX(abs(n * 1000000 // tot - g * 1000000 // gt)) AS BIGINT) AS max_dev_ppm,
        CAST(SUM(abs(n * 1000000 // tot - g * 1000000 // gt)) AS BIGINT) AS sum_dev_ppm
-FROM cell JOIN ps USING (shard) JOIN pg USING (source), t
-GROUP BY cell.shard
+FROM fullc JOIN ps USING (shard) JOIN pg USING (source), t
+GROUP BY fullc.shard
 """
 
 QUERIES["doc_shard_mixing_audit"] = (shard_mixing_audit_query, SHARD_MIXING_SQL)

@@ -311,17 +311,22 @@ def main() -> int:
     # the training-free sketch needs before the exact stage recovers
     # full-search quality.  cost = L / corpus (exact re-scores per query).
     out["rp_rerank"] = {}
-    for L in (25, 50, 100, 200):
-        shortlist = (
-            qsk.crossJoin(sk)
-            .filter(F.col("q_id") != F.col("c_id"))
-            .withColumn("d", d_rp)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= L)
-            .select("q_id", "c_id")
-        )
+    # ONE sketch-rank pass at the largest L (the rank column contains every
+    # smaller shortlist — the r11 review caught the per-L recompute running
+    # the probe's dominant cross-join stage 4×), then per-L filters
+    L_MAX = 200
+    sk_rank = (
+        qsk.crossJoin(sk)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", d_rp)
+        .withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= L_MAX)
+        .select("q_id", "c_id", "srank")
+    ).cache()
+    for L in (25, 50, 100, L_MAX):
         rer = (
-            shortlist.join(vm, "c_id")
+            sk_rank.filter(F.col("srank") <= L)
+            .join(vm, "c_id")
             .join(qm, "q_id")
             .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
             .withColumn("rank", F.row_number().over(w))
@@ -331,6 +336,7 @@ def main() -> int:
             "recall_l2": recall_vs(rer, truth_l2),
             "cost": round(L / n, 4),
         }
+    sk_rank.unpersist()
     print(json.dumps(out))
     return 0
 

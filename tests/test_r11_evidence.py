@@ -137,9 +137,14 @@ def test_bigram_surprisal_conserves_occurrences_and_floors(spark):
 
 def test_multiprobe_pairs_superset_and_true(spark):
     """p=2 multi-probe must (1) emit a SUPERSET of the single-probe pairs
-    (both run the same codebook via the memo, and top-2 contains top-1),
-    (2) emit only TRUE within-threshold pairs (it widens candidates, never
-    the verdict), (3) emit each pair once (the struct-min dedupe)."""
+    IN THE UNSHARDED REGIME (top-2 contains top-1, and with every cell
+    under SEM_CELL_CAP in both runs the band partitioning can't differ —
+    past the cap the doubled memberships re-band cells and the superset
+    claim does NOT hold in general, per the knee-mp2 probe row; the guard
+    asserts the fixture stays in the regime where the claim is a
+    theorem), (2) emit only TRUE within-threshold pairs (it widens
+    candidates, never the verdict), (3) emit each pair once (the
+    struct-min dedupe)."""
     from block_crawler_spark.operators.ann import int_sqdist, micro_fixed
     from block_crawler_spark.plans.embed_ops import (
         SEM_SQDIST_MAX,
@@ -147,10 +152,15 @@ def test_multiprobe_pairs_superset_and_true(spark):
         semantic_cells_query,
     )
 
-    single = {(r["id_a"], r["id_b"]) for r in semantic_cells_query(spark, SF).collect()}
+    single_rows = semantic_cells_query(spark, SF).collect()
+    single = {(r["id_a"], r["id_b"]) for r in single_rows}
     mp_rows = semantic_cells_mp_query(spark, SF).collect()
     mp = [(r["id_a"], r["id_b"]) for r in mp_rows]
     assert len(mp) == len(set(mp)), "a pair meeting in both shared cells must dedupe"
+    unsharded = all(r["n_shards"] == 1 for r in single_rows) and all(
+        r["n_shards"] == 1 for r in mp_rows
+    )
+    assert unsharded, "fixture left the regime where superset is a theorem — re-derive"
     assert single <= set(mp), "top-2 cells contain the top-1 cell"
     vecs = load_table(spark, SF, "embeddings").select(
         F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v")
@@ -207,3 +217,43 @@ def test_shard_mixing_audit_consistent_with_shuffle(spark):
         assert 0 <= a["max_dev_ppm"] <= 1_000_000
         assert a["sum_dev_ppm"] >= a["max_dev_ppm"]
         assert a["n_sources"] >= 1
+
+
+def test_mixing_audit_charges_absent_sources(spark, tmp_path):
+    """The worst mixing failure is a source entirely ABSENT from a shard —
+    the audit must charge that shard the source's full global share as
+    deviation (the r11 review caught the observed-cells-only version
+    silently omitting exactly that term).  Synthetic corpus: 'bigsrc'
+    docs are steered away from shard 7 using the query's own md5 rule."""
+    import hashlib
+
+    from block_crawler_spark.plans.text_ops import (
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+        shard_mixing_audit_query,
+    )
+
+    def shard_of(i: int) -> int:
+        h = hashlib.md5(f"{SHUFFLE_SEED}|{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % SHUFFLE_SHARDS
+
+    rows = []
+    for i in range(600):
+        src = "bigsrc" if shard_of(i) != 7 and i % 2 == 0 else "common"
+        rows.append((i, "some text here", "en", src, 14))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["shard"]: r for r in shard_mixing_audit_query(spark, str(tmp_path)).collect()}
+    n_big = sum(1 for r in rows if r[3] == "bigsrc")
+    big_share_ppm = n_big * 1_000_000 // len(rows)
+    assert big_share_ppm > 100_000, "fixture must make bigsrc a major source"
+    s7 = out[7]
+    assert s7["n_sources"] == 1, "bigsrc absent from shard 7 by construction"
+    assert s7["max_dev_ppm"] >= big_share_ppm, (
+        "the absent source's full global share must appear as deviation"
+    )
+    # shards where bigsrc is present deviate far less than the absence term
+    assert any(out[s]["max_dev_ppm"] < big_share_ppm for s in out if s != 7)
