@@ -126,6 +126,7 @@ HEADLINE = [
     "pipeline_contamination",
     "doc_bigram_surprisal",
     "dedup_semantic_cells_mp2",
+    "dedup_semantic_keep_mp2",
     "emb_rp_rerank_topk",
     "doc_shard_mixing_audit",
 ]

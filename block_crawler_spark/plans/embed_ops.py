@@ -1581,8 +1581,24 @@ def semantic_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id")
 
 
-def _semantic_keep_sql() -> str:
-    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS)
+def semantic_keep_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic_keep`` over the MULTI-PROBE (p=2) pair stage
+    (round 11): the keep/drop verdict with the second-nearest-cell
+    candidates included, so clusters split by a cell boundary under
+    single assignment merge when any member pair shares either probe —
+    the measured 2.7× pair recall (docs/SCALING.md) flows through the
+    transitive closure into strictly-more-complete survivor clusters.
+    Same trained codebook (session memo), same CC machinery; duplicate
+    pair emissions are harmless to the closure (edges are a set)."""
+    from ..operators.dedup import dedup_assignments_cc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_cells_mp_query(spark, sf_dir).select("id_a", "id_b")
+    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+def _semantic_keep_sql(probes: int = 1) -> str:
+    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS, probes=probes)
     parts.append(
         """edges AS (
   SELECT id_a AS src, id_b AS dst FROM sp
@@ -1613,6 +1629,7 @@ FROM embeddings e LEFT JOIN comp c USING (vec_id)
 
 
 QUERIES["dedup_semantic_keep"] = (semantic_keep_query, _semantic_keep_sql())
+QUERIES["dedup_semantic_keep_mp2"] = (semantic_keep_mp_query, _semantic_keep_sql(probes=2))
 
 
 CELL_CAP = 40  # max survivors kept per trained cell (the balance knob)

@@ -257,3 +257,22 @@ def test_mixing_audit_charges_absent_sources(spark, tmp_path):
     )
     # shards where bigsrc is present deviate far less than the absence term
     assert any(out[s]["max_dev_ppm"] < big_share_ppm for s in out if s != 7)
+
+
+def test_keep_mp2_drops_superset_of_single_probe(spark):
+    """More candidate pairs can only GROW connected components, so the mp2
+    keep verdict must mark a superset of the single-probe duplicates (and
+    both must agree the corpus covers every vec_id exactly once)."""
+    from block_crawler_spark.plans.embed_ops import semantic_keep_mp_query, semantic_keep_query
+
+    single = {r["vec_id"]: r for r in semantic_keep_query(spark, SF).collect()}
+    mp = {r["vec_id"]: r for r in semantic_keep_mp_query(spark, SF).collect()}
+    assert set(single) == set(mp) == set(
+        r["vec_id"] for r in load_table(spark, SF, "embeddings").select("vec_id").collect()
+    )
+    dup_single = {v for v, r in single.items() if r["is_duplicate"]}
+    dup_mp = {v for v, r in mp.items() if r["is_duplicate"]}
+    assert dup_single <= dup_mp, "extra probes can only merge clusters, never split"
+    # keep_id is always the component minimum: never marked duplicate itself
+    for r in mp.values():
+        assert not mp[r["keep_id"]]["is_duplicate"]
