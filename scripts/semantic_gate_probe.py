@@ -1,0 +1,136 @@
+"""Streaming SEMANTIC-gate scaling probe: per-batch cost vs admitted corpus.
+
+The text-dedup ingest path has a measured flat-cost curve
+(scripts/corpus_ingest_probe.py); this probe gives the round-11 semantic
+admission gate the same treatment — a fixed 200-row micro-batch (half
+fresh embeddings, half near-duplicates of admitted ones) admitted into
+stores whose vector seen-set is grown 1×/10×/100×.
+
+What the numbers mean, honestly: unlike the fp/band probes (whose bucket
+keys are content hashes, so a batch's footprint is a SMALL fraction of
+the buckets), the vindex is bucketed by TRAINED CELL, and a
+cell-diverse 200-row batch touches more distinct cells than there are
+buckets — the partition pruning saturates, and the per-batch vindex scan
+is an O(admitted) narrow read (doc_id, cid, v — the same accepted class
+as the doc_id identity probe).  The JOIN stays collision-bounded (only
+same-cell rows match; each batch row meets ~admitted/K rows).  So the
+expected curve is near-flat wall dominated by fixed job overhead at these
+sizes, with a linear narrow-scan term that a cluster absorbs; the probe
+reports both the wall and the admitted-rows-scanned bound so the claim is
+checkable rather than asserted.
+
+Vectors are deterministic md5-derived 8-dim points; near-dups perturb
+dim 0 by 5e-4 (micro² sqdist 2.5e5).  The probe passes its own
+``semantic_sqdist_max`` (1e9, dist ≈ 0.032): the default threshold is
+tuned for unit-norm 64-dim embeddings and would swallow most of an 8-dim
+cube (the first probe run saturated the seen set at ~510 admitted docs
+regardless of seed size — random cube points almost all had a
+within-threshold lower-id neighbor).  Usage:
+
+    PYTHONPATH=/root/repo python scripts/semantic_gate_probe.py [--sizes 1000,10000,100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from block_crawler_spark.operators.ann import kmeans_lloyd_fixed  # noqa: E402
+from block_crawler_spark.session import get_spark  # noqa: E402
+from block_crawler_spark.streaming.corpus import CorpusIngestStore  # noqa: E402
+
+BATCH_ROWS = 200
+DIM = 8
+K_CELLS = 64
+
+
+def _docs(spark, start: int, n: int, dup_of: int | None = None):
+    """n rows with deterministic distinct texts and md5-derived embeddings
+    in [-1, 1]^DIM; ``dup_of`` re-keys the EMBEDDING generator (texts stay
+    fresh) so those rows are semantic near-dups of the seed rows — the
+    gate, not the fp dedup, must block them."""
+    base = F.col("id") if dup_of is None else (F.col("id") - start + dup_of)
+    comp = [
+        (
+            (F.conv(F.substring(F.md5(F.concat(base.cast("string"), F.lit(f"|e{j}"))), 1, 6), 16, 10)
+             .cast("long") % 2000 - 1000) / 1000.0
+        ).cast("float")
+        for j in range(DIM)
+    ]
+    if dup_of is not None:
+        comp[0] = (comp[0] + F.lit(0.0005)).cast("float")
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"), F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|{j}"))), 1, 6)
+    )
+    text = F.concat_ws(" ", *[word(j) for j in range(12)])
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("probe").alias("source"),
+        F.length(text).alias("n_chars"),
+        F.array(*comp).alias("embedding"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1000,10000,100000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark("semantic-gate-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # one shared codebook trained on a fixed seed slice — every store pins
+    # the SAME cells, so admission decisions are comparable across sizes
+    _, cents = kmeans_lloyd_fixed(
+        _docs(spark, 0, 512).select("doc_id", "embedding"),
+        k=K_CELLS,
+        iters=1,
+        id_col="doc_id",
+    )
+    out: dict = {"batch_rows": BATCH_ROWS, "k_cells": K_CELLS, "sizes": {}}
+    work = tempfile.mkdtemp(prefix="semgate-probe-")
+    try:
+        for n in sizes:
+            root = f"{work}/corpus-{n}"
+            store = CorpusIngestStore(
+                spark, root, semantic=True, semantic_centroids=cents,
+                semantic_sqdist_max=10**9,  # dist 0.032: blocks the planted 5e-4 jitter, never random cube points
+            )
+            store.ingest_batch(_docs(spark, 0, n), 0)
+            admitted_seed = store.corpus().count()
+
+            half = BATCH_ROWS // 2
+            batch = _docs(spark, n, half).unionByName(
+                _docs(spark, n + half, half, dup_of=0)
+            )
+            t0 = time.monotonic()
+            store.ingest_batch(batch, 1)
+            wall = time.monotonic() - t0
+            total = store.corpus().count()
+            out["sizes"][str(n)] = {
+                "admitted_seed": int(admitted_seed),
+                "probe_wall_s": round(wall, 2),
+                "probe_admitted": int(total - admitted_seed),
+                "probe_blocked": BATCH_ROWS - int(total - admitted_seed),
+                # the honest scan bound: admitted rows living in the batch's
+                # touched buckets (what the pruned vindex read covers)
+                "vindex_rows": int(store.vindex().count()),
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
