@@ -351,3 +351,35 @@ def centroid_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
     a = d.groupBy("vid").agg(F.min(F.struct("dist", "cid")).alias("dc"))
     return a.select("vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"))
+
+
+def centroid_assign_top2(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Multi-probe (p=2) assignment: every vector joined to its TWO
+    nearest centroids — (vid, cid, dist) with ≤2 rows per vid (exactly 1
+    when the codebook has a single centroid), ties to the lowest cid (the
+    lexicographic (dist, cid) order both engines share).
+
+    Scale-safe top-2 WITHOUT a window over the N×K cross frame (which
+    would shuffle N·K rows): the top-1 comes from
+    :func:`centroid_assign`'s struct-min; the SECOND is a re-score of the
+    corpus against the ≤K-row centroid broadcast carrying the top-1 (one
+    narrow N⋈N vid join), filtered strictly greater in (dist, cid) and
+    min-aggregated — two broadcast scans + two partial-agg shuffles, zero
+    exploded-frame exchanges.  Shared by the batch mp2 semantic family
+    (``plans.embed_ops``) and the streaming gate's batch-side probe
+    (``streaming.corpus``), so the two can never diverge on tie rules."""
+    a1 = centroid_assign(vecs, cents)
+    v2 = vecs.join(
+        a1.select("vid", F.col("cid").alias("cid1"), F.col("dist").alias("dist1")), "vid"
+    )
+    d = v2.crossJoin(F.broadcast(cents)).withColumn("d2", int_sqdist(F.col("v"), F.col("c")))
+    second = (
+        d.filter(
+            F.struct(F.col("d2").alias("d"), F.col("cid").alias("c"))
+            > F.struct(F.col("dist1").alias("d"), F.col("cid1").alias("c"))
+        )
+        .groupBy("vid")
+        .agg(F.min(F.struct(F.col("d2").alias("dist"), F.col("cid"))).alias("mc"))
+        .select("vid", F.col("mc.cid").alias("cid"), F.col("mc.dist").alias("dist"))
+    )
+    return a1.select("vid", "cid", "dist").unionByName(second)

@@ -38,7 +38,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # round 7 embed_ops + text/pack; round 8 its 31 additions; round 9 the
 # semantic/trainer changes + the r6-era relational tail; round 10 the r9
 # orphans + its seven additions + the r7-era tail.  Round 11 fronts
-# ``_FRONT``: FIRST the five queries ADDED this round, then the twelve
+# ``_FRONT``: FIRST the six queries ADDED this round, then the twelve
 # CHANGED this round (pack-ppm widening, calibration/surprisal guards,
 # pipeline oracle refactor, semantic distance-band shard key, memoized
 # Lloyd families), then the LONGEST-UNSAMPLED block — the r8-era
