@@ -106,9 +106,10 @@ class CorpusIngestStore:
     # its trained cell is blocked.  The trained cells are the broadcast
     # state: a ≤SEM_K_MAX-row centroid table (train it offline with
     # ``operators.ann.kmeans_lloyd_fixed`` — e.g. the batch corpus's
-    # ``_sem_k``-capped codebook) passed as ``semantic_centroids`` on
-    # first use and PINNED to ``root/_centroids`` (the _INDEX_BUCKETS
-    # idiom: later opens adopt the pinned codebook, because admission
+    # ``_sem_k``-capped codebook) passed as ``semantic_centroids`` and
+    # PINNED to ``root/_centroids`` on the first WRITE path (the
+    # _INDEX_BUCKETS idiom: later opens adopt the pinned codebook,
+    # reads are side-effect-free, because admission
     # decisions are only consistent across restarts if every batch
     # assigns against the same cells).  Like the batch family, recall is
     # bounded by the single-assignment trade: a near-dup pair straddling
@@ -136,6 +137,19 @@ class CorpusIngestStore:
     # different N would prune on bucket ids that don't match the on-disk
     # partitioning and silently re-admit seen fingerprints).
     index_buckets: int = 16
+    # vbucket count for the SEMANTIC vector side table — its own knob
+    # (round 12, VERDICT r11 task 3): vindex partitions by cell id, so the
+    # natural bucket count scales with the CODEBOOK (K cells → up to
+    # min(K, 1024) buckets — ≤1024 dirs is fine on any store), not with
+    # the fp-index's count.  Inheriting the fp count (the r11 layout) made
+    # pruning saturate: a cell-diverse batch touched every one of the 16
+    # buckets, so the per-batch vindex read degenerated to an O(admitted)
+    # scan once cell diversity saturated them.  None (default) derives
+    # min(max(1, |codebook|), 1024) at pin time; like ``index_buckets``
+    # the first write pins the value (``root/_VINDEX_BUCKETS``) and later
+    # opens adopt it — a pre-r12 store (no marker, committed vindex dirs)
+    # adopts the fp-index count it was written with.
+    vindex_buckets: int | None = None
     # batches at or under this row count broadcast their probe keys into the
     # collision joins (the index is scanned, never exchanged); a larger
     # batch — an availableNow backfill can be corpus-scale — must NOT be
@@ -351,6 +365,56 @@ class CorpusIngestStore:
             f.write(str(self._effective_index_buckets()))
         os.replace(tmp, marker)
 
+    def _effective_vindex_buckets(self) -> int:
+        """The vector side table's bucket count: the pinned
+        ``_VINDEX_BUCKETS`` value when present (adopt-on-open); for a
+        PRE-MARKER store with committed vindex dirs, the fp-index count
+        those dirs were written with (reopening with a different count
+        would prune on vbucket values that don't match the on-disk
+        partitioning and silently re-admit semantic dups — the same
+        hazard ``_INDEX_BUCKETS`` guards); else the constructor's
+        ``vindex_buckets``, else min(|codebook|, 1024)."""
+        cached = getattr(self, "_eff_vindex_buckets", None)
+        if cached is not None:
+            return cached
+        try:
+            with open(os.path.join(self.root, "_VINDEX_BUCKETS")) as f:
+                n = int(f.read().strip())
+        except (OSError, ValueError):
+            legacy = False
+            try:
+                legacy = any(
+                    self._index_committed(d, root=self._vindex_root())
+                    for d in os.listdir(self._vindex_root())
+                )
+            except OSError:
+                pass
+            if legacy:
+                n = self._effective_index_buckets()
+            elif self.vindex_buckets is not None:
+                n = int(self.vindex_buckets)
+            else:
+                n = min(max(1, self._codebook_size()), 1024)
+        self._eff_vindex_buckets = n
+        return n
+
+    def _codebook_size(self) -> int:
+        """Row count of the (driver-cached, bounded) codebook."""
+        self._centroids()  # populate the driver cache
+        return len(self._cents_rows[0])
+
+    def _pin_vindex_buckets(self) -> None:
+        """Persist the vector table's bucket count on the first write path
+        (reads never write); temp-then-rename like ``_pin_index_buckets``."""
+        marker = os.path.join(self.root, "_VINDEX_BUCKETS")
+        if os.path.exists(marker):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(self._effective_vindex_buckets()))
+        os.replace(tmp, marker)
+
     def _ibucket_expr(self):
         """The index's fp-bucket partition value — a pure function of fp and
         the PINNED bucket count, so rows re-bucket identically on every
@@ -368,10 +432,13 @@ class CorpusIngestStore:
 
     def _vbucket_expr(self):
         """The vector table's partition value — a pure function of the
-        trained cell id and the pinned bucket count.  cid itself is bounded
-        (the caller trains a capped codebook), so plain modulo spreads the
-        cells evenly without hashing."""
-        return F.pmod(F.col("cid"), F.lit(self._effective_index_buckets())).cast("int")
+        trained cell id and the pinned VINDEX bucket count (round 12: its
+        own count, scaled to the codebook — see ``vindex_buckets``).  cid
+        itself is bounded (the caller trains a capped codebook), so plain
+        modulo spreads the cells evenly without hashing; at the derived
+        count (≥ K) it is the identity partitioning — one dir per cell,
+        so the per-batch probe's footprint is EXACTLY the batch's cells."""
+        return F.pmod(F.col("cid"), F.lit(self._effective_vindex_buckets())).cast("int")
 
     def _sqdist_max(self) -> int:
         if self.semantic_sqdist_max is not None:
@@ -380,29 +447,48 @@ class CorpusIngestStore:
 
         return SEM_SQDIST_MAX
 
+    def _pin_centroids(self) -> None:
+        """Durably pin the constructor-supplied codebook to
+        ``root/_centroids`` — WRITE paths only (ingest/compact, like
+        ``_pin_index_buckets``): reads are side-effect-free (ADVICE r11 —
+        the old path pinned from ``vindex()``'s lazy projection too, so a
+        read-only consumer mutated the store root and a crash mid-write on
+        a read path could leave a tmp dir).  Temp-then-swap, idempotent."""
+        dst = os.path.join(self.root, "_centroids")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return
+        if self.semantic_centroids is None:
+            raise ValueError(
+                "semantic store has no pinned codebook: pass semantic_centroids "
+                "(train with operators.ann.kmeans_lloyd_fixed) on first use"
+            )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        self.semantic_centroids.select("cid", "c").write.mode("overwrite").parquet(tmp)
+        self._replace_dir(tmp, dst)
+
     def _centroids(self) -> DataFrame:
-        """The PINNED trained-cell codebook (cid, c), driver-cached: reads
-        ``root/_centroids`` when committed; otherwise pins the codebook the
-        store was constructed with (first write) then returns it.  Bounded
-        by the caller's k cap (the SEM_K_MAX contract of the batch family),
-        so the collect/broadcast is constant-sized."""
+        """The trained-cell codebook (cid, c), driver-cached and READ-ONLY:
+        the committed ``root/_centroids`` when present (the disk is the
+        truth — admission decisions are only consistent across restarts if
+        every batch assigns against the same cells), else the codebook the
+        store was constructed with, used TRANSIENTLY without writing
+        (durable pinning happens on the write paths via
+        :meth:`_pin_centroids`; ADVICE r11).  Bounded by the caller's k cap
+        (the SEM_K_MAX contract of the batch family), so the
+        collect/broadcast is constant-sized."""
         cached = getattr(self, "_cents_rows", None)
         if cached is None:
             dst = os.path.join(self.root, "_centroids")
             if os.path.exists(os.path.join(dst, "_SUCCESS")):
                 df = self.spark.read.parquet(dst).select("cid", "c")
-            else:
-                if self.semantic_centroids is None:
-                    raise ValueError(
-                        "semantic store has no pinned codebook: pass semantic_centroids "
-                        "(train with operators.ann.kmeans_lloyd_fixed) on first use"
-                    )
+            elif self.semantic_centroids is not None:
                 df = self.semantic_centroids.select("cid", "c")
-                os.makedirs(self.root, exist_ok=True)
-                tmp = f"{dst}.tmp-{os.getpid()}"
-                df.write.mode("overwrite").parquet(tmp)
-                self._replace_dir(tmp, dst)
-                df = self.spark.read.parquet(dst).select("cid", "c")
+            else:
+                raise ValueError(
+                    "semantic store has no pinned codebook: pass semantic_centroids "
+                    "(train with operators.ann.kmeans_lloyd_fixed) on first use"
+                )
             cached = (df.collect(), df.schema)
             self._cents_rows = cached
         rows, schema = cached
@@ -535,6 +621,11 @@ class CorpusIngestStore:
                 "bbucket",
             )
         if self.semantic:
+            # write path: durably pin the codebook and the vindex bucket
+            # count before (re)projecting against them (reads never write —
+            # ADVICE r11; legacy layouts adopt their fp-index count first)
+            self._pin_centroids()
+            self._pin_vindex_buckets()
             self._heal_side_table(live, self._vindex_root(), self._vindex_project, "vbucket")
 
     def index(self, buckets: Sequence[int] | None = None) -> DataFrame:
@@ -680,6 +771,13 @@ class CorpusIngestStore:
         already-committed id is a no-op (replay after crash)."""
         out = os.path.join(self._docs_root(), f"batch-{batch_id}")
         self._pin_index_buckets()
+        if self.semantic:
+            # ingest is a write path: pin the codebook (and the vbucket
+            # count derived from it) up front, so a crash anywhere past
+            # this point leaves a store that heals without needing the
+            # constructor-supplied centroids again
+            self._pin_centroids()
+            self._pin_vindex_buckets()
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             if self.stats is not None:
                 self.stats.increment("corpus.replays")
@@ -852,27 +950,41 @@ class CorpusIngestStore:
 
     def _semantic_filter(self, fresh: DataFrame, small_batch: bool = True) -> DataFrame:
         """Drop semantic near-duplicates, first within the batch
-        (keep-lowest-id, same-cell pairs only — the batch twin of the batch
-        family's within-cell pair join), then against every admitted
-        document.  Shape mirrors the band probe: assign the batch against
-        the ≤k-row broadcast codebook (one pass, no shuffle), collect the
-        batch's cell-bucket footprint driver-side (≤ batch_rows values) to
+        (keep-lowest-id), then against every admitted document.  The BATCH
+        side probes its TWO nearest cells (round 12 — the mp2-consistent
+        upgrade, VERDICT r11 task 4: under the r11 single-probe gate a
+        near-dup whose top-1 cell differed from its admitted twin's was
+        ADMITTED — exactly the cell-boundary loss the batch family
+        measured dominating and mitigated with mp2); the ADMITTED side
+        stays single-membership (``vindex`` stores one row per doc — a
+        candidate pair is generated when the batch doc's EITHER probe
+        lands in the admitted doc's cell, so catching boundary-straddlers
+        needs no admitted-side storage change, at ~2× probe cost).
+
+        Shape mirrors the band probe: top-2 assignment against the ≤k-row
+        broadcast codebook (two passes, no exploded shuffle —
+        ``operators.ann.centroid_assign_top2``), collect the batch's
+        cell-bucket footprint driver-side (≤ 2·batch_rows values) to
         statically prune the admitted vector table's scan, then equi-join
         on cid with the batch side broadcast — the admitted side is only
         ever SCANNED.  Every candidate is verified on exact integer sqdist
         before it blocks anything.  Per-batch cost is
-        |batch| × (admitted rows in the batch's cells): collision-shaped
-        like the band probe; a hot cell makes the probe linear in that
-        cell's population — the single-assignment family's documented
-        residual (the batch side caps pair GENERATION with SEM_CELL_CAP
-        shards, but an admission probe must consult every admitted member
-        of the cell or it would re-admit a duplicate)."""
-        from ..operators.ann import centroid_assign, int_sqdist, micro_fixed
+        |batch| × (admitted rows in the batch's ≤2·|batch| cells):
+        collision-shaped like the band probe; a hot cell makes the probe
+        linear in that cell's population — the documented residual (the
+        batch side caps pair GENERATION with SEM_CELL_CAP shards, but an
+        admission probe must consult every admitted member of the cell or
+        it would re-admit a duplicate)."""
+        from ..operators.ann import centroid_assign_top2, int_sqdist, micro_fixed
 
         dmax = self._sqdist_max()
         vecs = fresh.select(F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-        asg = centroid_assign(vecs, self._centroids()).join(vecs, "vid").select("vid", "cid", "v")
-        # within-batch, same-cell, keep-lowest-id
+        asg = centroid_assign_top2(vecs, self._centroids()).join(vecs, "vid").select(
+            "vid", "cid", "v"
+        )
+        # within-batch keep-lowest-id: a pair is a candidate when ANY of
+        # the two probes of one member lands in a probe cell of the other
+        # (a pair sharing both cells dedupes via the id_b distinct)
         a = asg.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
         b = asg.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
         drop_in = (

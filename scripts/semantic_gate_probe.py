@@ -52,12 +52,19 @@ DIM = 8
 K_CELLS = 64
 
 
-def _docs(spark, start: int, n: int, dup_of: int | None = None):
+def _docs(spark, start: int, n: int, dup_of: int | None = None, pin_to: int | None = None):
     """n rows with deterministic distinct texts and md5-derived embeddings
     in [-1, 1]^DIM; ``dup_of`` re-keys the EMBEDDING generator (texts stay
     fresh) so those rows are semantic near-dups of the seed rows — the
-    gate, not the fp dedup, must block them."""
-    base = F.col("id") if dup_of is None else (F.col("id") - start + dup_of)
+    gate, not the fp dedup, must block them.  ``pin_to`` keys EVERY row's
+    embedding to that single seed id (with a tiny per-row dim-0 spread) —
+    the CELL-CONCENTRATED batch whose probe footprint is 1–2 cells."""
+    if pin_to is not None:
+        base = F.lit(pin_to)
+    elif dup_of is not None:
+        base = F.col("id") - start + dup_of
+    else:
+        base = F.col("id")
     comp = [
         (
             (F.conv(F.substring(F.md5(F.concat(base.cast("string"), F.lit(f"|e{j}"))), 1, 6), 16, 10)
@@ -67,6 +74,10 @@ def _docs(spark, start: int, n: int, dup_of: int | None = None):
     ]
     if dup_of is not None:
         comp[0] = (comp[0] + F.lit(0.0005)).cast("float")
+    if pin_to is not None:
+        # distinct-but-concentrated: spread dim 0 by 1e-6 per row so the
+        # batch isn't collapsed by the within-batch keep-lowest-id stage
+        comp[0] = (comp[0] + (F.col("id") - start).cast("double") * 1e-6).cast("float")
     word = lambda j: F.concat(  # noqa: E731
         F.lit("w"), F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|{j}"))), 1, 6)
     )
@@ -117,14 +128,56 @@ def main() -> int:
             store.ingest_batch(batch, 1)
             wall = time.monotonic() - t0
             total = store.corpus().count()
+
+            def _scan_bound(b):
+                """The pruned vindex read the gate would do for batch ``b``:
+                top-2 assign against the pinned codebook, distinct vbucket
+                footprint, rows living in those buckets (the exact
+                _semantic_filter probe shape)."""
+                from block_crawler_spark.operators.ann import (
+                    centroid_assign_top2,
+                    micro_fixed,
+                )
+
+                vecs = b.select(
+                    F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v")
+                )
+                asg = centroid_assign_top2(vecs, store._centroids())
+                nb = store._effective_vindex_buckets()
+                touched = sorted(
+                    r["b"]
+                    for r in asg.select(
+                        F.pmod(F.col("cid"), F.lit(nb)).alias("b")
+                    ).distinct().collect()
+                )
+                return len(touched), int(store.vindex(buckets=touched).count())
+
+            div_buckets, div_rows = _scan_bound(batch)
+            # the cell-CONCENTRATED batch (round 12): every row pinned near
+            # one seed point → footprint is the top-2 cells of that point;
+            # with the vindex bucketed per-cell (min(K,1024) buckets) the
+            # pruned read is ~2/K of the admitted rows, not O(admitted)
+            conc = _docs(spark, n + BATCH_ROWS, BATCH_ROWS, pin_to=0)
+            conc_buckets, conc_rows = _scan_bound(conc)
+            t0 = time.monotonic()
+            store.ingest_batch(conc, 2)
+            conc_wall = time.monotonic() - t0
             out["sizes"][str(n)] = {
                 "admitted_seed": int(admitted_seed),
                 "probe_wall_s": round(wall, 2),
                 "probe_admitted": int(total - admitted_seed),
                 "probe_blocked": BATCH_ROWS - int(total - admitted_seed),
-                # the honest scan bound: admitted rows living in the batch's
-                # touched buckets (what the pruned vindex read covers)
                 "vindex_rows": int(store.vindex().count()),
+                "vindex_buckets": int(store._effective_vindex_buckets()),
+                # the honest scan bounds: admitted rows living in the batch's
+                # touched vbuckets (what the pruned vindex read covers) —
+                # diverse batches still saturate (documented residual),
+                # concentrated batches now prune to their cells
+                "diverse_buckets_touched": div_buckets,
+                "diverse_rows_scanned": div_rows,
+                "concentrated_buckets_touched": conc_buckets,
+                "concentrated_rows_scanned": conc_rows,
+                "concentrated_wall_s": round(conc_wall, 2),
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -673,3 +673,164 @@ def test_semantic_vindex_heals_from_docs(spark, tmp_path):
     # the next write path re-heals the durable dir
     assert _os.path.exists(_os.path.join(root, "vindex"))
     assert sorted(tuple(r) for r in store.vindex().collect()) == before
+
+
+def _two_cell_codebook(spark):
+    """A hand-built 2-cell codebook in micro-fixed space: c0 at the origin,
+    c1 at (2.0, 0, 0, 0) — geometry chosen so a vector near 1.0 on the
+    first axis sits just on one side of the midpoint (its top-1 cell flips
+    at 1.0) while staying CLOSE to a vector just on the other side."""
+    return spark.createDataFrame(
+        [(0, [0, 0, 0, 0]), (1, [2_000_000, 0, 0, 0])], "cid long, c array<bigint>"
+    )
+
+
+def test_semantic_gate_top2_blocks_boundary_straddling_dup(spark, tmp_path):
+    """The planted cell-boundary straddler (VERDICT r11 task 4): doc 1 at
+    x=0.90 is admitted into cell 0; doc 2 at x=1.05 is a true near-dup
+    (sqdist 2.25e10 ≤ the 1e11 gate) whose TOP-1 cell is 1 — under the
+    r11 single-probe gate it probed only cell 1, found nothing, and was
+    ADMITTED.  The top-2 batch-side probe also consults cell 0 and blocks
+    it, with no admitted-side storage change (vindex keeps one row per
+    doc).  Doc 3 probes both cells too but is far from everything →
+    admitted (the probe widens candidates, the exact verify still
+    decides)."""
+    store = CorpusIngestStore(
+        spark,
+        str(tmp_path / "corpus"),
+        semantic=True,
+        semantic_centroids=_two_cell_codebook(spark),
+        semantic_sqdist_max=100_000_000_000,
+    )
+    store.ingest_batch(_sem_docs(spark, [(1, "alpha text", [0.9, 0.0, 0.0, 0.0])]), 0)
+    assert _corpus_ids(store) == [1]
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [
+                (2, "different words entirely", [1.05, 0.0, 0.0, 0.0]),
+                (3, "far away doc", [3.0, 0.0, 0.0, 0.0]),
+            ],
+        ),
+        1,
+    )
+    assert _corpus_ids(store) == [1, 3], "boundary straddler must be blocked via the second probe"
+    # within-batch: two straddlers of the SAME boundary meeting only
+    # through the second probe keep the lowest id
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [
+                (4, "completely fresh four", [5.0, 0.95, 0.0, 0.0]),
+                (5, "completely fresh five", [5.0, 1.05, 0.0, 0.0]),
+            ],
+        ),
+        2,
+    )
+    # both assign top-1 to cell 1, so this pair is same-cell; the planted
+    # CROSS-cell within-batch case needs vectors near the midpoint:
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [
+                (6, "fresh six here", [0.95, 3.0, 0.0, 0.0]),
+                (7, "fresh seven here", [1.05, 3.0, 0.0, 0.0]),
+            ],
+        ),
+        3,
+    )
+    ids = _corpus_ids(store)
+    assert 4 in ids and 5 not in ids, "same-cell within-batch near-dup keeps lowest id"
+    assert 6 in ids and 7 not in ids, "cross-cell within-batch near-dup caught by second probe"
+
+
+def test_vindex_bucket_count_derives_from_codebook_and_pins(spark, tmp_path):
+    """Round 12: the vector side table's bucket count is its OWN pinned
+    knob, derived from the codebook size (min(K, 1024)) — not inherited
+    from the fp-index's count — so the per-batch probe's partition
+    pruning tracks cells exactly (one dir per cell at derived counts)."""
+    import os
+
+    root = str(tmp_path / "corpus")
+    store = CorpusIngestStore(
+        spark,
+        root,
+        semantic=True,
+        semantic_centroids=_two_cell_codebook(spark),
+        semantic_sqdist_max=100_000_000_000,
+    )
+    store.ingest_batch(
+        _sem_docs(
+            spark,
+            [(1, "alpha", [0.1, 0.0, 0.0, 0.0]), (2, "beta", [2.1, 0.0, 0.0, 0.0])],
+        ),
+        0,
+    )
+    with open(os.path.join(root, "_VINDEX_BUCKETS")) as f:
+        assert int(f.read().strip()) == 2  # |codebook| = 2 → one bucket per cell
+    assert store._effective_vindex_buckets() == 2
+    assert store._effective_index_buckets() == 16  # fp index keeps its own knob
+    # on-disk layout: vbucket=cid partition dirs
+    vdirs = set()
+    vroot = os.path.join(root, "vindex")
+    for d in os.listdir(vroot):
+        for sub in os.listdir(os.path.join(vroot, d)):
+            if "=" in sub:
+                vdirs.add(sub)
+    assert vdirs == {"vbucket=0", "vbucket=1"}
+    # reopen adopts the pinned value even with a different constructor ask
+    store2 = CorpusIngestStore(spark, root, semantic=True, vindex_buckets=512)
+    assert store2._effective_vindex_buckets() == 2
+    # pruned read returns exactly the requested cell's rows
+    assert sorted(r["doc_id"] for r in store2.vindex(buckets=[1]).collect()) == [2]
+
+
+def test_vindex_legacy_layout_adopts_fp_bucket_count(spark, tmp_path):
+    """A pre-r12 store (committed vindex dirs, no _VINDEX_BUCKETS marker)
+    must adopt the count its dirs were actually written with — pruning on
+    re-derived bucket values that don't match the on-disk partitioning
+    would silently re-admit semantic dups."""
+    import os
+
+    root = str(tmp_path / "corpus")
+    # emulate the legacy layout: force the vindex to be written with the
+    # fp-index count (16), then drop the marker as if written pre-r12
+    store = CorpusIngestStore(
+        spark,
+        root,
+        semantic=True,
+        semantic_centroids=_two_cell_codebook(spark),
+        semantic_sqdist_max=100_000_000_000,
+        vindex_buckets=16,
+    )
+    store.ingest_batch(_sem_docs(spark, [(1, "alpha", [0.1, 0.0, 0.0, 0.0])]), 0)
+    os.remove(os.path.join(root, "_VINDEX_BUCKETS"))
+    reopened = CorpusIngestStore(spark, root, semantic=True)
+    assert reopened._effective_vindex_buckets() == 16
+    # and admission against the legacy layout still blocks
+    reopened.ingest_batch(_sem_docs(spark, [(2, "beta", [0.1001, 0.0, 0.0, 0.0])]), 1)
+    assert _corpus_ids(reopened) == [1]
+
+
+def test_semantic_read_paths_never_write(spark, tmp_path):
+    """ADVICE r11: reads are side-effect-free — a store constructed with a
+    codebook whose only activity is READS (vindex scan, corpus scan) must
+    not create root/_centroids or any marker; the first WRITE path pins
+    everything."""
+    import os
+
+    root = str(tmp_path / "corpus")
+    store = CorpusIngestStore(
+        spark, root, semantic=True, semantic_centroids=_two_cell_codebook(spark)
+    )
+    store.vindex().collect()
+    store.corpus().collect()
+    store._centroids()
+    assert not os.path.exists(os.path.join(root, "_centroids"))
+    assert not os.path.exists(os.path.join(root, "_VINDEX_BUCKETS"))
+    store.ingest_batch(_sem_docs(spark, [(1, "alpha", [0.1, 0.0, 0.0, 0.0])]), 0)
+    assert os.path.exists(os.path.join(root, "_centroids", "_SUCCESS"))
+    assert os.path.exists(os.path.join(root, "_VINDEX_BUCKETS"))
+    # a reopened store with NO constructor codebook reads the pinned one
+    store2 = CorpusIngestStore(spark, root, semantic=True)
+    assert sorted(r["cid"] for r in store2._centroids().collect()) == [0, 1]
