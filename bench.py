@@ -129,6 +129,8 @@ HEADLINE = [
     "dedup_semantic_keep_mp2",
     "emb_rp_rerank_topk",
     "doc_shard_mixing_audit",
+    # round 12
+    "emb_balanced_sample_mp2",
 ]
 
 

@@ -1713,11 +1713,56 @@ def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _balanced_sample_sql() -> str:
+def balanced_sample_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``emb_balanced_sample`` over the MULTI-PROBE (p=2) pair stage
+    (round 12 — VERDICT r11 task 1: promote the measured-better mp2
+    machinery into the flagship curation consumer).  The r11 recall probe
+    showed single-probe pairs forfeiting 54–86 % of loose true pairs to
+    cell boundaries at every graded SF, so the survivor set this sampler
+    subsamples was missing over half the merges its CC stage exists to
+    make; with both probes the near-dup clusters split by a cell boundary
+    merge first, THEN the per-cell cap spends the sample budget on
+    genuinely distinct vectors.
+
+    Composition: ONE memoized Lloyd train shared by all three consumers —
+    the top-1 assignment (the balancing cell: sampling stays
+    one-membership; only CANDIDATE GENERATION is multi-probe), the top-2
+    assignment feeding the band-sharded pair stage (≤ N·SEM_CELL_CAP
+    candidates — 2× the single-probe budget, the advertised price of the
+    measured 2.7× pair recall), and the CC survivor verdict.  Output
+    contract identical to ``emb_balanced_sample``: (vec_id, cell,
+    cell_rank ≤ CELL_CAP), survivors-only."""
+    from pyspark.sql import Window
+
+    from ..operators.ann import centroid_assign_top2
+    from ..operators.dedup import dedup_assignments_cc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, cents = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    pairs = _semantic_pairs(centroid_assign_top2(vecs, cents), vecs).select("id_a", "id_b")
+    keep = dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id").filter(
+        ~F.col("is_duplicate")
+    )
+    survivors = keep.select("vec_id").join(
+        a1.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell")), "vec_id"
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    return (
+        survivors.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cell_rank") <= CELL_CAP)
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "cell_rank")
+    )
+
+
+def _balanced_sample_sql(probes: int = 1) -> str:
     # the pair stage (sp) reads the SAME af/vecs chain the sampler uses —
     # never a second nested (shadowed) k-means (round-8 review); the chain
-    # carries the runtime-derived K and the shard guard (round 9)
-    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS)
+    # carries the runtime-derived K and the shard guard (round 9).
+    # probes=2: the pair CTEs run top-2 (af holds ≤2 rows per vid) while
+    # the balancing cell stays the TOP-1 assignment — the struct-min over
+    # af's rows, exactly the Spark side's one-membership sampling rule.
+    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS, probes=probes)
     parts.append(
         """edges AS (
   SELECT id_a AS src, id_b AS dst FROM sp
@@ -1735,13 +1780,28 @@ def _balanced_sample_sql() -> str:
     parts.append(
         "comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS keep_id FROM reach GROUP BY src)"
     )
-    parts.append(
-        """surv AS (
+    if probes == 1:
+        parts.append(
+            """surv AS (
   SELECT a.vid AS vec_id, a.cid AS cell
   FROM af a LEFT JOIN comp c ON c.vec_id = a.vid
   WHERE COALESCE(c.keep_id, a.vid) = a.vid
 )"""
-    )
+        )
+    else:
+        parts.append(
+            """top1 AS (
+  SELECT vid, (MIN(struct_pack(d := d, cid := cid))).cid AS cid
+  FROM af GROUP BY vid
+)"""
+        )
+        parts.append(
+            """surv AS (
+  SELECT a.vid AS vec_id, a.cid AS cell
+  FROM top1 a LEFT JOIN comp c ON c.vec_id = a.vid
+  WHERE COALESCE(c.keep_id, a.vid) = a.vid
+)"""
+        )
     return (
         "WITH RECURSIVE "
         + ",\n".join(parts)
@@ -1754,6 +1814,7 @@ WHERE cell_rank <= {CELL_CAP}
 
 
 QUERIES["emb_balanced_sample"] = (balanced_sample_query, _balanced_sample_sql())
+QUERIES["emb_balanced_sample_mp2"] = (balanced_sample_mp_query, _balanced_sample_sql(probes=2))
 
 
 IVFSQ_CELLS = 16

@@ -75,6 +75,7 @@ ADJUDICATED = {
     ("dedup_semantic_cells_mp2", _BNLJ): "two-pass top-2 Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table, twice by design (second-nearest re-score)",
     ("dedup_semantic_keep_mp2", _BNLJ): "inherited from the mp2 pair stage: the two-pass top-2 assignment's broadcast centroid re-score",
     ("emb_balanced_sample", _BNLJ): "Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table (shared by the cell and pair stages)",
+    ("emb_balanced_sample_mp2", _BNLJ): "two-pass top-2 Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table, twice by design (second-nearest re-score; dedup_semantic_cells_mp2's class)",
     ("emb_ivfsq_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (SQ scoring is the cell equi-join)",
     ("emb_rp_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors (emb_sq_topk's class)",
     ("emb_prefix_topk", "SinglePartitionWindow"): "rank window over the ≤10-row TakeOrderedAndProject survivors (emb_sq_topk's class)",

@@ -58,6 +58,50 @@ def test_hot_cell_pre_split_bounds_the_rank_partition(spark):
     assert all(p["id_b"] - p["id_a"] == 1 for p in spairs), "inert split keeps full band locality"
 
 
+def test_balanced_sample_mp2_subset_cap_and_recall_gain(spark):
+    """The mp2-composed sampler's contract: (a) every sampled id is an
+    mp2 CC SURVIVOR (the sampler subsamples the keep_mp2 verdict, never a
+    dropped duplicate), (b) the per-cell cap holds with contiguous ranks
+    starting at 1, (c) the balancing cell is the TOP-1 assignment —
+    sampling stays one-membership even though candidate generation is
+    multi-probe.  (A mp2-survivors ⊆ single-probe-survivors comparison is
+    deliberately NOT asserted: doubled memberships shift band boundaries,
+    so edge sets aren't nested — the r11 review's superset-not-a-theorem
+    lesson.)"""
+    from collections import Counter
+
+    from block_crawler_spark.plans.embed_ops import (
+        CELL_CAP,
+        SEM_CELLS_ITERS,
+        _sem_k,
+        _trained_kmeans,
+        balanced_sample_mp_query,
+        semantic_keep_mp_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    keep = {
+        r["vec_id"]
+        for r in semantic_keep_mp_query(spark, sf).filter(~F.col("is_duplicate")).collect()
+    }
+    sample = balanced_sample_mp_query(spark, sf).collect()
+    ids = [r["vec_id"] for r in sample]
+    assert ids and len(ids) == len(set(ids))
+    assert set(ids) <= keep, "sampled ids must be mp2 survivors"
+    ranks = Counter()
+    for r in sorted(sample, key=lambda r: (r["cell"], r["cell_rank"])):
+        ranks[r["cell"]] += 1
+        assert r["cell_rank"] == ranks[r["cell"]], "ranks contiguous from 1 per cell"
+    assert max(ranks.values()) <= CELL_CAP
+    # the balancing cell is the top-1 assignment of the SAME memoized train
+    emb = load_table(spark, sf, "embeddings")
+    a1, _ = _trained_kmeans(emb, sf, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    top1 = {r["vid"]: r["cid"] for r in a1.collect()}
+    for r in sample:
+        assert r["cell"] == top1[r["vec_id"]], "sampling cell must be the top-1 membership"
+
+
 def test_centroid_assign_top2_matches_brute_force(spark):
     """The shared scale-safe top-2 helper (two broadcast scans + struct
     filters, no N×K window) must equal the brute-force two nearest
