@@ -131,6 +131,7 @@ HEADLINE = [
     "doc_shard_mixing_audit",
     # round 12
     "emb_balanced_sample_mp2",
+    "doc_bigram_quality_calibration",
 ]
 
 

@@ -39,7 +39,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # semantic/trainer changes + the r6-era relational tail; round 10 the r9
 # orphans + its seven additions + the r7-era tail; round 11 its six
 # additions + twelve changes + the r8-era tail.  Round 12 fronts
-# ``_FRONT``: FIRST the queries ADDED this round, then the nine CHANGED
+# ``_FRONT``: FIRST the queries ADDED this round, then the ten CHANGED
 # this round (the hot-cell pre-split rewrites the semantic pair stage's
 # shard key on BOTH engines — every `_semantic_pairs`/`_sem_pairs_cte_
 # parts` consumer; the memo-fingerprint hardening touches every
@@ -50,9 +50,14 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 _FRONT = (
     # -- added in r12 --
     "emb_balanced_sample_mp2",
+    "doc_bigram_quality_calibration",
     # -- changed in r12: hot-cell coarse pre-split in the band-rank shard
     #    key (semantic family, both engines), shared top-2 helper, part-
-    #    file-stat memo fingerprint (Lloyd-memoized families) --
+    #    file-stat memo fingerprint (Lloyd-memoized families), shared
+    #    bigram-occurrence / quality-decile SQL helpers (surprisal +
+    #    calibration refactor) --
+    "doc_bigram_surprisal",
+    "doc_quality_calibration",
     "dedup_semantic_cells",
     "dedup_semantic_cells_mp2",
     "dedup_semantic_keep",

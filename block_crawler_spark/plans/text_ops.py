@@ -2718,26 +2718,34 @@ def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_calibration_sql() -> str:
-    return f"""
-WITH base AS (
-  SELECT source,
+def _quality_decile_ctes(key_col: str) -> str:
+    """The DuckDB quality-decile chain (base/ppm/q CTEs) keyed by
+    ``key_col`` — the SQL twin of ``with_quality_ppm`` + decile bucketing,
+    shared by the source-lift calibration and the bigram×quality
+    cross-tab so the formula can't drift between them."""
+    return f"""base AS (
+  SELECT {key_col},
          len(string_split_regex(trim(text), '\\s+')) AS n_tok,
          len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({_EN}))) AS n_stop,
          length(text) - length(regexp_replace(text, '{PUNCT_PATTERN_SQL}', '', 'g')) AS n_punct,
          length(text) AS n_chars
   FROM documents
 ), ppm AS (
-  SELECT source,
+  SELECT {key_col},
          CAST(n_stop * 1000000 // n_tok AS BIGINT) AS stop_ppm,
          CAST(n_punct * 1000000 // n_chars AS BIGINT) AS punct_ppm,
          least(CAST(n_tok AS BIGINT) * 10000, 1000000) AS len_term_ppm
   FROM base
 ), q AS (
-  SELECT source,
+  SELECT {key_col},
          CAST((4 * len_term_ppm + 4 * stop_ppm + 2 * (1000000 - punct_ppm)) // 10 // 100000 AS BIGINT) AS decile
   FROM ppm
-), bs AS (
+)"""
+
+
+def _quality_calibration_sql() -> str:
+    return f"""
+WITH {_quality_decile_ctes("source")}, bs AS (
   SELECT decile, source, CAST(count(*) AS BIGINT) AS n_docs FROM q GROUP BY decile, source
 ), pd AS (SELECT decile, SUM(n_docs) AS n_decile FROM bs GROUP BY decile),
 ps AS (SELECT source, SUM(n_docs) AS n_source FROM bs GROUP BY source),
@@ -2817,6 +2825,35 @@ FROM scored GROUP BY source
 QUERIES["doc_unigram_surprisal"] = (unigram_surprisal_query, _unigram_surprisal_sql())
 
 
+def _bigram_occurrences(docs: DataFrame, key_col: str) -> DataFrame:
+    """Within-document bigram occurrences keyed by ``key_col`` — the ONE
+    definition of the bigram extraction (tokens → adjacent (prev, tok)
+    pairs via a transform over the token array; bigrams never leave the
+    document), shared by the per-source surprisal screen and the
+    quality×surprisal calibration so the two can't drift."""
+    tk = docs.select(key_col, tokens(F.lower(F.trim(F.col("text")))).alias("t"))
+    return tk.select(
+        key_col,
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS prev, t[i + 1] AS tok))"
+            )
+        ).alias("bg"),
+    ).select(key_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+
+
+def _bigram_occ_sql(key_col: str) -> str:
+    """The DuckDB twin of :func:`_bigram_occurrences` (tk + occ CTEs)."""
+    return rf"""tk AS (
+  SELECT {key_col}, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+occ AS (
+  SELECT {key_col}, t[i] AS prev, t[i+1] AS tok
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+)"""
+
+
 def bigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM CONDITIONAL surprisal screen per source (round 11 — the
     natural upgrade of ``doc_unigram_surprisal``): train the corpus's own
@@ -2841,16 +2878,7 @@ def bigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the unigram screen there is no eager driver-materialized
     total."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("source", tokens(F.lower(F.trim(F.col("text")))).alias("t"))
-    occ = tk.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " (x, i) -> struct(x AS prev, t[i + 1] AS tok))"
-            )
-        ).alias("bg"),
-    ).select("source", F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    occ = _bigram_occurrences(docs, "source")
     freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
     marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
     scored = (
@@ -2866,14 +2894,8 @@ def bigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_surprisal_sql() -> str:
-    return r"""
-WITH tk AS (
-  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
-),
-occ AS (
-  SELECT source, t[i] AS prev, t[i+1] AS tok
-  FROM tk, unnest(range(1, len(t))) AS u(i)
-),
+    return f"""
+WITH {_bigram_occ_sql("source")},
 freq AS (SELECT prev, tok, COUNT(*) AS n2 FROM occ GROUP BY prev, tok),
 marg AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM freq GROUP BY prev),
 scored AS (
@@ -2887,6 +2909,105 @@ FROM scored GROUP BY source
 
 
 QUERIES["doc_bigram_surprisal"] = (bigram_surprisal_query, _bigram_surprisal_sql())
+
+
+def bigram_quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-blend × bigram-LM cross-calibration (round 12 — VERDICT r11
+    optional c): every document scored BOTH by the heuristic quality blend
+    (``with_quality_ppm``, decile-bucketed — the formula the curation
+    pipeline's budget cut trusts) and by the corpus's own bigram LM (mean
+    integer conditional surprisal per bigram, whole-bit bands), then the
+    (decile × band) cross-tab with share and lift — the check that the
+    cheap blend and the LM screen AGREE before a curator relies on either:
+    lift ≫ 1e6 in (low decile, low band) means the blend's rejects are
+    boilerplate the LM also flags (redundant signals, either suffices);
+    high-decile mass in extreme bands means the blend passes text the LM
+    calls noise (orthogonal signals — gate on both).
+
+    Scale shape: the bigram side is the ``doc_bigram_surprisal`` machinery
+    (shared ``_bigram_occurrences`` extraction: vocab-bounded freq/marginal
+    aggs, occurrence ⋈ vocabulary collision joins) with a per-DOC mean in
+    place of the per-source one; the quality side is one more corpus scan
+    of the shared formula; they meet in a narrow doc_id equi-join.  The
+    cross-tab is DOMAIN-bounded — decile ≤ 10 (ppm space), band ≤ 64
+    (bitlen of an int64 ratio) — so the collect/rebroadcast needs no cap
+    guard (unlike the source-keyed calibration, whose key is data-derived)
+    and the four downstream re-aggregations run on a ≤11·65-row
+    driver-materialized frame, never the corpus (the r8 lazy-subtree
+    class).  Documents with fewer than two tokens have no bigrams and drop
+    from the cross-tab (inner join) — both engines identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_ppm(docs).select(
+        "doc_id", F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile")
+    )
+    occ = _bigram_occurrences(docs, "doc_id")
+    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
+    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    per_doc = (
+        occ.join(freq, ["prev", "tok"])
+        .join(marg, "prev")
+        .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(bits) DIV count(*) AS BIGINT)").alias("band"))
+    )
+    bs = (
+        scored.join(per_doc, "doc_id")
+        .groupBy("decile", "band")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    bs = spark.createDataFrame(bs.collect(), bs.schema)  # ≤ 11 × 65 rows by domain
+    per_decile = bs.groupBy("decile").agg(F.sum("n_docs").alias("n_decile"))
+    per_band = bs.groupBy("band").agg(F.sum("n_docs").alias("n_band"))
+    total = bs.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        bs.join(per_decile, "decile")
+        .join(per_band, "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "band",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV n_decile AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(n_band * 1000000 DIV n_total AS BIGINT)").alias("base_ppm"),
+            F.expr(
+                "CAST((n_docs * 1000000 DIV n_decile) * 1000000 DIV "
+                "greatest(n_band * 1000000 DIV n_total, 1) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def _bigram_quality_calibration_sql() -> str:
+    return f"""
+WITH {_bigram_occ_sql("doc_id")},
+freq AS (SELECT prev, tok, COUNT(*) AS n2 FROM occ GROUP BY prev, tok),
+marg AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM freq GROUP BY prev),
+per_doc AS (
+  SELECT o.doc_id, CAST(SUM(length(bin(m.n1 // f.n2))) // COUNT(*) AS BIGINT) AS band
+  FROM occ o JOIN freq f USING (prev, tok) JOIN marg m USING (prev)
+  GROUP BY o.doc_id
+),
+{_quality_decile_ctes("doc_id")},
+bs AS (
+  SELECT q.decile, per_doc.band, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM q JOIN per_doc USING (doc_id) GROUP BY q.decile, per_doc.band
+),
+pd AS (SELECT decile, SUM(n_docs) AS n_decile FROM bs GROUP BY decile),
+pb AS (SELECT band, SUM(n_docs) AS n_band FROM bs GROUP BY band),
+tot AS (SELECT SUM(n_docs) AS n_total FROM bs)
+SELECT bs.decile, bs.band, bs.n_docs,
+       CAST(bs.n_docs * 1000000 // pd.n_decile AS BIGINT) AS share_ppm,
+       CAST(pb.n_band * 1000000 // tot.n_total AS BIGINT) AS base_ppm,
+       CAST((bs.n_docs * 1000000 // pd.n_decile) * 1000000 //
+            GREATEST(pb.n_band * 1000000 // tot.n_total, 1) AS BIGINT) AS lift_ppm
+FROM bs JOIN pd USING (decile) JOIN pb USING (band), tot
+"""
+
+
+QUERIES["doc_bigram_quality_calibration"] = (
+    bigram_quality_calibration_query,
+    _bigram_quality_calibration_sql(),
+)
 
 
 def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:

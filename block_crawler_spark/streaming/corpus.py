@@ -150,6 +150,18 @@ class CorpusIngestStore:
     # opens adopt it — a pre-r12 store (no marker, committed vindex dirs)
     # adopts the fp-index count it was written with.
     vindex_buckets: int | None = None
+    # admitted-side membership count for the SEMANTIC vector table
+    # (round 12, VERDICT r11 optional a): 1 (default) stores each admitted
+    # doc under its top-1 cell only; 2 stores BOTH nearest cells (2×
+    # vindex size, 2× probe scan) for SYMMETRIC boundary coverage — with
+    # batch-side top-2 alone, a pair still slips through when the two
+    # docs' probe sets share no cell (batch top-2 {A,B} vs admitted top-1
+    # C with admitted top-2 {C,A} — pinned by pytest); storing admitted
+    # top-2 closes it (the sets then intersect iff ANY of the four
+    # memberships meet).  Pinned to ``root/_VINDEX_PROBES`` on the first
+    # write (adopt-on-open, like the bucket counts: a heal must re-project
+    # the exact layout the ingest path wrote); pre-marker stores adopt 1.
+    vindex_probes: int = 1
     # batches at or under this row count broadcast their probe keys into the
     # collision joins (the index is scanned, never exchanged); a larger
     # batch — an availableNow backfill can be corpus-scale — must NOT be
@@ -415,6 +427,38 @@ class CorpusIngestStore:
             f.write(str(self._effective_vindex_buckets()))
         os.replace(tmp, marker)
 
+    def _effective_vindex_probes(self) -> int:
+        """Admitted-side memberships the on-disk vindex was written with:
+        the pinned ``_VINDEX_PROBES`` when present (adopt-on-open — a heal
+        must re-project exactly the layout ingest wrote), else this
+        instance's ``vindex_probes``.  Pre-marker stores are single-
+        membership by construction (the marker and the 2-probe option
+        shipped together), so the constructor default of 1 adopts them."""
+        cached = getattr(self, "_eff_vindex_probes", None)
+        if cached is not None:
+            return cached
+        try:
+            with open(os.path.join(self.root, "_VINDEX_PROBES")) as f:
+                n = int(f.read().strip())
+        except (OSError, ValueError):
+            n = int(self.vindex_probes)
+        if n not in (1, 2):
+            raise ValueError(f"vindex_probes must be 1 or 2, got {n}")
+        self._eff_vindex_probes = n
+        return n
+
+    def _pin_vindex_probes(self) -> None:
+        """Persist the admitted-side membership count on the first write
+        path; temp-then-rename like the bucket markers."""
+        marker = os.path.join(self.root, "_VINDEX_PROBES")
+        if os.path.exists(marker):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(self._effective_vindex_probes()))
+        os.replace(tmp, marker)
+
     def _ibucket_expr(self):
         """The index's fp-bucket partition value — a pure function of fp and
         the PINNED bucket count, so rows re-bucket identically on every
@@ -496,12 +540,16 @@ class CorpusIngestStore:
 
     def _vindex_project(self, docs: DataFrame) -> DataFrame:
         """Pure projection docs → (doc_id, cid, v, vbucket): re-derives the
-        assignment from the PINNED codebook, so a healed dir is
+        assignment from the PINNED codebook (top-1, or both nearest cells
+        when the store pins ``vindex_probes = 2``), so a healed dir is
         bit-identical to the one the ingest path wrote."""
-        from ..operators.ann import centroid_assign, micro_fixed
+        from ..operators.ann import centroid_assign, centroid_assign_top2, micro_fixed
 
         vecs = docs.select(F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-        asg = centroid_assign(vecs, self._centroids()).join(vecs, "vid")
+        assign = (
+            centroid_assign_top2 if self._effective_vindex_probes() == 2 else centroid_assign
+        )
+        asg = assign(vecs, self._centroids()).join(vecs, "vid")
         return asg.select(F.col("vid").alias("doc_id"), "cid", "v").withColumn(
             "vbucket", self._vbucket_expr()
         )
@@ -626,6 +674,7 @@ class CorpusIngestStore:
             # ADVICE r11; legacy layouts adopt their fp-index count first)
             self._pin_centroids()
             self._pin_vindex_buckets()
+            self._pin_vindex_probes()
             self._heal_side_table(live, self._vindex_root(), self._vindex_project, "vbucket")
 
     def index(self, buckets: Sequence[int] | None = None) -> DataFrame:
@@ -778,6 +827,7 @@ class CorpusIngestStore:
             # constructor-supplied centroids again
             self._pin_centroids()
             self._pin_vindex_buckets()
+            self._pin_vindex_probes()
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             if self.stats is not None:
                 self.stats.increment("corpus.replays")

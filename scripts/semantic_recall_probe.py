@@ -62,11 +62,11 @@ from block_crawler_spark.sources.tables import load_table  # noqa: E402
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
-def probe(spark, sf: str, regime: str, k: int, cell_cap: int, probes: int = 1) -> dict:
-    emb = load_table(spark, sf, "embeddings")
-    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    n = vecs.count()
-
+def _recall_metrics(spark, vecs, assign, cell_cap: int) -> dict:
+    """The shared measurement body: brute-force truth vs the committed
+    pair stage on an arbitrary (vid, v) corpus and (vid, cid, dist)
+    assignment — used by the graded-corpus probe and the clustered
+    synthetic fixture so the metrics can't drift."""
     # brute-force truth: every within-threshold pair, no pruning.  TIGHT
     # pairs (sqdist ≤ MAX/4, cosine ≳ 0.86 at unit norm) are the actual
     # near-dup regime — reported separately because the locality of the
@@ -83,13 +83,6 @@ def probe(spark, sf: str, regime: str, k: int, cell_cap: int, probes: int = 1) -
         .select("id_a", "id_b", "sqdist")
     )
     truth = spark.createDataFrame(truth.collect(), truth.schema)  # reused 3×, tiny
-
-    if probes == 2:
-        from block_crawler_spark.plans.embed_ops import _top2_assign
-
-        assign = _top2_assign(emb, sf, k=k, iters=SEM_CELLS_ITERS)
-    else:
-        assign, _ = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
     t_pairs = int(truth.count())
     t_tight = int(truth.filter(F.col("sqdist") <= tight).count())
 
@@ -121,11 +114,6 @@ def probe(spark, sf: str, regime: str, k: int, cell_cap: int, probes: int = 1) -
 
     r3 = lambda x: round(x, 3)  # noqa: E731
     return {
-        "sf": sf.rsplit("/", 1)[-1],
-        "regime": regime,
-        "n": n,
-        "k": k,
-        "cell_cap": cell_cap,
         "cells": shard_stats["cells"],
         "max_pop": shard_stats["max_pop"],
         "max_shards": int(shard_stats["max_shards"]),
@@ -141,7 +129,69 @@ def probe(spark, sf: str, regime: str, k: int, cell_cap: int, probes: int = 1) -
     }
 
 
-def probe_planted(spark, sf: str, k: int, cell_cap: int) -> dict:
+def probe(spark, sf: str, regime: str, k: int, cell_cap: int, probes: int = 1) -> dict:
+    emb = load_table(spark, sf, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    n = vecs.count()
+    if probes == 2:
+        from block_crawler_spark.plans.embed_ops import _top2_assign
+
+        assign = _top2_assign(emb, sf, k=k, iters=SEM_CELLS_ITERS)
+    else:
+        assign, _ = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
+    base = {"sf": sf.rsplit("/", 1)[-1], "regime": regime, "n": n, "k": k, "cell_cap": cell_cap}
+    return base | _recall_metrics(spark, vecs, assign, cell_cap)
+
+
+CLUSTER_DIM = 64
+
+
+def probe_clustered(
+    spark, regime: str, n: int, n_clusters: int, jitter_milli: int, k: int,
+    cell_cap: int, probes: int = 1,
+) -> dict:
+    """Round 12 (VERDICT r11 optional b): the same measurement on a corpus
+    WITH cluster structure — the honest caveat of the graded rows is that
+    the synthetic embeddings are isotropic (no density modes), the
+    single-assignment worst case.  Here every vector is a deterministic
+    md5-derived cluster center (vid % n_clusters) plus a small md5 jitter
+    (±jitter_milli/1000 per dim), so near-dup truth is exactly the
+    within-cluster pair set (cross-cluster distances are ~40× the
+    threshold) and Lloyd cells have real structure to find.  No RNG —
+    both the centers and the jitter are content-hash functions of the
+    ids, reproducible anywhere."""
+    from block_crawler_spark.operators.ann import centroid_assign_top2
+
+    cl = (F.col("id") % n_clusters).cast("string")
+
+    def h(key, span):
+        return (
+            F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % (2 * span + 1) - span
+        ) / 1000.0
+
+    comp = [
+        (
+            h(F.concat(F.lit(f"c{j}|"), cl), 1000)
+            + h(F.concat(F.lit(f"v{j}|"), F.col("id").cast("string")), jitter_milli)
+        ).cast("float")
+        for j in range(CLUSTER_DIM)
+    ]
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), F.array(*comp).alias("embedding"))
+    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    assign, cents = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
+    if probes == 2:
+        assign = centroid_assign_top2(vecs, cents)
+    base = {
+        "sf": f"clustered(n={n},c={n_clusters},jitter={jitter_milli}m)",
+        "regime": regime,
+        "n": n,
+        "k": k,
+        "cell_cap": cell_cap,
+    }
+    return base | _recall_metrics(spark, vecs, assign, cell_cap)
+
+
+def probe_planted(spark, sf: str, k: int, cell_cap: int, probes: int = 1) -> dict:
     """The TIGHT-pair regime the graded corpus lacks (it has zero pairs
     under cos ≈ 0.86 — memory: the synthetic embeddings plant no near
     dups): append one jittered copy of every vector (+500 micro on dim 0,
@@ -155,6 +205,14 @@ def probe_planted(spark, sf: str, k: int, cell_cap: int) -> dict:
                             actually keeps, measured from its output;
       modulo_tight_recall — the r8–r10 ``vid % n_shards`` counterfactual,
                             replayed on the SAME assignment.
+
+    ``probes=2`` (round 12 — VERDICT r11 task 2) runs the head-to-head on
+    the TOP-2 assignment: multi-probe doubles memberships, inflating cell
+    populations (n_shards 2→3 at the knee), so whether the band key's
+    0.96+ tight retention survives mp2's fatter cells decides the
+    at-scale knob order (band key free → mp2 ×2 → raise CAP).  A planted
+    pair is retained if it survives in ANY shared cell; the modulo
+    counterfactual gets the same any-shared-cell credit.
     """
     emb = load_table(spark, sf, "embeddings")
     plant = emb.select(
@@ -167,7 +225,11 @@ def probe_planted(spark, sf: str, k: int, cell_cap: int) -> dict:
     corpus = emb.select("vec_id", "embedding", "label").unionByName(plant)
     vecs = corpus.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     n = vecs.count()
-    assign, _ = kmeans_lloyd_fixed(corpus, k=k, iters=SEM_CELLS_ITERS)
+    assign, cents = kmeans_lloyd_fixed(corpus, k=k, iters=SEM_CELLS_ITERS)
+    if probes == 2:
+        from block_crawler_spark.operators.ann import centroid_assign_top2
+
+        assign = centroid_assign_top2(vecs, cents)
     tight = SEM_SQDIST_MAX // 4
 
     kept_tight = {
@@ -178,10 +240,11 @@ def probe_planted(spark, sf: str, k: int, cell_cap: int) -> dict:
         .collect()
     }
     arows = assign.collect()
-    cell = {r["vid"]: r["cid"] for r in arows}
-    pops: dict = {}
-    for c in cell.values():
-        pops[c] = pops.get(c, 0) + 1
+    cells_of: dict = {}  # vid -> set of probe cells (singleton at probes=1)
+    pops: dict = {}  # cid -> MEMBERSHIP population (what the band key bands)
+    for r in arows:
+        cells_of.setdefault(r["vid"], set()).add(r["cid"])
+        pops[r["cid"]] = pops.get(r["cid"], 0) + 1
     planted_pairs = [
         tuple(sorted((v, 10**9 + (v * 2654435761 + 911) % 2147483647)))
         for v in (r["vec_id"] for r in emb.select("vec_id").collect())
@@ -190,16 +253,18 @@ def probe_planted(spark, sf: str, k: int, cell_cap: int) -> dict:
     band_keep = sum(1 for p in planted_pairs if p in kept_tight)
     mod_keep = 0
     for x, y in planted_pairs:
-        if cell[x] != cell[y]:
-            continue
-        ns = -(-pops[cell[x]] // cell_cap)
-        if x % ns == y % ns:
-            mod_keep += 1
-    same_cell = sum(1 for x, y in planted_pairs if cell[x] == cell[y])
+        # any-shared-cell credit (trivial at probes=1): the counterfactual
+        # keeps a pair if vid-modulo agrees in AT LEAST one shared cell
+        for c in cells_of[x] & cells_of[y]:
+            ns = -(-pops[c] // cell_cap)
+            if x % ns == y % ns:
+                mod_keep += 1
+                break
+    same_cell = sum(1 for x, y in planted_pairs if cells_of[x] & cells_of[y])
     r3 = lambda x: round(x, 3)  # noqa: E731
     return {
         "sf": sf.rsplit("/", 1)[-1],
-        "regime": "planted-tight",
+        "regime": "planted-tight" + ("-mp2" if probes == 2 else ""),
         "n": n,
         "k": k,
         "cell_cap": cell_cap,
@@ -231,6 +296,18 @@ def main() -> int:
     # counterfactual — knee and deep-past-the-knee
     rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 200))
     rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 25))
+    # round 12: a corpus WITH cluster structure (the graded rows' honest
+    # isotropic-worst-case caveat, answered): 32 deterministic clusters,
+    # jitter sized so within-cluster pairs are near-dups
+    rows.append(probe_clustered(spark, "clustered", 2000, 32, 70, _sem_k(2000), SEM_CELL_CAP))
+    rows.append(
+        probe_clustered(spark, "clustered-mp2", 2000, 32, 70, _sem_k(2000), SEM_CELL_CAP, probes=2)
+    )
+    # round 12: the same head-to-head under MULTI-PROBE (p=2) — doubled
+    # memberships inflate the banded populations; decides the at-scale
+    # knob order for the mp2-composed curation consumers
+    rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 200, probes=2))
+    rows.append(probe_planted(spark, SFS[-1], max(8, (2 * n) // 250), 25, probes=2))
     for r in rows:
         print(json.dumps(r))
     return 0

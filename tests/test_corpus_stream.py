@@ -834,3 +834,46 @@ def test_semantic_read_paths_never_write(spark, tmp_path):
     # a reopened store with NO constructor codebook reads the pinned one
     store2 = CorpusIngestStore(spark, root, semantic=True)
     assert sorted(r["cid"] for r in store2._centroids().collect()) == [0, 1]
+
+
+def test_vindex_probes2_blocks_symmetric_straddler(spark, tmp_path):
+    """The residual the batch-side top-2 alone can't close (r12 optional):
+    with 3 cells C/A/B, admitted x has top-2 {C, B} and batch y has top-2
+    {B, A} — the probe sets share NO cell through the admitted top-1 (C),
+    so a single-membership vindex admits y even though it near-dups x.
+    With ``vindex_probes=2`` the admitted side stores both memberships and
+    the sets intersect at B → blocked.  The default store documents the
+    residual; the opt-in closes it at 2× vindex size."""
+    cents = spark.createDataFrame(
+        [(0, [0, 0, 0, 0]), (1, [2_000_000, 0, 0, 0]), (2, [1_000_000, 2_000_000, 0, 0])],
+        "cid long, c array<bigint>",
+    )
+    x = (1, "admitted doc x", [0.95, 0.75, 0.0, 0.0])
+    y = (2, "arriving doc y", [1.05, 0.9, 0.0, 0.0])
+    kw = dict(semantic=True, semantic_centroids=cents, semantic_sqdist_max=100_000_000_000)
+    # default (single-membership): the symmetric straddler is ADMITTED
+    s1 = CorpusIngestStore(spark, str(tmp_path / "c1"), **kw)
+    s1.ingest_batch(_sem_docs(spark, [x]), 0)
+    s1.ingest_batch(_sem_docs(spark, [y]), 1)
+    assert _corpus_ids(s1) == [1, 2], "residual documented: probe sets share no cell"
+    # opt-in probes=2: blocked, and the vindex carries 2 rows per doc
+    root2 = str(tmp_path / "c2")
+    s2 = CorpusIngestStore(spark, root2, vindex_probes=2, **kw)
+    s2.ingest_batch(_sem_docs(spark, [x]), 0)
+    assert sorted(r["cid"] for r in s2.vindex().collect()) == [0, 2]  # x under C and B
+    s2.ingest_batch(_sem_docs(spark, [y]), 1)
+    assert _corpus_ids(s2) == [1], "symmetric straddler blocked via admitted top-2"
+    # the membership count is pinned: a reopen without the kwarg adopts 2,
+    # and the healed projection reproduces the 2-row layout
+    import os as _os
+    import shutil as _sh
+
+    with open(_os.path.join(root2, "_VINDEX_PROBES")) as f:
+        assert f.read().strip() == "2"
+    s3 = CorpusIngestStore(spark, root2, semantic=True, semantic_sqdist_max=100_000_000_000)
+    assert s3._effective_vindex_probes() == 2
+    before = sorted(tuple(r) for r in s3.vindex().collect())
+    _sh.rmtree(_os.path.join(root2, "vindex"))
+    s3.ingest_batch(_sem_docs(spark, [(9, "fresh niner", [0.0, 0.0, 3.0, 0.0])]), 2)
+    after = sorted(tuple(r) for r in s3.vindex().collect())
+    assert [t for t in after if t[0] != 9] == before, "heal reproduces the 2-row layout"

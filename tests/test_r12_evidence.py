@@ -102,6 +102,33 @@ def test_balanced_sample_mp2_subset_cap_and_recall_gain(spark):
         assert r["cell"] == top1[r["vec_id"]], "sampling cell must be the top-1 membership"
 
 
+def test_bigram_quality_calibration_identities(spark):
+    """Conservation identities of the quality×bigram cross-tab: every
+    document with ≥2 tokens lands in exactly one (decile, band) cell, each
+    decile's shares sum to 1e6 up to truncation (one ulp per cell), and
+    bands stay inside the int64 bitlen domain."""
+    from block_crawler_spark.functions.text import tokens
+    from block_crawler_spark.plans.text_ops import bigram_quality_calibration_query
+    from block_crawler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = bigram_quality_calibration_query(spark, sf).collect()
+    assert rows
+    docs = load_table(spark, sf, "documents")
+    n_bigram_docs = docs.filter(
+        F.size(tokens(F.lower(F.trim(F.col("text"))))) >= 2
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_bigram_docs
+    by_decile: dict = {}
+    for r in rows:
+        assert 0 <= r["decile"] <= 10
+        assert 1 <= r["band"] <= 64
+        assert r["lift_ppm"] >= 0
+        by_decile.setdefault(r["decile"], []).append(r["share_ppm"])
+    for d, shares in by_decile.items():
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000, f"decile {d}"
+
+
 def test_centroid_assign_top2_matches_brute_force(spark):
     """The shared scale-safe top-2 helper (two broadcast scans + struct
     filters, no N×K window) must equal the brute-force two nearest
