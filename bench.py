@@ -132,6 +132,7 @@ HEADLINE = [
     # round 12
     "emb_balanced_sample_mp2",
     "doc_bigram_quality_calibration",
+    "dedup_semantic_threshold_sweep",
 ]
 
 

@@ -237,15 +237,17 @@ _CENTROID_MEMO_MAX = 64
 def _emb_fingerprint(sf_dir: str) -> tuple:
     """Cheap staleness fingerprint of the embeddings table under
     ``sf_dir`` (mtime_ns + size of the parquet file; for a directory
-    table, per-entry (name, mtime_ns, size) of the first 64 part files
-    plus the entry count) — part of the memo key, so a REWRITTEN table
-    retrains instead of silently replaying centroids trained on the old
-    rows (r11 review: a path-only key would diverge from the
-    retrain-from-current-rows DuckDB oracle after any data refresh).
-    Part files are statted individually (ADVICE r11): an in-place rewrite
-    that keeps filenames leaves the dir mtime and listing unchanged, so
-    only the entries' own mtimes/sizes catch it.  Local-fs only by
-    design (documented); an object-store deployment would key on etags."""
+    table, per-entry (name, mtime_ns, size) detail of the first 64 part
+    files PLUS entry count and exact mtime/size sums over ALL entries) —
+    part of the memo key, so a REWRITTEN table retrains instead of
+    silently replaying centroids trained on the old rows (r11 review: a
+    path-only key would diverge from the retrain-from-current-rows
+    DuckDB oracle after any data refresh).  Every part file is statted
+    (ADVICE r11 + r12 review): an in-place rewrite that keeps filenames
+    leaves the dir mtime and listing unchanged, and one past the 64th
+    entry would also slip a detail-only key — the full-listing sums
+    catch both.  Local-fs only by design (documented); an object-store
+    deployment would key on etags."""
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -254,10 +256,19 @@ def _emb_fingerprint(sf_dir: str) -> tuple:
         if os.path.isdir(path):
             parts = sorted(os.listdir(path))
             entries = []
-            for name in parts[:64]:
+            agg_mtime = agg_size = 0
+            for i, name in enumerate(parts):
                 est = os.stat(os.path.join(path, name))
-                entries.append((name, est.st_mtime_ns, est.st_size))
-            return (st.st_mtime_ns, tuple(entries), len(parts))
+                # detail for the first 64 entries, an exact aggregate over
+                # ALL of them — a rewrite of part 100 of 200 still flips
+                # the sums (r12 review: a first-64-only key missed exactly
+                # the in-place-rewrite class this fingerprint exists for);
+                # stat cost is O(parts) syscalls vs a full retrain on miss
+                if i < 64:
+                    entries.append((name, est.st_mtime_ns, est.st_size))
+                agg_mtime += est.st_mtime_ns
+                agg_size += est.st_size
+            return (st.st_mtime_ns, tuple(entries), len(parts), agg_mtime, agg_size)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return ("unstattable",)
@@ -1495,6 +1506,62 @@ FROM sp GROUP BY id_a, id_b, sqdist
 
 
 QUERIES["dedup_semantic_cells_mp2"] = (semantic_cells_mp_query, _semantic_cells_mp_sql())
+
+
+def semantic_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-decile sweep of the semantic candidate pairs (round 12 —
+    the embedding twin of ``dedup_threshold_sweep``): every within-cell
+    candidate pair's integer sqdist dropped into a decile of
+    ``SEM_SQDIST_MAX``, with the count per decile and the cumulative
+    pairs at-or-below each decile — the curve a curator reads to place
+    the semantic near-dup cut before committing to it (a cliff between
+    deciles means the corpus separates cleanly; smooth mass means the
+    threshold moves real volume).  Uses the SAME single-probe pair stage
+    as ``dedup_semantic_cells`` (one banding definition, memoized train);
+    the sweep characterizes candidate distances, so the single-probe set
+    suffices — the mp2 family changes WHICH pairs are found, not their
+    distances.
+
+    Scale shape: inherits the derived-K band-sharded pair join; the sweep
+    adds one ≤11-key agg and a cumulative window over those ≤11 rows
+    (bounded by the decile domain, never corpus-sized — the
+    dedup_threshold_sweep cumsum class)."""
+    from pyspark.sql.window import Window
+
+    step = SEM_SQDIST_MAX // 10
+    hist = (
+        semantic_cells_query(spark, sf_dir)
+        .select(F.expr(f"CAST(sqdist DIV {step} AS BIGINT)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.withColumn("cum_pairs_at_or_below", F.sum("n_pairs").over(w).cast("long"))
+
+
+def _semantic_threshold_sweep_sql() -> str:
+    step = SEM_SQDIST_MAX // 10
+    return (
+        "WITH "
+        + ",\n".join(_sem_pairs_cte_parts(SEM_CELLS_ITERS))
+        + f""",
+hist AS (
+  SELECT CAST(sqdist // {step} AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM sp GROUP BY decile
+)
+SELECT decile, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pairs_at_or_below
+FROM hist
+"""
+    )
+
+
+QUERIES["dedup_semantic_threshold_sweep"] = (
+    semantic_threshold_sweep_query,
+    _semantic_threshold_sweep_sql(),
+)
+
 
 
 # ---------------------------------------------------------------------------

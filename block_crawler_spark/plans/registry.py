@@ -51,6 +51,7 @@ _FRONT = (
     # -- added in r12 --
     "emb_balanced_sample_mp2",
     "doc_bigram_quality_calibration",
+    "dedup_semantic_threshold_sweep",
     # -- changed in r12: hot-cell coarse pre-split in the band-rank shard
     #    key (semantic family, both engines), shared top-2 helper, part-
     #    file-stat memo fingerprint (Lloyd-memoized families), shared

@@ -333,10 +333,13 @@ class CorpusIngestStore:
 
     def _vindex_root(self) -> str:
         """Root of the semantic vector side table: one dir per live docs
-        dir, rows ``(doc_id, cid, v)`` — the trained-cell assignment and
-        micro-fixed vector of every admitted doc — partitioned by
-        ``vbucket = pmod(cid, index_buckets)``, so the per-batch semantic
-        probe scans only the cells the batch actually touches."""
+        dir, rows ``(doc_id, cid, v)`` — the trained-cell membership(s)
+        and micro-fixed vector of every admitted doc (one row per doc, or
+        two under ``vindex_probes=2``) — partitioned by ``vbucket =
+        pmod(cid, _effective_vindex_buckets())`` (r12: the vindex's OWN
+        pinned count, min(K, 1024) by default — one dir per cell), so the
+        per-batch semantic probe scans only the cells the batch actually
+        touches."""
         return os.path.join(self.root, "vindex")
 
     def _index_schema(self) -> str:
@@ -430,10 +433,13 @@ class CorpusIngestStore:
     def _effective_vindex_probes(self) -> int:
         """Admitted-side memberships the on-disk vindex was written with:
         the pinned ``_VINDEX_PROBES`` when present (adopt-on-open — a heal
-        must re-project exactly the layout ingest wrote), else this
-        instance's ``vindex_probes``.  Pre-marker stores are single-
-        membership by construction (the marker and the 2-probe option
-        shipped together), so the constructor default of 1 adopts them."""
+        must re-project exactly the layout ingest wrote); for a PRE-MARKER
+        store with committed vindex dirs, 1 regardless of the constructor
+        ask (the marker and the 2-probe option shipped together, so every
+        pre-marker layout is single-membership by construction — honoring
+        ``vindex_probes=2`` there would heal crashed dirs into a layout
+        the ingest path never wrote; r12 review); else this instance's
+        ``vindex_probes``."""
         cached = getattr(self, "_eff_vindex_probes", None)
         if cached is not None:
             return cached
@@ -441,7 +447,15 @@ class CorpusIngestStore:
             with open(os.path.join(self.root, "_VINDEX_PROBES")) as f:
                 n = int(f.read().strip())
         except (OSError, ValueError):
-            n = int(self.vindex_probes)
+            legacy = False
+            try:
+                legacy = any(
+                    self._index_committed(d, root=self._vindex_root())
+                    for d in os.listdir(self._vindex_root())
+                )
+            except OSError:
+                pass
+            n = 1 if legacy else int(self.vindex_probes)
         if n not in (1, 2):
             raise ValueError(f"vindex_probes must be 1 or 2, got {n}")
         self._eff_vindex_probes = n
@@ -1006,10 +1020,12 @@ class CorpusIngestStore:
         near-dup whose top-1 cell differed from its admitted twin's was
         ADMITTED — exactly the cell-boundary loss the batch family
         measured dominating and mitigated with mp2); the ADMITTED side
-        stays single-membership (``vindex`` stores one row per doc — a
-        candidate pair is generated when the batch doc's EITHER probe
-        lands in the admitted doc's cell, so catching boundary-straddlers
-        needs no admitted-side storage change, at ~2× probe cost).
+        stores one membership per doc BY DEFAULT (a candidate pair is
+        generated when the batch doc's EITHER probe lands in an admitted
+        membership cell, so catching most boundary-straddlers needs no
+        admitted-side storage change, at ~2× probe cost) — the opt-in
+        ``vindex_probes=2`` layout stores both admitted memberships for
+        symmetric coverage of the probe-sets-share-no-cell residual.
 
         Shape mirrors the band probe: top-2 assignment against the ≤k-row
         broadcast codebook (two passes, no exploded shuffle —

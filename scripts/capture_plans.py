@@ -82,6 +82,8 @@ ADJUDICATED = {
     ("doc_quality_calibration", _BNLJ): "1-row total-docs broadcast onto the ≤11·|sources|-row driver-materialized lift table (base-rate denominator)",
     ("doc_bigram_quality_calibration", _BNLJ): "1-row total broadcast onto the ≤11×64-cell driver-materialized cross-tab (base-rate denominator; doc_quality_calibration's class)",
     ("dedup_threshold_sweep", "SinglePartitionWindow"): "cumulative window over the ≤11-row jaccard-decile histogram (the budget-cut cumsum class)",
+    ("dedup_semantic_threshold_sweep", _BNLJ): "inherited from the semantic-cells stage: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table",
+    ("dedup_semantic_threshold_sweep", "SinglePartitionWindow"): "cumulative window over the ≤11-row sqdist-decile histogram (dedup_threshold_sweep's cumsum class)",
     ("emb_centroid_outliers", _BNLJ): "Lloyd assignment: corpus × broadcast 16-row trained centroid table (the flag pass joins the ≤16-row driver-materialized cell stats by equi-key)",
 }
 

@@ -59,6 +59,11 @@ PROBES = [
     # collect-bounded lift table whose cost is the ONE corpus scan
     "doc_unigram_surprisal",  # explode → vocab agg → heavy-hitter token equi-join (round 10)
     "doc_quality_calibration",  # one corpus scan → driver-bounded lift table (round 10)
+    # round 12: the promoted multi-probe curation consumer — two assignment
+    # passes + doubled-membership band pairs + CC survivor verdict; its
+    # curve against emb_balanced_sample prices the measured recall upgrade
+    # (2.7× loose / perfect on clustered geometry) across 100× input
+    "emb_balanced_sample_mp2",
 ]
 
 

@@ -75,9 +75,18 @@ def _docs(spark, start: int, n: int, dup_of: int | None = None, pin_to: int | No
     if dup_of is not None:
         comp[0] = (comp[0] + F.lit(0.0005)).cast("float")
     if pin_to is not None:
-        # distinct-but-concentrated: spread dim 0 by 1e-6 per row so the
-        # batch isn't collapsed by the within-batch keep-lowest-id stage
-        comp[0] = (comp[0] + (F.col("id") - start).cast("double") * 1e-6).cast("float")
+        # distinct-but-concentrated: a base-5 lattice over dims 1-4 with
+        # 0.04 spacing — pairwise micro² sqdist ≥ (40000)² = 1.6e9 > the
+        # probe's 1e9 gate, so the rows SURVIVE the within-batch semantic
+        # dedup (r12 review: a 1e-6 spread collapsed the batch to one row
+        # and the concentrated wall timed a degenerate 1-row probe), while
+        # the whole lattice spans ≤0.16 per dim around the pinned point —
+        # still a handful of cells
+        for j in range(1, 5):
+            comp[j] = (
+                comp[j]
+                + F.expr(f"(id - {start}) DIV {5 ** (j - 1)} % 5").cast("double") * F.lit(0.04)
+            ).cast("float")
     word = lambda j: F.concat(  # noqa: E731
         F.lit("w"), F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|{j}"))), 1, 6)
     )

@@ -805,11 +805,36 @@ def test_vindex_legacy_layout_adopts_fp_bucket_count(spark, tmp_path):
     )
     store.ingest_batch(_sem_docs(spark, [(1, "alpha", [0.1, 0.0, 0.0, 0.0])]), 0)
     os.remove(os.path.join(root, "_VINDEX_BUCKETS"))
+    os.remove(os.path.join(root, "_VINDEX_PROBES"))
     reopened = CorpusIngestStore(spark, root, semantic=True)
     assert reopened._effective_vindex_buckets() == 16
     # and admission against the legacy layout still blocks
     reopened.ingest_batch(_sem_docs(spark, [(2, "beta", [0.1001, 0.0, 0.0, 0.0])]), 1)
     assert _corpus_ids(reopened) == [1]
+    # the probes knob gets the SAME legacy protection (r12 review): a
+    # pre-marker layout is single-membership by construction, so a reopen
+    # asking for probes=2 must resolve to 1 — honoring it would heal
+    # crashed dirs into a layout the ingest path never wrote
+    import shutil as _sh
+
+    root2 = str(tmp_path / "corpus2")
+    s = CorpusIngestStore(
+        spark, root2, semantic=True,
+        semantic_centroids=_two_cell_codebook(spark),
+        semantic_sqdist_max=100_000_000_000,
+    )
+    s.ingest_batch(_sem_docs(spark, [(1, "alpha", [0.1, 0.0, 0.0, 0.0])]), 0)
+    os.remove(os.path.join(root2, "_VINDEX_PROBES"))
+    pre_marker = CorpusIngestStore(
+        spark, root2, semantic=True, vindex_probes=2, semantic_sqdist_max=100_000_000_000
+    )
+    assert pre_marker._effective_vindex_probes() == 1
+    # heal reproduces the single-membership layout the dirs were written with
+    before = sorted(tuple(r) for r in pre_marker.vindex().collect())
+    _sh.rmtree(os.path.join(root2, "vindex"))
+    pre_marker.ingest_batch(_sem_docs(spark, [(3, "gamma", [0.0, 0.0, 3.0, 0.0])]), 1)
+    after = sorted(tuple(r) for r in pre_marker.vindex().collect())
+    assert [t for t in after if t[0] != 3] == before
 
 
 def test_semantic_read_paths_never_write(spark, tmp_path):

@@ -102,6 +102,32 @@ def test_balanced_sample_mp2_subset_cap_and_recall_gain(spark):
         assert r["cell"] == top1[r["vec_id"]], "sampling cell must be the top-1 membership"
 
 
+def test_semantic_threshold_sweep_conserves_pairs(spark):
+    """The sweep is a pure re-bucketing of the committed pair stage:
+    decile counts equal a recomputation from dedup_semantic_cells'
+    output, totals conserve, and the cumulative column is the running
+    sum in decile order."""
+    from collections import Counter
+
+    from block_crawler_spark.plans.embed_ops import (
+        SEM_SQDIST_MAX,
+        semantic_cells_query,
+        semantic_threshold_sweep_query,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pairs = semantic_cells_query(spark, sf).collect()
+    sweep = sorted(semantic_threshold_sweep_query(spark, sf).collect(), key=lambda r: r["decile"])
+    assert sweep and sum(r["n_pairs"] for r in sweep) == len(pairs)
+    step = SEM_SQDIST_MAX // 10
+    want = Counter(r["sqdist"] // step for r in pairs)
+    assert {r["decile"]: r["n_pairs"] for r in sweep} == dict(want)
+    run = 0
+    for r in sweep:
+        run += r["n_pairs"]
+        assert r["cum_pairs_at_or_below"] == run
+
+
 def test_bigram_quality_calibration_identities(spark):
     """Conservation identities of the quality×bigram cross-tab: every
     document with ≥2 tokens lands in exactly one (decile, band) cell, each
