@@ -1219,9 +1219,15 @@ def _semantic_pairs(
     SPLIT_FACTOR·cap members keep coarse = 0 (n_coarse = 1 — bit-identical
     to the r11 output, and no graded SF ever exceeds the threshold);
     beyond it, members pre-split into ``n_coarse = ceil(pop / (64·cap))``
-    deterministic vid-modulo groups and the band rank runs WITHIN
-    (cid, coarse), so no ranking partition ever holds more than
-    ~SPLIT_FACTOR·cap members.  The coarse key trades recall only inside
+    deterministic groups keyed ``md5('g|' + vid) % n_coarse`` — the
+    repo's shared cross-engine hash, NOT raw ``vid % n_coarse``, because
+    residue-correlated id distributions (ids striding by a multiple of
+    n_coarse: batch widths, shard-of-origin encodings — the same
+    structured-id bias the planted probe hash-scrambles against) would
+    collapse every member into ONE group and resurrect the single-task
+    sort (r12 review, reproduced) — and the band rank runs WITHIN
+    (cid, coarse), so no ranking partition holds more than
+    ~SPLIT_FACTOR·cap members except under adversarial hash collisions.  The coarse key trades recall only inside
     mega-cells (uniform-split loss, the measured modulo behavior) where
     the band guard already splits ≥SPLIT_FACTOR ways — locality is kept
     where it matters (distance bands within each coarse group), the sort
@@ -1246,7 +1252,13 @@ def _semantic_pairs(
         assign.select("vid", "cid", "dist")
         .join(counts, "cid")
         .withColumn("n_coarse", F.expr(f"(cell_pop + {split_max - 1}) DIV {split_max}"))
-        .withColumn("coarse", F.expr("vid % n_coarse"))
+        .withColumn(
+            "coarse",
+            F.expr(
+                "CAST(conv(substring(md5(concat('g|', CAST(vid AS STRING))), 1, 14), 16, 10)"
+                " AS BIGINT) % n_coarse"
+            ),
+        )
         .withColumn("coarse_pop", F.count("*").over(wg))
         .withColumn("n_shards", F.expr(f"(coarse_pop + {cell_cap - 1}) DIV {cell_cap}"))
         .withColumn("rk", rk.cast("long"))
@@ -1438,10 +1450,12 @@ def _sem_pairs_cte_parts(iters: int, probes: int = 1) -> list[str]:
     # the within-cell rank by (distance-to-centroid, vid) — the SQL twin of
     # _semantic_pairs' window; vid % n_shards was the r8-r10 key.  Round 12
     # adds the hot-cell pre-split: the rank partitions by (cid, coarse)
-    # where coarse = vid % ceil(pop / (SPLIT_FACTOR·CAP)) — 0 everywhere a
-    # cell stays under the threshold (bit-identical to the r11 chain), a
-    # bounded vid-modulo split inside mega-cells so no single sort
-    # partition exceeds ~SPLIT_FACTOR·CAP members.
+    # where coarse = md5('g|'+vid) % ceil(pop / (SPLIT_FACTOR·CAP)) — 0
+    # everywhere a cell stays under the threshold (bit-identical to the
+    # r11 chain), a bounded hash-modulo split inside mega-cells so no
+    # single sort partition exceeds ~SPLIT_FACTOR·CAP members (the shared
+    # md5 hash, not raw vid: residue-striding ids would collapse a
+    # vid-modulo split into one group — r12 review).
     SPLIT = CAP * SEM_SPLIT_FACTOR
     parts.append(
         f"""mem AS (
@@ -1455,7 +1469,8 @@ def _sem_pairs_cte_parts(iters: int, probes: int = 1) -> list[str]:
            row_number() OVER (PARTITION BY cid, coarse ORDER BY d, vid) AS rk
     FROM (
       SELECT af.vid, af.cid, af.d, cnt.cell_pop,
-             af.vid % ((cnt.cell_pop + {SPLIT - 1}) // {SPLIT}) AS coarse
+             CAST('0x' || substr(md5('g|' || CAST(af.vid AS VARCHAR)), 1, 14) AS BIGINT)
+               % ((cnt.cell_pop + {SPLIT - 1}) // {SPLIT}) AS coarse
       FROM af JOIN cnt USING (cid)
     )
   )

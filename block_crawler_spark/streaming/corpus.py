@@ -380,6 +380,21 @@ class CorpusIngestStore:
             f.write(str(self._effective_index_buckets()))
         os.replace(tmp, marker)
 
+    def _vindex_is_legacy(self) -> bool:
+        """True iff the store holds committed vindex dirs written BEFORE
+        the r12 markers existed — the ONE definition of pre-marker
+        detection, shared by the bucket-count and membership-count
+        adopters so the two can never disagree about legacy status
+        (r12 review: two drifting copies could mix fp-count buckets with
+        constructor probes)."""
+        try:
+            return any(
+                self._index_committed(d, root=self._vindex_root())
+                for d in os.listdir(self._vindex_root())
+            )
+        except OSError:
+            return False
+
     def _effective_vindex_buckets(self) -> int:
         """The vector side table's bucket count: the pinned
         ``_VINDEX_BUCKETS`` value when present (adopt-on-open); for a
@@ -396,20 +411,17 @@ class CorpusIngestStore:
             with open(os.path.join(self.root, "_VINDEX_BUCKETS")) as f:
                 n = int(f.read().strip())
         except (OSError, ValueError):
-            legacy = False
-            try:
-                legacy = any(
-                    self._index_committed(d, root=self._vindex_root())
-                    for d in os.listdir(self._vindex_root())
-                )
-            except OSError:
-                pass
-            if legacy:
+            if self._vindex_is_legacy():
                 n = self._effective_index_buckets()
             elif self.vindex_buckets is not None:
                 n = int(self.vindex_buckets)
             else:
                 n = min(max(1, self._codebook_size()), 1024)
+        if n < 1:
+            # pmod(cid, 0) yields NULL vbuckets → rows land under the Hive
+            # default partition and every pruned probe misses them, silently
+            # re-admitting semantic dups (r12 review) — fail loud instead
+            raise ValueError(f"vindex_buckets must be >= 1, got {n}")
         self._eff_vindex_buckets = n
         return n
 
@@ -447,15 +459,7 @@ class CorpusIngestStore:
             with open(os.path.join(self.root, "_VINDEX_PROBES")) as f:
                 n = int(f.read().strip())
         except (OSError, ValueError):
-            legacy = False
-            try:
-                legacy = any(
-                    self._index_committed(d, root=self._vindex_root())
-                    for d in os.listdir(self._vindex_root())
-                )
-            except OSError:
-                pass
-            n = 1 if legacy else int(self.vindex_probes)
+            n = 1 if self._vindex_is_legacy() else int(self.vindex_probes)
         if n not in (1, 2):
             raise ValueError(f"vindex_probes must be 1 or 2, got {n}")
         self._eff_vindex_probes = n
@@ -522,7 +526,13 @@ class CorpusIngestStore:
             )
         os.makedirs(self.root, exist_ok=True)
         tmp = f"{dst}.tmp-{os.getpid()}"
-        self.semantic_centroids.select("cid", "c").write.mode("overwrite").parquet(tmp)
+        # pin the SAME evaluation this session admits against: _centroids()
+        # driver-caches the codebook rows (possibly already, from an earlier
+        # read path) and its recreation is what gets written — re-executing
+        # self.semantic_centroids here could pin a DIFFERENT evaluation if
+        # the caller's lineage is not re-execution-deterministic, making
+        # every restart adopt cells this session never used (r12 review)
+        self._centroids().write.mode("overwrite").parquet(tmp)
         self._replace_dir(tmp, dst)
 
     def _centroids(self) -> DataFrame:

@@ -133,11 +133,6 @@ def main() -> int:
             batch = _docs(spark, n, half).unionByName(
                 _docs(spark, n + half, half, dup_of=0)
             )
-            t0 = time.monotonic()
-            store.ingest_batch(batch, 1)
-            wall = time.monotonic() - t0
-            total = store.corpus().count()
-
             def _scan_bound(b):
                 """The pruned vindex read the gate would do for batch ``b``:
                 top-2 assign against the pinned codebook, distinct vbucket
@@ -161,7 +156,17 @@ def main() -> int:
                 )
                 return len(touched), int(store.vindex(buckets=touched).count())
 
+            # each batch's scan bound is measured against the seen set AT
+            # THE MOMENT OF ITS OWN INGEST (r12 review: measuring the
+            # diverse bound after its ingest inflated it with the batch's
+            # own freshly admitted rows while the concentrated bound was
+            # pre-ingest — an asymmetric comparison)
             div_buckets, div_rows = _scan_bound(batch)
+            t0 = time.monotonic()
+            store.ingest_batch(batch, 1)
+            wall = time.monotonic() - t0
+            total = store.corpus().count()
+            vindex_rows = int(store.vindex().count())  # pre-conc: the r11 series definition
             # the cell-CONCENTRATED batch (round 12): every row pinned near
             # one seed point → footprint is the top-2 cells of that point;
             # with the vindex bucketed per-cell (min(K,1024) buckets) the
@@ -176,7 +181,7 @@ def main() -> int:
                 "probe_wall_s": round(wall, 2),
                 "probe_admitted": int(total - admitted_seed),
                 "probe_blocked": BATCH_ROWS - int(total - admitted_seed),
-                "vindex_rows": int(store.vindex().count()),
+                "vindex_rows": vindex_rows,
                 "vindex_buckets": int(store._effective_vindex_buckets()),
                 # the honest scan bounds: admitted rows living in the batch's
                 # touched vbuckets (what the pruned vindex read covers) —

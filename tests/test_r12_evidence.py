@@ -18,27 +18,40 @@ def test_hot_cell_pre_split_bounds_the_rank_partition(spark):
     test forces the regime with 300 rows."""
     from block_crawler_spark.plans.embed_ops import SEM_SPLIT_FACTOR, _semantic_pairs
 
+    import hashlib
+
     cap = 2
     split_max = cap * SEM_SPLIT_FACTOR  # 128
     n = 300  # one cell, > split_max → n_coarse = ceil(300/128) = 3
-    assign = spark.createDataFrame([(i, 0, 0) for i in range(n)], "vid long, cid long, dist long")
+    # vids STRIDE BY 3 = n_coarse: the residue-correlated distribution
+    # that collapsed a raw vid-modulo split into one group (r12 review) —
+    # the md5 key must still spread these
+    vids = [3 * i for i in range(n)]
+    assign = spark.createDataFrame([(v, 0, 0) for v in vids], "vid long, cid long, dist long")
     vecs = assign.select("vid", F.expr("array(1000000L, 0L)").alias("v"))
     pairs = _semantic_pairs(assign, vecs, cell_cap=cap).collect()
     assert pairs, "identical vectors must produce close pairs"
     n_coarse = -(-n // split_max)
     assert n_coarse == 3
-    group_sizes = [sum(1 for i in range(n) if i % n_coarse == g) for g in range(n_coarse)]
+
+    def coarse(v):  # the shared cross-engine hash key
+        return int(hashlib.md5(f"g|{v}".encode()).hexdigest()[:14], 16) % n_coarse
+
+    group = {g: sorted(v for v in vids if coarse(v) == g) for g in range(n_coarse)}
+    sizes = [len(group[g]) for g in range(n_coarse)]
+    assert all(s > 0 for s in sizes), "md5 key spreads residue-striding vids"
+    assert max(sizes) < n, "no group holds the whole cell (the r12 review repro)"
     for p in pairs:
         assert p["cell_pop"] == n
-        assert p["id_a"] % n_coarse == p["id_b"] % n_coarse, "pairs never straddle coarse groups"
-        g = p["id_a"] % n_coarse
-        assert p["n_shards"] == -(-group_sizes[g] // cap), "n_shards is per ranking group"
+        assert coarse(p["id_a"]) == coarse(p["id_b"]), "pairs never straddle coarse groups"
+        g = coarse(p["id_a"])
+        assert p["n_shards"] == -(-sizes[g] // cap), "n_shards is per ranking group"
         assert p["sqdist"] == 0
     # exact count: within each coarse group (sorted by vid — dist ties),
     # equal-frequency bands of ≤cap members, C(|band|,2) pairs per band
     expect = 0
     for g in range(n_coarse):
-        pop = group_sizes[g]
+        pop = sizes[g]
         shards = -(-pop // cap)
         band = -(-pop // shards)
         per_band = [sum(1 for r in range(pop) if r // band == s) for s in range(shards)]
