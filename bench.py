@@ -133,6 +133,9 @@ HEADLINE = [
     "emb_balanced_sample_mp2",
     "doc_bigram_quality_calibration",
     "dedup_semantic_threshold_sweep",
+    "emb_bitsign_rerank_topk",
+    "dedup_family_overlap",
+    "doc_span_dup_coverage",
 ]
 
 

@@ -52,6 +52,9 @@ _FRONT = (
     "emb_balanced_sample_mp2",
     "doc_bigram_quality_calibration",
     "dedup_semantic_threshold_sweep",
+    "emb_bitsign_rerank_topk",
+    "dedup_family_overlap",
+    "doc_span_dup_coverage",
     # -- changed in r12: hot-cell coarse pre-split in the band-rank shard
     #    key (semantic family, both engines), shared top-2 helper, part-
     #    file-stat memo fingerprint (Lloyd-memoized families), shared

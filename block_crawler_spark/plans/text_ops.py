@@ -1549,6 +1549,120 @@ JOIN per pb ON pb.doc_id = p.id_b
 QUERIES["dedup_winnow_span_pairs"] = (winnow_pair_query, _winnow_pair_sql())
 
 
+SPAN_HEAVY_PPM = 500_000  # a doc is dup-heavy when ≥ half its spans are shared
+
+
+def span_dup_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE span-level duplication coverage — the mask-or-drop
+    decision stat for exact-substring dedup: of each document's winnowing
+    fingerprints (≈ its contiguous text spans), what fraction also appears
+    in other documents?  ``dedup_winnow_span_pairs`` names WHO shares spans;
+    this answers HOW MUCH of each source's volume is duplicated span mass —
+    the number that decides between masking spans, dropping docs, or
+    leaving a source alone.  Fingerprints are classed by document frequency:
+    ``shared`` (2 ≤ df ≤ WINNOW_PAIR_MAX_DF — true cross-doc overlap) vs
+    ``boilerplate`` (df > MAX_DF — the stop-print mass the pair query drops;
+    here it is REPORTED instead, because boilerplate share is itself a
+    curation signal).  Output per source: doc count, mean shared/boilerplate
+    coverage (ppm of per-doc fingerprints, averaged over docs), and the
+    count of dup-heavy docs (shared coverage ≥ SPAN_HEAVY_PPM).
+
+    Scale shape: the winnow chain is the span-pair query's own front
+    (posexplode → windowed min partitioned by doc → distinct); the df class
+    comes from one fp-keyed agg joined back fp-keyed (no self-join at all —
+    this is the CHEAPER sibling of the pair query); per-doc then per-source
+    hash aggs.  Nothing downstream of the distinct is larger than
+    (doc, fp); output is |sources| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 3,
+            F.expr("transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"),
+        )
+        .otherwise(F.array(F.array_join("t", " ")))
+        .alias("sh"),
+    )
+    hashed = sh.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
+        "doc_id", "pos", F.md5("s").alias("hv")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
+    d = hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
+    df_cls = d.groupBy("fp").agg(F.count("*").alias("df"))
+    classed = d.join(df_cls, "fp").select(
+        "doc_id",
+        F.when((F.col("df") >= 2) & (F.col("df") <= WINNOW_PAIR_MAX_DF), 1)
+        .otherwise(0)
+        .alias("is_shared"),
+        F.when(F.col("df") > WINNOW_PAIR_MAX_DF, 1).otherwise(0).alias("is_boiler"),
+    )
+    per_doc = classed.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.sum("is_shared").alias("n_shared"),
+        F.sum("is_boiler").alias("n_boiler"),
+    )
+    per_doc = per_doc.select(
+        "doc_id",
+        F.expr("CAST(n_shared * 1000000 DIV n_fp AS BIGINT)").alias("shared_ppm"),
+        F.expr("CAST(n_boiler * 1000000 DIV n_fp AS BIGINT)").alias("boiler_ppm"),
+    )
+    joined = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(shared_ppm) DIV count(*) AS BIGINT)").alias("mean_shared_ppm"),
+        F.expr("CAST(sum(boiler_ppm) DIV count(*) AS BIGINT)").alias("mean_boiler_ppm"),
+        F.sum(F.when(F.col("shared_ppm") >= SPAN_HEAVY_PPM, 1).otherwise(0))
+        .cast("long")
+        .alias("heavy_docs"),
+    )
+
+
+def _span_dup_coverage_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN len(t) >= 3 THEN array_to_string(list_slice(t, i+1, i+3), ' ')
+              ELSE array_to_string(t, ' ') END AS s
+  FROM tk, unnest(range(CASE WHEN len(t) >= 3 THEN len(t)-2 ELSE 1 END)) AS u(i)
+), h AS (
+  SELECT doc_id, pos, md5(s) AS hv FROM sh
+), wmin AS (
+  SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+  FROM h
+), d AS (
+  SELECT DISTINCT doc_id, fp FROM wmin
+), dfc AS (
+  SELECT fp, count(*) AS df FROM d GROUP BY fp
+), classed AS (
+  SELECT d.doc_id,
+         CASE WHEN dfc.df >= 2 AND dfc.df <= {WINNOW_PAIR_MAX_DF} THEN 1 ELSE 0 END AS is_shared,
+         CASE WHEN dfc.df > {WINNOW_PAIR_MAX_DF} THEN 1 ELSE 0 END AS is_boiler
+  FROM d JOIN dfc USING (fp)
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(is_shared) * 1000000 // count(*) AS BIGINT) AS shared_ppm,
+         CAST(sum(is_boiler) * 1000000 // count(*) AS BIGINT) AS boiler_ppm
+  FROM classed GROUP BY doc_id
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.shared_ppm) // count(*) AS BIGINT) AS mean_shared_ppm,
+       CAST(sum(p.boiler_ppm) // count(*) AS BIGINT) AS mean_boiler_ppm,
+       CAST(sum(CASE WHEN p.shared_ppm >= {SPAN_HEAVY_PPM} THEN 1 ELSE 0 END) AS BIGINT) AS heavy_docs
+FROM per_doc p JOIN documents s USING (doc_id)
+GROUP BY s.source
+"""
+
+
+QUERIES["doc_span_dup_coverage"] = (span_dup_coverage_query, _span_dup_coverage_sql())
+
+
 CMS_D = 4  # sketch rows (independent md5-seeded hash functions)
 CMS_W = 64  # sketch columns per row
 CMS_TOP = 20  # report the exact top-N tokens' estimates
@@ -3051,3 +3165,126 @@ FROM hist
 
 
 QUERIES["dedup_threshold_sweep"] = (dedup_threshold_sweep_query, _threshold_sweep_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cross-detector agreement audit (round 12)
+# ---------------------------------------------------------------------------
+
+CHARNGRAM_OVERLAP_PPM = 900_000
+# The audit's detection cut for the char-ngram family: its registry query
+# (``dedup_char_ngram_jaccard``) is deliberately the UNthresholded verify
+# stage, so entering it raw would make its "detections" identical to the LSH
+# candidate set.  0.9 char-3-gram Jaccard is the conventional near-dup cut
+# at this gram size (measured at sf0.01: candidate cjaccard median 0.977,
+# p99 0.992 — the cut keeps the true near-dup mass and sheds the tail).
+
+# (bit, family name, detection-pair producer) — alphabetical, bits fixed so
+# the mask layout is stable across rounds.  Pairs from every family are
+# already canonical (id_a < id_b, DISTINCT within the family).
+_OVERLAP_FAMILIES = ("charngram", "containment", "minhash", "simhash")
+
+
+def _overlap_pair_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The four detection-pair sets, each produced by the SAME query fn the
+    registry exposes (projection only — zero re-implementation, so the audit
+    can never drift from the families it audits)."""
+    return {
+        "charngram": char_ngram_jaccard_query(spark, sf_dir)
+        .filter(F.col("cjaccard_ppm") >= CHARNGRAM_OVERLAP_PPM)
+        .select("id_a", "id_b"),
+        "containment": containment_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+        "minhash": minhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+        "simhash": simhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+    }
+
+
+def family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector agreement matrix — for every unordered pair of near-dup
+    families (char-ngram@0.9, containment@0.8, MinHash-LSH@0.1-Jaccard,
+    SimHash-32@ham≤3), how many document pairs BOTH detect and how many each
+    detects alone, plus the pair-set Jaccard in ppm.  This is the curation
+    decision the individual families can't answer: which detector subsumes
+    which, and where a cheap one (SimHash) is really measuring something
+    else (distributional similarity — at sf0.01 it fires on ~11 000 pairs
+    where the shingle families agree on ~25).
+
+    Scale shape: each family is its registry DAG (banded equi-joins — never
+    all-pairs); the union is pair-set-sized; ``bit_or`` collapses it to one
+    mask per pair in a single shuffle keyed (id_a, id_b); the mask histogram
+    is ≤2⁴ rows, and the 6-row matrix comes from a broadcast join of two
+    bounded frames — nothing downstream of the mask agg is corpus-sized."""
+    frames = _overlap_pair_frames(spark, sf_dir)
+    tagged = None
+    for i, fam in enumerate(_OVERLAP_FAMILIES):
+        t = frames[fam].withColumn("m", F.lit(1 << i).cast("long"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    masks = tagged.groupBy("id_a", "id_b").agg(F.expr("bit_or(m)").alias("mask"))
+    hist = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
+    combos = spark.createDataFrame(
+        [
+            (_OVERLAP_FAMILIES[a], 1 << a, _OVERLAP_FAMILIES[b], 1 << b)
+            for a in range(len(_OVERLAP_FAMILIES))
+            for b in range(a + 1, len(_OVERLAP_FAMILIES))
+        ],
+        "family_a string, bit_a long, family_b string, bit_b long",
+    )
+    # left join on TRUE (not crossJoin): an empty histogram must still yield
+    # the 6 combo rows with zero counts, not an empty result
+    joined = combos.join(F.broadcast(hist), F.lit(True), "left")
+    in_a = F.col("mask").bitwiseAND(F.col("bit_a")) > 0
+    in_b = F.col("mask").bitwiseAND(F.col("bit_b")) > 0
+    agg = joined.groupBy("family_a", "family_b").agg(
+        F.coalesce(F.sum(F.when(in_a & in_b, F.col("cnt"))), F.lit(0)).cast("long").alias("both"),
+        F.coalesce(F.sum(F.when(in_a & ~in_b, F.col("cnt"))), F.lit(0)).cast("long").alias("only_a"),
+        F.coalesce(F.sum(F.when(~in_a & in_b, F.col("cnt"))), F.lit(0)).cast("long").alias("only_b"),
+    )
+    total = F.col("both") + F.col("only_a") + F.col("only_b")
+    jac = F.when(total > 0, F.expr("CAST(both * 1000000 DIV (both + only_a + only_b) AS BIGINT)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return agg.select("family_a", "family_b", "both", "only_a", "only_b", jac.alias("agree_ppm"))
+
+
+def _family_overlap_sql() -> str:
+    fam_sqls = {
+        "charngram": f"SELECT id_a, id_b FROM ({_char_ngram_sql()}) WHERE cjaccard_ppm >= {CHARNGRAM_OVERLAP_PPM}",
+        "containment": f"SELECT id_a, id_b FROM ({_containment_sql()})",
+        "minhash": f"SELECT id_a, id_b FROM ({MINHASH_SQL})",
+        "simhash": f"SELECT id_a, id_b FROM ({_simhash_pairs_sql()})",
+    }
+    tagged = "\n  UNION ALL\n  ".join(
+        f"SELECT id_a, id_b, CAST({1 << i} AS BIGINT) AS m FROM f{i}"
+        for i in range(len(_OVERLAP_FAMILIES))
+    )
+    fam_ctes = ",\n".join(
+        f"f{i} AS ({fam_sqls[fam]})" for i, fam in enumerate(_OVERLAP_FAMILIES)
+    )
+    combo_rows = ", ".join(
+        f"('{_OVERLAP_FAMILIES[a]}', {1 << a}, '{_OVERLAP_FAMILIES[b]}', {1 << b})"
+        for a in range(len(_OVERLAP_FAMILIES))
+        for b in range(a + 1, len(_OVERLAP_FAMILIES))
+    )
+    return f"""
+WITH {fam_ctes},
+tagged AS (
+  {tagged}
+),
+masks AS (SELECT id_a, id_b, bit_or(m) AS mask FROM tagged GROUP BY id_a, id_b),
+hist AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM masks GROUP BY mask),
+combos(family_a, bit_a, family_b, bit_b) AS (VALUES {combo_rows}),
+j AS (SELECT * FROM combos LEFT JOIN hist ON TRUE)
+SELECT family_a, family_b,
+       CAST(COALESCE(SUM(CASE WHEN (mask & bit_a) > 0 AND (mask & bit_b) > 0 THEN cnt END), 0) AS BIGINT) AS both,
+       CAST(COALESCE(SUM(CASE WHEN (mask & bit_a) > 0 AND (mask & bit_b) = 0 THEN cnt END), 0) AS BIGINT) AS only_a,
+       CAST(COALESCE(SUM(CASE WHEN (mask & bit_a) = 0 AND (mask & bit_b) > 0 THEN cnt END), 0) AS BIGINT) AS only_b,
+       CAST(CASE WHEN COALESCE(SUM(CASE WHEN (mask & (bit_a | bit_b)) > 0 THEN cnt END), 0) > 0
+                 THEN COALESCE(SUM(CASE WHEN (mask & bit_a) > 0 AND (mask & bit_b) > 0 THEN cnt END), 0) * 1000000
+                      // COALESCE(SUM(CASE WHEN (mask & (bit_a | bit_b)) > 0 THEN cnt END), 0)
+                 ELSE 0 END AS BIGINT) AS agree_ppm
+FROM j
+GROUP BY family_a, family_b
+"""
+
+
+QUERIES["dedup_family_overlap"] = (family_overlap_query, _family_overlap_sql())

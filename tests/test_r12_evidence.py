@@ -194,3 +194,141 @@ def test_centroid_assign_top2_matches_brute_force(spark):
         assert [(c, d) for d, c in want] == [(c, d) for d, c in mine], f"vid {i}"
     # ≤2 rows per vid, exactly 2 here (5 centroids)
     assert len(got) == 2 * len(vec_rows)
+
+
+def test_bitsign_rerank_recall_and_exactness(spark):
+    """The 1-bit sign sketch + exact rerank (round 12): recall@10 vs the
+    exact brute rank must sit at the measured values — 1.0 at the committed
+    L=100 on BOTH graded SFs — and beat the JL rerank's shortlist at the
+    same depth (the sketch carries 64 sign bits vs 16 projections).  The
+    numpy grid below re-derives the shortlist recall ladder from the raw
+    parquet, so a packing bug (wrong bit order, sign-at-zero flip) fails
+    loudly rather than shaving recall silently."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from block_crawler_spark.plans.embed_ops import (
+        BITSIGN_SHORTLIST,
+        bitsign_rerank_topk_query,
+    )
+    from tests.test_r10_evidence import _brute_topk_ids
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        truth = _brute_topk_ids(spark, sf)
+        rows = sorted(
+            bitsign_rerank_topk_query(spark, sf).collect(), key=lambda r: r["rank"]
+        )
+        got = {r["vec_id"] for r in rows}
+        rec = len(got & truth) / len(truth)
+        assert rec == 1.0, f"{sf}: bitsign rerank recall@10 {rec} (measured 1.0)"
+        # exact rerank: rank-1 is the query itself at distance 0, distances sorted
+        assert rows[0]["vec_id"] == 0 and rows[0]["dist"] == 0
+        dists = [r["dist"] for r in rows]
+        assert dists == sorted(dists)
+
+        # shortlist-recall ladder recomputed from raw data (packing oracle)
+        t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values("vec_id")
+        X = np.array(t["embedding"].tolist())
+        ids = t["vec_id"].to_numpy()
+        Xi = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
+        d = ((Xi - Xi[0]) ** 2).sum(axis=1)
+        true10 = set(ids[np.lexsort((ids, d))[:10]])
+        hd = ((X > 0) != (X[0] > 0)).sum(axis=1)
+        short = set(ids[np.lexsort((ids, hd))[:BITSIGN_SHORTLIST]])
+        assert true10 <= short, f"{sf}: all true top-10 inside the L={BITSIGN_SHORTLIST} shortlist"
+        # the committed L has headroom: half the depth still catches >=80%
+        short_half = set(ids[np.lexsort((ids, hd))[: BITSIGN_SHORTLIST // 2]])
+        assert len(true10 & short_half) / 10 >= 0.8
+
+
+def test_family_overlap_matches_per_family_pair_sets(spark):
+    """The cross-detector agreement matrix must be EXACTLY the overlap of
+    the four per-family pair sets the registry already exposes — recomputed
+    here pair-by-pair from the individual query frames — and internally
+    consistent: a family's total detection count (both + only) identical in
+    every matrix row it appears in, agree_ppm the integer pair-set Jaccard."""
+    from block_crawler_spark.plans.text_ops import (
+        _OVERLAP_FAMILIES,
+        _overlap_pair_frames,
+        family_overlap_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sets = {
+        fam: {(r["id_a"], r["id_b"]) for r in df.collect()}
+        for fam, df in _overlap_pair_frames(spark, sf).items()
+    }
+    for fam, pairs in sets.items():
+        assert all(a < b for a, b in pairs), f"{fam}: pairs must be canonical"
+    out = {
+        (r["family_a"], r["family_b"]): r for r in family_overlap_query(spark, sf).collect()
+    }
+    n_fam = len(_OVERLAP_FAMILIES)
+    assert len(out) == n_fam * (n_fam - 1) // 2
+    totals = {}
+    for (fa, fb), r in out.items():
+        A, B = sets[fa], sets[fb]
+        assert r["both"] == len(A & B), (fa, fb)
+        assert r["only_a"] == len(A - B), (fa, fb)
+        assert r["only_b"] == len(B - A), (fa, fb)
+        uni = len(A | B)
+        assert r["agree_ppm"] == (len(A & B) * 1_000_000 // uni if uni else 0)
+        totals.setdefault(fa, set()).add(r["both"] + r["only_a"])
+        totals.setdefault(fb, set()).add(r["both"] + r["only_b"])
+    for fam, seen in totals.items():
+        assert seen == {len(sets[fam])}, f"{fam}: inconsistent total across rows"
+    # the audit's reason to exist at this corpus: simhash-32@ham<=3 fires on
+    # orders of magnitude more pairs than the shingle families agree on
+    sim_total = len(sets["simhash"])
+    mh_total = len(sets["minhash"])
+    assert sim_total > 100 * mh_total
+
+
+def test_span_dup_coverage_planted_and_graded(spark, tmp_path):
+    """Planted corpus: two identical docs (every span df=2 → shared) plus a
+    unique doc (df=1 → nothing shared) in one source — per-doc coverage is
+    exactly 10⁶/10⁶/0 ppm, so the source row must read mean_shared_ppm =
+    (10⁶+10⁶+0) DIV 3, heavy_docs = 2, zero boilerplate.  Then on graded
+    data: doc totals conserve, ppms stay in-domain, and every source that
+    the span-PAIR query implicates has nonzero shared coverage here (the
+    two queries ride the same winnow chain, so they cannot disagree about
+    where shared spans exist)."""
+    from block_crawler_spark.plans.text_ops import (
+        span_dup_coverage_query,
+        winnow_pair_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, dup, "en", "s0", len(dup)),
+        (1, dup, "en", "s0", len(dup)),
+        (2, "one two three four five six seven eight nine ten", "en", "s0", 49),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = span_dup_coverage_query(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "s0" and r["n_docs"] == 3
+    assert r["mean_shared_ppm"] == 2_000_000 // 3
+    assert r["mean_boiler_ppm"] == 0
+    assert r["heavy_docs"] == 2
+
+    sf = "/root/testdata/sf0.001"
+    cov = {r["source"]: r for r in span_dup_coverage_query(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    assert sum(r["n_docs"] for r in cov.values()) == docs.count()
+    for r in cov.values():
+        assert 0 <= r["mean_shared_ppm"] <= 1_000_000
+        assert 0 <= r["mean_boiler_ppm"] <= 1_000_000
+        assert 0 <= r["heavy_docs"] <= r["n_docs"]
+    paired_ids = {
+        i
+        for row in winnow_pair_query(spark, sf).collect()
+        for i in (row["id_a"], row["id_b"])
+    }
+    src_of = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    for s in {src_of[i] for i in paired_ids}:
+        assert cov[s]["mean_shared_ppm"] > 0, f"source {s} has span pairs but zero coverage"
