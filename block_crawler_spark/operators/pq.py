@@ -243,6 +243,71 @@ def ivfpq_adc_topk(
     )
 
 
+def _residual_sub_factory(centroids: DataFrame, m: int, sub_dim: int):
+    """Returns ``residual_sub(vectors, id_alias, n_assign)`` producing the
+    (id_alias, centroid_id, m, sv) per-(vector, assigned-cell) residual
+    subvector frame — cell id carried THROUGH the explode so the codes need
+    no join back to the assignment (the corpus residual lineage runs once,
+    not three times).  Shared by :func:`ivfpq_residual_topk` and
+    :func:`ivfpq_residual_codebook` so the search and the standalone
+    trainer can never residualize differently."""
+    from .ann import ivf_assign
+
+    cmicro = centroids.select(
+        F.col("vec_id").alias("centroid_id"), micro_fixed(F.col("embedding")).alias("cv")
+    )
+    residual = F.zip_with("_mv", "cv", lambda a, b: a - b)
+    parts = F.array(
+        *[
+            F.struct(F.lit(i).alias("m"), F.slice("rv", i * sub_dim + 1, sub_dim).alias("sv"))
+            for i in range(m)
+        ]
+    )
+
+    def residual_sub(vectors: DataFrame, id_alias: str, n_assign: int) -> DataFrame:
+        a = ivf_assign(vectors, centroids, n_assign=n_assign)
+        res = (
+            a.withColumn("_mv", micro_fixed(F.col("embedding")))
+            .join(F.broadcast(cmicro), "centroid_id")
+            .select(F.col("vec_id").alias(id_alias), "centroid_id", residual.alias("rv"))
+        )
+        return res.select(id_alias, "centroid_id", F.explode(parts).alias("p")).select(
+            id_alias, "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+        )
+
+    return residual_sub
+
+
+def ivfpq_residual_codebook(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    sub_dim: int,
+    n_codewords: int,
+    train_iters: int,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """The TRAINED residual codebook of :func:`ivfpq_residual_topk`'s
+    ``train_iters > 0`` path, exposed standalone (round 12) so the plan
+    layer can train once per session and pass the ≤M·K-row result back via
+    the ``codebook`` parameter: Lloyd over the residual subvectors of the
+    bounded deterministic ``vec_id < train_sample`` sample, seeded by the
+    same ``vec_id < n_codewords`` residuals the untrained path uses, so
+    training strictly refines the baseline.  Driver-materialized by
+    ``_lloyd_train_sub`` (bounded by construction, zero persisted state)."""
+    if train_sample is not None and train_sample < n_codewords:
+        raise ValueError(
+            f"train_sample={train_sample} must be >= n_codewords={n_codewords}: "
+            "the first n_codewords sampled residuals seed the codebook"
+        )
+    residual_sub = _residual_sub_factory(centroids, m, sub_dim)
+    sample_n = n_codewords if train_sample is None else train_sample
+    tsub = residual_sub(corpus.filter(F.col("vec_id") < sample_n), "_id", 1).select(
+        "_id", "m", "sv"
+    )
+    return _lloyd_train_sub(tsub, n_codewords, train_iters)
+
+
 def ivfpq_residual_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -254,6 +319,7 @@ def ivfpq_residual_topk(
     nprobe: int = 4,
     train_iters: int = 0,
     train_sample: int | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC WITH residual encoding — the full Jégou et al. §IV layout
     (:func:`ivfpq_adc_topk` is the documented no-residual variant): PQ
@@ -279,8 +345,6 @@ def ivfpq_residual_topk(
     keyed (centroid_id, m, code)), float vectors never join, centroid and
     codebook tables broadcast; the only growth is the LUT's nprobe factor,
     still query-side-tiny."""
-    from .ann import ivf_assign
-
     # A sample smaller than the codeword count would silently shrink the
     # codebook (seeds are _id < n_codewords), so reject it up front — and
     # compare against None, not truthiness, so train_sample=0 errors
@@ -291,43 +355,18 @@ def ivfpq_residual_topk(
             "the first n_codewords sampled residuals seed the codebook"
         )
 
-    cmicro = centroids.select(
-        F.col("vec_id").alias("centroid_id"), micro_fixed(F.col("embedding")).alias("cv")
-    )
-    residual = F.zip_with("_mv", "cv", lambda a, b: a - b)
-    parts = F.array(
-        *[
-            F.struct(F.lit(i).alias("m"), F.slice("rv", i * sub_dim + 1, sub_dim).alias("sv"))
-            for i in range(m)
-        ]
-    )
+    residual_sub = _residual_sub_factory(centroids, m, sub_dim)
 
-    def residual_sub(vectors: DataFrame, id_alias: str, n_assign: int) -> DataFrame:
-        """(id_alias, centroid_id, m, sv): per-(vector, assigned-cell)
-        residual subvectors — cell id carried THROUGH the explode so the
-        codes need no join back to the assignment (the corpus residual
-        lineage runs once, not three times)."""
-        a = ivf_assign(vectors, centroids, n_assign=n_assign)
-        res = (
-            a.withColumn("_mv", micro_fixed(F.col("embedding")))
-            .join(F.broadcast(cmicro), "centroid_id")
-            .select(F.col("vec_id").alias(id_alias), "centroid_id", residual.alias("rv"))
+    if codebook is not None:
+        # pre-trained residual codebook supplied by the caller (the plan
+        # layer's session memo — round 12): MUST have been produced by
+        # ivfpq_residual_codebook with the SAME (centroids, m, sub_dim,
+        # n_codewords, iters, sample); the caller owns that contract
+        cb = codebook
+    elif train_iters > 0:
+        cb = ivfpq_residual_codebook(
+            corpus, centroids, m, sub_dim, n_codewords, train_iters, train_sample
         )
-        return res.select(id_alias, "centroid_id", F.explode(parts).alias("p")).select(
-            id_alias, "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
-        )
-
-    if train_iters > 0:
-        # trained residual codebook: Lloyd over the residual subvectors of a
-        # bounded deterministic sample (the corpus-scale shape — train on a
-        # sample, encode everything), seeded by the same vec_id < K residuals
-        # the untrained path uses, so training strictly refines the baseline
-        # (sample-vs-codeword-count validation happened at function entry)
-        sample_n = n_codewords if train_sample is None else train_sample
-        tsub = residual_sub(
-            corpus.filter(F.col("vec_id") < sample_n), "_id", 1
-        ).select("_id", "m", "sv")
-        cb = _lloyd_train_sub(tsub, n_codewords, train_iters)
     else:
         # codebook from the SEEDS' residuals only — a seed's cell assignment
         # depends on nothing but its own row, so this tiny lineage (≤ K

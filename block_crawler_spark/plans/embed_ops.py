@@ -230,6 +230,9 @@ _KM_DIM = 64  # embeddings table dimensionality (pinned by the schema contract)
 # are collected rows (≤4096 × 64 int64 ≈ 2 MB), bounded because every
 # caller caps k (SEM_K_MAX); the dict is cleared past a safety size so a
 # long-lived session sweeping many sf_dirs cannot grow it unboundedly.
+# Round 12: the same dict also memoizes the trained PQ / residual-PQ
+# codebooks (keys prefixed "pqcb"/"respqcb", values ≤M·K rows — the last
+# per-invocation trainers after r11), under the same eviction policy.
 _CENTROID_MEMO: dict[tuple, tuple[list, object]] = {}
 _CENTROID_MEMO_MAX = 64
 
@@ -292,6 +295,71 @@ def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int):
     cents = emb.sparkSession.createDataFrame(rows, schema)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     return centroid_assign(vecs, cents), cents
+
+
+def _memoized_small_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Session memo for BOUNDED driver-materializable frames (centroid
+    tables, PQ codebooks — never corpus-sized data): on miss, ``build()``
+    runs and its collected rows + schema are stored; on hit, the frame is
+    recreated bit-identically.  Shares ``_CENTROID_MEMO``'s dict, size
+    bound, and wholesale eviction (documented trade — see the memo
+    comment above)."""
+    hit = _CENTROID_MEMO.get(key)
+    if hit is None:
+        df = build()
+        if len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
+            _CENTROID_MEMO.clear()
+        _CENTROID_MEMO[key] = (df.collect(), df.schema)
+        hit = _CENTROID_MEMO[key]
+    rows, schema = hit
+    return spark.createDataFrame(rows, schema)
+
+
+def _trained_pq_codebook(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Memoized :func:`pq_train_codebook` over the registry's PQ layout —
+    one grouped-Lloyd training per (sf_dir, data fingerprint, layout) per
+    session (round 12: the trained-PQ families were the last per-invocation
+    trainers after the r11 centroid memo).  The memoized value is the
+    ≤M·K-row codebook, already driver-materialized by the trainer, so a
+    hit changes no result — encode/ADC replay against identical codewords."""
+    from ..operators.pq import pq_train_codebook
+
+    key = ("pqcb", sf_dir, _emb_fingerprint(sf_dir), PQ_M, PQ_K, PQ_SUB, PQ_TRAIN_ITERS, PQ_TRAIN_SAMPLE)
+    return _memoized_small_frame(
+        spark,
+        key,
+        lambda: pq_train_codebook(
+            emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE), PQ_M, PQ_K, PQ_SUB, iters=PQ_TRAIN_ITERS
+        ),
+    )
+
+
+def _trained_residual_codebook(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Memoized :func:`ivfpq_residual_codebook` for the registry's trained
+    residual layout (same contract as :func:`_trained_pq_codebook`; the
+    coarse-cell count joins the key because residuals depend on it)."""
+    from ..operators.pq import ivfpq_residual_codebook
+
+    key = (
+        "respqcb",
+        sf_dir,
+        _emb_fingerprint(sf_dir),
+        IVFPQ_CELLS,
+        PQ_M,
+        PQ_K,
+        PQ_SUB,
+        PQ_TRAIN_ITERS,
+        PQ_TRAIN_SAMPLE,
+    )
+    return _memoized_small_frame(
+        spark,
+        key,
+        lambda: ivfpq_residual_codebook(
+            emb, centroids, PQ_M, PQ_SUB, PQ_K, PQ_TRAIN_ITERS, PQ_TRAIN_SAMPLE
+        ),
+    )
 
 
 def kmeans_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,12 +668,14 @@ def pq_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale you never Lloyd the full table, you train the codebook on
     a sample and ENCODE everything, so the registry pins that shape; the
     full corpus is still encoded and searched.  Measured recall@5 vs brute
-    cosine is tracked next to the seed baseline in scripts/ann_recall.py."""
-    from ..operators.pq import pq_adc_topk, pq_encode, pq_train_codebook
+    cosine is tracked next to the seed baseline in scripts/ann_recall.py.
+    Training is session-memoized (round 12, ``_trained_pq_codebook``) —
+    bit-identical codebook, one grouped-Lloyd run per (sf_dir, data) per
+    session."""
+    from ..operators.pq import pq_adc_topk, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
-    train = emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
-    cb = pq_train_codebook(train, PQ_M, PQ_K, PQ_SUB, iters=PQ_TRAIN_ITERS)
+    cb = _trained_pq_codebook(spark, sf_dir, emb)
     codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
@@ -820,12 +890,17 @@ def ivfpq_residual_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded→trained recall delta was measured for flat PQ (+11 points) but
     the residual path only documented the swap-in; now the trained residual
     codewords, codes, and ADC distances all hash-check against the unrolled
-    SQL replica, and scripts/ann_recall.py measures the recall point."""
+    SQL replica, and scripts/ann_recall.py measures the recall point.
+    Residual training is session-memoized (round 12,
+    ``_trained_residual_codebook``) and handed back through the operator's
+    ``codebook`` parameter — bit-identical codewords, one grouped-Lloyd run
+    per (sf_dir, data) per session."""
     from ..operators.pq import ivfpq_residual_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    cb = _trained_residual_codebook(spark, sf_dir, emb, centroids)
     return ivfpq_residual_topk(
         queries,
         emb,
@@ -837,6 +912,7 @@ def ivfpq_residual_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVFPQ_NPROBE,
         train_iters=PQ_TRAIN_ITERS,
         train_sample=PQ_TRAIN_SAMPLE,
+        codebook=cb,
     )
 
 
@@ -2304,20 +2380,27 @@ def _bitsign_words(vec_col: str) -> list:
 def bitsign_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-BIT binary quantization top-k — the compression-extreme corner of
     the quantization matrix (float32 → SQ8 → PQ → this): one sign bit per
-    dimension, 64 dims → 8 BYTES per vector (32× vs float32), candidate
-    ranking by Hamming distance (``bit_count(xor)``, two int64 words), then
-    the same exact integer-L2 rerank stage as ``emb_rp_rerank_topk`` over
-    the top ``BITSIGN_SHORTLIST`` survivors.  For zero-centered embeddings
-    E[hamming] = dims·θ/π (θ = angle to the query), so the sign sketch is a
-    monotone cosine proxy — and at 64 dims it is a measurably BETTER
-    shortlist than the 16-projection JL sketch: recall@10 of the reranked
-    top-k vs the exact brute rank is 0.7 / 0.8 / 1.0 / 1.0 at L = 25 / 50 /
-    100 / 200 (sf0.01; pinned in tests/test_r12_evidence.py), vs the JL
-    rerank's 0.236–0.844 over the same grid.
+    dimension, 64 bits (8 B) of payload per vector — stored here as two
+    int64 words with 32 bits used each (16 B) so shift semantics stay
+    engine-identical for the oracle; a production layout packs one 64-bit
+    word.  Candidate ranking by Hamming distance (``bit_count(xor)`` summed
+    over the two words), then the same exact integer-L2 rerank stage as
+    ``emb_rp_rerank_topk`` over the top ``BITSIGN_SHORTLIST`` survivors.
+    For zero-centered embeddings E[hamming] = dims·θ/π (θ = angle to the
+    query), so the sign sketch is a monotone cosine proxy — and at 64 dims
+    it measurably DOMINATES the 16-projection JL sketch on the same
+    50-query recall@5 grid (scripts/ann_recall.py, ``bitsign_rerank`` vs
+    ``rp_rerank``): 0.524 / 0.700 / 0.868 / 0.964 vs 0.236 / 0.432 /
+    0.620 / 0.844 at L = 25 / 50 / 100 / 200 — with a stage-1 sketch 8×
+    smaller as stored (16 B vs the JL's 128 B; 16× packed).  This registry
+    query's own single-query recall@10 ladder is 0.7 / 0.8 / 1.0 / 1.0
+    over the same Ls (1.0 at the committed L=100 on both graded SFs;
+    re-derived from raw parquet and pinned in tests/test_r12_evidence.py).
 
     Scale shape: sign-packing is a zero-shuffle per-row projection (the
-    codes table is 8 bytes/vector — the whole 10⁹-vector corpus's codes fit
-    in ~8 GB, cacheable on a handful of executors); the shortlist is
+    codes table is 16 B/vector stored, 8 B packed — a 10⁹-vector corpus's
+    codes fit in ~8–16 GB, cacheable on a handful of executors, where the
+    float vectors would stream ~256 GB); the shortlist is
     ``orderBy().limit(L)`` → TakeOrderedAndProject carrying the full vector
     only for L rows; exact re-score and the rank window run on ≤L / ≤k rows.
     Exact cost is confined to L rows at ANY corpus size — the two-stage ANN

@@ -337,6 +337,45 @@ def main() -> int:
             "cost": round(L / n, 4),
         }
     sk_rank.unpersist()
+    # round 12: 1-bit sign sketch → EXACT rerank (emb_bitsign_rerank_topk's
+    # two-stage shape), same multi-query grid as rp_rerank — the SAME-METRIC
+    # comparison between the two training-free shortlists (the registry
+    # docstrings cite these rows).  Stage-1 is 8 bytes/vector (two packed
+    # sign words) vs the JL sketch's 128 bytes (16 int64 projections).
+    from block_crawler_spark.plans.embed_ops import _bitsign_words  # noqa: E402
+
+    w0c, w1c = _bitsign_words("embedding")
+    bs = emb.select(F.col("vec_id").alias("c_id"), w0c.alias("w0"), w1c.alias("w1"))
+    qbs = bs.filter(F.col("c_id") < args.queries).select(
+        F.col("c_id").alias("q_id"), F.col("w0").alias("qw0"), F.col("w1").alias("qw1")
+    )
+    hd = F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseXOR(F.col("qw1"))
+    )
+    out["bitsign_rerank"] = {}
+    bs_rank = (
+        qbs.crossJoin(bs)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", hd.cast("long"))
+        .withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= L_MAX)
+        .select("q_id", "c_id", "srank")
+    ).cache()
+    for L in (25, 50, 100, L_MAX):
+        rer = (
+            bs_rank.filter(F.col("srank") <= L)
+            .join(vm, "c_id")
+            .join(qm, "q_id")
+            .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+        )
+        out["bitsign_rerank"][f"L={L}"] = {
+            "recall_l2": recall_vs(rer, truth_l2),
+            "cost": round(L / n, 4),
+            "bytes_frac": round(16 / (4 * 64), 4),
+        }
+    bs_rank.unpersist()
     print(json.dumps(out))
     return 0
 

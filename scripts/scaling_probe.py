@@ -64,6 +64,11 @@ PROBES = [
     # curve against emb_balanced_sample prices the measured recall upgrade
     # (2.7× loose / perfect on clustered geometry) across 100× input
     "emb_balanced_sample_mp2",
+    # round 12: the cross-detector audit — four banded pair DAGs + one
+    # bit_or mask agg; its curve certifies that composing the families
+    # stays the SUM of their banded costs (no accidental cross-family
+    # blowup), the riskiest new shape of the round
+    "dedup_family_overlap",
 ]
 
 

@@ -332,3 +332,27 @@ def test_span_dup_coverage_planted_and_graded(spark, tmp_path):
     src_of = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
     for s in {src_of[i] for i in paired_ids}:
         assert cov[s]["mean_shared_ppm"] > 0, f"source {s} has span pairs but zero coverage"
+
+
+def test_pq_codebook_memo_hit_is_result_identical(spark):
+    """Round 12 extends the session memo to the two trained-PQ families
+    (the last per-invocation trainers): cold (grouped Lloyd runs,
+    populates the memo) vs warm (codebook replayed from stored rows) must
+    be EXACTLY equal — the trainer is fixed-point deterministic, so this
+    is equality, not tolerance.  Also pins that warm runs add no new memo
+    entries (the key really is (family, sf_dir, fingerprint, layout))."""
+    from block_crawler_spark.plans import embed_ops
+
+    sf = "/root/testdata/sf0.001"
+
+    def frozen(rows):
+        return sorted(tuple(r) for r in rows)
+
+    for fn in (embed_ops.pq_trained_topk_query, embed_ops.ivfpq_residual_trained_query):
+        embed_ops._CENTROID_MEMO.clear()
+        cold = frozen(fn(spark, sf).collect())
+        n_entries = len(embed_ops._CENTROID_MEMO)
+        assert n_entries == 1, f"{fn.__name__}: cold run must memoize its codebook"
+        warm = frozen(fn(spark, sf).collect())
+        assert cold == warm, f"{fn.__name__}: memo hit diverged from training"
+        assert len(embed_ops._CENTROID_MEMO) == n_entries, "warm run must not re-key"
