@@ -280,19 +280,18 @@ def _emb_fingerprint(sf_dir: str) -> tuple:
 def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int):
     """Memoized :func:`kmeans_lloyd_fixed` over the embeddings table of
     ``sf_dir`` — same (assignments, centroids) contract, one training
-    execution per (sf_dir, data fingerprint, k, iters) per session."""
+    execution per (sf_dir, data fingerprint, k, iters) per session.  The
+    assignment is ALWAYS re-derived by ``centroid_assign`` against the
+    memoized centroid table — bit-identical to the trainer's own returned
+    assignment (that is exactly how the trainer derives it), so cold and
+    warm paths share one code path (r12 review: the memo bookkeeping lives
+    only in :func:`_memoized_small_frame` now)."""
     from ..operators.ann import centroid_assign
 
     key = (sf_dir, _emb_fingerprint(sf_dir), k, iters)
-    hit = _CENTROID_MEMO.get(key)
-    if hit is None:
-        assign, cents = kmeans_lloyd_fixed(emb, k=k, iters=iters)
-        if len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
-            _CENTROID_MEMO.clear()
-        _CENTROID_MEMO[key] = (cents.collect(), cents.schema)
-        return assign, cents
-    rows, schema = hit
-    cents = emb.sparkSession.createDataFrame(rows, schema)
+    cents = _memoized_small_frame(
+        emb.sparkSession, key, lambda: kmeans_lloyd_fixed(emb, k=k, iters=iters)[1]
+    )
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     return centroid_assign(vecs, cents), cents
 
@@ -334,12 +333,14 @@ def _trained_pq_codebook(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Da
     )
 
 
-def _trained_residual_codebook(
-    spark: SparkSession, sf_dir: str, emb: DataFrame, centroids: DataFrame
-) -> DataFrame:
+def _trained_residual_codebook(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     """Memoized :func:`ivfpq_residual_codebook` for the registry's trained
-    residual layout (same contract as :func:`_trained_pq_codebook`; the
-    coarse-cell count joins the key because residuals depend on it)."""
+    residual layout (same contract as :func:`_trained_pq_codebook`).  The
+    coarse centroids are DERIVED here (``vec_id < IVFPQ_CELLS``) rather
+    than accepted as a parameter, so the memo key's IVFPQ_CELLS constant
+    is an honest description of the training input — a caller-supplied
+    centroid frame the key can't see cannot silently replay a stale
+    codebook (r12 review)."""
     from ..operators.pq import ivfpq_residual_codebook
 
     key = (
@@ -357,7 +358,13 @@ def _trained_residual_codebook(
         spark,
         key,
         lambda: ivfpq_residual_codebook(
-            emb, centroids, PQ_M, PQ_SUB, PQ_K, PQ_TRAIN_ITERS, PQ_TRAIN_SAMPLE
+            emb,
+            emb.filter(F.col("vec_id") < IVFPQ_CELLS),
+            PQ_M,
+            PQ_SUB,
+            PQ_K,
+            PQ_TRAIN_ITERS,
+            PQ_TRAIN_SAMPLE,
         ),
     )
 
@@ -900,7 +907,7 @@ def ivfpq_residual_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
-    cb = _trained_residual_codebook(spark, sf_dir, emb, centroids)
+    cb = _trained_residual_codebook(spark, sf_dir, emb)
     return ivfpq_residual_topk(
         queries,
         emb,

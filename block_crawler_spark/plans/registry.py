@@ -63,9 +63,13 @@ _FRONT = (
     #    key (semantic family, both engines), shared top-2 helper, part-
     #    file-stat memo fingerprint (Lloyd-memoized families), shared
     #    bigram-occurrence / quality-decile SQL helpers (surprisal +
-    #    calibration refactor), session-memoized trained-PQ codebooks --
+    #    calibration refactor), session-memoized trained-PQ codebooks,
+    #    shared _winnow_fps/_WINNOW_CTES front (fingerprint + span-pair +
+    #    coverage can no longer drift) --
     "emb_pq_trained_topk",
     "emb_ivfpq_residual_trained",
+    "doc_winnow_fingerprint",
+    "dedup_winnow_span_pairs",
     "doc_bigram_surprisal",
     "doc_quality_calibration",
     "dedup_semantic_cells",

@@ -560,27 +560,17 @@ SELECT doc_id, source, rate_pct FROM d WHERE u < rate_pct
 WINNOW_WINDOW = 4  # consecutive shingle hashes per winnowing window
 
 
-def winnow_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting by winnowing (the rolling-hash scheme of
-    Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every ORDERED word 3-gram,
-    slide a window of ``WINNOW_WINDOW`` consecutive hashes, keep each
-    window's minimum, and fingerprint the document with the distinct set of
-    window minima.  Near-identical documents share most fingerprints even
-    under local edits — the guarantee MinHash doesn't give (it is
-    order-blind).
-
-    All column expressions: split → ordered-shingle transform → posexplode →
-    md5 → windowed min over (doc, position) → distinct → per-doc aggregate.
-    md5 hex compares lexicographically == numerically (the engine's shared-
-    hash rule), so MIN over hashes is engine-agnostic.
-    """
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
-    )
-    shingles = toks.select(
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """The shared winnow front — distinct (doc_id, fp) window-minimum
+    fingerprints (tokenize → ordered 3-gram → md5 → per-doc positional
+    window min → distinct).  ONE definition for
+    ``doc_winnow_fingerprint`` / ``dedup_winnow_span_pairs`` /
+    ``doc_span_dup_coverage`` (r12 review: the coverage query's
+    pair-consistency guarantee was enforced by copy-paste before; now the
+    three queries cannot shingle or window differently by construction).
+    Mirrored verbatim by the SQL side's ``_WINNOW_CTES``."""
+    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    sh = toks.select(
         "doc_id",
         F.when(
             F.size("t") >= 3,
@@ -589,20 +579,15 @@ def winnow_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array(F.array_join("t", " ")))
         .alias("sh"),
     )
-    hashed = shingles.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
+    hashed = sh.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
         "doc_id", "pos", F.md5("s").alias("hv")
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
-    fps = hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
-    return fps.groupBy("doc_id").agg(
-        F.count("*").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
-    )
+    return hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
 
 
-WINNOW_SQL = f"""
-WITH tk AS (
+# the SQL twin of _winnow_fps: tk → sh → h → wmin → d (distinct (doc_id, fp))
+_WINNOW_CTES = f"""tk AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
 ), sh AS (
   SELECT doc_id, i AS pos,
@@ -617,7 +602,34 @@ WITH tk AS (
   FROM h
 ), d AS (
   SELECT DISTINCT doc_id, fp FROM wmin
-)
+)"""
+
+
+def winnow_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every ORDERED word 3-gram,
+    slide a window of ``WINNOW_WINDOW`` consecutive hashes, keep each
+    window's minimum, and fingerprint the document with the distinct set of
+    window minima.  Near-identical documents share most fingerprints even
+    under local edits — the guarantee MinHash doesn't give (it is
+    order-blind).
+
+    All column expressions: split → ordered-shingle transform → posexplode →
+    md5 → windowed min over (doc, position) → distinct → per-doc aggregate
+    (the shared ``_winnow_fps`` front).  md5 hex compares lexicographically
+    == numerically (the engine's shared-hash rule), so MIN over hashes is
+    engine-agnostic.
+    """
+    fps = _winnow_fps(load_table(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+WINNOW_SQL = f"""
+WITH {_WINNOW_CTES}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints, MIN(fp) AS min_fp, MAX(fp) AS max_fp
 FROM d GROUP BY doc_id
 """
@@ -1463,24 +1475,7 @@ def winnow_pair_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs-per-fp²; the cap bounds pair fan-out per fp by MAX_DF², the same
     df-cap idiom as stop-shingle removal) → fp equi-join → per-pair count.
     No cross join; cost tracks true shared-text volume."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.when(
-            F.size("t") >= 3,
-            F.expr("transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"),
-        )
-        .otherwise(F.array(F.array_join("t", " ")))
-        .alias("sh"),
-    )
-    hashed = sh.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
-        "doc_id", "pos", F.md5("s").alias("hv")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
-    d = hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
+    d = _winnow_fps(load_table(spark, sf_dir, "documents"))
     live = d.join(
         d.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= WINNOW_PAIR_MAX_DF),
         "fp",
@@ -1511,22 +1506,7 @@ def winnow_pair_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_pair_sql() -> str:
     return f"""
-WITH tk AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
-), sh AS (
-  SELECT doc_id, i AS pos,
-         CASE WHEN len(t) >= 3 THEN array_to_string(list_slice(t, i+1, i+3), ' ')
-              ELSE array_to_string(t, ' ') END AS s
-  FROM tk, unnest(range(CASE WHEN len(t) >= 3 THEN len(t)-2 ELSE 1 END)) AS u(i)
-), h AS (
-  SELECT doc_id, pos, md5(s) AS hv FROM sh
-), wmin AS (
-  SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
-                               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
-  FROM h
-), d AS (
-  SELECT DISTINCT doc_id, fp FROM wmin
-), live AS (
+WITH {_WINNOW_CTES}, live AS (
   SELECT d.doc_id, d.fp FROM d
   JOIN (SELECT fp, count(*) AS df FROM d GROUP BY fp HAVING count(*) <= {WINNOW_PAIR_MAX_DF}) f
   USING (fp)
@@ -1573,24 +1553,8 @@ def span_dup_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the CHEAPER sibling of the pair query); per-doc then per-source
     hash aggs.  Nothing downstream of the distinct is larger than
     (doc, fp); output is |sources| rows."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.when(
-            F.size("t") >= 3,
-            F.expr("transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"),
-        )
-        .otherwise(F.array(F.array_join("t", " ")))
-        .alias("sh"),
-    )
-    hashed = sh.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
-        "doc_id", "pos", F.md5("s").alias("hv")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
-    d = hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
+    d = _winnow_fps(docs)
     df_cls = d.groupBy("fp").agg(F.count("*").alias("df"))
     classed = d.join(df_cls, "fp").select(
         "doc_id",
@@ -1622,22 +1586,7 @@ def span_dup_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _span_dup_coverage_sql() -> str:
     return f"""
-WITH tk AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
-), sh AS (
-  SELECT doc_id, i AS pos,
-         CASE WHEN len(t) >= 3 THEN array_to_string(list_slice(t, i+1, i+3), ' ')
-              ELSE array_to_string(t, ' ') END AS s
-  FROM tk, unnest(range(CASE WHEN len(t) >= 3 THEN len(t)-2 ELSE 1 END)) AS u(i)
-), h AS (
-  SELECT doc_id, pos, md5(s) AS hv FROM sh
-), wmin AS (
-  SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
-                               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
-  FROM h
-), d AS (
-  SELECT DISTINCT doc_id, fp FROM wmin
-), dfc AS (
+WITH {_WINNOW_CTES}, dfc AS (
   SELECT fp, count(*) AS df FROM d GROUP BY fp
 ), classed AS (
   SELECT d.doc_id,

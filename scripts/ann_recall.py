@@ -340,8 +340,11 @@ def main() -> int:
     # round 12: 1-bit sign sketch → EXACT rerank (emb_bitsign_rerank_topk's
     # two-stage shape), same multi-query grid as rp_rerank — the SAME-METRIC
     # comparison between the two training-free shortlists (the registry
-    # docstrings cite these rows).  Stage-1 is 8 bytes/vector (two packed
-    # sign words) vs the JL sketch's 128 bytes (16 int64 projections).
+    # docstrings cite these rows).  Stage-1 is two half-used int64 sign
+    # words = 16 B/vector as stored (8 B packed into one word at
+    # deployment) vs the JL sketch's 128 B (16 int64 projections) — the
+    # bytes_frac below reports the STORED 16 B, matching the layout that
+    # actually ran.
     from block_crawler_spark.plans.embed_ops import _bitsign_words  # noqa: E402
 
     w0c, w1c = _bitsign_words("embedding")
