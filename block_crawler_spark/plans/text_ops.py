@@ -3128,16 +3128,22 @@ CHARNGRAM_OVERLAP_PPM = 900_000
 # at this gram size (measured at sf0.01: candidate cjaccard median 0.977,
 # p99 0.992 — the cut keeps the true near-dup mass and sheds the tail).
 
-# (bit, family name, detection-pair producer) — alphabetical, bits fixed so
-# the mask layout is stable across rounds.  Pairs from every family are
-# already canonical (id_a < id_b, DISTINCT within the family).
-_OVERLAP_FAMILIES = ("charngram", "containment", "minhash", "simhash")
+# (bit, family name, detection-pair producer) — bit i = 1 << position,
+# positions FIXED across rounds so the mask layout stays stable (winnow
+# appended in r12 with bit 16 rather than re-alphabetizing).  Pairs from
+# every family are already canonical (id_a < id_b, DISTINCT within the
+# family).
+_OVERLAP_FAMILIES = ("charngram", "containment", "minhash", "simhash", "winnow")
 
 
 def _overlap_pair_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """The four detection-pair sets, each produced by the SAME query fn the
+    """The five detection-pair sets, each produced by the SAME query fn the
     registry exposes (projection only — zero re-implementation, so the audit
-    can never drift from the families it audits)."""
+    can never drift from the families it audits).  Winnow is the only
+    ORDER-SENSITIVE detector in the matrix — its rows answer whether local
+    contiguous-span duplication surfaces pairs the order-blind set-overlap
+    families miss (and vice versa: a doc pair with shuffled token order
+    keeps its Jaccard but loses its spans)."""
     return {
         "charngram": char_ngram_jaccard_query(spark, sf_dir)
         .filter(F.col("cjaccard_ppm") >= CHARNGRAM_OVERLAP_PPM)
@@ -3145,23 +3151,26 @@ def _overlap_pair_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
         "containment": containment_pairs_query(spark, sf_dir).select("id_a", "id_b"),
         "minhash": minhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
         "simhash": simhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+        "winnow": winnow_pair_query(spark, sf_dir).select("id_a", "id_b"),
     }
 
 
 def family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-detector agreement matrix — for every unordered pair of near-dup
     families (char-ngram@0.9, containment@0.8, MinHash-LSH@0.1-Jaccard,
-    SimHash-32@ham≤3), how many document pairs BOTH detect and how many each
-    detects alone, plus the pair-set Jaccard in ppm.  This is the curation
-    decision the individual families can't answer: which detector subsumes
-    which, and where a cheap one (SimHash) is really measuring something
-    else (distributional similarity — at sf0.01 it fires on ~11 000 pairs
-    where the shingle families agree on ~25).
+    SimHash-32@ham≤3, winnow-span@2-shared), how many document pairs BOTH
+    detect and how many each detects alone, plus the pair-set Jaccard in
+    ppm.  This is the curation decision the individual families can't
+    answer: which detector subsumes which, where a cheap one (SimHash) is
+    really measuring something else (distributional similarity — at sf0.01
+    it fires on ~11 000 pairs where the shingle families agree on ~25), and
+    whether the order-sensitive winnow detector surfaces span-dup pairs the
+    order-blind set-overlap families miss.
 
     Scale shape: each family is its registry DAG (banded equi-joins — never
     all-pairs); the union is pair-set-sized; ``bit_or`` collapses it to one
     mask per pair in a single shuffle keyed (id_a, id_b); the mask histogram
-    is ≤2⁴ rows, and the 6-row matrix comes from a broadcast join of two
+    is ≤2⁵ rows, and the 10-row matrix comes from a broadcast join of two
     bounded frames — nothing downstream of the mask agg is corpus-sized."""
     frames = _overlap_pair_frames(spark, sf_dir)
     tagged = None
@@ -3201,6 +3210,7 @@ def _family_overlap_sql() -> str:
         "containment": f"SELECT id_a, id_b FROM ({_containment_sql()})",
         "minhash": f"SELECT id_a, id_b FROM ({MINHASH_SQL})",
         "simhash": f"SELECT id_a, id_b FROM ({_simhash_pairs_sql()})",
+        "winnow": f"SELECT id_a, id_b FROM ({_winnow_pair_sql()})",
     }
     tagged = "\n  UNION ALL\n  ".join(
         f"SELECT id_a, id_b, CAST({1 << i} AS BIGINT) AS m FROM f{i}"

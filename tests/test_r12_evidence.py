@@ -282,6 +282,12 @@ def test_family_overlap_matches_per_family_pair_sets(spark):
     sim_total = len(sets["simhash"])
     mh_total = len(sets["minhash"])
     assert sim_total > 100 * mh_total
+    # and the order-sensitive winnow family both CONTAINS the whole-doc
+    # near-dup consensus and surfaces partial span-overlap pairs the
+    # order-blind Jaccard families miss (83 at sf0.001 — the
+    # quote/boilerplate-leakage class the span detector exists for)
+    assert sets["minhash"] <= sets["winnow"]
+    assert len(sets["winnow"] - sets["minhash"]) >= 50
 
 
 def test_span_dup_coverage_planted_and_graded(spark, tmp_path):
@@ -356,3 +362,49 @@ def test_pq_codebook_memo_hit_is_result_identical(spark):
         warm = frozen(fn(spark, sf).collect())
         assert cold == warm, f"{fn.__name__}: memo hit diverged from training"
         assert len(embed_ops._CENTROID_MEMO) == n_entries, "warm run must not re-key"
+
+
+def test_bitsign_packing_edges(spark, tmp_path):
+    """Packing edge cases the graded corpus never exercises: exact 0.0 and
+    -0.0 (sign bit must be 0 — the rule is value > 0, not signbit), tiny
+    positives at the word-boundary dimensions (0, 31, 32, 63 — bits must
+    land in the right half-word at the right position), and an all-negative
+    vector (both words 0).  The full two-stage query runs on the crafted
+    corpus and must equal a from-scratch numpy recompute of shortlist +
+    exact rerank under the same (hd, vec_id) / (dist, vec_id) tie rules."""
+    import numpy as np
+
+    from block_crawler_spark.plans.embed_ops import (
+        BITSIGN_SHORTLIST,
+        TOPK_K,
+        bitsign_rerank_topk_query,
+    )
+
+    rng = [
+        np.zeros(64),                                  # query: all zero bits
+        np.full(64, -0.25),                            # all-negative: words 0
+        np.array([1e-9 if d in (0, 31, 32, 63) else -1.0 for d in range(64)]),
+        np.array([-0.0] * 32 + [0.5] * 32),            # -0.0 must not set bits
+        np.array([0.5] * 32 + [-0.0] * 32),
+    ] + [np.cos(np.arange(64) * (i + 2)) * 0.3 for i in range(7)]
+    X = np.stack(rng).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]], i % 3) for i in range(len(X))]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        bitsign_rerank_topk_query(spark, str(tmp_path)).collect(), key=lambda r: r["rank"]
+    )
+
+    ids = np.arange(len(X))
+    B = X.astype(np.float64) > 0.0            # the shared sign rule
+    q = B[0]
+    hd = (B != q).sum(axis=1)
+    short = ids[np.lexsort((ids, hd))[:BITSIGN_SHORTLIST]]
+    Xi = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
+    d = ((Xi[short] - Xi[0]) ** 2).sum(axis=1)
+    order = np.lexsort((short, d))[:TOPK_K]
+    want = [(int(short[j]), int(d[j])) for j in order]
+    assert [(r["vec_id"], r["dist"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
