@@ -136,6 +136,8 @@ HEADLINE = [
     "emb_bitsign_rerank_topk",
     "dedup_family_overlap",
     "doc_span_dup_coverage",
+    "emb_cell_label_purity",
+    "emb_ivf_recall_audit",
 ]
 
 

@@ -2563,3 +2563,139 @@ GROUP BY af.cid
 
 
 QUERIES["emb_centroid_outliers"] = (centroid_outliers_query, _centroid_outliers_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality and index-quality audits (round 12)
+# ---------------------------------------------------------------------------
+
+
+def cell_label_purity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell LABEL PURITY of the trained semantic cells — the
+    clustering-quality audit for every consumer of `_trained_kmeans`
+    (semantic dedup, balanced sampling, outlier screens): for each derived-K
+    cell, the member count, the majority label (ties to the lowest label),
+    and the majority share in ppm.  High purity means the unsupervised
+    cells recover the label structure, so a per-cell sampling cap is also
+    an approximate per-class cap; low purity warns that cell-balanced
+    curation does NOT imply label balance — a decision input the cells
+    alone don't surface.
+
+    Scale shape: the memoized Lloyd train + one broadcast assignment (the
+    same ≤SEM_K_MAX-row centroid table every semantic consumer shares),
+    one (cid, label) hash-agg (≤ K·|labels| rows), one cid agg (≤ K rows).
+    Nothing after the assignment is corpus-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    lab = emb.select(F.col("vec_id").alias("vid"), F.col("label").cast("long").alias("label"))
+    per = assign.join(lab, "vid").groupBy("cid", "label").agg(F.count("*").alias("cnt"))
+    best = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lab"))).alias("b")
+    out = per.groupBy("cid").agg(
+        F.sum("cnt").cast("long").alias("n_members"),
+        best,
+    )
+    return out.select(
+        "cid",
+        "n_members",
+        F.col("b.lab").cast("long").alias("top_label"),
+        (-F.col("b.neg")).cast("long").alias("top_label_n"),
+        F.expr("CAST((-b.neg) * 1000000 DIV n_members AS BIGINT)").alias("purity_ppm"),
+    )
+
+
+def _cell_label_purity_sql() -> str:
+    # the shared runtime-K Lloyd chain + single-probe assignment (af);
+    # mem/sp are sliced off — purity needs the assignment, not the pairs
+    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS)[:-2]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """,
+lab AS (SELECT vec_id AS vid, CAST(label AS BIGINT) AS label FROM embeddings),
+per AS (
+  SELECT af.cid, l.label, COUNT(*) AS cnt
+  FROM af JOIN lab l USING (vid)
+  GROUP BY af.cid, l.label
+),
+agg AS (
+  SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_members,
+         MIN(struct_pack(neg := -cnt, lab := label)) AS b
+  FROM per GROUP BY cid
+)
+SELECT cid, n_members,
+       CAST(b.lab AS BIGINT) AS top_label,
+       CAST(-b.neg AS BIGINT) AS top_label_n,
+       CAST((-b.neg) * 1000000 // n_members AS BIGINT) AS purity_ppm
+FROM agg
+"""
+    )
+
+
+QUERIES["emb_cell_label_purity"] = (cell_label_purity_query, _cell_label_purity_sql())
+
+
+def ivf_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine RECALL AUDIT of the IVF index — "measure, don't guess" as
+    a registry operator, not just a script: for each of the
+    ``KNN_QUERY_IDS`` sample queries, how many of the exact brute-force
+    cosine top-k does IVF(nprobe=``IVF_NPROBE``) return?  Output per query:
+    hit count and recall in ppm (k is the denominator).  This is the
+    audit a pipeline runs after (re)building an index to decide whether
+    the nprobe/cell knobs still meet its recall target — the per-query
+    rows expose variance the mean hides.
+
+    Scale shape: the IVF side is the indexed path (cell equi-join); the
+    brute truth side is O(|Q|·N) BY CONSTRUCTION — a recall audit always
+    pays exact search on its query SAMPLE, so |Q| (bounded here at
+    KNN_QUERY_IDS = 8) is the knob that prices it, never the corpus
+    alone.  The final join/agg runs on ≤|Q|·k rows."""
+    from ..operators.ann import knn_join_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    truth = knn_join_brute(queries, emb, k=KNN_K).select("q_id", "c_id")
+    approx = ivf_topk(queries, emb, centroids, k=KNN_K, nprobe=IVF_NPROBE).select(
+        "q_id", "c_id"
+    )
+    hits = (
+        truth.join(approx, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("q_id"))
+    out = qids.join(hits, "q_id", "left").select(
+        "q_id", F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits")
+    )
+    return out.select(
+        "q_id", "hits", F.expr(f"CAST(hits * 1000000 DIV {KNN_K} AS BIGINT)").alias("recall_ppm")
+    )
+
+
+def _ivf_recall_audit_sql() -> str:
+    return f"""
+WITH brute AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id < {KNN_QUERY_IDS} AND q.vec_id <> c.vec_id
+  ) WHERE rank <= {KNN_K}
+),
+approx AS (SELECT q_id, c_id FROM ({IVF_SQL})),
+h AS (
+  SELECT b.q_id, COUNT(*) AS hits
+  FROM brute b JOIN approx a ON a.q_id = b.q_id AND a.c_id = b.c_id
+  GROUP BY b.q_id
+),
+qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < {KNN_QUERY_IDS})
+SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {KNN_K} AS BIGINT) AS recall_ppm
+FROM qs LEFT JOIN h USING (q_id)
+"""
+
+
+QUERIES["emb_ivf_recall_audit"] = (ivf_recall_audit_query, _ivf_recall_audit_sql())

@@ -59,6 +59,8 @@ _FRONT = (
     "emb_bitsign_rerank_topk",
     "dedup_family_overlap",
     "doc_span_dup_coverage",
+    "emb_cell_label_purity",
+    "emb_ivf_recall_audit",
     # -- changed in r12: hot-cell coarse pre-split in the band-rank shard
     #    key (semantic family, both engines), shared top-2 helper, part-
     #    file-stat memo fingerprint (Lloyd-memoized families), shared

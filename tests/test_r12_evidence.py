@@ -408,3 +408,77 @@ def test_bitsign_packing_edges(spark, tmp_path):
     want = [(int(short[j]), int(d[j])) for j in order]
     assert [(r["vec_id"], r["dist"]) for r in got] == want
     assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+
+
+def test_cell_label_purity_identities(spark):
+    """Purity audit vs an independent recompute: per-cell member totals
+    must sum to the corpus, each majority count must equal the true modal
+    label count under the (count desc, label asc) tie rule, and purity is
+    the exact integer ppm.  Recomputed from the same memoized assignment
+    the query consumes, collected and tallied in plain python."""
+    from collections import Counter
+
+    from block_crawler_spark.plans.embed_ops import (
+        SEM_CELLS_ITERS,
+        _sem_k,
+        _trained_kmeans,
+        cell_label_purity_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    assign, _ = _trained_kmeans(emb, sf, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    cells: dict[int, Counter] = {}
+    for r in assign.select("vid", "cid").collect():
+        cells.setdefault(r["cid"], Counter())[labels[r["vid"]]] += 1
+    out = {r["cid"]: r for r in cell_label_purity_query(spark, sf).collect()}
+    assert set(out) == set(cells)
+    assert sum(r["n_members"] for r in out.values()) == emb.count()
+    for cid, ctr in cells.items():
+        top_n = max(ctr.values())
+        top_lab = min(l for l, n in ctr.items() if n == top_n)
+        r = out[cid]
+        assert r["n_members"] == sum(ctr.values())
+        assert (r["top_label"], r["top_label_n"]) == (top_lab, top_n), cid
+        assert r["purity_ppm"] == top_n * 1_000_000 // sum(ctr.values())
+
+
+def test_ivf_recall_audit_matches_script_grid(spark):
+    """The in-engine recall audit must agree with an independent exact
+    recompute of both sides (brute cosine truth and IVF candidate top-k)
+    AND sit at the measured operating point: nprobe=8 of 64 cells on this
+    corpus gives mean recall ~0.8 (scripts/ann_recall.py's grid) — banded
+    so an index or audit regression fails."""
+    from block_crawler_spark.operators.ann import ivf_topk, knn_join_brute
+    from block_crawler_spark.plans.embed_ops import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        KNN_K,
+        KNN_QUERY_IDS,
+        ivf_recall_audit_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in knn_join_brute(queries, emb, k=KNN_K).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk(
+            queries, emb, emb.filter(F.col("vec_id") < IVF_CENTROIDS), k=KNN_K, nprobe=IVF_NPROBE
+        ).collect()
+    }
+    out = {r["q_id"]: r for r in ivf_recall_audit_query(spark, sf).collect()}
+    assert set(out) == set(range(KNN_QUERY_IDS))
+    for q in out:
+        hits = len({(a, b) for (a, b) in truth if a == q} & approx)
+        assert out[q]["hits"] == hits, q
+        assert out[q]["recall_ppm"] == hits * 1_000_000 // KNN_K
+    mean = sum(r["hits"] for r in out.values()) / (KNN_QUERY_IDS * KNN_K)
+    assert 0.6 <= mean <= 1.0, f"mean recall {mean} out of the measured band"
