@@ -138,6 +138,7 @@ HEADLINE = [
     "doc_span_dup_coverage",
     "emb_cell_label_purity",
     "emb_ivf_recall_audit",
+    "emb_bitsign_knn_join",
 ]
 
 

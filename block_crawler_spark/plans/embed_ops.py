@@ -2487,6 +2487,109 @@ FROM rr ORDER BY dist ASC, vec_id ASC LIMIT {TOPK_K}
 QUERIES["emb_bitsign_rerank_topk"] = (bitsign_rerank_topk_query, _bitsign_sql())
 
 
+BITSIGN_JOIN_SHORTLIST = 100  # per-query Hamming shortlist in the batched join
+
+
+def bitsign_knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED two-stage sign-sketch search — ``emb_bitsign_rerank_topk``
+    for a query SET (the kNN-join shape of ``emb_knn_join``/``emb_pq_topk``):
+    every query's Hamming distance against the 16 B/vector codes table
+    (query codes broadcast — the scan reads codes, never floats), a
+    per-query top-``BITSIGN_JOIN_SHORTLIST`` shortlist, then the exact
+    integer-L2 rerank on ≤|Q|·L rows and the final per-query top-k.
+    Measured recall@5 vs the brute cosine truth on the 8-query sample,
+    pinned exactly in tests/test_r12_evidence.py: at the committed L=100
+    it is 1.0 (sf0.001) / 0.85 (sf0.01); the ladder is 0.75→1.0→1.0
+    (sf0.001) and 0.65→0.85→1.0 (sf0.01) at L = 50/100/200 — raise L for
+    a recall target, the rerank stays ≤|Q|·L rows.
+
+    Scale shape: stage 1 is (codes scan × broadcast |Q| query codes) —
+    bit_count(xor) per pair, no shuffle in; the per-query rank window
+    shuffles (corpus × |Q|) HAMMING rows on q_id, the same partitioning
+    every batched top-k here uses (pq_adc/ivf), with |Q| bounding the
+    partition count; everything after the shortlist filter is ≤|Q|·L
+    rows.  At 10⁹ vectors the scanned side is the ~8–16 GB codes table —
+    the float corpus is touched only for the ≤|Q|·L rerank rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w0, w1 = _bitsign_words("embedding")
+    coded = emb.select(
+        F.col("vec_id").alias("c_id"),
+        micro_fixed(F.col("embedding")).alias("v"),
+        w0.alias("w0"),
+        w1.alias("w1"),
+    )
+    qcodes = coded.filter(F.col("c_id") < KNN_QUERY_IDS).select(
+        F.col("c_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    hd = F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseXOR(F.col("qw1"))
+    )
+    scored = (
+        F.broadcast(qcodes)
+        .crossJoin(coded)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "qv", "c_id", "v", hd.cast("long").alias("hd"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hd"), F.asc("c_id"))
+    short = scored.withColumn("srank", F.row_number().over(w)).filter(
+        F.col("srank") <= BITSIGN_JOIN_SHORTLIST
+    )
+    rer = short.select("q_id", "c_id", int_sqdist(F.col("v"), F.col("qv")).alias("dist"))
+    wr = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", "c_id", "rank", "dist")
+    )
+
+
+def _bitsign_knn_sql() -> str:
+    D = _KM_DIM
+    H = _BITSIGN_HALF
+    word = (
+        "CAST(list_sum(list_transform(range({h}), d -> "
+        "CASE WHEN embedding[d+{off}] > 0 THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)"
+    )
+    exact = (
+        f"CAST(list_sum(list_transform(range({D}), "
+        "i -> (s.v[i+1]-s.qv[i+1])*(s.v[i+1]-s.qv[i+1]))) AS BIGINT)"
+    )
+    return f"""
+WITH coded AS (
+  SELECT vec_id AS c_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v,
+         {word.format(h=H, off=1)} AS w0,
+         {word.format(h=H, off=H + 1)} AS w1
+  FROM embeddings
+),
+q AS (SELECT c_id AS q_id, v AS qv, w0 AS qw0, w1 AS qw1 FROM coded WHERE c_id < {KNN_QUERY_IDS}),
+short AS (
+  SELECT q_id, qv, c_id, v FROM (
+    SELECT q.q_id, q.qv, c.c_id, c.v,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)) ASC, c.c_id ASC
+           ) AS srank
+    FROM q JOIN coded c ON q.q_id <> c.c_id
+  ) WHERE srank <= {BITSIGN_JOIN_SHORTLIST}
+),
+rr AS (SELECT q_id, c_id, {exact} AS dist FROM short s)
+SELECT q_id, c_id, rank, dist FROM (
+  SELECT q_id, c_id, dist,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS BIGINT) AS rank
+  FROM rr)
+WHERE rank <= {KNN_K}
+"""
+
+
+QUERIES["emb_bitsign_knn_join"] = (bitsign_knn_join_query, _bitsign_knn_sql())
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space outlier screen: distance-to-centroid flags (round 10)
 # ---------------------------------------------------------------------------
