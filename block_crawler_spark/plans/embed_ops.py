@@ -2444,17 +2444,27 @@ def bitsign_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the ONE sign-packing template both bitsign oracles share (r12 review: the
+# packing rule — value > 0, shift layout — is what test_bitsign_packing_edges
+# pins; two copies could drift).  .format(h=half_width, off=1-based offset).
+_BITSIGN_WORD_SQL = (
+    "CAST(list_sum(list_transform(range({h}), d -> "
+    "CASE WHEN embedding[d+{off}] > 0 THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)"
+)
+
+
+def _bitsign_exact_sql(a: str, b: str) -> str:
+    """Shared exact int64-L2 template over two micro-fixed column refs."""
+    return (
+        f"CAST(list_sum(list_transform(range({_KM_DIM}), "
+        f"i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))) AS BIGINT)"
+    )
+
+
 def _bitsign_sql() -> str:
-    D = _KM_DIM
     H = _BITSIGN_HALF
-    word = (
-        "CAST(list_sum(list_transform(range({h}), d -> "
-        "CASE WHEN embedding[d+{off}] > 0 THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)"
-    )
-    exact = (
-        f"CAST(list_sum(list_transform(range({D}), "
-        "i -> (s.v[i+1]-qv.v[i+1])*(s.v[i+1]-qv.v[i+1]))) AS BIGINT)"
-    )
+    word = _BITSIGN_WORD_SQL
+    exact = _bitsign_exact_sql("s.v", "qv.v")
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding,
@@ -2504,12 +2514,16 @@ def bitsign_knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recall target, the rerank stays ≤|Q|·L rows.
 
     Scale shape: stage 1 is (codes scan × broadcast |Q| query codes) —
-    bit_count(xor) per pair, no shuffle in; the per-query rank window
-    shuffles (corpus × |Q|) HAMMING rows on q_id, the same partitioning
-    every batched top-k here uses (pq_adc/ivf), with |Q| bounding the
-    partition count; everything after the shortlist filter is ≤|Q|·L
-    rows.  At 10⁹ vectors the scanned side is the ~8–16 GB codes table —
-    the float corpus is touched only for the ≤|Q|·L rerank rows."""
+    bit_count(xor) per pair, no shuffle in — and the per-query rank window
+    shuffles ONLY the narrow (q_id, c_id, hd) rows (~24 B each) on q_id,
+    the same partitioning every batched top-k here uses (pq_adc/ivf), with
+    |Q| bounding the partition count; the full vectors re-enter AFTER the
+    shortlist filter, by broadcasting the ≤|Q|·L survivor ids back against
+    the vector projections (broadcast hash joins — no wide row ever
+    crosses an exchange; the r12 review caught the first draft dragging
+    both 64-long arrays through the window shuffle).  At 10⁹ vectors the
+    ranked side is the ~8–16 GB codes table; everything after the
+    shortlist is ≤|Q|·L rows."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2520,26 +2534,33 @@ def bitsign_knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         w0.alias("w0"),
         w1.alias("w1"),
     )
-    qcodes = coded.filter(F.col("c_id") < KNN_QUERY_IDS).select(
-        F.col("c_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("w0").alias("qw0"),
-        F.col("w1").alias("qw1"),
+    qwords = coded.filter(F.col("c_id") < KNN_QUERY_IDS).select(
+        F.col("c_id").alias("q_id"), F.col("w0").alias("qw0"), F.col("w1").alias("qw1")
     )
     hd = F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0"))) + F.bit_count(
         F.col("w1").bitwiseXOR(F.col("qw1"))
     )
     scored = (
-        F.broadcast(qcodes)
-        .crossJoin(coded)
+        F.broadcast(qwords)
+        .crossJoin(coded.select("c_id", "w0", "w1"))
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "qv", "c_id", "v", hd.cast("long").alias("hd"))
+        .select("q_id", "c_id", hd.cast("long").alias("hd"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("hd"), F.asc("c_id"))
-    short = scored.withColumn("srank", F.row_number().over(w)).filter(
-        F.col("srank") <= BITSIGN_JOIN_SHORTLIST
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= BITSIGN_JOIN_SHORTLIST)
+        .select("q_id", "c_id")
     )
-    rer = short.select("q_id", "c_id", int_sqdist(F.col("v"), F.col("qv")).alias("dist"))
+    cvecs = coded.select("c_id", "v")
+    qvecs = coded.filter(F.col("c_id") < KNN_QUERY_IDS).select(
+        F.col("c_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        cvecs.join(F.broadcast(short), "c_id")
+        .join(F.broadcast(qvecs), "q_id")
+        .select("q_id", "c_id", int_sqdist(F.col("v"), F.col("qv")).alias("dist"))
+    )
     wr = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
     return (
         rer.withColumn("rank", F.row_number().over(wr).cast("long"))
@@ -2549,16 +2570,9 @@ def bitsign_knn_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bitsign_knn_sql() -> str:
-    D = _KM_DIM
     H = _BITSIGN_HALF
-    word = (
-        "CAST(list_sum(list_transform(range({h}), d -> "
-        "CASE WHEN embedding[d+{off}] > 0 THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)"
-    )
-    exact = (
-        f"CAST(list_sum(list_transform(range({D}), "
-        "i -> (s.v[i+1]-s.qv[i+1])*(s.v[i+1]-s.qv[i+1]))) AS BIGINT)"
-    )
+    word = _BITSIGN_WORD_SQL
+    exact = _bitsign_exact_sql("cv.v", "qv.v")
     return f"""
 WITH coded AS (
   SELECT vec_id AS c_id,
@@ -2567,10 +2581,10 @@ WITH coded AS (
          {word.format(h=H, off=H + 1)} AS w1
   FROM embeddings
 ),
-q AS (SELECT c_id AS q_id, v AS qv, w0 AS qw0, w1 AS qw1 FROM coded WHERE c_id < {KNN_QUERY_IDS}),
+q AS (SELECT c_id AS q_id, w0 AS qw0, w1 AS qw1 FROM coded WHERE c_id < {KNN_QUERY_IDS}),
 short AS (
-  SELECT q_id, qv, c_id, v FROM (
-    SELECT q.q_id, q.qv, c.c_id, c.v,
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
            row_number() OVER (
              PARTITION BY q.q_id
              ORDER BY bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)) ASC, c.c_id ASC
@@ -2578,7 +2592,12 @@ short AS (
     FROM q JOIN coded c ON q.q_id <> c.c_id
   ) WHERE srank <= {BITSIGN_JOIN_SHORTLIST}
 ),
-rr AS (SELECT q_id, c_id, {exact} AS dist FROM short s)
+rr AS (
+  SELECT s.q_id, s.c_id, {exact} AS dist
+  FROM short s
+  JOIN coded cv ON cv.c_id = s.c_id
+  JOIN coded qv ON qv.c_id = s.q_id
+)
 SELECT q_id, c_id, rank, dist FROM (
   SELECT q_id, c_id, dist,
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS BIGINT) AS rank
@@ -2708,8 +2727,10 @@ def cell_label_purity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cell_label_purity_sql() -> str:
     # the shared runtime-K Lloyd chain + single-probe assignment (af);
-    # mem/sp are sliced off — purity needs the assignment, not the pairs
-    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS)[:-2]
+    # cnt/mem/sp are sliced off — purity needs the assignment, not the
+    # per-cell counts or the pair stage (r12 review: [:-2] left a dead
+    # `cnt` CTE in every captured oracle)
+    parts = _sem_pairs_cte_parts(SEM_CELLS_ITERS)[:-3]
     return (
         "WITH "
         + ",\n".join(parts)

@@ -3188,7 +3188,8 @@ def family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "family_a string, bit_a long, family_b string, bit_b long",
     )
     # left join on TRUE (not crossJoin): an empty histogram must still yield
-    # the 6 combo rows with zero counts, not an empty result
+    # all C(n,2) combo rows (10 for the 5 families) with zero counts, not
+    # an empty result
     joined = combos.join(F.broadcast(hist), F.lit(True), "left")
     in_a = F.col("mask").bitwiseAND(F.col("bit_a")) > 0
     in_b = F.col("mask").bitwiseAND(F.col("bit_b")) > 0
