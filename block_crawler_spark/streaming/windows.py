@@ -72,6 +72,54 @@ def session_event_stats(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (beyond-parity ST surface —
+    the reference's streaming loop has no two-stream operators at all):
+    each LEFT event is joined to the same user's RIGHT events from the
+    preceding ``interval`` — the attribution shape (purchase ⋈ recent
+    clicks).  Both sides carry watermarks and the join predicate bounds
+    ``r_ts`` to [l_ts − interval, l_ts], which is exactly what Spark needs
+    to BOUND the join state: either side's buffered rows are dropped once
+    the other side's watermark passes their interval, so state is
+    O(rate × (interval + watermark)) — never unbounded — and results emit
+    in append mode.
+
+    Works on batch frames too (watermarks skipped; same join predicate),
+    which is how the streaming result is equality-tested against the
+    batch self-join.
+    """
+    l = left.select(
+        "user_id",
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("event_id").alias("r_id"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - interval {interval}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("l_id") != F.col("r_id"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id", "l_id", "l_ts", "l_type", "r_id", "r_ts", "r_type"
+    )
+
+
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-based streaming source over events parquet chunks (µs ts)."""
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"

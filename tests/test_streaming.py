@@ -187,3 +187,57 @@ def test_session_windows_match_batch(spark, tmp_path):
     got = {key(r): (r["n_events"], r["total_value"]) for r in spark.sql("select * from sess_stats").collect()}
     exp = {key(r): (r["n_events"], r["total_value"]) for r in session_event_stats(events).collect()}
     assert got == exp and len(got) > 10
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (availableNow over file
+    chunks) == the same fn on batch frames: every purchase joined to the
+    same user's clicks in the preceding six hours.  Append mode — rows emit as
+    the watermark permits; the final set must be exactly the batch join."""
+    from block_crawler_spark.streaming.windows import read_events_stream, stream_interval_join
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "ssj_chunks")
+    events.repartition(4).write.parquet(src)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    sl, sr = split(read_events_stream(spark, src))
+    # two INDEPENDENT streaming sources over the same dir — a real
+    # two-stream join, not a self-reference
+    sr = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    q = (
+        stream_interval_join(sl, sr, interval="6 hours")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(r):
+        return (r["user_id"], r["l_id"], r["r_id"])
+
+    got = {key(r) for r in spark.sql("select * from ssj").collect()}
+    bl, br = split(events)
+    exp_rows = stream_interval_join(bl, br, interval="6 hours").collect()
+    exp = {key(r) for r in exp_rows}
+    assert got == exp
+    assert len(exp) > 5, "fixture must exercise the join"
+    # semantic spot-check against a python recompute of the predicate
+    ev = events.select("event_id", "user_id", "ts", "event_type").collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    clicks = [r for r in ev if r["event_type"] == "click"]
+    manual = {
+        (p["user_id"], p["event_id"], c["event_id"])
+        for p in purchases
+        for c in clicks
+        if c["user_id"] == p["user_id"]
+        and 0 <= (p["ts"] - c["ts"]).total_seconds() <= 21600
+    }
+    assert exp == manual
