@@ -139,6 +139,7 @@ HEADLINE = [
     "emb_cell_label_purity",
     "emb_ivf_recall_audit",
     "emb_bitsign_knn_join",
+    "evt_attribution_interval_join",
 ]
 
 

@@ -1080,3 +1080,56 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN {SPIKE_TRAIL} PR
 
 
 QUERIES["evt_rate_spikes"] = (rate_spikes_query, RATE_SPIKES_SQL)
+
+
+ATTRIB_INTERVAL = "6 hours"
+ATTRIB_INTERVAL_S = 21_600
+
+
+def attribution_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of ``streaming.windows.stream_interval_join`` — the same
+    function on batch frames (the fn skips watermarks off-stream), so the
+    oracle-checked batch result IS the semantics the watermarked
+    stream-stream join is equality-tested against in
+    tests/test_streaming.py: every purchase joined to the same user's
+    clicks from the preceding ``ATTRIB_INTERVAL``.  Emits ids + the lag in
+    whole seconds (BIGINT — raw timestamps never cross the driver's hash
+    contract).
+
+    Scale shape (batch): an equi-join on user_id with the interval
+    predicate as a residual filter — collision-priced by the per-user
+    purchase×click product inside the window, never a cross join; on a
+    stream the same predicate is what bounds the join state
+    (O(rate × (interval + watermark)))."""
+    from ..streaming.windows import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    joined = stream_interval_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"),
+        interval=ATTRIB_INTERVAL,
+    )
+    return joined.select(
+        "user_id",
+        F.col("l_id").alias("purchase_id"),
+        F.col("r_id").alias("click_id"),
+        F.expr("CAST(unix_timestamp(l_ts) - unix_timestamp(r_ts) AS BIGINT)").alias("lag_s"),
+    )
+
+
+ATTRIB_SQL = f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_s
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL {ATTRIB_INTERVAL_S} SECOND
+ AND c.ts <= p.ts
+ AND c.event_id <> p.event_id
+"""
+
+
+QUERIES["evt_attribution_interval_join"] = (attribution_interval_join_query, ATTRIB_SQL)

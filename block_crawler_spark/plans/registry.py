@@ -42,7 +42,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # semantic/trainer changes + the r6-era relational tail; round 10 the r9
 # orphans + its seven additions + the r7-era tail; round 11 its six
 # additions + twelve changes + the r8-era tail.  Round 12 fronts
-# ``_FRONT``: FIRST the nine queries ADDED this round, then the twelve
+# ``_FRONT``: FIRST the ten queries ADDED this round, then the twelve
 # CHANGED this round (the hot-cell pre-split rewrites the semantic pair
 # stage's shard key on BOTH engines — every `_semantic_pairs`/`_sem_pairs_
 # cte_parts` consumer; the memo-fingerprint hardening touches every
@@ -62,6 +62,7 @@ _FRONT = (
     "emb_cell_label_purity",
     "emb_ivf_recall_audit",
     "emb_bitsign_knn_join",
+    "evt_attribution_interval_join",
     # -- changed in r12: hot-cell coarse pre-split in the band-rank shard
     #    key (semantic family, both engines), shared top-2 helper, part-
     #    file-stat memo fingerprint (Lloyd-memoized families), shared
