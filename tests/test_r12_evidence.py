@@ -516,3 +516,52 @@ def test_bitsign_knn_join_recall_vs_brute(spark):
             by_q.setdefault(r["q_id"], []).append(r["dist"])
         for q, dists in by_q.items():
             assert dists == sorted(dists), q
+
+
+def test_family_overlap_planted_niches(spark, tmp_path):
+    """Each detector family's claimed NICHE, as a theorem on a planted
+    corpus: a near-identical pair (one token changed) is caught by every
+    family; a token-SHUFFLED pair (identical bag, destroyed order) only by
+    order-blind SimHash; a small embedded QUOTE (12-token span inside 88
+    unique tokens — whole-doc Jaccard ~0.06) only by winnowing; an
+    unrelated pair by nobody.  This pins the interpretation the audit's
+    docstring sells (SimHash = distributional similarity, winnow = local
+    span overlap), not just set arithmetic."""
+    import random
+
+    from block_crawler_spark.plans.text_ops import _overlap_pair_frames
+
+    words = [f"w{i}" for i in range(60)]
+    rnd = random.Random(7)
+    base = " ".join(rnd.choice(words) for _ in range(100))
+    near = " ".join(base.split()[:-1] + ["zzz"])
+    a2 = " ".join(rnd.choice(words) for _ in range(100))
+    sh2 = a2.split()
+    random.Random(11).shuffle(sh2)
+    shuffled = " ".join(sh2)
+    a3 = " ".join(rnd.choice(words) for _ in range(100))
+    span = a3.split()[40:52]
+    uniq = [f"u{i}" for i in range(88)]
+    quoted = " ".join(uniq[:44] + span + uniq[44:])
+    a4 = " ".join(rnd.choice(words) for _ in range(100))
+    unrelated = " ".join(f"v{i}" for i in range(100))
+    rows = [
+        (i, t, "en", "s0", len(t))
+        for i, t in enumerate([base, near, a2, shuffled, a3, quoted, a4, unrelated])
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        fam: {(r["id_a"], r["id_b"]) for r in df.collect()}
+        for fam, df in _overlap_pair_frames(spark, str(tmp_path)).items()
+    }
+    NEAR, SHUF, QUOTE = (0, 1), (2, 3), (4, 5)
+    assert got["charngram"] == {NEAR}
+    assert got["containment"] == {NEAR}
+    assert got["minhash"] == {NEAR}
+    assert got["simhash"] == {NEAR, SHUF}, "SimHash alone must catch the shuffled bag"
+    assert got["winnow"] == {NEAR, QUOTE}, "winnow alone must catch the embedded quote"
+    for fam, pairs in got.items():
+        assert (6, 7) not in pairs, fam
