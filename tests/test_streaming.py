@@ -241,3 +241,82 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         and 0 <= (p["ts"] - c["ts"]).total_seconds() <= 21600
     }
     assert exp == manual
+
+
+def test_stream_interval_join_drops_late_rows(spark, tmp_path):
+    """Watermark semantics DEMONSTRATED, not asserted: after the stream's
+    watermark has advanced far past T0 (phase-1 chunk includes a row 10
+    hours later), a purchase arriving in phase 2 with event-time T0+30min
+    is LATE beyond the 2-hour watermark and must produce no join output —
+    while a fresh purchase in the same phase-2 chunk still joins.  Driven
+    through one checkpoint across two availableNow runs (the watermark
+    persists in the checkpoint, exactly like a production restart)."""
+    import datetime as dt
+
+    from block_crawler_spark.streaming.windows import read_events_stream, stream_interval_join
+
+    src = str(tmp_path / "late_chunks")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(rows, name):
+        spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows, start=hash(name) % 1000 * 100)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        sl = read_events_stream(spark, src).filter(F.col("event_type") == "purchase")
+        sr = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+        q = (
+            stream_interval_join(sl, sr)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: a click at T0, an on-time purchase 30 min later (joins), and
+    # a far-future row on BOTH streams that drags both watermarks to T0+10h
+    write_chunk(
+        [
+            (t0, 1, "click"),
+            (t0 + dt.timedelta(minutes=30), 1, "purchase"),
+            (t0 + dt.timedelta(hours=10), 99, "purchase"),
+            (t0 + dt.timedelta(hours=10), 98, "click"),
+        ],
+        "p1",
+    )
+    run_once()
+    phase1 = spark.read.parquet(out).collect()
+    assert {(r["user_id"], r["l_ts"], r["r_ts"]) for r in phase1} == {
+        (1, t0 + dt.timedelta(minutes=30), t0)
+    }
+
+    # phase 2: a LATE purchase at T0+31min (watermark is ~T0+8h — dropped)
+    # and a fresh on-time pair at T0+10h (control: still joins)
+    write_chunk(
+        [
+            (t0 + dt.timedelta(minutes=31), 1, "purchase"),
+            (t0 + dt.timedelta(hours=10), 2, "click"),
+            (t0 + dt.timedelta(hours=10, minutes=5), 2, "purchase"),
+        ],
+        "p2",
+    )
+    run_once()
+    phase2 = spark.read.parquet(out).collect()
+    keys = {(r["user_id"], r["l_ts"], r["r_ts"]) for r in phase2}
+    assert (
+        1,
+        t0 + dt.timedelta(minutes=31),
+        t0,
+    ) not in keys, "late purchase must be dropped by the watermark"
+    assert (
+        2,
+        t0 + dt.timedelta(hours=10, minutes=5),
+        t0 + dt.timedelta(hours=10),
+    ) in keys, "fresh pair must still join after restart"
