@@ -77,6 +77,7 @@ def stream_interval_join(
     right: DataFrame,
     interval: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM interval join (beyond-parity ST surface —
     the reference's streaming loop has no two-stream operators at all):
@@ -88,6 +89,13 @@ def stream_interval_join(
     the other side's watermark passes their interval, so state is
     O(rate × (interval + watermark)) — never unbounded — and results emit
     in append mode.
+
+    ``how="left_outer"`` keeps unmatched LEFT events: on a stream they
+    emit (with null right columns) only once the watermark passes their
+    join window — Spark must be sure no matching right row can still
+    arrive — so outer results are delayed by up to interval + watermark,
+    the documented stream-stream outer trade (demonstrated across a
+    checkpoint restart in tests/test_streaming.py).
 
     Works on batch frames too (watermarks skipped; same join predicate),
     which is how the streaming result is equality-tested against the
@@ -115,7 +123,7 @@ def stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("l_id") != F.col("r_id"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "user_id", "l_id", "l_ts", "l_type", "r_id", "r_ts", "r_type"
     )
 

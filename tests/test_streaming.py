@@ -320,3 +320,69 @@ def test_stream_interval_join_drops_late_rows(spark, tmp_path):
         t0 + dt.timedelta(hours=10, minutes=5),
         t0 + dt.timedelta(hours=10),
     ) in keys, "fresh pair must still join after restart"
+
+
+def test_stream_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """left_outer stream-stream join: a clickless purchase emits with null
+    right columns ONLY once the watermark passes its join window (Spark
+    must rule out a future match first) — demonstrated across a
+    checkpoint: phase 1 leaves it buffered and unemitted; phase 2's
+    watermark advance releases the null-matched row.  A matched purchase
+    emits normally in phase 1."""
+    import datetime as dt
+
+    from block_crawler_spark.streaming.windows import read_events_stream, stream_interval_join
+
+    src = str(tmp_path / "outer_chunks")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_chunk(rows, base_id):
+        spark.createDataFrame(
+            [(base_id + i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        sl = read_events_stream(spark, src).filter(F.col("event_type") == "purchase")
+        sr = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+        q = (
+            stream_interval_join(sl, sr, how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: user 1 has click+purchase (matched); user 2's purchase has
+    # NO click — must stay buffered, since a click could still arrive
+    write_chunk(
+        [
+            (t0, 1, "click"),
+            (t0 + dt.timedelta(minutes=30), 1, "purchase"),
+            (t0 + dt.timedelta(minutes=30), 2, "purchase"),
+        ],
+        100,
+    )
+    run_once()
+    p1 = spark.read.parquet(out).collect()
+    assert {(r["user_id"], r["r_id"]) for r in p1} == {(1, 100)}, "unmatched must not emit yet"
+
+    # phase 2: advance BOTH watermarks far past user 2's join window
+    write_chunk(
+        [
+            (t0 + dt.timedelta(hours=10), 98, "click"),
+            (t0 + dt.timedelta(hours=10), 99, "purchase"),
+        ],
+        200,
+    )
+    run_once()
+    p2 = spark.read.parquet(out).collect()
+    unmatched = [r for r in p2 if r["user_id"] == 2]
+    assert len(unmatched) == 1
+    assert unmatched[0]["r_id"] is None and unmatched[0]["r_ts"] is None
+    assert unmatched[0]["l_type"] == "purchase"
