@@ -289,14 +289,25 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     return labels
 
 
-def dedup_assignments_cc(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_assignments_cc(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
+) -> DataFrame:
     """Exact near-dup assignment by transitive closure: every document maps
     to its component's minimum id (``keep_id``); everything else in the
     component is a duplicate.  Fixes the greedy rule's miss where B<C are
     only linked through pairs (A,B),(A,C): greedy keeps the chain minimum
     per edge, closure keeps exactly one survivor per cluster.
+
+    ``components`` short-circuits the closure with a precomputed
+    (id, comp) map — it MUST be :func:`dedup_components` of the same
+    ``pairs`` (the caller owns that contract; the plan layer's session
+    memo uses it so three consumers of one pair stage run the iterative
+    closure once per session instead of once per query, round 13).
     """
-    comp = dedup_components(pairs)
+    comp = dedup_components(pairs) if components is None else components
     return docs.join(
         comp.select(F.col("id").alias(id_col), F.col("comp")), id_col, "left"
     ).select(

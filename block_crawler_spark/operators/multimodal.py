@@ -235,6 +235,86 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(frames, FRAME_SCHEMA)
 
 
+DHASH_GRID = 61  # 61 block means → 60 adjacent-difference bits (sign-bit-free)
+DHASH_BITS = DHASH_GRID - 1
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+
+def content_dhash(content_df: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
+    """Perceptual difference-hash (dHash) over opaque binary content via the
+    Arrow-batched ``mapInPandas`` decode stage (round 13 — VERDICT r12 task
+    1: the multimodal near-dup family beyond exact md5).
+
+    The classic dHash recipe (resize → compare adjacent cells), expressed
+    over the byte stream: content is block-mean downsampled onto a fixed
+    ``grid`` of equal-frequency byte ranges (block ``b`` covers bytes ``i``
+    with ``(i*grid) DIV n == b`` — the standard bucketing, every block
+    non-empty once ``n >= grid``), and bit ``j`` is 1 iff block ``j+1``'s
+    mean exceeds block ``j``'s.  Means are compared CROSS-MULTIPLIED
+    (``s[j+1]*c[j] > s[j]*c[j+1]``) so the whole signature is exact integer
+    arithmetic — which is also what makes it a DuckDB-oracle-checkable
+    fingerprint (the hex-dump nibble walk, like ``media_frame_stats``).
+
+    Perceptual properties (pinned by the planted-transform pytest):
+    * global brightness shift (+k to every byte) preserves every bit
+      exactly — adding ``k`` to all means adds ``k·c[j]·c[j+1]`` to both
+      sides of the cross-multiplied comparison;
+    * small local noise / a small crop perturb block means slightly, so
+      only bits whose adjacent means nearly tie can flip — near-dups land
+      within a few Hamming bits, verified downstream with
+      ``bit_count(xor)`` (the SimHash band machinery, reused verbatim);
+    * the fixed grid makes the signature length-invariant: a re-encoded /
+      padded twin with the same coarse intensity profile hashes nearby.
+
+    60 bits (not 64) keeps the recomposed signature off the BIGINT sign
+    bit, so the SQL oracle's arithmetic recomposition stays portable — the
+    same trade ``simhash64`` documents for its 32-bit oracle domain.
+    Default bands downstream: 4 × 15 bits (32 768 buckets per band);
+    pigeonhole gives total recall for Hamming < 4.
+
+    Content is consumed inside the stage and never emitted — output rows
+    are 24 bytes, so the band join downstream shuffles signatures, never
+    media bytes (the multimodal scale contract).  For codec media (jpeg /
+    rawvideo) decode first (:func:`_decode_image` / :func:`sample_frames`)
+    and hash the decoded buffer; raw payloads hash as-is.
+
+    Exactness note: block sums use float64 accumulation (numpy bincount
+    weights), exact as integers for any block sum < 2⁵³ — i.e. blobs up to
+    ~2⁴⁵ bytes, far past any single media row.
+
+    Input: (media_id, content: binary).  Output: (media_id, n_bytes, dhash).
+    """
+    bits = grid - 1
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64)).astype(object)
+        for pdf in batches:
+            out_n, out_h = [], []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    out_n.append(0)
+                    out_h.append(0)
+                    continue
+                blk = (np.arange(n, dtype=np.int64) * grid) // n
+                s = np.bincount(blk, weights=arr, minlength=grid).astype(np.int64)
+                c = np.bincount(blk, minlength=grid).astype(np.int64)
+                b = (s[1:] * c[:-1] > s[:-1] * c[1:]).astype(object)
+                out_n.append(n)
+                out_h.append(int((b * weights).sum()))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h})
+
+    return content_df.mapInPandas(hashes, DHASH_SCHEMA)
+
+
 def synthetic_media(spark, n_images: int = 8, n_audio: int = 4, n_video: int = 2):
     """Deterministic fake media table (seeded bytes) for tests/demos."""
     rng = np.random.default_rng(42)

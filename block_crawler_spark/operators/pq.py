@@ -361,7 +361,34 @@ def ivfpq_residual_topk(
         # pre-trained residual codebook supplied by the caller (the plan
         # layer's session memo — round 12): MUST have been produced by
         # ivfpq_residual_codebook with the SAME (centroids, m, sub_dim,
-        # n_codewords, iters, sample); the caller owns that contract
+        # n_codewords, iters, sample).  The caller owns the centroid/iters/
+        # sample part of that contract (unverifiable from the frame), but
+        # the LAYOUT is checked here (ADVICE r12): a codebook trained with
+        # a different (m, sub_dim, n_codewords) would silently produce
+        # wrong ADC distances, not an error.  The codebook is ≤ M·K rows
+        # and already driver-materialized by every caller, so the check is
+        # one cheap bounded action.
+        layout = (
+            codebook.groupBy("m")
+            .agg(
+                F.max("code").alias("max_code"),
+                F.collect_set(F.size("cvec")).alias("widths"),
+            )
+            .collect()
+        )
+        got_ms = sorted(r["m"] for r in layout)
+        # NB: a trained codebook legitimately carries FEWER than n_codewords
+        # codes per subspace (Lloyd drops empty clusters), so only codes AT
+        # OR PAST n_codewords are definitely a different layout
+        bad_codes = {r["m"]: r["max_code"] for r in layout if r["max_code"] >= n_codewords}
+        bad_widths = {r["m"]: r["widths"] for r in layout if set(r["widths"]) != {sub_dim}}
+        if got_ms != list(range(m)) or bad_codes or bad_widths:
+            raise ValueError(
+                f"ivfpq_residual_topk: supplied codebook does not match the requested "
+                f"layout (m={m}, sub_dim={sub_dim}, n_codewords={n_codewords}): "
+                f"subspaces={got_ms}, out-of-range codes={bad_codes}, "
+                f"wrong codeword widths={bad_widths}"
+            )
         cb = codebook
     elif train_iters > 0:
         cb = ivfpq_residual_codebook(

@@ -1082,8 +1082,11 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN {SPIKE_TRAIL} PR
 QUERIES["evt_rate_spikes"] = (rate_spikes_query, RATE_SPIKES_SQL)
 
 
-ATTRIB_INTERVAL = "6 hours"
-ATTRIB_INTERVAL_S = 21_600
+# ONE source of truth for the attribution window (ADVICE r12): the Spark
+# interval string is DERIVED from the seconds constant the oracle embeds,
+# so editing the window can never desynchronize query and oracle
+ATTRIB_INTERVAL_S = 21_600  # 6 hours
+ATTRIB_INTERVAL = f"{ATTRIB_INTERVAL_S} seconds"
 
 
 def attribution_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -192,3 +192,168 @@ FROM f
 """
 
 QUERIES["media_frame_stats"] = (media_frame_stats_query, MEDIA_FRAMES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (round 13) — the dHash family beyond exact md5
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4  # 60 bits → 4 × 15-bit bands (32 768 buckets per band)
+PHASH_MAX_HAMMING = 6  # total recall ≤ 3 (pigeonhole), probabilistic 4–6
+
+# Planted perceptual twins (both engines derive them identically): the text
+# corpus's near-dups are token SHUFFLES (byte rearrangements a perceptual
+# hash correctly does NOT match — verified: zero dHash pairs on the raw
+# corpus), so the derived media corpus plants the transforms perceptual
+# hashing exists to catch: a BRIGHTNESS twin (+delta to every byte value —
+# the re-encode/level-shift class) for every 7th doc and a NOISE twin
+# (+1 on a deterministic ~1/13 byte mask — the lossy-compression class)
+# for every 11th.  Byte values clamp at 255 (LEAST) so the transform is
+# total on any payload, not just ASCII.
+PHASH_TWIN_OFFSET = 10_000_000
+PHASH_BRIGHT_MOD, PHASH_BRIGHT_DELTA = 7, 7
+PHASH_NOISE_MOD, PHASH_NOISE_STRIDE, PHASH_NOISE_EVERY = 11, 31, 13
+
+
+def _planted_transform_media(docs: DataFrame) -> DataFrame:
+    """documents → media corpus with planted perceptual twins, as REAL
+    transformed blobs through an Arrow ``mapInPandas`` stage (the
+    re-encode/transform stage of a media pipeline; fanout inside the
+    batch, like ``sample_frames``).  On a real media table you would point
+    :func:`content_dhash` at the content column directly — this stage
+    exists because the harness carries no media tables."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType(), False), StructField("content", BinaryType(), False)]
+    )
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = (txt or "").encode("utf-8")
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                ids.append(did)
+                blobs.append(raw)
+                if did % PHASH_BRIGHT_MOD == 0:
+                    ids.append(did + PHASH_TWIN_OFFSET)
+                    blobs.append(np.minimum(arr + PHASH_BRIGHT_DELTA, 255).astype(np.uint8).tobytes())
+                if did % PHASH_NOISE_MOD == 0:
+                    i = np.arange(len(arr), dtype=np.int64)
+                    noise = (i * PHASH_NOISE_STRIDE + did) % PHASH_NOISE_EVERY == 0
+                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
+                    blobs.append(np.minimum(arr + noise, 255).astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def media_phash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL media near-dup pairs (round 13 — VERDICT r12 task 1:
+    ``media_near_dup_pairs`` detects only exact duplicates, the one
+    exact-dup-only first-class component).  The dHash fingerprint is
+    computed inside the REAL Arrow decode stage
+    (:func:`operators.multimodal.content_dhash` — block-mean downsample of
+    the binary content onto a fixed 61-block grid, 60 adjacent-difference
+    bits, exact integer arithmetic) and candidates come from the SAME
+    banded Hamming machinery every SimHash family uses
+    (:func:`operators.dedup.simhash_band_pairs` — 4 × 15-bit band
+    equi-join + exact ``bit_count(xor)`` verify).  The corpus is the
+    documents-derived blobs plus planted brightness/noise twins
+    (:func:`_planted_transform_media`): brightness twins pair at
+    Hamming 0 BY CONSTRUCTION (a global level shift adds the same term to
+    both sides of the cross-multiplied mean comparison), noise twins land
+    within a few bits, and unrelated content hashes ~uniformly so it
+    survives neither the band join nor the Hamming cut — all three
+    behaviors pinned by the planted-transform pytest
+    (tests/test_r13_evidence.py) and hash-checked against the DuckDB
+    oracle, which replays the same transforms on the hex dump.
+
+    Scale shape: content bytes never leave the Arrow stages (24-byte
+    signature rows are all that shuffles); candidate generation is a band
+    equi-join — pair count ∝ bucket collisions (2⁻¹⁵ per band for
+    unrelated content), never media².  Output: (id_a, id_b, hamming),
+    de-mirrored."""
+    from ..operators.dedup import simhash_band_pairs
+    from ..operators.multimodal import DHASH_BITS, content_dhash
+
+    media = _planted_transform_media(load_table(spark, sf_dir, "documents"))
+    # cache: the band self-join reads the signature table twice; without it
+    # the Arrow transform+dHash stages run twice end-to-end (same pattern
+    # and same CacheManager note as simhash_pairs_query's sigs.cache() —
+    # one 24-byte row per media, deduplicated across invocations by the
+    # logical plan)
+    sigs = content_dhash(media).select("media_id", F.col("dhash").alias("simhash")).cache()
+    return simhash_band_pairs(
+        sigs,
+        id_col="media_id",
+        bits=DHASH_BITS,
+        bands=PHASH_BANDS,
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+
+
+def _media_phash_sql() -> str:
+    from ..operators.multimodal import DHASH_BITS, DHASH_GRID
+
+    width = DHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(PHASH_BANDS))
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+mr AS (
+  SELECT doc_id AS media_id, doc_id AS src, 0 AS delta, 0 AS noisy, h, n FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET}, doc_id, {PHASH_BRIGHT_DELTA}, 0, h, n
+  FROM base WHERE doc_id % {PHASH_BRIGHT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * PHASH_TWIN_OFFSET}, doc_id, 0, 1, h, n
+  FROM base WHERE doc_id % {PHASH_NOISE_MOD} = 0
+),
+by AS (
+  SELECT media_id, (i * {DHASH_GRID}) // n AS blk,
+         LEAST((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)
+               + delta
+               + CASE WHEN noisy = 1 AND (i * {PHASH_NOISE_STRIDE} + src) % {PHASH_NOISE_EVERY} = 0
+                      THEN 1 ELSE 0 END,
+               255) AS v
+  FROM mr, unnest(range(n)) AS t(i)
+),
+blocks AS (SELECT media_id, blk, SUM(v) AS s, COUNT(*) AS c FROM by GROUP BY media_id, blk),
+grid AS (
+  SELECT mr.media_id, gi.j AS blk, COALESCE(k.s, 0) AS s, COALESCE(k.c, 0) AS c
+  FROM mr CROSS JOIN range({DHASH_GRID}) gi(j)
+  LEFT JOIN blocks k ON k.media_id = mr.media_id AND k.blk = gi.j
+),
+sig AS (
+  SELECT g1.media_id,
+         CAST(SUM(CASE WHEN g2.s * g1.c > g1.s * g2.c
+                       THEN CAST(1 AS BIGINT) << ({DHASH_BITS - 1} - g1.blk)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM grid g1 JOIN grid g2 ON g2.media_id = g1.media_id AND g2.blk = g1.blk + 1
+  GROUP BY g1.media_id
+),
+bands AS (
+  SELECT media_id, dhash, b AS band_index,
+         (dhash >> ({DHASH_BITS} - (b + 1) * {width})) & {mask} AS band_value
+  FROM sig, unnest([{band_ids}]) AS t(b)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b
+  ON a.band_index = b.band_index AND a.band_value = b.band_value AND a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+QUERIES["media_phash_near_dup_pairs"] = (media_phash_near_dup_query, _media_phash_sql())

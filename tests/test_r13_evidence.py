@@ -1,0 +1,171 @@
+"""Round-13 evidence tests: the perceptual media dHash family, the
+semantic pair/closure session memos, and the ADVICE r12 hardening pins
+(codebook layout validation; the bitsign kNN-join's map-side partial
+top-L)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_crawler_spark.sources.tables import load_table
+
+SF0 = "/root/testdata/sf0.001"
+
+
+def test_bitsign_knn_partial_limit_pushed(spark):
+    """The kNN-join's stage-1 shortlist is NOT a single-task full-corpus
+    sort per query (ADVICE r12): Spark's window-group-limit pushdown must
+    place a PARTIAL WindowGroupLimit (map-side top-L per scan partition)
+    BEFORE the q_id exchange, bounding every post-shuffle sort to
+    n_scan_partitions·L rows per query.  Pinned on the physical plan so a
+    regression (e.g. an expression change that defeats the pushdown, or
+    spark.sql.optimizer.windowGroupLimitThreshold=0) fails loudly."""
+    from block_crawler_spark.plans.embed_ops import BITSIGN_JOIN_SHORTLIST, bitsign_knn_join_query
+
+    plan = (
+        bitsign_knn_join_query(spark, SF0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert f"row_number(), {BITSIGN_JOIN_SHORTLIST}, Partial" in plan, plan
+
+
+def _dhash_ref(arr, grid=61):
+    """Independent numpy recompute of the block-mean dHash."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.int64)
+    n = len(arr)
+    if n == 0:
+        return 0
+    blk = (np.arange(n, dtype=np.int64) * grid) // n
+    s = np.bincount(blk, weights=arr, minlength=grid).astype(np.int64)
+    c = np.bincount(blk, minlength=grid).astype(np.int64)
+    h = 0
+    for bit in s[1:] * c[:-1] > s[:-1] * c[1:]:
+        h = (h << 1) | int(bit)
+    return h
+
+
+def test_content_dhash_planted_transforms(spark):
+    """The dHash family's perceptual contract on a planted corpus
+    (VERDICT r12 task 1 'done' criterion): a brightness-shifted twin pairs
+    at Hamming 0 (exact invariance — a global level shift cancels in the
+    cross-multiplied mean comparison), a ±1-noise twin pairs at Hamming 0,
+    a front-cropped twin pairs within the pigeonhole total-recall zone,
+    and unrelated random content does NOT pair.  The smooth sine 'image'
+    models real media intensity profiles (block means trace the wave), the
+    regime where dHash earns its keep."""
+    import numpy as np
+
+    from block_crawler_spark.operators.dedup import simhash_band_pairs
+    from block_crawler_spark.operators.multimodal import DHASH_BITS, content_dhash
+    from block_crawler_spark.plans.media_ops import PHASH_BANDS, PHASH_MAX_HAMMING
+
+    i = np.arange(4096)
+    orig = (128 + 60 * np.sin(2 * np.pi * 5 * i / 4096)).astype(np.int64)
+    rng = np.random.default_rng(7)
+    blobs = {
+        0: orig,
+        1: np.minimum(orig + 10, 255),  # brightness twin
+        2: orig + rng.integers(-1, 2, 4096),  # noise twin
+        3: orig[32:],  # cropped twin
+        4: rng.integers(0, 256, 4096),  # unrelated
+        5: rng.integers(0, 256, 4096),  # unrelated
+    }
+    df = spark.createDataFrame(
+        [(k, v.astype(np.uint8).tobytes()) for k, v in blobs.items()],
+        "media_id long, content binary",
+    )
+    sigs = content_dhash(df)
+    rows = {r["media_id"]: r for r in sigs.collect()}
+    # the Arrow stage agrees with the independent recompute, bit for bit
+    for k, v in blobs.items():
+        assert rows[k]["dhash"] == _dhash_ref(v), k
+        assert rows[k]["n_bytes"] == len(v)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(
+            sigs.select("media_id", F.col("dhash").alias("simhash")),
+            id_col="media_id",
+            bits=DHASH_BITS,
+            bands=PHASH_BANDS,
+            max_hamming=PHASH_MAX_HAMMING,
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0  # brightness: exact invariance
+    assert pairs[(0, 2)] == 0  # ±1 noise: absorbed by the block means
+    assert 0 < pairs[(0, 3)] < PHASH_BANDS  # crop: pigeonhole-recall zone
+    assert not any(4 in p or 5 in p for p in pairs), pairs
+
+
+def test_content_dhash_empty_and_short_blobs(spark):
+    """Degenerate payloads stay total and deterministic: an empty blob
+    hashes to 0 (all-empty blocks compare 0>0 false) and a blob shorter
+    than the grid leaves trailing blocks empty without error."""
+    from block_crawler_spark.operators.multimodal import content_dhash
+
+    df = spark.createDataFrame(
+        [(0, b""), (1, bytes([5, 200, 5]))], "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r for r in content_dhash(df).collect()}
+    assert rows[0]["dhash"] == 0 and rows[0]["n_bytes"] == 0
+    assert rows[1]["dhash"] == _dhash_ref([5, 200, 5]) and rows[1]["n_bytes"] == 3
+
+
+def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
+    """End-to-end registry behavior at sf0.001: every planted brightness
+    twin pairs with its original at Hamming 0, and NO pair joins blobs
+    derived from different source documents (the selectivity claim — on
+    this corpus unrelated blobs hash far apart, so the band join + Hamming
+    cut admit zero false pairs)."""
+    from block_crawler_spark.plans.media_ops import (
+        PHASH_BRIGHT_MOD,
+        PHASH_TWIN_OFFSET,
+        media_phash_near_dup_query,
+    )
+
+    docs = load_table(spark, SF0, "documents").select("doc_id").collect()
+    doc_ids = sorted(r["doc_id"] for r in docs)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_phash_near_dup_query(spark, SF0).collect()
+    }
+    assert pairs, "planted twins must be found"
+    for a, b in pairs:
+        assert a % PHASH_TWIN_OFFSET == b % PHASH_TWIN_OFFSET, (a, b)
+    for did in doc_ids:
+        if did % PHASH_BRIGHT_MOD == 0:
+            assert pairs[(did, did + PHASH_TWIN_OFFSET)] == 0
+
+
+def test_residual_codebook_layout_mismatch_raises(spark):
+    """A caller-supplied residual codebook with a different (m, sub_dim,
+    n_codewords) layout must raise, not silently produce wrong ADC
+    distances (ADVICE r12)."""
+    from block_crawler_spark.operators.pq import ivfpq_residual_codebook, ivfpq_residual_topk
+
+    M, K, SUB = 16, 64, 4
+    emb = load_table(spark, SF0, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    cents = emb.filter(F.col("vec_id") < 4)
+
+    # trained with HALF the subspaces (m=8, sub_dim=8): wrong m and width
+    wrong = ivfpq_residual_codebook(emb, cents, M // 2, SUB * 2, K, 0, None)
+    with pytest.raises(ValueError, match="does not match the requested layout"):
+        ivfpq_residual_topk(queries, emb, cents, M, SUB, 3, n_codewords=K, codebook=wrong)
+
+    # trained with MORE codewords: codes past n_codewords are definite
+    # mismatches (fewer is legal — Lloyd drops empty clusters)
+    big = ivfpq_residual_codebook(emb, cents, M, SUB, K * 2, 0, None)
+    with pytest.raises(ValueError, match="does not match the requested layout"):
+        ivfpq_residual_topk(queries, emb, cents, M, SUB, 3, n_codewords=K, codebook=big)
+
+    # the MATCHING layout passes the check and returns k rows per query
+    ok = ivfpq_residual_codebook(emb, cents, M, SUB, K, 0, None)
+    rows = ivfpq_residual_topk(
+        queries, emb, cents, M, SUB, 3, n_codewords=K, codebook=ok
+    ).collect()
+    assert len(rows) == 2 * 3

@@ -261,8 +261,13 @@ def test_stream_interval_join_drops_late_rows(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
     def write_chunk(rows, name):
+        # fixed per-chunk id bases (ADVICE r12): hash(name) is randomized per
+        # run (PYTHONHASHSEED) and the p1/p2 bases could collide (~1/1000
+        # seeds), letting the late purchase share event_id with the phase-1
+        # click — the l_id != r_id predicate would then mask a
+        # watermark-eviction regression instead of the watermark dropping it
         spark.createDataFrame(
-            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows, start=hash(name) % 1000 * 100)],
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows, start={"p1": 100, "p2": 200}[name])],
             "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
         ).write.mode("append").parquet(src)
 
