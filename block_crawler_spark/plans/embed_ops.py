@@ -1526,23 +1526,13 @@ def semantic_cells_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pair meeting in both shared cells is emitted ONCE: pairs group by
     (id_a, id_b, sqdist) and keep the lexicographically-lowest
     (cell, cell_pop, n_shards) diagnostic (struct-min — deterministic both
-    engines)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    assign2 = _top2_assign(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    pairs = _semantic_pairs(assign2, vecs)
-    return (
-        pairs.groupBy("id_a", "id_b", "sqdist")
-        .agg(F.min(F.struct("cell", "cell_pop", "n_shards")).alias("m"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("m.cell").alias("cell"),
-            F.col("m.cell_pop").alias("cell_pop"),
-            F.col("m.n_shards").alias("n_shards"),
-            "sqdist",
-        )
-    )
+    engines).
+
+    The whole stage is session-memoized (round 13,
+    :func:`_memoized_semantic_pairs`): keep_mp2 / balanced_sample_mp2 /
+    the sweep replay this computed pair set instead of re-deriving the
+    assignment + band-shard lineage per query."""
+    return _memoized_semantic_pairs(spark, sf_dir, probes=2)
 
 
 def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1565,11 +1555,10 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-materialized and the training cache released; recall
     misses only pairs straddling a cell (or, when the guard fires, shard)
     boundary — the documented SemDeDup trade, surfaced in-band by the
-    cell_pop/n_shards columns."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    assign, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    return _semantic_pairs(assign, vecs)
+    cell_pop/n_shards columns.  Session-memoized since round 13
+    (:func:`_memoized_semantic_pairs` — one pair-stage execution shared by
+    cells/keep/balanced_sample/sweep)."""
+    return _memoized_semantic_pairs(spark, sf_dir, probes=1)
 
 
 def _kmeans_cte_chain_rt(iters: int) -> list[str]:
@@ -1893,12 +1882,15 @@ def semantic_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: inherits the derived-K, shard-guarded pair join and the
     edge-set-sized CC rounds; the final assignment is one left join of the
-    corpus against the component map."""
+    corpus against the component map — which is itself session-memoized
+    (round 13, :func:`_memoized_semantic_comp`: the iterative closure runs
+    once per (fingerprint, knobs, probes), not once per consumer)."""
     from ..operators.dedup import dedup_assignments_cc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_cells_query(spark, sf_dir).select("id_a", "id_b")
-    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id")
+    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=1).select("id_a", "id_b")
+    comp = _memoized_semantic_comp(spark, sf_dir, probes=1)
+    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id", components=comp)
 
 
 def semantic_keep_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,13 +1900,15 @@ def semantic_keep_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     single assignment merge when any member pair shares either probe —
     the measured 2.7× pair recall (docs/SCALING.md) flows through the
     transitive closure into strictly-more-complete survivor clusters.
-    Same trained codebook (session memo), same CC machinery; duplicate
-    pair emissions are harmless to the closure (edges are a set)."""
+    Same trained codebook (session memo), same CC machinery; since round
+    13 the pair stage AND the closure are session-memoized too
+    (:func:`_memoized_semantic_pairs` / :func:`_memoized_semantic_comp`)."""
     from ..operators.dedup import dedup_assignments_cc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_cells_mp_query(spark, sf_dir).select("id_a", "id_b")
-    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id")
+    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=2).select("id_a", "id_b")
+    comp = _memoized_semantic_comp(spark, sf_dir, probes=2)
+    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id", components=comp)
 
 
 def _semantic_keep_sql(probes: int = 1) -> str:
@@ -1975,13 +1969,16 @@ def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # ONE Lloyd train shared by the cell assignment and the pair stage —
     # composing via semantic_keep_query would embed a second identical
-    # training loop (Lloyd collects driver-side, so it would EXECUTE twice)
+    # training loop (Lloyd collects driver-side, so it would EXECUTE twice).
+    # Round 13: the pair stage and the closure are session-memoized on top
+    # (_memoized_semantic_pairs/_comp), so this query's own lineage is the
+    # memoized-centroid assignment + two joins + the cap window.
     assign, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    pairs = _semantic_pairs(assign, vecs).select("id_a", "id_b")
-    keep = dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id").filter(
-        ~F.col("is_duplicate")
-    )
+    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=1).select("id_a", "id_b")
+    comp = _memoized_semantic_comp(spark, sf_dir, probes=1)
+    keep = dedup_assignments_cc(
+        emb.select("vec_id"), pairs, id_col="vec_id", components=comp
+    ).filter(~F.col("is_duplicate"))
     survivors = keep.select("vec_id").join(
         assign.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell")), "vec_id"
     )
@@ -2009,21 +2006,24 @@ def balanced_sample_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-membership; only CANDIDATE GENERATION is multi-probe), the top-2
     assignment feeding the band-sharded pair stage (≤ N·SEM_CELL_CAP
     candidates — 2× the single-probe budget, the advertised price of the
-    measured 2.7× pair recall), and the CC survivor verdict.  Output
-    contract identical to ``emb_balanced_sample``: (vec_id, cell,
-    cell_rank ≤ CELL_CAP), survivors-only."""
+    measured 2.7× pair recall), and the CC survivor verdict.  Round 13
+    extends the sharing past the train: the pair stage and the closure are
+    session-memoized (:func:`_memoized_semantic_pairs` /
+    :func:`_memoized_semantic_comp`), so cells_mp2/keep_mp2/this query
+    execute that lineage once per session.  Output contract identical to
+    ``emb_balanced_sample``: (vec_id, cell, cell_rank ≤ CELL_CAP),
+    survivors-only."""
     from pyspark.sql import Window
 
-    from ..operators.ann import centroid_assign_top2
     from ..operators.dedup import dedup_assignments_cc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a1, cents = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    pairs = _semantic_pairs(centroid_assign_top2(vecs, cents), vecs).select("id_a", "id_b")
-    keep = dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id").filter(
-        ~F.col("is_duplicate")
-    )
+    a1, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
+    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=2).select("id_a", "id_b")
+    comp = _memoized_semantic_comp(spark, sf_dir, probes=2)
+    keep = dedup_assignments_cc(
+        emb.select("vec_id"), pairs, id_col="vec_id", components=comp
+    ).filter(~F.col("is_duplicate"))
     survivors = keep.select("vec_id").join(
         a1.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell")), "vec_id"
     )

@@ -141,6 +141,59 @@ def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
             assert pairs[(did, did + PHASH_TWIN_OFFSET)] == 0
 
 
+def test_semantic_stage_memo_hit_is_result_identical(spark):
+    """The semantic pair/closure session memos (VERDICT r12 task 2) change
+    no result: a cold build and a warm memo hit return bit-identical rows
+    for every consumer — pairs (both probe counts), keep verdicts, and the
+    balanced sample — and the warm pass actually hits the memo (the
+    sempairs/semcomp keys are present and reused)."""
+    from block_crawler_spark.plans import embed_ops
+    from block_crawler_spark.plans.embed_ops import (
+        _CENTROID_MEMO,
+        balanced_sample_mp_query,
+        semantic_cells_mp_query,
+        semantic_keep_mp_query,
+        semantic_keep_query,
+    )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # cold: purge every semantic-stage entry, then build
+    for k in [k for k in _CENTROID_MEMO if k[0] in ("sempairs", "semcomp")]:
+        del _CENTROID_MEMO[k]
+    cold = {
+        "cells_mp2": snap(semantic_cells_mp_query(spark, SF0)),
+        "keep1": snap(semantic_keep_query(spark, SF0)),
+        "keep2": snap(semantic_keep_mp_query(spark, SF0)),
+        "sample2": snap(balanced_sample_mp_query(spark, SF0)),
+    }
+    keys = {k[0] for k in _CENTROID_MEMO}
+    assert {"sempairs", "semcomp"} <= keys, keys
+    # warm: every consumer replays the memoized stages
+    warm = {
+        "cells_mp2": snap(semantic_cells_mp_query(spark, SF0)),
+        "keep1": snap(semantic_keep_query(spark, SF0)),
+        "keep2": snap(semantic_keep_mp_query(spark, SF0)),
+        "sample2": snap(balanced_sample_mp_query(spark, SF0)),
+    }
+    assert cold == warm
+    assert cold["cells_mp2"], "the mp2 pair stage must find pairs at sf0.001"
+
+    # the safety valve: past max_rows nothing is memoized and the LIVE
+    # frame comes back with the same rows
+    for k in [k for k in _CENTROID_MEMO if k[0] in ("sempairs", "semcomp")]:
+        del _CENTROID_MEMO[k]
+    orig = embed_ops._SEM_MEMO_MAX_ROWS
+    embed_ops._SEM_MEMO_MAX_ROWS = 1
+    try:
+        live = snap(semantic_cells_mp_query(spark, SF0))
+        assert live == cold["cells_mp2"]
+        assert not any(k[0] in ("sempairs", "semcomp") for k in _CENTROID_MEMO)
+    finally:
+        embed_ops._SEM_MEMO_MAX_ROWS = orig
+
+
 def test_residual_codebook_layout_mismatch_raises(spark):
     """A caller-supplied residual codebook with a different (m, sub_dim,
     n_codewords) layout must raise, not silently produce wrong ADC
