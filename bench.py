@@ -140,6 +140,8 @@ HEADLINE = [
     "emb_ivf_recall_audit",
     "emb_bitsign_knn_join",
     "evt_attribution_interval_join",
+    # round 13
+    "media_phash_near_dup_pairs",
 ]
 
 

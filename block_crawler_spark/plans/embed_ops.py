@@ -2514,7 +2514,12 @@ def bitsign_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-query recall@5 grid (scripts/ann_recall.py, ``bitsign_rerank`` vs
     ``rp_rerank``): 0.524 / 0.700 / 0.868 / 0.964 vs 0.236 / 0.432 /
     0.620 / 0.844 at L = 25 / 50 / 100 / 200 — with a stage-1 sketch 8×
-    smaller as stored (16 B vs the JL's 128 B; 16× packed).  This registry
+    smaller as stored (16 B vs the JL's 128 B; 16× packed).  Geometry
+    caveat (round 13, the ``--clustered`` grid — docs/PLAN_AUDIT.md): the
+    dominance is ISOTROPIC-only; on mode-structured corpora JL wins the
+    small-L end (0.716 vs 0.444 at L=25) and both saturate at 1.0 by the
+    committed L=100, so the L=100 choice stands on both geometries and
+    the stage-1 size advantage is the durable edge.  This registry
     query's own single-query recall@10 ladder is 0.7 / 0.8 / 1.0 / 1.0
     over the same Ls (1.0 at the committed L=100 on both graded SFs;
     re-derived from raw parquet and pinned in tests/test_r12_evidence.py).

@@ -52,66 +52,32 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # prefixes displaced (last driver rows: r9).  The judge's independent
 # full-registry oracle re-run is the backstop covering the rest.
 _FRONT = (
-    # -- added in r12 --
-    "emb_balanced_sample_mp2",
-    "doc_bigram_quality_calibration",
-    "dedup_semantic_threshold_sweep",
-    "emb_bitsign_rerank_topk",
-    "dedup_family_overlap",
-    "doc_span_dup_coverage",
-    "emb_cell_label_purity",
-    "emb_ivf_recall_audit",
-    "emb_bitsign_knn_join",
-    "evt_attribution_interval_join",
-    # -- changed in r12: hot-cell coarse pre-split in the band-rank shard
-    #    key (semantic family, both engines), shared top-2 helper, part-
-    #    file-stat memo fingerprint (Lloyd-memoized families), shared
-    #    bigram-occurrence / quality-decile SQL helpers (surprisal +
-    #    calibration refactor), session-memoized trained-PQ codebooks,
-    #    shared _winnow_fps/_WINNOW_CTES front (fingerprint + span-pair +
-    #    coverage can no longer drift) --
-    "emb_pq_trained_topk",
-    "emb_ivfpq_residual_trained",
-    "doc_winnow_fingerprint",
-    "dedup_winnow_span_pairs",
-    "doc_bigram_surprisal",
-    "doc_quality_calibration",
+    # -- added in r13 --
+    "media_phash_near_dup_pairs",
+    # -- changed in r13: the semantic pair stage and transitive closure
+    #    are session-memoized (bit-identical results, memo-hit pytest) —
+    #    every consumer of either stage fronts this round; the trained
+    #    residual query's call path gained the codebook layout validation;
+    #    the attribution join's interval constant is now derived (same
+    #    value, one source of truth) --
     "dedup_semantic_cells",
     "dedup_semantic_cells_mp2",
     "dedup_semantic_keep",
     "dedup_semantic_keep_mp2",
     "emb_balanced_sample",
-    "emb_kmeans_stats",
-    "emb_ivf_trained_topk",
-    "emb_centroid_outliers",
-    # -- longest-unsampled rotation: the r9-era relational block + media
-    #    trio the r10/r11 prefixes displaced (last driver rows: r9) --
-    "media_binary_features",
-    "media_near_dup_pairs",
-    "media_frame_stats",
-    "tpch_q1_pricing_summary",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q11_important_stock",
-    "tpch_q20_nested_in_suppliers",
-    "set_ops_segments",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_revenue_suppliers",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_lone_late_suppliers",
-    "tpch_q7_nation_trade_flows",
-    "tpch_q8_market_share",
-    "agg_rollup_region_nation",
-    "join_range_ship_windows",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_quantities",
-    "tpch_q4_order_priority_semi",
-    "tpch_q12_shipmode_conditional",
-    "tpch_q18_big_orders_having",
-    "tpch_q16_brand_supplier_counts",
-    "tpch_q22_rich_idle_customers",
-    "tpch_q2_cheapest_part_per_size",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
+    "emb_balanced_sample_mp2",
+    "dedup_semantic_threshold_sweep",
+    "emb_ivfpq_residual_trained",
+    "evt_attribution_interval_join",
+    # -- longest-unsampled rotation (computed from CORRECTNESS_r* records:
+    #    last driver rows r8 for the seeded-PQ pair — ALSO the r12 verdict's
+    #    re-measure item, so they get a fresh driver record — and
+    #    doc_length_percentiles; r9 for the relational/evt/nft tail; r10
+    #    for the trailing screens), 40 slots → the prefix-50 sample covers
+    #    the current oldest families exactly --
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "doc_length_percentiles",
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
     "agg_orders_monthly",
@@ -127,6 +93,28 @@ _FRONT = (
     "join_asof_last_signup",
     "evt_token_state_fold",
     "evt_latest_by_version",
+    "evt_json_balances",
+    "evt_window_hourly",
+    "evt_full_outer_reconcile",
+    "evt_sessionize",
+    "nft_token_state_from_lineitem",
+    "nft_owners_from_lineitem",
+    "nft_transfers_decode_from_lineitem",
+    "nft_1155_balances_from_events",
+    "nft_holding_stats",
+    "nft_uint256_clamp_policy",
+    "emb_topk_cosine",
+    "dedup_embedding_cosine_pairs",
+    "emb_ivf_topk",
+    "emb_knn_join",
+    "emb_lsh_buckets",
+    "evt_rate_spikes",
+    "tx_sender_gas_stats",
+    "tx_creations_by_block_bucket",
+    "emb_label_dim_sums",
+    "emb_norm_stats",
+    "emb_rp_topk",
+    "emb_prefix_topk",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

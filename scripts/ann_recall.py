@@ -30,11 +30,21 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=50)
     ap.add_argument("--planes", type=int, default=8)
     ap.add_argument("--centroids", type=int, default=64)
+    # round 13 (VERDICT r12 task 4): the SAME grid over the clustered
+    # fixture (operators.ann.clustered_embeddings — the r12 corpus that
+    # changed the semantic family's story), so the search families'
+    # committed constants are graded on both geometries
+    ap.add_argument("--clustered", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, args.sf, "embeddings").cache()
+    if args.clustered:
+        from block_crawler_spark.operators.ann import clustered_embeddings
+
+        emb = clustered_embeddings(spark, n=2000, n_clusters=32, jitter_milli=70).cache()
+    else:
+        emb = load_table(spark, args.sf, "embeddings").cache()
     n = emb.count()
     queries = emb.filter(F.col("vec_id") < args.queries)
 
@@ -140,7 +150,20 @@ def main() -> int:
     # (squared-L2 is permutation-invariant; only subspace grouping changes)
     from block_crawler_spark.plans.embed_ops import PQ_M, PQ_SUB, dim_variance_query  # noqa: E402
 
-    stats = dim_variance_query(spark, args.sf).collect()
+    if args.clustered:
+        # same stats as the registry query, over the in-memory fixture
+        stats = (
+            emb.select(F.posexplode(micro_fixed(F.col("embedding"))).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").alias("sum_micro"),
+                F.sum(F.col("x") * F.col("x")).alias("sumsq_micro"),
+            )
+            .collect()
+        )
+    else:
+        stats = dim_variance_query(spark, args.sf).collect()
     ranked = sorted(stats, key=lambda r: (-(r["n"] * r["sumsq_micro"] - r["sum_micro"] ** 2), r["dim"]))
     perm = [0] * len(ranked)
     for r_i, row in enumerate(ranked):

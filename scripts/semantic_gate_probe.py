@@ -101,9 +101,143 @@ def _docs(spark, start: int, n: int, dup_of: int | None = None, pin_to: int | No
     )
 
 
+def _near_dup_batch(spark, store, n_targets: int, id_base: int):
+    """A batch of TRUE near-dups of actually-admitted docs: each row's
+    embedding is an admitted doc's point plus a deterministic md5-derived
+    jitter of ≤0.01 per dim (micro² sqdist ≤ 8e8 < the probe's 1e9 gate —
+    every row SHOULD be blocked), large enough relative to the 64-cell
+    partition of the 8-dim cube that cell memberships genuinely flip —
+    the boundary-straddling geometry the asymmetric-slip question is
+    about (VERDICT r12 task 3)."""
+    adm = [
+        r["doc_id"]
+        for r in store.corpus().select("doc_id").orderBy("doc_id").limit(n_targets).collect()
+    ]
+    tgt = spark.createDataFrame([(i, t) for i, t in enumerate(adm)], "rid long, base long")
+    comp = []
+    for j in range(DIM):
+        seed = (
+            F.conv(F.substring(F.md5(F.concat(F.col("base").cast("string"), F.lit(f"|e{j}"))), 1, 6), 16, 10)
+            .cast("long") % 2000 - 1000
+        ) / 1000.0
+        jit = (
+            F.conv(F.substring(F.md5(F.concat(F.col("rid").cast("string"), F.lit(f"|d{j}"))), 1, 6), 16, 10)
+            .cast("long") % 2000 - 1000
+        ) / 1000.0 * 0.01
+        comp.append((seed + jit).cast("float"))
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("s"), F.substring(F.md5(F.concat((F.col("rid") + id_base).cast("string"), F.lit(f"|{j}"))), 1, 6)
+    )
+    text = F.concat_ws(" ", *[word(j) for j in range(12)])
+    return tgt.select(
+        (F.col("rid") + id_base).alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("probe").alias("source"),
+        F.length(text).alias("n_chars"),
+        F.array(*comp).alias("embedding"),
+    )
+
+
+def _slip_rates(spark, cents, work) -> dict:
+    """The ASYMMETRIC-SLIP measurement (VERDICT r12 task 3): with the
+    default ``vindex_probes=1`` a true near-dup slips when its batch-side
+    top-2 cells miss the admitted twin's stored top-1 cell (the
+    pytest-pinned hole); ``vindex_probes=2`` closes it whenever ANY of the
+    four memberships meet.  Two stores, same codebook, same 10k-seed
+    corpus, same 200-row planted near-dup batch (every row has an admitted
+    doc within the gate's threshold — the honest slip denominator); the
+    report carries each config's blocked/slipped counts plus the vindex
+    size and probe-scan deltas the default decision trades against."""
+    n_seed, n_batch = 10_000, 200
+    out = {}
+
+    def _membership_rates(spark, store, batch, id_base):
+        """Structural slip predictors, independent of the end-to-end count:
+        for each (batch row X, planted twin Y) — how often top1(X) ≠
+        top1(Y) (a boundary FLIP: the single-probe-única regime would slip
+        here), how often {top1,top2}(X) ∩ {top1(Y)} = ∅ (the probes=1
+        gate's actual miss condition), and ∩ {top1(Y), top2(Y)} = ∅ (the
+        probes=2 condition).  If flips are zero the corpus never exercises
+        boundaries and the end-to-end 0 would be vacuous — these rates make
+        the measurement checkable."""
+        from block_crawler_spark.operators.ann import centroid_assign_top2, micro_fixed
+
+        cents = store._centroids()
+
+        def top2_map(df, idc):
+            vecs = df.select(F.col(idc).alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+            m: dict[int, list[int]] = {}
+            for r in centroid_assign_top2(vecs, cents).orderBy("vid", "dist").collect():
+                m.setdefault(r["vid"], []).append(r["cid"])
+            return m
+
+        bx = top2_map(batch, "doc_id")
+        # batch doc_id = id_base + rid; its twin is the rid-th admitted id
+        adm = [
+            r["doc_id"]
+            for r in store.corpus().select("doc_id").orderBy("doc_id").limit(len(bx)).collect()
+        ]
+        ty = top2_map(
+            store.corpus().filter(F.col("doc_id").isin(adm)).select("doc_id", "embedding"),
+            "doc_id",
+        )
+        flips = p1_miss = p2_miss = 0
+        for vid, cells in bx.items():
+            twin = adm[vid - id_base]
+            tcells = ty[twin]
+            flips += cells[0] != tcells[0]
+            p1_miss += not (set(cells) & {tcells[0]})
+            p2_miss += not (set(cells) & set(tcells))
+        n = len(bx)
+        return {
+            "top1_flip_pct": round(100.0 * flips / n, 2),
+            "p1_membership_miss_pct": round(100.0 * p1_miss / n, 2),
+            "p2_membership_miss_pct": round(100.0 * p2_miss / n, 2),
+        }
+
+    for probes in (1, 2):
+        root = f"{work}/slip-p{probes}"
+        store = CorpusIngestStore(
+            spark, root, semantic=True, semantic_centroids=cents,
+            semantic_sqdist_max=10**9, vindex_probes=probes,
+        )
+        store.ingest_batch(_docs(spark, 0, n_seed), 0)
+        admitted_seed = store.corpus().count()
+        batch = _near_dup_batch(spark, store, n_batch, id_base=10 * n_seed)
+        # the pruned-scan bound for THIS batch under this probe config
+        from block_crawler_spark.operators.ann import centroid_assign_top2, micro_fixed
+
+        vecs = batch.select(F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+        nb = store._effective_vindex_buckets()
+        touched = sorted(
+            r["b"]
+            for r in centroid_assign_top2(vecs, store._centroids())
+            .select(F.pmod(F.col("cid"), F.lit(nb)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        rows_scanned = int(store.vindex(buckets=touched).count())
+        rates = _membership_rates(spark, store, batch, id_base=10 * n_seed)
+        store.ingest_batch(batch, 1)
+        slipped = int(store.corpus().count() - admitted_seed)
+        out[f"probes={probes}"] = {
+            "admitted_seed": int(admitted_seed),
+            "planted_near_dups": n_batch,
+            "slipped": slipped,
+            "slip_pct": round(100.0 * slipped / n_batch, 2),
+            "vindex_rows": int(store.vindex().count()),
+            "buckets_touched": len(touched),
+            "rows_scanned": rows_scanned,
+            **rates,
+        }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1000,10000,100000")
+    ap.add_argument("--slip-only", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -120,6 +254,10 @@ def main() -> int:
     out: dict = {"batch_rows": BATCH_ROWS, "k_cells": K_CELLS, "sizes": {}}
     work = tempfile.mkdtemp(prefix="semgate-probe-")
     try:
+        out["asymmetric_slip"] = _slip_rates(spark, cents, work)
+        if args.slip_only:
+            print(json.dumps(out))
+            return 0
         for n in sizes:
             root = f"{work}/corpus-{n}"
             store = CorpusIngestStore(

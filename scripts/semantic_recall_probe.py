@@ -159,24 +159,12 @@ def probe_clustered(
     within-cluster pair set (cross-cluster distances are ~40× the
     threshold) and Lloyd cells have real structure to find.  No RNG —
     both the centers and the jitter are content-hash functions of the
-    ids, reproducible anywhere."""
-    from block_crawler_spark.operators.ann import centroid_assign_top2
+    ids, reproducible anywhere.  Round 13: the generator is
+    ``operators.ann.clustered_embeddings`` — ONE fixture definition shared
+    with scripts/ann_recall.py's --clustered grid."""
+    from block_crawler_spark.operators.ann import centroid_assign_top2, clustered_embeddings
 
-    cl = (F.col("id") % n_clusters).cast("string")
-
-    def h(key, span):
-        return (
-            F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % (2 * span + 1) - span
-        ) / 1000.0
-
-    comp = [
-        (
-            h(F.concat(F.lit(f"c{j}|"), cl), 1000)
-            + h(F.concat(F.lit(f"v{j}|"), F.col("id").cast("string")), jitter_milli)
-        ).cast("float")
-        for j in range(CLUSTER_DIM)
-    ]
-    emb = spark.range(n).select(F.col("id").alias("vec_id"), F.array(*comp).alias("embedding"))
+    emb = clustered_embeddings(spark, n, n_clusters, jitter_milli, CLUSTER_DIM)
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     assign, cents = kmeans_lloyd_fixed(emb, k=k, iters=SEM_CELLS_ITERS)
     if probes == 2:

@@ -141,6 +141,47 @@ def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
             assert pairs[(did, did + PHASH_TWIN_OFFSET)] == 0
 
 
+def test_clustered_fixture_determinism_and_ivf_saturation(spark):
+    """The shared clustered-corpus fixture (operators.ann.clustered_embeddings,
+    VERDICT r12 task 4) is a pure content-hash function of the ids —
+    pinned against an independent hashlib recompute — and IVF saturates on
+    it (cells align with density modes: near-total recall at nprobe=2,
+    where the isotropic corpus needs nprobe=8 for 0.836), the headline
+    movement of the r13 clustered grid in docs/PLAN_AUDIT.md."""
+    import hashlib
+
+    from block_crawler_spark.operators.ann import clustered_embeddings, ivf_topk, knn_join_brute
+
+    emb = clustered_embeddings(spark, n=400, n_clusters=8, jitter_milli=70).cache()
+
+    def h(key: str, span: int) -> float:
+        return (int(hashlib.md5(key.encode()).hexdigest()[:6], 16) % (2 * span + 1) - span) / 1000.0
+
+    row5 = emb.filter(F.col("vec_id") == 5).collect()[0]
+    for j in range(4):
+        want = h(f"c{j}|{5 % 8}", 1000) + h(f"v{j}|5", 70)
+        assert abs(row5["embedding"][j] - want) < 1e-6, j
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {(r["q_id"], r["c_id"]) for r in knn_join_brute(queries, emb, k=5).collect()}
+    cents = emb.filter(F.col("vec_id") < 32)
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in ivf_topk(queries, emb, cents, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # measured ladder on this downsized fixture: 0.62 / 0.86 / 1.00 at
+    # nprobe 1/2/4 — saturation at a quarter of the probe budget the
+    # isotropic corpus needs for 0.836 (the full 2000/32 fixture saturates
+    # at nprobe=2; the mini config keeps the test at pytest cost)
+    assert recall(2) >= 0.8
+    assert recall(4) == 1.0
+    emb.unpersist()
+
+
 def test_semantic_stage_memo_hit_is_result_identical(spark):
     """The semantic pair/closure session memos (VERDICT r12 task 2) change
     no result: a cold build and a warm memo hit return bit-identical rows
