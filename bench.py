@@ -142,6 +142,7 @@ HEADLINE = [
     "evt_attribution_interval_join",
     # round 13
     "media_phash_near_dup_pairs",
+    "media_dup_family_overlap",
 ]
 
 

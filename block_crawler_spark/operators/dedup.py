@@ -291,7 +291,7 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
 
 def dedup_assignments_cc(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str = "doc_id",
     components: DataFrame | None = None,
 ) -> DataFrame:
@@ -302,11 +302,16 @@ def dedup_assignments_cc(
     per edge, closure keeps exactly one survivor per cluster.
 
     ``components`` short-circuits the closure with a precomputed
-    (id, comp) map — it MUST be :func:`dedup_components` of the same
-    ``pairs`` (the caller owns that contract; the plan layer's session
+    (id, comp) map — it MUST be :func:`dedup_components` of the caller's
+    pair set (the caller owns that contract; the plan layer's session
     memo uses it so three consumers of one pair stage run the iterative
-    closure once per session instead of once per query, round 13).
+    closure once per session instead of once per query, round 13).  When
+    given, ``pairs`` is unused and should be None — exactly one of the
+    two must be supplied (r13 review: accepting both invites passing an
+    inconsistent combination).
     """
+    if (pairs is None) == (components is None):
+        raise ValueError("dedup_assignments_cc: supply exactly one of pairs / components")
     comp = dedup_components(pairs) if components is None else components
     return docs.join(
         comp.select(F.col("id").alias(id_col), F.col("comp")), id_col, "left"

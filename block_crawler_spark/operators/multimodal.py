@@ -247,7 +247,9 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def content_dhash(content_df: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
+def content_dhash(
+    content_df: DataFrame, grid: int = DHASH_GRID, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Perceptual difference-hash (dHash) over opaque binary content via the
     Arrow-batched ``mapInPandas`` decode stage (round 13 — VERDICT r12 task
     1: the multimodal near-dup family beyond exact md5).
@@ -285,13 +287,23 @@ def content_dhash(content_df: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
     rawvideo) decode first (:func:`_decode_image` / :func:`sample_frames`)
     and hash the decoded buffer; raw payloads hash as-is.
 
-    Exactness note: block sums use float64 accumulation (numpy bincount
-    weights), exact as integers for any block sum < 2⁵³ — i.e. blobs up to
-    ~2⁴⁵ bytes, far past any single media row.
+    Exactness bound: the binding constraint is the cross-multiplied
+    comparison itself — ``s[j+1]·c[j] ≈ 255·n²/grid²`` must stay inside
+    int64, which holds for blobs up to ~1.1e10 bytes (~10 GB; the float64
+    bincount sums stay integer-exact far past that).  Beyond it numpy
+    wraps silently while DuckDB BIGINT raises, so the engines would
+    diverge instead of hash-matching — keep single media rows under the
+    bound (any realistic frame/image/clip is orders of magnitude below).
 
-    Input: (media_id, content: binary).  Output: (media_id, n_bytes, dhash).
+    Input: (media_id, content: binary).  Output: (media_id, n_bytes,
+    dhash); ``extra_cols`` names input columns passed through unchanged
+    (the metadata-passthrough pattern — content itself is still consumed
+    in-stage, never emitted).
     """
     bits = grid - 1
+    schema = StructType(
+        DHASH_SCHEMA.fields + [content_df.schema[c] for c in extra_cols]
+    )
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64)).astype(object)
@@ -310,9 +322,12 @@ def content_dhash(content_df: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
                 b = (s[1:] * c[:-1] > s[:-1] * c[1:]).astype(object)
                 out_n.append(n)
                 out_h.append(int((b * weights).sum()))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h})
+            out = {"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return content_df.mapInPandas(hashes, DHASH_SCHEMA)
+    return content_df.mapInPandas(hashes, schema)
 
 
 def synthetic_media(spark, n_images: int = 8, n_audio: int = 4, n_video: int = 2):

@@ -1888,9 +1888,8 @@ def semantic_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_assignments_cc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=1).select("id_a", "id_b")
     comp = _memoized_semantic_comp(spark, sf_dir, probes=1)
-    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id", components=comp)
+    return dedup_assignments_cc(emb.select("vec_id"), None, id_col="vec_id", components=comp)
 
 
 def semantic_keep_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,9 +1905,8 @@ def semantic_keep_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_assignments_cc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=2).select("id_a", "id_b")
     comp = _memoized_semantic_comp(spark, sf_dir, probes=2)
-    return dedup_assignments_cc(emb.select("vec_id"), pairs, id_col="vec_id", components=comp)
+    return dedup_assignments_cc(emb.select("vec_id"), None, id_col="vec_id", components=comp)
 
 
 def _semantic_keep_sql(probes: int = 1) -> str:
@@ -1974,10 +1972,9 @@ def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_memoized_semantic_pairs/_comp), so this query's own lineage is the
     # memoized-centroid assignment + two joins + the cap window.
     assign, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=1).select("id_a", "id_b")
     comp = _memoized_semantic_comp(spark, sf_dir, probes=1)
     keep = dedup_assignments_cc(
-        emb.select("vec_id"), pairs, id_col="vec_id", components=comp
+        emb.select("vec_id"), None, id_col="vec_id", components=comp
     ).filter(~F.col("is_duplicate"))
     survivors = keep.select("vec_id").join(
         assign.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell")), "vec_id"
@@ -2019,10 +2016,9 @@ def balanced_sample_mp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     a1, _ = _trained_kmeans(emb, sf_dir, k=_sem_k(emb.count()), iters=SEM_CELLS_ITERS)
-    pairs = _memoized_semantic_pairs(spark, sf_dir, probes=2).select("id_a", "id_b")
     comp = _memoized_semantic_comp(spark, sf_dir, probes=2)
     keep = dedup_assignments_cc(
-        emb.select("vec_id"), pairs, id_col="vec_id", components=comp
+        emb.select("vec_id"), None, id_col="vec_id", components=comp
     ).filter(~F.col("is_duplicate"))
     survivors = keep.select("vec_id").join(
         a1.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell")), "vec_id"

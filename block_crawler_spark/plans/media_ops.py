@@ -213,6 +213,12 @@ PHASH_MAX_HAMMING = 6  # total recall ≤ 3 (pigeonhole), probabilistic 4–6
 PHASH_TWIN_OFFSET = 10_000_000
 PHASH_BRIGHT_MOD, PHASH_BRIGHT_DELTA = 7, 7
 PHASH_NOISE_MOD, PHASH_NOISE_STRIDE, PHASH_NOISE_EVERY = 11, 31, 13
+# every 5th doc also gets a VERBATIM copy (round 13, the agreement-matrix
+# corpus): the exact detector finds only these, the perceptual detector
+# finds these PLUS the transformed twins — identical bytes → identical
+# dhash → all bands shared → Hamming 0, so exact ⊆ perceptual is
+# STRUCTURAL (pytest-pinned as only_exact == 0)
+PHASH_EXACT_MOD = 5
 
 
 def _planted_transform_media(docs: DataFrame) -> DataFrame:
@@ -248,6 +254,9 @@ def _planted_transform_media(docs: DataFrame) -> DataFrame:
                     noise = (i * PHASH_NOISE_STRIDE + did) % PHASH_NOISE_EVERY == 0
                     ids.append(did + 2 * PHASH_TWIN_OFFSET)
                     blobs.append(np.minimum(arr + noise, 255).astype(np.uint8).tobytes())
+                if did % PHASH_EXACT_MOD == 0:
+                    ids.append(did + 3 * PHASH_TWIN_OFFSET)
+                    blobs.append(raw)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.select("doc_id", "text").mapInPandas(fan, schema)
@@ -298,14 +307,17 @@ def media_phash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_phash_sql() -> str:
+def _phash_ctes() -> str:
+    """The shared planted-corpus → dHash → band CTE chain (mr / by /
+    blocks / grid / sig / bands), reused by the pair oracle AND the
+    agreement-matrix oracle so the corpus derivation and the fingerprint
+    can never drift between them (the `_winnow_fps` refactor pattern)."""
     from ..operators.multimodal import DHASH_BITS, DHASH_GRID
 
     width = DHASH_BITS // PHASH_BANDS
     mask = (1 << width) - 1
     band_ids = ", ".join(str(b) for b in range(PHASH_BANDS))
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
   FROM documents
 ),
@@ -317,9 +329,12 @@ mr AS (
   UNION ALL
   SELECT doc_id + {2 * PHASH_TWIN_OFFSET}, doc_id, 0, 1, h, n
   FROM base WHERE doc_id % {PHASH_NOISE_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {3 * PHASH_TWIN_OFFSET}, doc_id, 0, 0, h, n
+  FROM base WHERE doc_id % {PHASH_EXACT_MOD} = 0
 ),
 by AS (
-  SELECT media_id, (i * {DHASH_GRID}) // n AS blk,
+  SELECT media_id, i, (i * {DHASH_GRID}) // n AS blk,
          LEAST((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16
                + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)
                + delta
@@ -346,7 +361,12 @@ bands AS (
   SELECT media_id, dhash, b AS band_index,
          (dhash >> ({DHASH_BITS} - (b + 1) * {width})) & {mask} AS band_value
   FROM sig, unnest([{band_ids}]) AS t(b)
-)
+)"""
+
+
+def _media_phash_sql() -> str:
+    return f"""
+WITH {_phash_ctes()}
 SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
 FROM bands a
@@ -357,3 +377,103 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_MAX_HAMMING}
 
 
 QUERIES["media_phash_near_dup_pairs"] = (media_phash_near_dup_query, _media_phash_sql())
+
+
+def media_family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-vs-PERCEPTUAL agreement matrix over the media corpus (round
+    13, VERDICT r12 optional b — the media twin of ``dedup_family_overlap``):
+    for the byte-exact detector (md5 digest of the content's lowercase hex
+    — the engines' shared blob-hash idiom) and the dHash band detector,
+    how many pairs BOTH find, how many each finds alone, and the pair-set
+    agreement in ppm.  The matrix carries a STRUCTURAL theorem the text
+    families don't have: identical bytes ⇒ identical dhash ⇒ every band
+    shared ⇒ Hamming 0, so exact ⊆ perceptual and ``only_exact`` is 0 BY
+    CONSTRUCTION (pytest-pinned) — the perceptual surplus (``only_phash``)
+    is exactly the transformed-twin mass a byte-exact dedup would miss,
+    i.e. the number this matrix exists to put in front of a curator.
+
+    Scale shape: ONE Arrow transform+dHash pass feeds both detectors (the
+    digest rides the fingerprint stage as a passthrough column); each
+    detector is a banded/bucketed equi-join, never all-pairs; the mask
+    ``bit_or`` agg is pair-set-sized and everything downstream is ≤4
+    rows."""
+    from ..operators.dedup import simhash_band_pairs
+    from ..operators.multimodal import DHASH_BITS, content_dhash
+
+    media = _planted_transform_media(load_table(spark, sf_dir, "documents")).withColumn(
+        "digest", F.md5(F.lower(F.hex(F.col("content"))))
+    )
+    # one Arrow pass for both detectors (same cache note as the pair query)
+    sigs = content_dhash(media, extra_cols=("digest",)).cache()
+    phash = simhash_band_pairs(
+        sigs.select("media_id", F.col("dhash").alias("simhash")),
+        id_col="media_id",
+        bits=DHASH_BITS,
+        bands=PHASH_BANDS,
+        max_hamming=PHASH_MAX_HAMMING,
+    ).select("id_a", "id_b")
+    a = sigs.select(F.col("media_id").alias("id_a"), "digest")
+    b = sigs.select(F.col("media_id").alias("id_b"), "digest")
+    exact = a.join(b, "digest").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    tagged = exact.withColumn("m", F.lit(1).cast("long")).unionByName(
+        phash.withColumn("m", F.lit(2).cast("long"))
+    )
+    masks = tagged.groupBy("id_a", "id_b").agg(F.expr("bit_or(m)").alias("mask"))
+    total = F.col("both") + F.col("only_exact") + F.col("only_phash")
+    return (
+        masks.agg(
+            F.coalesce(F.sum(F.when(F.col("mask") == 3, 1)), F.lit(0)).cast("long").alias("both"),
+            F.coalesce(F.sum(F.when(F.col("mask") == 1, 1)), F.lit(0)).cast("long").alias("only_exact"),
+            F.coalesce(F.sum(F.when(F.col("mask") == 2, 1)), F.lit(0)).cast("long").alias("only_phash"),
+        )
+        .select(
+            F.lit("exact").alias("family_a"),
+            F.lit("phash").alias("family_b"),
+            "both",
+            "only_exact",
+            "only_phash",
+            F.when(total > 0, F.expr("CAST(both * 1000000 DIV (both + only_exact + only_phash) AS BIGINT)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("agree_ppm"),
+        )
+    )
+
+
+def _media_family_overlap_sql() -> str:
+    return f"""
+WITH {_phash_ctes()},
+ph AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_index = b.band_index AND a.band_value = b.band_value AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {PHASH_MAX_HAMMING}
+),
+th AS (
+  SELECT mr.media_id, md5(COALESCE(x.th, '')) AS digest
+  FROM mr LEFT JOIN (
+    SELECT media_id, string_agg(printf('%02x', v), '' ORDER BY i) AS th FROM by GROUP BY media_id
+  ) x USING (media_id)
+),
+ex AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM th a JOIN th b ON a.digest = b.digest AND a.media_id < b.media_id
+),
+tagged AS (
+  SELECT id_a, id_b, CAST(1 AS BIGINT) AS m FROM ex
+  UNION ALL
+  SELECT id_a, id_b, CAST(2 AS BIGINT) FROM ph
+),
+masks AS (SELECT id_a, id_b, bit_or(m) AS mask FROM tagged GROUP BY id_a, id_b)
+SELECT 'exact' AS family_a, 'phash' AS family_b,
+       CAST(COALESCE(SUM(CASE WHEN mask = 3 THEN 1 END), 0) AS BIGINT) AS both,
+       CAST(COALESCE(SUM(CASE WHEN mask = 1 THEN 1 END), 0) AS BIGINT) AS only_exact,
+       CAST(COALESCE(SUM(CASE WHEN mask = 2 THEN 1 END), 0) AS BIGINT) AS only_phash,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN COALESCE(SUM(CASE WHEN mask = 3 THEN 1 END), 0) * 1000000 // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS agree_ppm
+FROM masks
+"""
+
+
+QUERIES["media_dup_family_overlap"] = (media_family_overlap_query, _media_family_overlap_sql())

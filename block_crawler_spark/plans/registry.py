@@ -54,6 +54,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 _FRONT = (
     # -- added in r13 --
     "media_phash_near_dup_pairs",
+    "media_dup_family_overlap",
     # -- changed in r13: the semantic pair stage and transitive closure
     #    are session-memoized (bit-identical results, memo-hit pytest) —
     #    every consumer of either stage fronts this round; the trained

@@ -168,7 +168,10 @@ def _slip_rates(spark, cents, work) -> dict:
         def top2_map(df, idc):
             vecs = df.select(F.col(idc).alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
             m: dict[int, list[int]] = {}
-            for r in centroid_assign_top2(vecs, cents).orderBy("vid", "dist").collect():
+            # cid is the final sort key: an exact integer-distance tie
+            # between the two probes must break to the lowest cid (the
+            # engine's own rule) or top1_flip_pct goes nondeterministic
+            for r in centroid_assign_top2(vecs, cents).orderBy("vid", "dist", "cid").collect():
                 m.setdefault(r["vid"], []).append(r["cid"])
             return m
 

@@ -141,6 +141,28 @@ def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
             assert pairs[(did, did + PHASH_TWIN_OFFSET)] == 0
 
 
+def test_media_family_overlap_subsumption(spark):
+    """The exact-vs-perceptual agreement matrix's structural theorem:
+    identical bytes ⇒ identical dhash ⇒ all bands shared ⇒ Hamming 0, so
+    the exact detector's pair set is a SUBSET of the perceptual one —
+    only_exact must be 0, both must equal the planted verbatim-copy count,
+    and only_phash carries the transformed-twin mass a byte-exact dedup
+    would miss."""
+    from block_crawler_spark.plans.media_ops import (
+        PHASH_EXACT_MOD,
+        media_family_overlap_query,
+    )
+
+    docs = [r["doc_id"] for r in load_table(spark, SF0, "documents").select("doc_id").collect()]
+    n_exact = sum(1 for d in docs if d % PHASH_EXACT_MOD == 0)
+    rows = media_family_overlap_query(spark, SF0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["only_exact"] == 0, "exact ⊆ perceptual is structural"
+    assert r["both"] == n_exact
+    assert r["only_phash"] > 0, "the perceptual surplus is the point of the matrix"
+
+
 def test_clustered_fixture_determinism_and_ivf_saturation(spark):
     """The shared clustered-corpus fixture (operators.ann.clustered_embeddings,
     VERDICT r12 task 4) is a pure content-hash function of the ids —
