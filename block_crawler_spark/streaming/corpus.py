@@ -8,6 +8,12 @@ restarts.  ``dropDuplicatesWithinWatermark`` cannot express this (its state
 is watermark-bounded by design; corpus membership never expires), so the
 operator is a ``foreachBatch`` merge against a durable fingerprint set, the
 same pattern the chain tail uses for silver merges (``streaming/tail.py``).
+Demonstrated, not asserted (round 13,
+test_stream_dedup_native_twin_vs_corpus_gate): keyed by the SAME
+``fingerprint()`` column, the native operator and this gate admit the same
+set while duplicates arrive inside the watermark horizon, and diverge
+exactly where documented — a fingerprint re-arriving after its key state
+was evicted is re-admitted natively, still blocked here.
 
 Storage layout (append-only, replay-idempotent):
 
