@@ -143,6 +143,7 @@ HEADLINE = [
     # round 13
     "media_phash_near_dup_pairs",
     "media_dup_family_overlap",
+    "media_image_dhash_pairs",
     "doc_lm_gated_quality",
 ]
 

@@ -330,6 +330,75 @@ def content_dhash(
     return content_df.mapInPandas(hashes, schema)
 
 
+IMG_DHASH_GRID = 8  # 8×8 block means → 7 horizontal diffs × 8 rows = 56 bits
+IMG_DHASH_BITS = (IMG_DHASH_GRID - 1) * IMG_DHASH_GRID
+
+IMG_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("dhash", LongType(), True),  # NULL: image smaller than the grid
+    ]
+)
+
+
+def image_dhash(media: DataFrame, grid: int = IMG_DHASH_GRID) -> DataFrame:
+    """TWO-DIMENSIONAL perceptual dHash for raw grayscale images (round 13
+    — the 2-D sibling of :func:`content_dhash`, which treats content as a
+    1-D stream).  Input rows carry their own ``width`` column (the typed-
+    metadata pattern), so one Arrow stage hashes a mixed-resolution corpus.
+
+    Recipe: crop to the largest grid-aligned region (``H_used = H − H %
+    grid`` rows, ``W_used = W − W % grid`` cols), block-mean downsample
+    onto the fixed grid×grid grid, and emit one bit per HORIZONTALLY
+    adjacent block pair — bit(y, x) = 1 iff block(y, x+1)'s mean exceeds
+    block(y, x)'s, packed row-major MSB-first: (grid−1)·grid = 56 bits,
+    sign-bit-free in an int64.  Because the crop makes every block exactly
+    ``(H_used/grid) × (W_used/grid)`` pixels, the counts CANCEL and the
+    comparison is plain integer block sums — exact, overflow-free (sums ≤
+    255·pixels), and SQL-mirrorable from the hex dump.
+
+    The property the 1-D hash cannot have: RESOLUTION INVARIANCE.  A k×
+    pixel-replication upscale of the grid-aligned region multiplies every
+    block sum by exactly k² (block boundaries scale with H_used/W_used),
+    so the comparisons — and the hash — are IDENTICAL in integer
+    arithmetic, not approximately: a 16×16 thumbnail and its 32×32 copy
+    pair at Hamming 0 (pytest + the oracle-checked
+    ``media_image_dhash_pairs`` planted corpus).  Brightness shifts cancel
+    the same way as in :func:`content_dhash` (equal-size blocks: +k per
+    pixel adds the same term to both sums).
+
+    Images with fewer than ``grid`` usable rows or columns hash to NULL
+    (no 8×8 structure to compare — the no-evidence policy; pair queries
+    filter them).  Input: (media_id, width int, content binary).  Output:
+    (media_id, n_bytes, dhash nullable)."""
+    bits_per_row = grid - 1
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_n, out_h = [], []
+            for blob, w in zip(pdf["content"], pdf["width"]):
+                arr = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
+                n, w = len(arr), int(w)
+                out_n.append(n)
+                h_rows = n // w if w > 0 else 0
+                hu = h_rows - (h_rows % grid)
+                wu = w - (w % grid)
+                if hu < grid or wu < grid:
+                    out_h.append(None)
+                    continue
+                img = arr[: hu * w].reshape(hu, w)[:, :wu].astype(np.int64)
+                blocks = img.reshape(grid, hu // grid, grid, wu // grid).sum(axis=(1, 3))
+                h = 0
+                for y in range(grid):
+                    for x in range(bits_per_row):
+                        h = (h << 1) | int(blocks[y, x + 1] > blocks[y, x])
+                out_h.append(h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h})
+
+    return media.mapInPandas(hashes, IMG_DHASH_SCHEMA)
+
+
 def synthetic_media(spark, n_images: int = 8, n_audio: int = 4, n_video: int = 2):
     """Deterministic fake media table (seeded bytes) for tests/demos."""
     rng = np.random.default_rng(42)

@@ -477,3 +477,184 @@ FROM masks
 
 
 QUERIES["media_dup_family_overlap"] = (media_family_overlap_query, _media_family_overlap_sql())
+
+
+# ---------------------------------------------------------------------------
+# 2-D image dHash with cross-resolution invariance (round 13)
+# ---------------------------------------------------------------------------
+
+IMG_W = 16  # documents' bytes viewed as W=16 raw grayscale images
+IMG_UP_MOD = 3  # every 3rd doc gets a 2× pixel-replication upscale twin (W=32)
+IMG_BRIGHT_MOD, IMG_BRIGHT_DELTA = 7, 9  # brightness twin over the used region
+IMG_MAX_HAMMING = 6
+IMG_BANDS = 4  # 56 bits → 4 × 14-bit bands
+
+
+def _planted_image_media(docs: DataFrame) -> DataFrame:
+    """documents → raw-image corpus with planted RESOLUTION and brightness
+    twins (real transformed blobs through an Arrow stage, like
+    :func:`_planted_transform_media`): each doc's bytes are a W=16
+    grayscale image; every {IMG_UP_MOD}rd doc also ships its grid-aligned
+    region 2×-upscaled by pixel replication (W=32 — a DIFFERENT
+    resolution of the same picture), every {IMG_BRIGHT_MOD}th the region
+    at +{IMG_BRIGHT_DELTA} brightness.  Twins are cut from the
+    grid-ALIGNED region so the resize-invariance theorem is exact (see
+    ``image_dhash``).  Output: (media_id, width, content)."""
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    from ..operators.multimodal import IMG_DHASH_GRID
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("content", BinaryType(), False),
+        ]
+    )
+    grid = IMG_DHASH_GRID
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            widths: list[int] = []
+            blobs: list[bytes] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = (txt or "").encode("utf-8")
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                ids.append(did)
+                widths.append(IMG_W)
+                blobs.append(raw)
+                h = len(arr) // IMG_W
+                hu = h - (h % grid)
+                if hu < grid:
+                    continue
+                img = arr[: hu * IMG_W].reshape(hu, IMG_W)
+                if did % IMG_UP_MOD == 0:
+                    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+                    ids.append(did + PHASH_TWIN_OFFSET)
+                    widths.append(2 * IMG_W)
+                    blobs.append(up.tobytes())
+                if did % IMG_BRIGHT_MOD == 0:
+                    br = np.minimum(img.astype(np.int64) + IMG_BRIGHT_DELTA, 255)
+                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
+                    widths.append(IMG_W)
+                    blobs.append(br.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": ids, "width": widths, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def media_image_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RESOLUTION perceptual near-dup pairs (round 13): the 2-D
+    ``image_dhash`` (8×8 block means of the grid-aligned region, 56
+    horizontal-difference bits — see ``operators.multimodal``) over the
+    planted raw-image corpus, banded with the shared SimHash Hamming
+    machinery.  The capability the 1-D ``media_phash_near_dup_pairs``
+    cannot have: a 2×-UPSCALED twin (W=32 vs W=16 — different byte
+    length, different layout) pairs with its original at Hamming 0 in
+    EXACT integer arithmetic (pixel replication multiplies every block
+    sum by exactly 4; comparisons unchanged), so one signature table
+    dedups a mixed-resolution corpus.  Brightness twins pair at 0 for the
+    ``content_dhash`` reason.  Hash-checked end-to-end: the DuckDB oracle
+    re-derives both twins from the hex dump by INDEX ARITHMETIC (upscale
+    source byte = (row'÷2)·W + col'÷2) without materializing the blobs.
+
+    Honest corpus note: text bytes are not pictures — their word lengths
+    beat against the W=16 raster, so unrelated documents share column
+    structure and a couple dozen CROSS-document Hamming-0 pairs appear at
+    each graded SF (verified identical on both engines).  That is the
+    family's documented failure mode on non-image payloads (the SimHash
+    distributional-similarity analogue from the r12 agreement matrix),
+    not a defect: on real images the block means carry actual spatial
+    signal.  The planted twins are what pin the invariance claims.
+
+    Scale shape: one Arrow transform pass + one Arrow hash pass; 24-byte
+    signature rows are all that shuffles; band equi-join (4 × 14-bit
+    bands), never media².  Output: (id_a, id_b, hamming)."""
+    from ..operators.dedup import simhash_band_pairs
+    from ..operators.multimodal import IMG_DHASH_BITS, image_dhash
+
+    corpus = _planted_image_media(load_table(spark, sf_dir, "documents"))
+    sigs = (
+        image_dhash(corpus)
+        .filter(F.col("dhash").isNotNull())
+        .select("media_id", F.col("dhash").alias("simhash"))
+        .cache()
+    )
+    return simhash_band_pairs(
+        sigs,
+        id_col="media_id",
+        bits=IMG_DHASH_BITS,
+        bands=IMG_BANDS,
+        max_hamming=IMG_MAX_HAMMING,
+    )
+
+
+def _media_image_dhash_sql() -> str:
+    from ..operators.multimodal import IMG_DHASH_BITS, IMG_DHASH_GRID
+
+    G = IMG_DHASH_GRID
+    width = IMG_DHASH_BITS // IMG_BANDS
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(IMG_BANDS))
+    byte_at = (
+        "(strpos('0123456789abcdef', substr(h, 2*src+1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 2*src+2, 1)) - 1)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) // {IMG_W})
+           - ((octet_length(encode(text)) // {IMG_W}) % {G}) AS hu
+  FROM documents
+),
+mr AS (
+  SELECT doc_id AS media_id, {IMG_W} AS w, n AS nb, hu, 0 AS up, 0 AS delta, h
+  FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET}, {2 * IMG_W}, 4 * hu * {IMG_W}, 2 * hu, 1, 0, h
+  FROM base WHERE doc_id % {IMG_UP_MOD} = 0 AND hu >= {G}
+  UNION ALL
+  SELECT doc_id + {2 * PHASH_TWIN_OFFSET}, {IMG_W}, hu * {IMG_W}, hu, 0, {IMG_BRIGHT_DELTA}, h
+  FROM base WHERE doc_id % {IMG_BRIGHT_MOD} = 0 AND hu >= {G}
+),
+px AS (
+  SELECT media_id,
+         (i // w) // (hu // {G}) AS blky,
+         (i % w) // (w // {G}) AS blkx,
+         LEAST({byte_at} + delta, 255) AS v
+  FROM (
+    SELECT media_id, w, hu, delta, h, i,
+           CASE WHEN up = 1 THEN ((i // w) // 2) * {IMG_W} + (i % w) // 2 ELSE i END AS src
+    FROM mr, unnest(range(nb)) AS t(i)
+    WHERE hu >= {G} AND (i // w) < hu
+  )
+),
+blocks AS (SELECT media_id, blky, blkx, SUM(v) AS s FROM px GROUP BY media_id, blky, blkx),
+sig AS (
+  SELECT b0.media_id,
+         CAST(SUM(CASE WHEN b1.s > b0.s
+                       THEN CAST(1 AS BIGINT) << ({IMG_DHASH_BITS - 1} - (b0.blky * {G - 1} + b0.blkx))
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM blocks b0
+  JOIN blocks b1 ON b1.media_id = b0.media_id AND b1.blky = b0.blky AND b1.blkx = b0.blkx + 1
+  GROUP BY b0.media_id
+),
+bands AS (
+  SELECT media_id, dhash, b AS band_index,
+         (dhash >> ({IMG_DHASH_BITS} - (b + 1) * {width})) & {mask} AS band_value
+  FROM sig, unnest([{band_ids}]) AS t(b)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b
+  ON a.band_index = b.band_index AND a.band_value = b.band_value AND a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMG_MAX_HAMMING}
+"""
+
+
+QUERIES["media_image_dhash_pairs"] = (media_image_dhash_query, _media_image_dhash_sql())

@@ -227,6 +227,45 @@ def test_stream_dedup_native_twin_vs_corpus_gate(spark, tmp_path):
     assert len(store_fps()) == 4, "the durable index still blocks the re-sent duplicate"
 
 
+def test_image_dhash_resolution_and_brightness_invariance(spark):
+    """The 2-D image dHash's theorems, on a REAL synthetic picture (2-D
+    gradient + texture): a k× pixel-replication upscale of the
+    grid-aligned region hashes IDENTICALLY (block sums scale by exactly
+    k², comparisons unchanged — integer-exact, k=2 and k=3 both pinned), a
+    brightness shift hashes identically, a small vertical crop lands
+    within a few bits, an unrelated image lands far, and a sub-grid image
+    hashes NULL (the no-evidence policy)."""
+    import numpy as np
+
+    from block_crawler_spark.operators.multimodal import image_dhash
+
+    y, x = np.mgrid[0:48, 0:32]
+    img = ((y * 3 + x * 2 + (y * x) % 7) % 200 + 20).astype(np.uint8)  # 48×32
+    rng = np.random.default_rng(11)
+    rows = {
+        0: (32, img),
+        1: (64, np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)),  # 2× upscale
+        2: (96, np.repeat(np.repeat(img, 3, axis=0), 3, axis=1)),  # 3× upscale
+        3: (32, np.minimum(img.astype(np.int64) + 25, 255).astype(np.uint8)),  # brightness
+        4: (32, img[8:]),  # crop: first 8 rows gone (40 rows → hu=40)
+        5: (32, rng.integers(0, 256, (48, 32)).astype(np.uint8)),  # unrelated
+        6: (4, img[:4, :4]),  # sub-grid → NULL
+    }
+    df = spark.createDataFrame(
+        [(k, w, a.tobytes()) for k, (w, a) in rows.items()],
+        "media_id long, width int, content binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[0], "2x upscale: identical hash (exact theorem)"
+    assert got[2] == got[0], "3x upscale: identical hash"
+    assert got[3] == got[0], "brightness shift: identical hash"
+    assert got[6] is None, "sub-grid image hashes NULL"
+    crop_ham = bin(got[0] ^ got[4]).count("1")
+    unrel_ham = bin(got[0] ^ got[5]).count("1")
+    assert crop_ham <= 8, crop_ham
+    assert unrel_ham > 12, unrel_ham
+
+
 def test_lm_gated_quality_null_band_policy(spark, tmp_path):
     """The LM-gated blend's no-evidence rule: a document with fewer than
     two tokens has no bigrams, so it FAILS the LM gate by policy even when
