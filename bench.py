@@ -144,6 +144,7 @@ HEADLINE = [
     "media_phash_near_dup_pairs",
     "media_dup_family_overlap",
     "media_image_dhash_pairs",
+    "media_audio_energy_pairs",
     "doc_lm_gated_quality",
 ]
 

@@ -399,6 +399,66 @@ def image_dhash(media: DataFrame, grid: int = IMG_DHASH_GRID) -> DataFrame:
     return media.mapInPandas(hashes, IMG_DHASH_SCHEMA)
 
 
+AUDIO_DHASH_GRID = 61  # 61 chunk energies → 60 adjacent-difference bits
+
+
+def audio_energy_dhash(media: DataFrame, grid: int = AUDIO_DHASH_GRID) -> DataFrame:
+    """Perceptual AUDIO fingerprint over pcm16 content (round 13 — the
+    audio member of the dHash triad: 1-D bytes → :func:`content_dhash`,
+    2-D images → :func:`image_dhash`, audio → this): the signal's ENERGY
+    ENVELOPE, block-downsampled onto a fixed ``grid`` of equal-frequency
+    sample ranges (chunk energy = Σ sample², exact int64), one bit per
+    adjacent chunk pair via the cross-multiplied comparison
+    ``s[k+1]·c[k] > s[k]·c[k+1]``.
+
+    The invariance theorems (pytest-pinned, and what make it PERCEPTUAL):
+    * GAIN: amplifying by any factor g (no clipping) scales every chunk
+      energy by exactly g², which cancels in the cross-multiplied
+      comparison — a remastered louder/quieter copy hashes identically;
+    * POLARITY: energy of −s equals energy of s — a phase-inverted copy
+      hashes identically;
+    * the fixed grid is duration-normalized, so envelope shape — not
+      clip length — is what's compared.
+
+    Exactness bound: chunk energies ≤ 2³⁰·n/grid, so the cross-multiply
+    stays inside int64 for clips up to ~5.6 M samples (~6 min at 16 kHz
+    mono); longer clips should be windowed upstream (the frame-sampling
+    stage).  Empty content hashes to 0 (all-zero chunks compare false),
+    matching :func:`content_dhash`'s degenerate rule.
+
+    Input: (media_id, content: binary — little-endian pcm16).  Output:
+    (media_id, n_samples, dhash)."""
+    bits = grid - 1
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("dhash", LongType(), False),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64)).astype(object)
+        for pdf in batches:
+            out_n, out_h = [], []
+            for blob in pdf["content"]:
+                s = np.frombuffer(bytes(blob or b""), dtype="<i2").astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    out_n.append(0)
+                    out_h.append(0)
+                    continue
+                blk = (np.arange(n, dtype=np.int64) * grid) // n
+                e = np.bincount(blk, weights=s * s, minlength=grid).astype(np.int64)
+                c = np.bincount(blk, minlength=grid).astype(np.int64)
+                b = (e[1:] * c[:-1] > e[:-1] * c[1:]).astype(object)
+                out_n.append(n)
+                out_h.append(int((b * weights).sum()))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "n_samples": out_n, "dhash": out_h})
+
+    return media.mapInPandas(hashes, schema)
+
+
 def synthetic_media(spark, n_images: int = 8, n_audio: int = 4, n_video: int = 2):
     """Deterministic fake media table (seeded bytes) for tests/demos."""
     rng = np.random.default_rng(42)

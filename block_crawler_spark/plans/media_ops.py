@@ -658,3 +658,146 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMG_MAX_HAMMING}
 
 
 QUERIES["media_image_dhash_pairs"] = (media_image_dhash_query, _media_image_dhash_sql())
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-envelope dHash (round 13) — the third member of the triad
+# ---------------------------------------------------------------------------
+
+AUDIO_SAMPLE_BIAS, AUDIO_SAMPLE_SCALE = 64, 100  # byte v → sample (v-64)*100
+AUDIO_GAIN_MOD, AUDIO_GAIN = 4, 2  # every 4th doc: a 2× louder twin (no clipping)
+AUDIO_POL_MOD = 9  # every 9th doc: a phase-inverted twin
+AUDIO_MAX_HAMMING = 6
+AUDIO_BANDS = 4  # 60 bits → 4 × 15-bit bands
+
+
+def _planted_audio_media(docs: DataFrame) -> DataFrame:
+    """documents → pcm16 audio corpus with planted GAIN and POLARITY twins
+    as REAL little-endian int16 blobs through an Arrow stage: each text
+    byte v becomes one sample (v − {AUDIO_SAMPLE_BIAS})·{AUDIO_SAMPLE_SCALE}
+    (range ±~16k, so the ×{AUDIO_GAIN} gain twin never clips — clipping
+    would break the exact gain theorem, which is the point of the planted
+    corpus).  Output: (media_id, content)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType(), False), StructField("content", BinaryType(), False)]
+    )
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                v = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                s = (v - AUDIO_SAMPLE_BIAS) * AUDIO_SAMPLE_SCALE
+                ids.append(did)
+                blobs.append(s.astype("<i2").tobytes())
+                if did % AUDIO_GAIN_MOD == 0:
+                    ids.append(did + PHASH_TWIN_OFFSET)
+                    blobs.append((s * AUDIO_GAIN).astype("<i2").tobytes())
+                if did % AUDIO_POL_MOD == 0:
+                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
+                    blobs.append((-s).astype("<i2").tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def media_audio_energy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAIN- and POLARITY-invariant audio near-dup pairs (round 13): the
+    energy-envelope dHash (``operators.multimodal.audio_energy_dhash`` —
+    61 chunk energies of the pcm16 signal, 60 cross-multiplied
+    adjacent-difference bits) over the planted audio corpus, banded with
+    the shared SimHash Hamming machinery.  A ×{AUDIO_GAIN} louder twin
+    and a phase-inverted twin both pair with their original at Hamming 0
+    in EXACT integer arithmetic (gain scales every chunk energy by g²,
+    which cancels cross-multiplied; (−s)² = s²), pinned by pytest on a
+    real sine fixture and hash-checked here: the DuckDB oracle replays
+    sample derivation, gain, and inversion from the hex dump — energies
+    as exact Σ((v−{AUDIO_SAMPLE_BIAS})·{AUDIO_SAMPLE_SCALE}·g)² — without
+    materializing the blobs.
+
+    Scale shape: one Arrow transform pass + one Arrow hash pass (real
+    pcm16 parsing Spark-side); 24-byte signature rows are all that
+    shuffles; band equi-join (4 × 15-bit bands), never media².  Output:
+    (id_a, id_b, hamming)."""
+    from ..operators.dedup import simhash_band_pairs
+    from ..operators.multimodal import AUDIO_DHASH_GRID, audio_energy_dhash
+
+    corpus = _planted_audio_media(load_table(spark, sf_dir, "documents"))
+    sigs = (
+        audio_energy_dhash(corpus)
+        .select("media_id", F.col("dhash").alias("simhash"))
+        .cache()
+    )
+    return simhash_band_pairs(
+        sigs,
+        id_col="media_id",
+        bits=AUDIO_DHASH_GRID - 1,
+        bands=AUDIO_BANDS,
+        max_hamming=AUDIO_MAX_HAMMING,
+    )
+
+
+def _media_audio_energy_sql() -> str:
+    from ..operators.multimodal import AUDIO_DHASH_GRID
+
+    G = AUDIO_DHASH_GRID
+    bits = G - 1
+    width = bits // AUDIO_BANDS
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(AUDIO_BANDS))
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+mr AS (
+  SELECT doc_id AS media_id, 1 AS gain, h, n FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET}, {AUDIO_GAIN}, h, n
+  FROM base WHERE doc_id % {AUDIO_GAIN_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * PHASH_TWIN_OFFSET}, -1, h, n
+  FROM base WHERE doc_id % {AUDIO_POL_MOD} = 0
+),
+sm AS (
+  SELECT media_id, (i * {G}) // n AS blk,
+         (((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)
+           - {AUDIO_SAMPLE_BIAS}) * {AUDIO_SAMPLE_SCALE} * gain) AS s
+  FROM mr, unnest(range(n)) AS t(i)
+),
+chunks AS (SELECT media_id, blk, SUM(s * s) AS e, COUNT(*) AS c FROM sm GROUP BY media_id, blk),
+grid AS (
+  SELECT mr.media_id, gi.j AS blk, COALESCE(k.e, 0) AS e, COALESCE(k.c, 0) AS c
+  FROM mr CROSS JOIN range({G}) gi(j)
+  LEFT JOIN chunks k ON k.media_id = mr.media_id AND k.blk = gi.j
+),
+sig AS (
+  SELECT g1.media_id,
+         CAST(SUM(CASE WHEN g2.e * g1.c > g1.e * g2.c
+                       THEN CAST(1 AS BIGINT) << ({bits - 1} - g1.blk)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM grid g1 JOIN grid g2 ON g2.media_id = g1.media_id AND g2.blk = g1.blk + 1
+  GROUP BY g1.media_id
+),
+bands AS (
+  SELECT media_id, dhash, b AS band_index,
+         (dhash >> ({bits} - (b + 1) * {width})) & {mask} AS band_value
+  FROM sig, unnest([{band_ids}]) AS t(b)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b
+  ON a.band_index = b.band_index AND a.band_value = b.band_value AND a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {AUDIO_MAX_HAMMING}
+"""
+
+
+QUERIES["media_audio_energy_pairs"] = (media_audio_energy_query, _media_audio_energy_sql())

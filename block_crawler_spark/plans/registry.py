@@ -56,6 +56,7 @@ _FRONT = (
     "media_phash_near_dup_pairs",
     "media_dup_family_overlap",
     "media_image_dhash_pairs",
+    "media_audio_energy_pairs",
     "doc_lm_gated_quality",
     # -- changed in r13: the semantic pair stage and transitive closure
     #    are session-memoized (bit-identical results, memo-hit pytest) —

@@ -266,6 +266,42 @@ def test_image_dhash_resolution_and_brightness_invariance(spark):
     assert unrel_ham > 12, unrel_ham
 
 
+def test_audio_energy_dhash_gain_and_polarity_invariance(spark):
+    """The audio energy-envelope dHash's theorems on a real pcm16 fixture
+    (amplitude-ramped sine — an ASYMMETRIC envelope): a ×2 louder copy
+    (no clipping) hashes identically (g² cancels cross-multiplied), a
+    phase-inverted copy hashes identically ((−s)² = s²), light noise
+    lands within a few bits, and a time-REVERSED copy does not pair (the
+    envelope is what's hashed, and this one is direction-asymmetric)."""
+    import numpy as np
+
+    from block_crawler_spark.operators.multimodal import audio_energy_dhash
+
+    n = 8000
+    t = np.arange(n)
+    ramp = 1000 + (t * 14000) // n  # amplitude grows 1k → 15k
+    s = (np.sin(2 * np.pi * 440 * t / 16000) * ramp).astype(np.int64)
+    rng = np.random.default_rng(3)
+    rows = {
+        0: s,
+        1: s * 2,  # gain (max ~30k, no clipping)
+        2: -s,  # polarity
+        3: s + rng.integers(-50, 51, n),  # light noise
+        4: s[::-1].copy(),  # time-reversed
+        5: rng.integers(-15000, 15000, n),  # unrelated
+    }
+    df = spark.createDataFrame(
+        [(k, v.astype("<i2").tobytes()) for k, v in rows.items()],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in audio_energy_dhash(df).collect()}
+    assert got[1] == got[0], "gain x2: identical hash (exact theorem)"
+    assert got[2] == got[0], "polarity inversion: identical hash"
+    assert bin(got[0] ^ got[3]).count("1") <= 6
+    assert bin(got[0] ^ got[4]).count("1") > 12, "reversed envelope is a different sound"
+    assert bin(got[0] ^ got[5]).count("1") > 12
+
+
 def test_lm_gated_quality_null_band_policy(spark, tmp_path):
     """The LM-gated blend's no-evidence rule: a document with fewer than
     two tokens has no bigrams, so it FAILS the LM gate by policy even when
