@@ -39,16 +39,29 @@ def test_centroid_memo_hit_is_result_identical(spark):
 def test_semantic_trio_shares_one_training(spark):
     """The semantic trio (cells → keep composes cells; balanced sample)
     all train the identical (sf_dir, _sem_k(N), iters) codebook: after one
-    of them runs, the memo holds exactly one entry and the others reuse it
-    (the r10 verdict's capture/bench cost fix)."""
+    of them runs, the memo holds exactly one CENTROID entry and the others
+    reuse it (the r10 verdict's capture/bench cost fix).  Since round 13
+    the same dict also memoizes the shared pair stage ("sempairs") and
+    closure ("semcomp") — the trio must still converge to exactly one
+    entry of EACH kind, never one per consumer."""
     from block_crawler_spark.plans import embed_ops
+
+    def kinds():
+        from collections import Counter
+
+        return Counter(
+            k[0] if isinstance(k[0], str) and k[0] in ("sempairs", "semcomp") else "centroids"
+            for k in embed_ops._CENTROID_MEMO
+        )
 
     embed_ops._CENTROID_MEMO.clear()
     embed_ops.semantic_cells_query(spark, SF).collect()
-    assert len(embed_ops._CENTROID_MEMO) == 1
+    assert kinds()["centroids"] == 1
     embed_ops.semantic_keep_query(spark, SF).collect()
     embed_ops.balanced_sample_query(spark, SF).collect()
-    assert len(embed_ops._CENTROID_MEMO) == 1, "trio must share one codebook entry"
+    got = kinds()
+    assert got["centroids"] == 1, "trio must share one codebook entry"
+    assert got["sempairs"] == 1 and got["semcomp"] == 1, got
 
 
 def test_semantic_pairs_loss_split_is_exact(spark):
