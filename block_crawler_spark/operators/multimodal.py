@@ -442,7 +442,11 @@ def audio_energy_dhash(media: DataFrame, grid: int = AUDIO_DHASH_GRID) -> DataFr
         for pdf in batches:
             out_n, out_h = [], []
             for blob in pdf["content"]:
-                s = np.frombuffer(bytes(blob or b""), dtype="<i2").astype(np.int64)
+                raw = bytes(blob or b"")
+                # total on any payload (r13 review): a truncated pcm16 blob
+                # has an odd byte count — drop the dangling byte instead of
+                # letting frombuffer raise and fail the whole stage
+                s = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
                 n = len(s)
                 if n == 0:
                     out_n.append(0)

@@ -322,18 +322,24 @@ def _memoized_bounded_frame(spark: SparkSession, key: tuple, build, max_rows: in
     ``take(max_rows + 1)`` captures the result; if it fits, the memo
     behaves exactly like :func:`_memoized_small_frame` (same dict, size
     bound, eviction).  If it does NOT fit, the LIVE frame is returned and
-    nothing is memoized — each consumer recomputes its lineage, which is
-    the pre-memo behavior and the only driver-safe choice (a cluster
+    only the over-cap VERDICT is memoized — each consumer recomputes its
+    lineage (the pre-memo behavior, the only driver-safe choice; a cluster
     deployment past the valve would persist the stage to parquet instead,
-    the ``minhash_signatures(stage_path=...)`` pattern)."""
+    the ``minhash_signatures(stage_path=...)`` pattern), and the cached
+    verdict spares every later call the ``take`` probe's extra stage
+    execution (r13 review: without it the valve made each query pay ~2×
+    the pre-memo cost)."""
     hit = _CENTROID_MEMO.get(key)
+    if hit == "toobig":
+        return build()
     if hit is None:
         df = build()
         rows = df.take(max_rows + 1)
-        if len(rows) > max_rows:
-            return df
         if len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
             _CENTROID_MEMO.clear()
+        if len(rows) > max_rows:
+            _CENTROID_MEMO[key] = "toobig"
+            return df
         _CENTROID_MEMO[key] = (rows, df.schema)
         hit = _CENTROID_MEMO[key]
     rows, schema = hit

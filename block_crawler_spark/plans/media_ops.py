@@ -296,8 +296,17 @@ def media_phash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow transform+dHash stages run twice end-to-end (same pattern
     # and same CacheManager note as simhash_pairs_query's sigs.cache() —
     # one 24-byte row per media, deduplicated across invocations by the
-    # logical plan)
-    sigs = content_dhash(media).select("media_id", F.col("dhash").alias("simhash")).cache()
+    # logical plan).  All-zero signatures are EXCLUDED from pairing (r13
+    # review): flat/degenerate content (every strict block comparison
+    # false) carries no locality evidence, any two such blobs would pair
+    # at Hamming 0 regardless of content, and at scale they all share the
+    # band-value-0 buckets — the one hot bucket this family could have.
+    sigs = (
+        content_dhash(media)
+        .filter(F.col("dhash") != 0)
+        .select("media_id", F.col("dhash").alias("simhash"))
+        .cache()
+    )
     return simhash_band_pairs(
         sigs,
         id_col="media_id",
@@ -361,6 +370,7 @@ bands AS (
   SELECT media_id, dhash, b AS band_index,
          (dhash >> ({DHASH_BITS} - (b + 1) * {width})) & {mask} AS band_value
   FROM sig, unnest([{band_ids}]) AS t(b)
+  WHERE dhash <> 0
 )"""
 
 
@@ -387,8 +397,10 @@ def media_family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many pairs BOTH find, how many each finds alone, and the pair-set
     agreement in ppm.  The matrix carries a STRUCTURAL theorem the text
     families don't have: identical bytes ⇒ identical dhash ⇒ every band
-    shared ⇒ Hamming 0, so exact ⊆ perceptual and ``only_exact`` is 0 BY
-    CONSTRUCTION (pytest-pinned) — the perceptual surplus (``only_phash``)
+    shared ⇒ Hamming 0, so among rows carrying a non-degenerate signature
+    (the all-zero exclusion applies to the perceptual side only) exact ⊆
+    perceptual and ``only_exact`` is 0 BY CONSTRUCTION on any corpus
+    without flat-content exact dups (pytest-pinned here) — the perceptual surplus (``only_phash``)
     is exactly the transformed-twin mass a byte-exact dedup would miss,
     i.e. the number this matrix exists to put in front of a curator.
 
@@ -405,8 +417,11 @@ def media_family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one Arrow pass for both detectors (same cache note as the pair query)
     sigs = content_dhash(media, extra_cols=("digest",)).cache()
+    # the perceptual side mirrors media_phash_near_dup_pairs exactly,
+    # including its all-zero-signature exclusion (the exact side keeps
+    # every row — digest equality needs no signature evidence)
     phash = simhash_band_pairs(
-        sigs.select("media_id", F.col("dhash").alias("simhash")),
+        sigs.filter(F.col("dhash") != 0).select("media_id", F.col("dhash").alias("simhash")),
         id_col="media_id",
         bits=DHASH_BITS,
         bands=PHASH_BANDS,
@@ -578,9 +593,12 @@ def media_image_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import IMG_DHASH_BITS, image_dhash
 
     corpus = _planted_image_media(load_table(spark, sf_dir, "documents"))
+    # NULL (sub-grid) and all-zero (flat — no block strictly exceeds its
+    # predecessor) signatures are excluded: no evidence, and the zero
+    # signature is the band-0 hot bucket at scale (r13 review)
     sigs = (
         image_dhash(corpus)
-        .filter(F.col("dhash").isNotNull())
+        .filter(F.col("dhash").isNotNull() & (F.col("dhash") != 0))
         .select("media_id", F.col("dhash").alias("simhash"))
         .cache()
     )
@@ -597,6 +615,12 @@ def _media_image_dhash_sql() -> str:
     from ..operators.multimodal import IMG_DHASH_BITS, IMG_DHASH_GRID
 
     G = IMG_DHASH_GRID
+    # the oracle's px CTE has no COLUMN crop (the operator crops to
+    # wu = w - w % grid) — valid only while every planted width is
+    # grid-aligned; a non-multiple width would assign trailing columns to
+    # an out-of-range blkx and flip row-edge bits (r13 review: latent,
+    # fail loudly here instead of at oracle-check time)
+    assert IMG_W % G == 0 and (2 * IMG_W) % G == 0, (IMG_W, G)
     width = IMG_DHASH_BITS // IMG_BANDS
     mask = (1 << width) - 1
     band_ids = ", ".join(str(b) for b in range(IMG_BANDS))
@@ -647,6 +671,7 @@ bands AS (
   SELECT media_id, dhash, b AS band_index,
          (dhash >> ({IMG_DHASH_BITS} - (b + 1) * {width})) & {mask} AS band_value
   FROM sig, unnest([{band_ids}]) AS t(b)
+  WHERE dhash <> 0
 )
 SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
@@ -729,8 +754,12 @@ def media_audio_energy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import AUDIO_DHASH_GRID, audio_energy_dhash
 
     corpus = _planted_audio_media(load_table(spark, sf_dir, "documents"))
+    # all-zero signatures (flat energy envelope — silence, constant tone)
+    # are excluded from pairing: no envelope evidence, and the zero
+    # signature is the band-0 hot bucket at scale (r13 review)
     sigs = (
         audio_energy_dhash(corpus)
+        .filter(F.col("dhash") != 0)
         .select("media_id", F.col("dhash").alias("simhash"))
         .cache()
     )
@@ -790,6 +819,7 @@ bands AS (
   SELECT media_id, dhash, b AS band_index,
          (dhash >> ({bits} - (b + 1) * {width})) & {mask} AS band_value
   FROM sig, unnest([{band_ids}]) AS t(b)
+  WHERE dhash <> 0
 )
 SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming

@@ -77,8 +77,10 @@ _FRONT = (
     #    last driver rows r8 for the seeded-PQ pair — ALSO the r12 verdict's
     #    re-measure item, so they get a fresh driver record — and
     #    doc_length_percentiles; r9 for the relational/evt/nft tail; r10
-    #    for the trailing screens), 40 slots → the prefix-50 sample covers
-    #    the current oldest families exactly --
+    #    for the trailing screens), 36 slots — 14 added/changed + 36
+    #    rotation = exactly the driver's 50-sample prefix (r13 review:
+    #    the first cut listed 40 rotation entries, silently pushing the
+    #    last four past the sample) --
     "emb_pq_topk",
     "emb_ivfpq_topk",
     "doc_length_percentiles",
@@ -115,10 +117,6 @@ _FRONT = (
     "evt_rate_spikes",
     "tx_sender_gas_stats",
     "tx_creations_by_block_bucket",
-    "emb_label_dim_sums",
-    "emb_norm_stats",
-    "emb_rp_topk",
-    "emb_prefix_topk",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

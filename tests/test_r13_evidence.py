@@ -115,6 +115,33 @@ def test_content_dhash_empty_and_short_blobs(spark):
     assert rows[1]["dhash"] == _dhash_ref([5, 200, 5]) and rows[1]["n_bytes"] == 3
 
 
+def test_flat_content_never_pairs(spark, tmp_path):
+    """The all-zero-signature exclusion (r13 review): flat content —
+    every strict block comparison false — hashes to 0, and two unrelated
+    flat blobs would otherwise pair at Hamming 0 through the band-0
+    bucket (the one hot bucket the band join could have at scale).  A
+    corpus of solid-byte docs of different lengths and values must
+    produce ZERO pairs from every media pair family."""
+    from block_crawler_spark.plans.media_ops import (
+        media_audio_energy_query,
+        media_image_dhash_query,
+        media_phash_near_dup_query,
+    )
+
+    rows = [
+        (0, "a" * 200, "en", "s", 200),
+        (1, "b" * 320, "en", "s", 320),
+        (2, "a" * 200, "en", "s", 200),  # even an EXACT flat dup: no signature evidence
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    assert media_phash_near_dup_query(spark, sf).count() == 0
+    assert media_image_dhash_query(spark, sf).count() == 0
+    assert media_audio_energy_query(spark, sf).count() == 0
+
+
 def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
     """End-to-end registry behavior at sf0.001: every planted brightness
     twin pairs with its original at Hamming 0, and NO pair joins blobs
@@ -427,8 +454,10 @@ def test_semantic_stage_memo_hit_is_result_identical(spark):
     assert cold == warm
     assert cold["cells_mp2"], "the mp2 pair stage must find pairs at sf0.001"
 
-    # the safety valve: past max_rows nothing is memoized and the LIVE
-    # frame comes back with the same rows
+    # the safety valve: past max_rows no ROWS are memoized — the LIVE
+    # frame comes back with the same values — and the over-cap VERDICT is
+    # cached so later calls skip the take probe (r13 review: the first
+    # valve paid the probe's extra stage execution on every call)
     for k in [k for k in _CENTROID_MEMO if k[0] in ("sempairs", "semcomp")]:
         del _CENTROID_MEMO[k]
     orig = embed_ops._SEM_MEMO_MAX_ROWS
@@ -436,9 +465,14 @@ def test_semantic_stage_memo_hit_is_result_identical(spark):
     try:
         live = snap(semantic_cells_mp_query(spark, SF0))
         assert live == cold["cells_mp2"]
-        assert not any(k[0] in ("sempairs", "semcomp") for k in _CENTROID_MEMO)
+        verdicts = {k: v for k, v in _CENTROID_MEMO.items() if k[0] in ("sempairs", "semcomp")}
+        assert verdicts and all(v == "toobig" for v in verdicts.values()), verdicts
+        live2 = snap(semantic_cells_mp_query(spark, SF0))
+        assert live2 == cold["cells_mp2"]
     finally:
         embed_ops._SEM_MEMO_MAX_ROWS = orig
+        for k in [k for k in _CENTROID_MEMO if k[0] in ("sempairs", "semcomp")]:
+            del _CENTROID_MEMO[k]
 
 
 def test_residual_codebook_layout_mismatch_raises(spark):
