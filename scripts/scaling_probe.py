@@ -69,6 +69,15 @@ PROBES = [
     # stays the SUM of their banded costs (no accidental cross-family
     # blowup), the riskiest new shape of the round
     "dedup_family_overlap",
+    # round 13: the perceptual media triad's riskiest shape (two chained
+    # Arrow stages + planted-twin corpus + band equi-join) and the
+    # two-scan LM-gate composition (bigram collision join + quality scan)
+    "media_image_dhash_pairs",
+    "doc_lm_gated_quality",
+    # round 13: the memoized semantic flagship — its curve now prices the
+    # WARM path (memo hit + assignment + cap window); the cold lineage is
+    # the r12 row
+    "dedup_semantic_keep_mp2",
 ]
 
 
