@@ -212,6 +212,19 @@ PHASH_MAX_HAMMING = 6  # total recall ≤ 3 (pigeonhole), probabilistic 4–6
 # total on any payload, not just ASCII.
 PHASH_TWIN_OFFSET = 10_000_000
 PHASH_BRIGHT_MOD, PHASH_BRIGHT_DELTA = 7, 7
+
+
+def _check_twin_ids(pdf: pd.DataFrame) -> None:
+    """Fail loudly if a source doc_id would alias a minted twin id
+    (ADVICE r13: on a corpus with doc_id ≥ {PHASH_TWIN_OFFSET} the
+    ``a % OFFSET == b % OFFSET`` twin arithmetic silently mispairs).
+    One bounded per-batch max() over an already-materialized Arrow
+    column — the width-assert pattern of ``_media_image_dhash_sql``."""
+    if len(pdf) and int(pdf["doc_id"].max()) >= PHASH_TWIN_OFFSET:
+        raise ValueError(
+            f"doc_id >= PHASH_TWIN_OFFSET ({PHASH_TWIN_OFFSET}): planted twin "
+            "ids would alias real doc ids; raise PHASH_TWIN_OFFSET"
+        )
 PHASH_NOISE_MOD, PHASH_NOISE_STRIDE, PHASH_NOISE_EVERY = 11, 31, 13
 # every 5th doc also gets a VERBATIM copy (round 13, the agreement-matrix
 # corpus): the exact detector finds only these, the perceptual detector
@@ -238,6 +251,7 @@ def _planted_transform_media(docs: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            _check_twin_ids(pdf)
             ids: list[int] = []
             blobs: list[bytes] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
@@ -276,7 +290,12 @@ def media_phash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents-derived blobs plus planted brightness/noise twins
     (:func:`_planted_transform_media`): brightness twins pair at
     Hamming 0 BY CONSTRUCTION (a global level shift adds the same term to
-    both sides of the cross-multiplied mean comparison), noise twins land
+    both sides of the cross-multiplied mean comparison) — exact only for
+    byte values ≤ 255 − {PHASH_BRIGHT_DELTA}, since the LEAST/np.minimum
+    clamp saturates above that and near-tie blocks may flip a bit (ADVICE
+    r13; both engines clamp identically, so no oracle divergence — the
+    planted-twin pytest bounds those pairs by PHASH_MAX_HAMMING rather
+    than pinning 0), noise twins land
     within a few bits, and unrelated content hashes ~uniformly so it
     survives neither the band join nor the Hamming cut — all three
     behaviors pinned by the planted-transform pytest
@@ -532,6 +551,7 @@ def _planted_image_media(docs: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            _check_twin_ids(pdf)
             ids: list[int] = []
             widths: list[int] = []
             blobs: list[bytes] = []
@@ -689,7 +709,15 @@ QUERIES["media_image_dhash_pairs"] = (media_image_dhash_query, _media_image_dhas
 # Audio energy-envelope dHash (round 13) — the third member of the triad
 # ---------------------------------------------------------------------------
 
-AUDIO_SAMPLE_BIAS, AUDIO_SAMPLE_SCALE = 64, 100  # byte v → sample (v-64)*100
+# byte v → sample (v-64)*85.  The scale is sized so the LOUDEST possible
+# twin sample fits int16 on ANY byte value: |2·(255−64)·85| = 32470 <
+# 32767 (ADVICE r13: at the old scale 100, bytes ≥ 228 — CJK/emoji UTF-8
+# lead bytes — silently wrapped `<i2` in the numpy stage while the oracle
+# computed unwrapped energies).  The dHash is invariant to a uniform
+# sample scale (it cancels in the cross-multiplied energy comparison), so
+# this changes no pair output — it removes the latent wrap divergence.
+AUDIO_SAMPLE_BIAS, AUDIO_SAMPLE_SCALE = 64, 85
+assert 2 * (255 - AUDIO_SAMPLE_BIAS) * AUDIO_SAMPLE_SCALE <= 32767
 AUDIO_GAIN_MOD, AUDIO_GAIN = 4, 2  # every 4th doc: a 2× louder twin (no clipping)
 AUDIO_POL_MOD = 9  # every 9th doc: a phase-inverted twin
 AUDIO_MAX_HAMMING = 6
@@ -700,9 +728,11 @@ def _planted_audio_media(docs: DataFrame) -> DataFrame:
     """documents → pcm16 audio corpus with planted GAIN and POLARITY twins
     as REAL little-endian int16 blobs through an Arrow stage: each text
     byte v becomes one sample (v − {AUDIO_SAMPLE_BIAS})·{AUDIO_SAMPLE_SCALE}
-    (range ±~16k, so the ×{AUDIO_GAIN} gain twin never clips — clipping
-    would break the exact gain theorem, which is the point of the planted
-    corpus).  Output: (media_id, content)."""
+    (max twin magnitude 2·191·{AUDIO_SAMPLE_SCALE} ≤ 32767 for EVERY byte
+    value 0–255, asserted at module load, so the ×{AUDIO_GAIN} gain twin
+    never clips or wraps — wrapping would break the exact gain theorem,
+    which is the point of the planted corpus).  Output:
+    (media_id, content)."""
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(
@@ -713,6 +743,7 @@ def _planted_audio_media(docs: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            _check_twin_ids(pdf)
             ids: list[int] = []
             blobs: list[bytes] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):

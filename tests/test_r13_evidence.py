@@ -144,18 +144,28 @@ def test_flat_content_never_pairs(spark, tmp_path):
 
 def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
     """End-to-end registry behavior at sf0.001: every planted brightness
-    twin pairs with its original at Hamming 0, and NO pair joins blobs
-    derived from different source documents (the selectivity claim — on
-    this corpus unrelated blobs hash far apart, so the band join + Hamming
-    cut admit zero false pairs)."""
+    twin pairs with its original (Hamming 0 when no byte exceeds
+    255 − delta so the clamp never saturates — ADVICE r13: on near-255
+    bytes the clamp can flip near-tie blocks, so the general bound is
+    PHASH_MAX_HAMMING), and NO pair joins blobs derived from different
+    source documents (the selectivity claim — on this corpus unrelated
+    blobs hash far apart, so the band join + Hamming cut admit zero false
+    pairs)."""
     from block_crawler_spark.plans.media_ops import (
+        PHASH_BRIGHT_DELTA,
         PHASH_BRIGHT_MOD,
+        PHASH_MAX_HAMMING,
         PHASH_TWIN_OFFSET,
         media_phash_near_dup_query,
     )
 
-    docs = load_table(spark, SF0, "documents").select("doc_id").collect()
+    docs = load_table(spark, SF0, "documents").select("doc_id", "text").collect()
     doc_ids = sorted(r["doc_id"] for r in docs)
+    clamp_free = {
+        r["doc_id"]
+        for r in docs
+        if max((r["text"] or "").encode("utf-8"), default=0) <= 255 - PHASH_BRIGHT_DELTA
+    }
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in media_phash_near_dup_query(spark, SF0).collect()
@@ -165,7 +175,10 @@ def test_media_phash_registry_finds_exactly_the_planted_twins(spark):
         assert a % PHASH_TWIN_OFFSET == b % PHASH_TWIN_OFFSET, (a, b)
     for did in doc_ids:
         if did % PHASH_BRIGHT_MOD == 0:
-            assert pairs[(did, did + PHASH_TWIN_OFFSET)] == 0
+            hamming = pairs[(did, did + PHASH_TWIN_OFFSET)]
+            assert hamming <= PHASH_MAX_HAMMING
+            if did in clamp_free:
+                assert hamming == 0  # exact level-shift invariance holds
 
 
 def test_stream_dedup_native_twin_vs_corpus_gate(spark, tmp_path):
