@@ -342,7 +342,9 @@ IMG_DHASH_SCHEMA = StructType(
 )
 
 
-def image_dhash(media: DataFrame, grid: int = IMG_DHASH_GRID) -> DataFrame:
+def image_dhash(
+    media: DataFrame, grid: int = IMG_DHASH_GRID, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """TWO-DIMENSIONAL perceptual dHash for raw grayscale images (round 13
     — the 2-D sibling of :func:`content_dhash`, which treats content as a
     1-D stream).  Input rows carry their own ``width`` column (the typed-
@@ -371,8 +373,13 @@ def image_dhash(media: DataFrame, grid: int = IMG_DHASH_GRID) -> DataFrame:
     Images with fewer than ``grid`` usable rows or columns hash to NULL
     (no 8×8 structure to compare — the no-evidence policy; pair queries
     filter them).  Input: (media_id, width int, content binary).  Output:
-    (media_id, n_bytes, dhash nullable)."""
+    (media_id, n_bytes, dhash nullable); ``extra_cols`` names input
+    columns passed through unchanged (the :func:`content_dhash`
+    passthrough pattern — round 14, so the video family's per-FRAME
+    signatures keep their ``frame_index``; content itself is still
+    consumed in-stage, never emitted)."""
     bits_per_row = grid - 1
+    schema = StructType(IMG_DHASH_SCHEMA.fields + [media.schema[c] for c in extra_cols])
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,9 +401,12 @@ def image_dhash(media: DataFrame, grid: int = IMG_DHASH_GRID) -> DataFrame:
                     for x in range(bits_per_row):
                         h = (h << 1) | int(blocks[y, x + 1] > blocks[y, x])
                 out_h.append(h)
-            yield pd.DataFrame({"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h})
+            out = {"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(hashes, IMG_DHASH_SCHEMA)
+    return media.mapInPandas(hashes, schema)
 
 
 AUDIO_DHASH_GRID = 61  # 61 chunk energies → 60 adjacent-difference bits

@@ -2952,3 +2952,114 @@ FROM qs LEFT JOIN h USING (q_id)
 
 
 QUERIES["emb_ivf_recall_audit"] = (ivf_recall_audit_query, _ivf_recall_audit_sql())
+
+
+# ---------------------------------------------------------------------------
+# Trained-PQ ADC shortlist → exact rerank (round 14)
+# ---------------------------------------------------------------------------
+
+PQ_RERANK_SHORTLIST = 100  # the committed L — same as the bitsign/JL rerank stages
+
+
+def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ ADC shortlist → EXACT-RERANK top-k (round 14 — VERDICT
+    r13 task 1): the operator form of the clustered-grid finding.  The
+    r13 ``--clustered`` recall grid (docs/PLAN_AUDIT.md) proved the
+    committed M={PQ_M}/K={PQ_K} PQ tier cannot rank INSIDE tight clusters
+    — recall@5 drops 0.536 → 0.376 on mode-structured geometry, flat in
+    nprobe, because quantization error exceeds the within-mode
+    separations — and stated the operational rule "use the 16× tier as a
+    shortlist stage, follow with the exact rerank".  Until this round the
+    two-stage shape existed only for the JL and bitsign sketches
+    (``emb_rp_rerank_topk`` / ``emb_bitsign_rerank_topk``); a user on a
+    clustered corpus (i.e. every real embedding corpus) following the
+    committed PQ layout got the one configuration the grid says degrades.
+    This query closes that: stage 1 is the UNCHANGED trained-PQ ADC
+    machinery (session-memoized grouped-Lloyd codebook via
+    ``_trained_pq_codebook``, ``pq_encode`` corpus codes,
+    ``pq_adc_topk`` at k = ``PQ_RERANK_SHORTLIST``) — the search still
+    never reads the float corpus; stage 2 re-scores ONLY the ≤Q·L
+    shortlist survivors with exact int64 micro-space L2 (the
+    ``_bitsign_exact_sql`` template) and takes the final top-{PQ_TOPK}
+    from the rerank.  Measured recall@5 at the committed L=100
+    (scripts/ann_recall.py ``pq_rerank`` rows, both grid geometries):
+    recovers the clustered loss — see docs/PLAN_AUDIT.md r14 — and the
+    sf0.001 ladder is pinned in tests/test_r14_evidence.py.
+
+    Scale shape: stage 1 is the ADC plan ``emb_pq_trained_topk`` already
+    adjudicated (codes-table equi-join on (m, code) against a broadcast
+    Q·M·K LUT, one (q_id, c_id) sum-agg, per-query WindowGroupLimit at
+    L); stage 2 BROADCASTS the Q·L-row shortlist against the corpus
+    vectors — the float table is touched exactly once, streamed map-side
+    with no shuffle, and only L·dim ints per query survive into the
+    final ≤Q·L-row window.  Exact cost is confined to Q·L rows at ANY
+    corpus size — the two-stage ANN shape with the 16×-compressed codes
+    as stage-1 memory footprint (16 B/vector vs the bitsign 8–16 B and
+    the JL 128 B, but trained on the corpus rather than training-free)."""
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _trained_pq_codebook(spark, sf_dir, emb)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    short = pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST).select(
+        "q_id", "c_id"
+    )
+    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
+    qv = vecs.filter(F.col("vec_id") < KNN_QUERY_IDS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        vecs.withColumnRenamed("vec_id", "c_id")
+        .join(F.broadcast(short), "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "c_id", int_sqdist(F.col("v"), F.col("qv")).alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "c_id", "dist", "rank")
+    )
+
+
+def _pq_rerank_sql() -> str:
+    vecs, sub, enc, lut = _pq_base_ctes(f"cb{PQ_TRAIN_ITERS}")
+    train = ",\n".join(_pq_trained_cb_ctes(PQ_TRAIN_ITERS))
+    exact = _bitsign_exact_sql("cv.v", "qv.v")
+    return f"""
+WITH {vecs},
+{sub},
+{train},
+{enc},
+{lut},
+cand AS (
+  SELECT l.q_id, e.vec_id AS c_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  WHERE l.q_id <> e.vec_id
+  GROUP BY l.q_id, e.vec_id
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS srank
+    FROM cand)
+  WHERE srank <= {PQ_RERANK_SHORTLIST}
+),
+rr AS (
+  SELECT s.q_id, s.c_id, {exact} AS dist
+  FROM short s
+  JOIN vecs cv ON cv.vec_id = s.c_id
+  JOIN vecs qv ON qv.vec_id = s.q_id
+)
+SELECT q_id, c_id, dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, c_id, dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rank
+  FROM rr)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+QUERIES["emb_pq_rerank_topk"] = (pq_rerank_topk_query, _pq_rerank_sql())

@@ -862,3 +862,280 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {AUDIO_MAX_HAMMING}
 
 
 QUERIES["media_audio_energy_pairs"] = (media_audio_energy_query, _media_audio_energy_sql())
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual family (round 14) — per-frame image dHash + sequence
+# agreement, completing the modality matrix (bytes / image / audio / VIDEO)
+# ---------------------------------------------------------------------------
+
+VIDEO_W, VIDEO_H = 16, 8  # rawvideo frame = 16×8×1 = 128 bytes; H == grid,
+# so EVERY full frame is grid-aligned by construction (no crop, the exact
+# 2-D dHash theorems apply per frame) — asserted next to the oracle, which
+# relies on it (the _media_image_dhash_sql width-assert pattern)
+VIDEO_FRAME_BYTES = VIDEO_W * VIDEO_H
+VIDEO_BRIGHT_MOD, VIDEO_BRIGHT_DELTA = 6, 8  # every 6th doc: re-encode/level-shift twin
+VIDEO_REV_MOD = 10  # every 10th doc (with ≥2 frames): frame-REVERSED clip —
+# same frame multiset, broken alignment; the detector must NOT pair it
+VIDEO_FRAME_MAX_HAMMING = 6  # per aligned frame, same cut as the image family
+VIDEO_MIN_AGREE_PPM = 600_000  # sequence match = ≥60 % of aligned frames agree
+
+
+def _planted_video_media(docs: DataFrame) -> DataFrame:
+    """documents → rawvideo clip corpus with planted BRIGHTNESS and
+    FRAME-REVERSAL twins (real transformed blobs through an Arrow stage,
+    like the other planted families): each doc's UTF-8 bytes are a clip of
+    {VIDEO_FRAME_BYTES}-byte frames (trailing partial frame dropped);
+    every {VIDEO_BRIGHT_MOD}th doc also ships the clip at
+    +{VIDEO_BRIGHT_DELTA} brightness (the re-encode class a perceptual
+    detector must FIND), every {VIDEO_REV_MOD}th doc with ≥2 frames ships
+    its frames in REVERSE order (same content, destroyed temporal
+    alignment — the negative control the detector must NOT pair; a
+    1-frame reversal is the identity, so those are never planted).
+    Output: (media_id, content)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType(), False), StructField("content", BinaryType(), False)]
+    )
+    fb = VIDEO_FRAME_BYTES
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            _check_twin_ids(pdf)
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = (txt or "").encode("utf-8")
+                nf = len(raw) // fb
+                if nf == 0:
+                    continue
+                clip = np.frombuffer(raw[: nf * fb], dtype=np.uint8)
+                ids.append(did)
+                blobs.append(clip.tobytes())
+                if did % VIDEO_BRIGHT_MOD == 0:
+                    ids.append(did + PHASH_TWIN_OFFSET)
+                    blobs.append(
+                        np.minimum(clip.astype(np.int64) + VIDEO_BRIGHT_DELTA, 255)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                if did % VIDEO_REV_MOD == 0 and nf >= 2:
+                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
+                    blobs.append(clip.reshape(nf, fb)[::-1].tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def media_video_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO perceptual near-dup pairs (round 14 — VERDICT r13 task 4: the
+    fourth modality; until now video had only exact per-frame md5 in
+    ``media_frame_stats``).  The composition the verdict prescribed: the
+    REAL ``sample_frames`` stage (every {FRAME_EVERY_N}nd frame, fanout
+    inside the Arrow batch) → per-frame 2-D ``image_dhash`` (the
+    ``extra_cols`` passthrough carries ``frame_index``) → the banded
+    Hamming machinery PER ALIGNED FRAME (band equi-join keyed
+    (frame_index, band_index, band_value) — a candidate pair must collide
+    at the SAME temporal position) → sequence-level agreement: a pair is
+    emitted iff ≥{VIDEO_MIN_AGREE_PPM} ppm of ``greatest(n_a, n_b)``
+    signature-bearing sampled frames match within Hamming
+    {VIDEO_FRAME_MAX_HAMMING}.  A brightness-shifted re-encode pairs at
+    100 % agreement (per-frame exact invariance — equal-size blocks), a
+    frame-REVERSED copy of the same clip does NOT pair (same frames,
+    destroyed alignment) — both planted by :func:`_planted_video_media`
+    and pinned in tests/test_r14_evidence.py; the DuckDB oracle replays
+    clip derivation, frame sampling, per-frame hashing, and the agreement
+    ratio from the hex dump.
+
+    Honest corpus note: as with the image family, text bytes are not
+    pictures — word-length beat against the raster can align across
+    documents, and the sequence threshold (most aligned frames must ALL
+    agree) is what keeps cross-document noise out; the planted twins pin
+    the invariance claims.
+
+    Scale shape: frame fanout and hashing stay inside Arrow stages
+    (content never shuffles — 24 B signature rows per sampled frame);
+    candidates come from a (frame_index, band) equi-join, collision-
+    bounded per temporal position, never clips²; the agreement agg is
+    pair-frame-set-sized with two broadcast-sized nf joins.  Output:
+    (id_a, id_b, matched_frames, nf_a, nf_b, agree_ppm)."""
+    from pyspark.sql.types import IntegerType
+
+    from ..operators.multimodal import IMG_DHASH_BITS, image_dhash, sample_frames
+
+    clips = _planted_video_media(load_table(spark, sf_dir, "documents"))
+    videos = clips.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit("rawvideo").alias("codec"),
+            F.lit(VIDEO_W).alias("width"),
+            F.lit(VIDEO_H).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(None).cast(IntegerType()).alias("n_frames"),
+        ).alias("metadata"),
+        "content",
+    )
+    frames = sample_frames(videos, every_n=FRAME_EVERY_N)
+    # per-frame signatures; NULL impossible here (every sampled frame is a
+    # full grid-aligned {VIDEO_H}×{VIDEO_W} image) but all-zero (flat)
+    # frames are excluded from BOTH the numerator and the denominator —
+    # the shared no-evidence / hot-bucket policy (r13 review)
+    sigs = (
+        image_dhash(
+            frames.select(
+                "media_id",
+                "frame_index",
+                F.lit(VIDEO_W).alias("width"),
+                F.col("frame").alias("content"),
+            ),
+            extra_cols=("frame_index",),
+        )
+        .filter(F.col("dhash").isNotNull() & (F.col("dhash") != 0))
+        .select("media_id", "frame_index", "dhash")
+        .cache()
+    )
+    nf = sigs.groupBy("media_id").agg(F.count("*").cast("long").alias("nf"))
+    width = IMG_DHASH_BITS // IMG_BANDS
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        "media_id",
+        "frame_index",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_index"),
+                        F.shiftright(F.col("dhash"), IMG_DHASH_BITS - (b + 1) * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_value"),
+                    )
+                    for b in range(IMG_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("media_id", "frame_index", "dhash", "bd.band_index", "bd.band_value")
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        "frame_index",
+        F.col("dhash").alias("dhash_a"),
+        "band_index",
+        "band_value",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        "frame_index",
+        F.col("dhash").alias("dhash_b"),
+        "band_index",
+        "band_value",
+    )
+    matched_frames = (
+        a.join(b, ["frame_index", "band_index", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
+            <= VIDEO_FRAME_MAX_HAMMING
+        )
+        .select("id_a", "id_b", "frame_index")
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("matched_frames"))
+    )
+    out = (
+        matched_frames.join(nf.select(F.col("media_id").alias("id_a"), F.col("nf").alias("nf_a")), "id_a")
+        .join(nf.select(F.col("media_id").alias("id_b"), F.col("nf").alias("nf_b")), "id_b")
+        .withColumn(
+            "agree_ppm",
+            F.expr("CAST(matched_frames * 1000000 DIV greatest(nf_a, nf_b) AS BIGINT)"),
+        )
+        .filter(F.col("agree_ppm") >= VIDEO_MIN_AGREE_PPM)
+    )
+    return out.select("id_a", "id_b", "matched_frames", "nf_a", "nf_b", "agree_ppm")
+
+
+def _media_video_dhash_sql() -> str:
+    from ..operators.multimodal import IMG_DHASH_BITS, IMG_DHASH_GRID
+
+    G = IMG_DHASH_GRID
+    # the oracle's block arithmetic assumes every frame is EXACTLY
+    # grid-aligned (H == grid, W a multiple of grid) — fail loudly here
+    # instead of at oracle-check time (r13 pattern)
+    assert VIDEO_H == G and VIDEO_W % G == 0, (VIDEO_W, VIDEO_H, G)
+    fb = VIDEO_FRAME_BYTES
+    width = IMG_DHASH_BITS // IMG_BANDS
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(IMG_BANDS))
+    byte_at = (
+        "(strpos('0123456789abcdef', substr(h, 2*src+1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 2*src+2, 1)) - 1)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) // {fb} AS nf
+  FROM documents
+  WHERE octet_length(encode(text)) >= {fb}
+),
+mr AS (
+  SELECT doc_id AS media_id, nf, 0 AS rev, 0 AS delta, h FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET}, nf, 0, {VIDEO_BRIGHT_DELTA}, h
+  FROM base WHERE doc_id % {VIDEO_BRIGHT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * PHASH_TWIN_OFFSET}, nf, 1, 0, h
+  FROM base WHERE doc_id % {VIDEO_REV_MOD} = 0 AND nf >= 2
+),
+px AS (
+  SELECT media_id, f,
+         (lcl // {VIDEO_W}) AS blky,
+         (lcl % {VIDEO_W}) // {VIDEO_W // G} AS blkx,
+         LEAST({byte_at} + delta, 255) AS v
+  FROM (
+    SELECT media_id, f, lcl, delta, h,
+           CASE WHEN rev = 1 THEN (nf - 1 - f) * {fb} + lcl ELSE f * {fb} + lcl END AS src
+    FROM mr, unnest(range(nf)) t(f), unnest(range({fb})) u(lcl)
+    WHERE f % {FRAME_EVERY_N} = 0
+  )
+),
+blocks AS (SELECT media_id, f, blky, blkx, SUM(v) AS s FROM px GROUP BY media_id, f, blky, blkx),
+sig AS (
+  SELECT b0.media_id, b0.f,
+         CAST(SUM(CASE WHEN b1.s > b0.s
+                       THEN CAST(1 AS BIGINT) << ({IMG_DHASH_BITS - 1} - (b0.blky * {G - 1} + b0.blkx))
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM blocks b0
+  JOIN blocks b1 ON b1.media_id = b0.media_id AND b1.f = b0.f
+                AND b1.blky = b0.blky AND b1.blkx = b0.blkx + 1
+  GROUP BY b0.media_id, b0.f
+),
+live AS (SELECT media_id, f, dhash FROM sig WHERE dhash <> 0),
+nfr AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS nf FROM live GROUP BY media_id),
+bands AS (
+  SELECT media_id, f, dhash, b AS band_index,
+         (dhash >> ({IMG_DHASH_BITS} - (b + 1) * {width})) & {mask} AS band_value
+  FROM live, unnest([{band_ids}]) AS t(b)
+),
+mf AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS matched_frames FROM (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.f
+    FROM bands a
+    JOIN bands b ON a.f = b.f AND a.band_index = b.band_index
+                AND a.band_value = b.band_value AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {VIDEO_FRAME_MAX_HAMMING}
+  ) GROUP BY id_a, id_b
+)
+SELECT mf.id_a, mf.id_b, mf.matched_frames, na.nf AS nf_a, nb.nf AS nf_b,
+       CAST(mf.matched_frames * 1000000 // greatest(na.nf, nb.nf) AS BIGINT) AS agree_ppm
+FROM mf
+JOIN nfr na ON na.media_id = mf.id_a
+JOIN nfr nb ON nb.media_id = mf.id_b
+WHERE mf.matched_frames * 1000000 // greatest(na.nf, nb.nf) >= {VIDEO_MIN_AGREE_PPM}
+"""
+
+
+QUERIES["media_video_dhash_pairs"] = (media_video_dhash_query, _media_video_dhash_sql())

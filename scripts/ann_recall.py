@@ -215,6 +215,38 @@ def main() -> int:
             "recall_l2_trained": recall_vs(trained_res, truth_l2),
             "cost": round(nprobe / n_cells, 4),
         }
+    # round 14 (VERDICT r13 task 1): trained-PQ ADC shortlist → EXACT rerank
+    # (emb_pq_rerank_topk's two-stage shape), same multi-query grid as
+    # rp_rerank/bitsign_rerank — the row that decides whether the rerank
+    # stage recovers the clustered-geometry loss the r13 grid found in the
+    # flat PQ tier (0.536 → 0.376).  ONE ADC rank pass at the largest L
+    # (the rank column contains every smaller shortlist), then per-L
+    # filters; stage-2 is the registry query's exact int64-L2 re-score.
+    from block_crawler_spark.plans.embed_ops import PQ_RERANK_SHORTLIST  # noqa: E402
+
+    out["pq_rerank"] = {}
+    L_MAX_PQ = 200
+    vm_pq = emb.select(F.col("vec_id").alias("c_id"), micro_fixed(F.col("embedding")).alias("v"))
+    adc_rank = (
+        pq_adc_topk(queries, codes_by["trained"], books["trained"], m, sub, k=L_MAX_PQ)
+        .select("q_id", "c_id", F.col("rank").alias("srank"))
+        .cache()
+    )
+    for L in (25, 50, PQ_RERANK_SHORTLIST, L_MAX_PQ):
+        rer = (
+            adc_rank.filter(F.col("srank") <= L)
+            .join(vm_pq, "c_id")
+            .join(qm, "q_id")
+            .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+        )
+        out["pq_rerank"][f"L={L}"] = {
+            "recall_l2": recall_vs(rer, truth_l2),
+            "cost": round(L / n, 4),
+            "bytes_frac": round(m / (4 * m * sub), 4),
+        }
+    adc_rank.unpersist()
     for c in codes_by.values():
         c.unpersist()
 

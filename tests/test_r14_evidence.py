@@ -84,3 +84,102 @@ def test_planted_stage_rejects_twin_id_aliasing(spark, tmp_path):
     for q in (media_phash_near_dup_query, media_image_dhash_query, media_audio_energy_query):
         with pytest.raises(PythonException, match="PHASH_TWIN_OFFSET"):
             q(spark, sf).count()
+
+
+def test_pq_rerank_recovers_exact_topk(spark):
+    """The trained-PQ ADC→rerank two-stage query (VERDICT r13 task 1) at
+    sf0.001: with the committed L=100 shortlist the rerank returns the
+    EXACT integer-L2 top-5 for every query (recall@5 = 1.0), and every
+    emitted distance equals the exact brute-force distance — the property
+    the flat ADC tier cannot have (its adc_dist is the quantized
+    approximation that degrades on clustered geometry; the rerank's
+    output is exact BY CONSTRUCTION, only its membership depends on the
+    shortlist)."""
+    from pyspark.sql import Window
+
+    from block_crawler_spark.operators.ann import int_sqdist, micro_fixed
+    from block_crawler_spark.plans.embed_ops import (
+        KNN_QUERY_IDS,
+        PQ_TOPK,
+        pq_rerank_topk_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF0, "embeddings")
+    vm = emb.select(F.col("vec_id").alias("c_id"), micro_fixed(F.col("embedding")).alias("v"))
+    qm = vm.filter(F.col("c_id") < KNN_QUERY_IDS).select(
+        F.col("c_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    truth = {
+        (r.q_id, r.c_id): r.d
+        for r in qm.crossJoin(vm)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .collect()
+    }
+    got = {(r.q_id, r.c_id): r.dist for r in pq_rerank_topk_query(spark, SF0).collect()}
+    assert set(got) == set(truth), "recall@5 must be 1.0 at the committed L on sf0.001"
+    assert all(got[k] == truth[k] for k in got), "rerank distances are exact"
+
+
+def _video_frame_dhash(frame_bytes, w, grid=8):
+    """Independent numpy recompute of the per-frame 2-D dHash."""
+    import numpy as np
+
+    arr = np.frombuffer(frame_bytes, dtype=np.uint8).astype(np.int64)
+    img = arr.reshape(len(arr) // w, w)
+    hu, wu = img.shape[0], w
+    blocks = img.reshape(grid, hu // grid, grid, wu // grid).sum(axis=(1, 3))
+    h = 0
+    for y in range(grid):
+        for x in range(grid - 1):
+            h = (h << 1) | int(blocks[y, x + 1] > blocks[y, x])
+    return h
+
+
+def test_video_dhash_planted_twins(spark, tmp_path):
+    """The video family's sequence-level contract (VERDICT r13 task 4) on
+    a controlled 4-frame clip of pairwise-dissimilar frames: the planted
+    BRIGHTNESS twin pairs at 100 % frame agreement (per-frame exact
+    level-shift invariance), the planted FRAME-REVERSED twin — same frame
+    multiset, destroyed temporal alignment — does NOT pair, and an
+    unrelated clip does not pair with either."""
+    import numpy as np
+
+    from block_crawler_spark.plans.media_ops import (
+        PHASH_TWIN_OFFSET,
+        VIDEO_FRAME_BYTES,
+        VIDEO_FRAME_MAX_HAMMING,
+        VIDEO_W,
+        media_video_dhash_query,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def clip(n_frames):
+        return rng.integers(33, 127, n_frames * VIDEO_FRAME_BYTES, dtype=np.uint8)
+
+    c0, c7 = clip(4), clip(4)
+    # precondition: the frames this test relies on are pairwise FAR apart
+    # (orig sampled positions {0: f0, 2: f2}; the reversed clip puts f3 at
+    # position 0 and f1 at position 2) and none hashes to 0
+    fb = VIDEO_FRAME_BYTES
+    sigs = [_video_frame_dhash(bytes(c0[i * fb : (i + 1) * fb]), VIDEO_W) for i in range(4)]
+    assert all(s != 0 for s in sigs)
+    assert bin(sigs[0] ^ sigs[3]).count("1") > VIDEO_FRAME_MAX_HAMMING
+    assert bin(sigs[2] ^ sigs[1]).count("1") > VIDEO_FRAME_MAX_HAMMING
+
+    rows = [
+        (0, bytes(c0).decode("ascii"), "en", "s", 4 * fb),  # %6==0 and %10==0: both twins
+        (7, bytes(c7).decode("ascii"), "en", "s", 4 * fb),  # no twins planted
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    pairs = {
+        (r.id_a, r.id_b): r.agree_ppm for r in media_video_dhash_query(spark, sf).collect()
+    }
+    assert pairs.get((0, PHASH_TWIN_OFFSET)) == 1_000_000  # brightness twin: FOUND
+    assert (0, 2 * PHASH_TWIN_OFFSET) not in pairs  # reversed twin: NOT paired
+    assert all(a % PHASH_TWIN_OFFSET == b % PHASH_TWIN_OFFSET for a, b in pairs), pairs
