@@ -2781,18 +2781,20 @@ def quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_decile_ctes(key_col: str) -> str:
+def _quality_decile_ctes(key_col: str, src: str = "documents") -> str:
     """The DuckDB quality-decile chain (base/ppm/q CTEs) keyed by
     ``key_col`` — the SQL twin of ``with_quality_ppm`` + decile bucketing,
     shared by the source-lift calibration and the bigram×quality
-    cross-tab so the formula can't drift between them."""
+    cross-tab so the formula can't drift between them.  ``src`` names the
+    table/CTE to read (the planted LM-gate corpus; ``documents``
+    default)."""
     return f"""base AS (
   SELECT {key_col},
          len(string_split_regex(trim(text), '\\s+')) AS n_tok,
          len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ({_EN}))) AS n_stop,
          length(text) - length(regexp_replace(text, '{PUNCT_PATTERN_SQL}', '', 'g')) AS n_punct,
          length(text) AS n_chars
-  FROM documents
+  FROM {src}
 ), ppm AS (
   SELECT {key_col},
          CAST(n_stop * 1000000 // n_tok AS BIGINT) AS stop_ppm,
@@ -2906,10 +2908,13 @@ def _bigram_occurrences(docs: DataFrame, key_col: str) -> DataFrame:
     ).select(key_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
 
 
-def _bigram_occ_sql(key_col: str) -> str:
-    """The DuckDB twin of :func:`_bigram_occurrences` (tk + occ CTEs)."""
+def _bigram_occ_sql(key_col: str, src: str = "documents") -> str:
+    """The DuckDB twin of :func:`_bigram_occurrences` (tk + occ CTEs).
+    ``src`` names the table/CTE to read (round 14: the planted LM-gate
+    corpus reads a derived ``corpus`` CTE; every other caller keeps the
+    ``documents`` default)."""
     return rf"""tk AS (
-  SELECT {key_col}, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  SELECT {key_col}, string_split_regex(trim(lower(text)), '\s+') AS t FROM {src}
 ),
 occ AS (
   SELECT {key_col}, t[i] AS prev, t[i+1] AS tok
@@ -3179,6 +3184,168 @@ FROM agg
 
 
 QUERIES["doc_lm_gated_quality"] = (lm_gated_quality_query, _lm_gated_quality_sql())
+
+
+# Planted LM-gate corpus (round 14 — VERDICT r13 task 5): the harness
+# corpus is generator-uniform in LM band (every doc lands in band 5), so
+# doc_lm_gated_quality's fail_lm_only/fail_both cells are structurally
+# zero there — the oracle was pinning zeros.  The planted twin query
+# derives a corpus that populates ALL FOUR (quality × LM-band) cells with
+# docs whose cell membership is provable, the media-family pattern.
+LMP_TWIN_OFFSET = 10_000_000  # planted ids = doc_id + k·offset (guarded)
+LMP_HUB = "the"  # stopword hub: common as a bigram PREV, and its presence
+# lifts the noise doc's stop_ppm to exactly the decile-4 admission floor
+LMP_BOILER_MOD = 3
+LMP_BOILER_TEXT = "!!! !!! !!! !!! !!!"
+# the noise doc's band is its single bigram's bits = ⌊log2 n1(hub)⌋ + 1;
+# one noise doc per source doc means n1(hub) ≥ |documents|, so 256 docs
+# guarantee band ≥ 9 > LM_GATE_BAND_MAX no matter what the corpus text
+# contains (corpus hub occurrences only push it higher)
+LMP_MIN_DOCS_FOR_HIGH_BAND = 256
+
+
+def _planted_lm_corpus(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, text, source) corpus with planted LM-band
+    twins: per source doc, a NOISE doc ``"{LMP_HUB} qz<doc_id>"`` — a
+    single bigram whose prev is the corpus-common hub and whose
+    continuation is globally unique, so its conditional surprisal band is
+    ⌊log2 n1(hub)⌋+1 > {LM_GATE_BAND_MAX} while its quality (2 tokens,
+    one stopword, zero punct) sits exactly at the decile-{LM_GATE_DECILE_MIN}
+    admission floor → fail_lm_only by construction; and per
+    {LMP_BOILER_MOD}rd doc a BOILERPLATE doc (one punct token repeated —
+    every bigram ratio 1 → band 1 < {LM_GATE_BAND_MIN}; punct-heavy, five
+    tokens → decile 0) → fail_both by construction.  The original docs
+    carry pass_both/fail_quality_only as before (band 5 on the harness
+    corpus).  Planted ids are doc_id + k·{LMP_TWIN_OFFSET}; a source
+    doc_id at or past the offset would alias them, so the derivation
+    fails loudly (the media families' Arrow guard, expressed relationally:
+    the check is FOLDED INTO the doc_id expression itself — a standalone
+    assert column would be pruned by the optimizer and never execute)."""
+    checked = docs.select(
+        F.expr(
+            f"CASE WHEN doc_id >= {LMP_TWIN_OFFSET} THEN CAST(raise_error("
+            "'doc_id >= LMP_TWIN_OFFSET: planted ids would alias real docs'"
+            ") AS BIGINT) ELSE doc_id END"
+        ).alias("doc_id"),
+        "text",
+        "source",
+    )
+    noise = checked.select(
+        (F.col("doc_id") + LMP_TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.lit(LMP_HUB + " qz"), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("planted_noise").alias("source"),
+    )
+    boiler = checked.filter(F.col("doc_id") % LMP_BOILER_MOD == 0).select(
+        (F.col("doc_id") + 2 * LMP_TWIN_OFFSET).alias("doc_id"),
+        F.lit(LMP_BOILER_TEXT).alias("text"),
+        F.lit("planted_boiler").alias("source"),
+    )
+    return checked.select("doc_id", "text", "source").unionByName(noise).unionByName(boiler)
+
+
+def lm_gated_quality_planted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_lm_gated_quality`` with ALL FOUR attribution cells populated
+    and oracle-pinned (round 14 — VERDICT r13 task 5: on the harness
+    corpus the real-corpus query's ``fail_lm_only``/``fail_both`` are
+    structurally zero, so the oracle pinned zeros and the four-way
+    attribution was never value-checked).  Same gate constants, same
+    shared ``_bigram_occurrences``/``with_quality_ppm``/decile machinery,
+    over the planted corpus of :func:`_planted_lm_corpus` — the
+    ``planted_noise`` source lands entirely in ``fail_lm_only`` (quality
+    at the admission floor, band > {LM_GATE_BAND_MAX}), ``planted_boiler``
+    entirely in ``fail_both`` (decile 0, band 1), and the original
+    sources carry ``pass_both``/``fail_quality_only`` — all four cells
+    nonzero at every graded SF, pinned by pytest AND hash-checked (the
+    DuckDB oracle derives the same corpus and replays the gate).
+
+    Scale shape: identical to ``doc_lm_gated_quality`` — the planted
+    union adds ~2 narrow corpus scans before the same vocab-bounded
+    bigram aggs and the one doc_id equi-join; output ≤ |sources|+2
+    rows."""
+    corpus = _planted_lm_corpus(load_table(spark, sf_dir, "documents"))
+    scored = with_quality_ppm(corpus).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile"),
+    )
+    occ = _bigram_occurrences(corpus, "doc_id")
+    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
+    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    per_doc = (
+        occ.join(freq, ["prev", "tok"])
+        .join(marg, "prev")
+        .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(bits) DIV count(*) AS BIGINT)").alias("band"))
+    )
+    j = scored.join(per_doc, "doc_id", "left")
+    passq = F.col("decile") >= LM_GATE_DECILE_MIN
+    passlm = (
+        F.col("band").isNotNull()
+        & (F.col("band") >= LM_GATE_BAND_MIN)
+        & (F.col("band") <= LM_GATE_BAND_MAX)
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(passq & passlm, 1).otherwise(0)).cast("long").alias("pass_both"),
+        F.sum(F.when(~passq & passlm, 1).otherwise(0)).cast("long").alias("fail_quality_only"),
+        F.sum(F.when(passq & ~passlm, 1).otherwise(0)).cast("long").alias("fail_lm_only"),
+        F.sum(F.when(~passq & ~passlm, 1).otherwise(0)).cast("long").alias("fail_both"),
+    )
+    return agg.withColumn(
+        "admit_ppm", F.expr("CAST(pass_both * 1000000 DIV n_docs AS BIGINT)")
+    )
+
+
+def _lm_gated_quality_planted_sql() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {LMP_TWIN_OFFSET}, '{LMP_HUB} qz' || CAST(doc_id AS VARCHAR), 'planted_noise'
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * LMP_TWIN_OFFSET}, '{LMP_BOILER_TEXT}', 'planted_boiler'
+  FROM documents WHERE doc_id % {LMP_BOILER_MOD} = 0
+),
+{_bigram_occ_sql("doc_id", src="corpus")},
+freq AS (SELECT prev, tok, COUNT(*) AS n2 FROM occ GROUP BY prev, tok),
+marg AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM freq GROUP BY prev),
+per_doc AS (
+  SELECT o.doc_id, CAST(SUM(length(bin(m.n1 // f.n2))) // COUNT(*) AS BIGINT) AS band
+  FROM occ o JOIN freq f USING (prev, tok) JOIN marg m USING (prev)
+  GROUP BY o.doc_id
+),
+{_quality_decile_ctes("doc_id", src="corpus")},
+jj AS (
+  SELECT d.source, q.decile, per_doc.band
+  FROM q JOIN corpus d USING (doc_id) LEFT JOIN per_doc USING (doc_id)
+),
+flags AS (
+  SELECT source,
+         decile >= {LM_GATE_DECILE_MIN} AS passq,
+         band IS NOT NULL AND band >= {LM_GATE_BAND_MIN} AND band <= {LM_GATE_BAND_MAX} AS passlm
+  FROM jj
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN passq AND passlm THEN 1 ELSE 0 END) AS BIGINT) AS pass_both,
+         CAST(SUM(CASE WHEN NOT passq AND passlm THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality_only,
+         CAST(SUM(CASE WHEN passq AND NOT passlm THEN 1 ELSE 0 END) AS BIGINT) AS fail_lm_only,
+         CAST(SUM(CASE WHEN NOT passq AND NOT passlm THEN 1 ELSE 0 END) AS BIGINT) AS fail_both
+  FROM flags GROUP BY source
+)
+SELECT source, n_docs, pass_both, fail_quality_only, fail_lm_only, fail_both,
+       CAST(pass_both * 1000000 // n_docs AS BIGINT) AS admit_ppm
+FROM agg
+"""
+
+
+QUERIES["doc_lm_gated_quality_planted"] = (
+    lm_gated_quality_planted_query,
+    _lm_gated_quality_planted_sql(),
+)
 
 
 def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:

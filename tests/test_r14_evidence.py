@@ -183,3 +183,46 @@ def test_video_dhash_planted_twins(spark, tmp_path):
     assert pairs.get((0, PHASH_TWIN_OFFSET)) == 1_000_000  # brightness twin: FOUND
     assert (0, 2 * PHASH_TWIN_OFFSET) not in pairs  # reversed twin: NOT paired
     assert all(a % PHASH_TWIN_OFFSET == b % PHASH_TWIN_OFFSET for a, b in pairs), pairs
+
+
+def test_lm_gate_planted_corpus_populates_all_four_cells(spark):
+    """The planted LM-gate query (VERDICT r13 task 5): on the harness
+    corpus every doc lands in LM band 5, so the real-corpus
+    ``doc_lm_gated_quality`` pins fail_lm_only = fail_both = 0; the
+    planted twin must populate ALL FOUR (quality × LM-band) attribution
+    cells, with each planted source landing ENTIRELY in its designed
+    cell — noise docs (hub + unique continuation: band = ⌊log2 n1(hub)⌋+1
+    > 8, quality exactly at the decile-4 floor) in fail_lm_only,
+    boilerplate docs (repeated punct token: band 1, decile 0) in
+    fail_both."""
+    from block_crawler_spark.plans.text_ops import lm_gated_quality_planted_query
+
+    rows = lm_gated_quality_planted_query(spark, SF0).collect()
+    total = {
+        c: sum(r[c] for r in rows)
+        for c in ("pass_both", "fail_quality_only", "fail_lm_only", "fail_both")
+    }
+    assert all(v > 0 for v in total.values()), total
+    noise = next(r for r in rows if r.source == "planted_noise")
+    boiler = next(r for r in rows if r.source == "planted_boiler")
+    assert noise.fail_lm_only == noise.n_docs > 0
+    assert boiler.fail_both == boiler.n_docs > 0
+
+
+def test_lm_gate_planted_rejects_id_aliasing(spark, tmp_path):
+    """The planted LM corpus's twin-id guard (the media families' ADVICE
+    r13 pattern, expressed relationally with assert_true): a corpus
+    carrying doc_id ≥ LMP_TWIN_OFFSET must fail loudly, not silently
+    merge planted and real docs."""
+    from pyspark.errors import SparkRuntimeException
+
+    from block_crawler_spark.plans.text_ops import (
+        LMP_TWIN_OFFSET,
+        lm_gated_quality_planted_query,
+    )
+
+    sf = _write_docs(
+        spark, tmp_path, [(LMP_TWIN_OFFSET + 5, "plain words here", "en", "s", 16)]
+    )
+    with pytest.raises(SparkRuntimeException, match="LMP_TWIN_OFFSET"):
+        lm_gated_quality_planted_query(spark, sf).collect()
