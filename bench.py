@@ -146,7 +146,41 @@ HEADLINE = [
     "media_image_dhash_pairs",
     "media_audio_energy_pairs",
     "doc_lm_gated_quality",
+    # round 14
+    "emb_pq_rerank_topk",
+    "media_video_dhash_pairs",
+    "doc_lm_gated_quality_planted",
 ]
+
+# Session-memoized families (VERDICT r13 "What's wrong" #1 / task 3): for
+# these, best-of-3 measures the WARM (memo-hit) steady state — honest for
+# consumers whose memo feeds real downstream plans, but the record owes the
+# COLD cost a fresh session pays.  Each family lists its HEADLINE members in
+# bench order; the FIRST member's FIRST sample is the cold number (it
+# executes the training/pair/closure build; every later sample and member
+# replays the memo).  Cold attribution follows bench order by design: e.g.
+# the mp2 pair stage's first sample already benefits from the centroid memo
+# the p1 family trained — exactly what a fresh session replaying this bench
+# would pay.
+MEMO_FAMILIES = {
+    "semantic_p1": [
+        "dedup_semantic_cells",
+        "dedup_semantic_keep",
+        "emb_balanced_sample",
+        "dedup_semantic_threshold_sweep",
+    ],
+    "semantic_mp2": [
+        "dedup_semantic_cells_mp2",
+        "dedup_semantic_keep_mp2",
+        "emb_balanced_sample_mp2",
+    ],
+    "pq_codebook": ["emb_pq_trained_topk", "emb_pq_rerank_topk"],
+    "residual_codebook": ["emb_ivfpq_residual_trained"],
+    "kmeans_outliers": ["emb_centroid_outliers"],
+    # r14: the four under-valve overlap pair-frame memos (simhash exceeds
+    # the valve and stays live, so warm still pays its DAG)
+    "overlap_pairs": ["dedup_family_overlap"],
+}
 
 
 def _last_round_timings() -> dict[str, float]:
@@ -218,6 +252,7 @@ def main() -> None:
     ncpu = os.cpu_count() or 1
     timings: dict[str, float] = {}
     query_loads: dict[str, list[float]] = {}
+    query_samples: dict[str, list[float]] = {}
 
     def sample(name, fn, extra=0):
         best = timings.get(name)
@@ -228,6 +263,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            query_samples.setdefault(name, []).append(round(dt, 3))
             best = dt if best is None or dt < best else best
             if i == runs - 1 and extra == 0 and runs == 3 and load1 > ncpu * 0.5:
                 runs = 4  # noisy box: one extra sample
@@ -250,6 +286,23 @@ def main() -> None:
             sample(name, registry[name][0], extra=2)
 
     total = round(sum(timings.values()), 3)
+    # cold-vs-warm for the memoized families (VERDICT r13 task 3): warm is
+    # what `total` already sums (best-of-N, memo-hit); cold is the family's
+    # first member's FIRST sample — the one that executed the build.  The
+    # extra is what a fresh session pays on top of the warm sum.
+    memo_cold: dict[str, dict[str, float]] = {}
+    for fam, members in MEMO_FAMILIES.items():
+        first = next((m for m in members if query_samples.get(m)), None)
+        if first is None:
+            continue
+        memo_cold[fam] = {
+            "first_member_cold": query_samples[first][0],
+            "first_member_warm": timings[first],
+            "warm_family_sum": round(sum(timings[m] for m in members if m in timings), 3),
+        }
+    cold_extra = round(
+        sum(v["first_member_cold"] - v["first_member_warm"] for v in memo_cold.values()), 3
+    )
     # Telemetry (including the PER-QUERY timings dict) goes on its own
     # earlier line and a sidecar file: the driver captures a bounded tail of
     # stdout, and a long final line truncates its own HEAD — r5's combined
@@ -259,6 +312,8 @@ def main() -> None:
     # {metric, value, unit, sf, n_queries} — that survives any registry size.
     telemetry = {
         "queries": timings,
+        "samples": query_samples,
+        "memo_cold": memo_cold,
         "load_avg_per_query": query_loads,
         "rerun_outliers": reruns,
     }
@@ -276,6 +331,10 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_dir,
                 "n_queries": len(timings),
+                # fresh-session sum = value + this (memoized families' first
+                # builds at their first-sample cost; detail in telemetry)
+                "memo_cold_extra_sec": cold_extra,
+                "value_cold": round(total + cold_extra, 3),
             }
         )
     )

@@ -237,8 +237,8 @@ _CENTROID_MEMO: dict[tuple, tuple[list, object]] = {}
 _CENTROID_MEMO_MAX = 64
 
 
-def _emb_fingerprint(sf_dir: str) -> tuple:
-    """Cheap staleness fingerprint of the embeddings table under
+def _emb_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cheap staleness fingerprint of the ``table`` parquet under
     ``sf_dir`` (mtime_ns + size of the parquet file; for a directory
     table, per-entry (name, mtime_ns, size) detail of the first 64 part
     files PLUS entry count and exact mtime/size sums over ALL entries) —
@@ -253,7 +253,7 @@ def _emb_fingerprint(sf_dir: str) -> tuple:
     deployment would key on etags."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(path)
         if os.path.isdir(path):

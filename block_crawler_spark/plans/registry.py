@@ -41,82 +41,78 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # round 7 embed_ops + text/pack; round 8 its 31 additions; round 9 the
 # semantic/trainer changes + the r6-era relational tail; round 10 the r9
 # orphans + its seven additions + the r7-era tail; round 11 its six
-# additions + twelve changes + the r8-era tail.  Round 12 fronts
-# ``_FRONT``: FIRST the ten queries ADDED this round, then the twelve
-# CHANGED this round (the hot-cell pre-split rewrites the semantic pair
-# stage's shard key on BOTH engines — every `_semantic_pairs`/`_sem_pairs_
-# cte_parts` consumer; the memo-fingerprint hardening touches every
-# Lloyd-memoized family; the trained-PQ pair gained the codebook memo),
-# then the LONGEST-UNSAMPLED block — the r9-era
-# relational/tpch/agg/join/evt tail and the media trio the r10/r11
-# prefixes displaced (last driver rows: r9).  The judge's independent
+# additions + twelve changes + the r8-era tail; round 12 its ten
+# additions + twelve changes + the r9-era tail; round 13 its five
+# additions + nine memo-touched changes + the r8/r9 leftovers.  Round 14
+# fronts ``_FRONT``: FIRST the three queries ADDED this round, then the
+# four CHANGED (ADVICE r13 media hardening + the family_overlap pair
+# memo), then the LONGEST-UNSAMPLED rotation — the full 35-query r10-era
+# block (three rounds without a driver row, the oldest in the records)
+# and the first 8 of the r11-era block.  The judge's independent
 # full-registry oracle re-run is the backstop covering the rest.
 _FRONT = (
-    # -- added in r13 --
+    # -- added in r14 --
+    "emb_pq_rerank_topk",
+    "media_video_dhash_pairs",
+    "doc_lm_gated_quality_planted",
+    # -- changed in r14: the media planted stages gained the twin-id
+    #    aliasing guard and the audio family's sample scale dropped to the
+    #    wrap-free 85 (ADVICE r13 — pair output invariant, code path not);
+    #    dedup_family_overlap's five pair frames are session-memoized
+    #    behind the shared valve --
     "media_phash_near_dup_pairs",
-    "media_dup_family_overlap",
     "media_image_dhash_pairs",
     "media_audio_energy_pairs",
-    "doc_lm_gated_quality",
-    # -- changed in r13: the semantic pair stage and transitive closure
-    #    are session-memoized (bit-identical results, memo-hit pytest) —
-    #    every consumer of either stage fronts this round; the trained
-    #    residual query's call path gained the codebook layout validation;
-    #    the attribution join's interval constant is now derived (same
-    #    value, one source of truth) --
-    "dedup_semantic_cells",
-    "dedup_semantic_cells_mp2",
-    "dedup_semantic_keep",
-    "dedup_semantic_keep_mp2",
-    "emb_balanced_sample",
-    "emb_balanced_sample_mp2",
-    "dedup_semantic_threshold_sweep",
-    "emb_ivfpq_residual_trained",
-    "evt_attribution_interval_join",
-    # -- longest-unsampled rotation (computed from CORRECTNESS_r* records:
-    #    last driver rows r8 for the seeded-PQ pair — ALSO the r12 verdict's
-    #    re-measure item, so they get a fresh driver record — and
-    #    doc_length_percentiles; r9 for the relational/evt/nft tail; r10
-    #    for the trailing screens), 36 slots — 14 added/changed + 36
-    #    rotation = exactly the driver's 50-sample prefix (r13 review:
-    #    the first cut listed 40 rotation entries, silently pushing the
-    #    last four past the sample) --
-    "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "doc_length_percentiles",
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "agg_orders_monthly",
-    "join_anti_customers_without_orders",
-    "join_part_brand_revenue",
-    "evt_classify_route",
-    "evt_salted_type_totals",
-    "evt_value_rank",
-    "evt_value_median",
-    "evt_outliers_mad",
-    "evt_value_percentiles",
-    "evt_pivot_type_counts",
-    "join_asof_last_signup",
-    "evt_token_state_fold",
-    "evt_latest_by_version",
-    "evt_json_balances",
-    "evt_window_hourly",
-    "evt_full_outer_reconcile",
-    "evt_sessionize",
-    "nft_token_state_from_lineitem",
-    "nft_owners_from_lineitem",
-    "nft_transfers_decode_from_lineitem",
-    "nft_1155_balances_from_events",
-    "nft_holding_stats",
-    "nft_uint256_clamp_policy",
-    "emb_topk_cosine",
-    "dedup_embedding_cosine_pairs",
-    "emb_ivf_topk",
-    "emb_knn_join",
-    "emb_lsh_buckets",
-    "evt_rate_spikes",
-    "tx_sender_gas_stats",
-    "tx_creations_by_block_bucket",
+    "dedup_family_overlap",
+    # -- longest-unsampled rotation (VERDICT r13 task 2; computed from the
+    #    CORRECTNESS_r* records: the 35-query r10-era block — minhash/
+    #    simhash/containment dedup, PII/decontaminate/BPE/chunk/pack/
+    #    mixture screens — last had a driver row three rounds ago), then
+    #    the first 8 of the r11-era block alphabetically.  7 added/changed
+    #    + 35 + 8 = exactly the driver's 50-sample prefix. --
+    "dedup_char_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "dedup_exact",
+    "dedup_minhash_keep",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_threshold_sweep",
+    "doc_bpe_pair_freqs",
+    "doc_bpe_token_stats",
+    "doc_chunk_dup_stats",
+    "doc_chunk_stats",
+    "doc_contamination_by_bench",
+    "doc_decontaminate",
+    "doc_kmv_distinct",
+    "doc_lang_id",
+    "doc_mixture_plan",
+    "doc_pack_sequences",
+    "doc_pack_sequences_bpe",
+    "doc_pii_stats",
+    "doc_quality_hist_by_source",
+    "doc_quality_ppm",
+    "doc_repetition_ppm",
+    "doc_shuffle_shards",
+    "doc_source_overlap",
+    "doc_stratified_sample",
+    "doc_token_fertility",
+    "doc_token_stats",
+    "doc_top_tokens",
+    "doc_zipf_bucket_hist",
+    "emb_label_dim_sums",
+    "emb_norm_stats",
+    "emb_prefix_topk",
+    "emb_rp_topk",
+    "dedup_cluster_size_hist",
+    "dedup_edit_distance_pairs",
+    "dedup_minhash_est_error",
+    "dedup_pair_pagerank",
+    "dedup_rate_by_source",
+    "dedup_stream_admission_sim",
+    "doc_curation_pipeline",
+    "doc_gopher_rules",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

@@ -3410,6 +3410,15 @@ CHARNGRAM_OVERLAP_PPM = 900_000
 # family).
 _OVERLAP_FAMILIES = ("charngram", "containment", "minhash", "simhash", "winnow")
 
+# Valve for the overlap pair-frame memos — same bound and rationale as the
+# semantic stages' _SEM_MEMO_MAX_ROWS.  Measured at sf0.1: charngram 255 /
+# containment 256 / minhash 256 / winnow 8 736 pairs memoize; simhash
+# (1 079 805 — the distributional-similarity fire-hose the r12 matrix
+# documented) exceeds the valve and correctly stays a LIVE re-executed
+# plan (the over-cap verdict is cached, so later invocations skip the
+# probe).
+_OVERLAP_MEMO_MAX_ROWS = 100_000
+
 
 def _overlap_pair_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The five detection-pair sets, each produced by the SAME query fn the
@@ -3419,14 +3428,52 @@ def _overlap_pair_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
     contiguous-span duplication surfaces pairs the order-blind set-overlap
     families miss (and vice versa: a doc pair with shuffled token order
     keeps its Jaccard but loses its spans)."""
+    # round 14 (VERDICT r13 task 3, optional): each family's (id_a, id_b)
+    # pair set is session-memoized behind the same 100k-row valve the
+    # semantic stages use — family_overlap was the record's most expensive
+    # query (6.9 s at sf0.1) because every invocation re-ran all five
+    # banded DAGs.  The memo key carries the documents-table fingerprint
+    # plus every constant that shapes each family's pair set, so a data
+    # refresh or knob edit rebuilds (the oracle always recomputes from
+    # current rows).  The STANDALONE registry queries do NOT consume the
+    # memo — their bench rows stay live engine plans (the `cells`
+    # bench-semantics lesson, VERDICT r13 "What's wrong" #1); the cold
+    # build cost here is surfaced by bench.py's memo_cold record.
+    from .embed_ops import _emb_fingerprint, _memoized_bounded_frame
+
+    fp = _emb_fingerprint(sf_dir, table="documents")
+    builds = {
+        "charngram": (
+            lambda: char_ngram_jaccard_query(spark, sf_dir)
+            .filter(F.col("cjaccard_ppm") >= CHARNGRAM_OVERLAP_PPM)
+            .select("id_a", "id_b"),
+            (CHARNGRAM_OVERLAP_PPM,),
+        ),
+        "containment": (
+            lambda: containment_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+            (CONTAINMENT_THRESHOLD_PPM,),
+        ),
+        "minhash": (
+            lambda: minhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+            (JACCARD_PPM_THRESHOLD,),
+        ),
+        "simhash": (
+            lambda: simhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
+            (SIMHASH_MAX_HAMMING,),
+        ),
+        "winnow": (
+            lambda: winnow_pair_query(spark, sf_dir).select("id_a", "id_b"),
+            (),
+        ),
+    }
     return {
-        "charngram": char_ngram_jaccard_query(spark, sf_dir)
-        .filter(F.col("cjaccard_ppm") >= CHARNGRAM_OVERLAP_PPM)
-        .select("id_a", "id_b"),
-        "containment": containment_pairs_query(spark, sf_dir).select("id_a", "id_b"),
-        "minhash": minhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
-        "simhash": simhash_pairs_query(spark, sf_dir).select("id_a", "id_b"),
-        "winnow": winnow_pair_query(spark, sf_dir).select("id_a", "id_b"),
+        fam: _memoized_bounded_frame(
+            spark,
+            ("ovlpairs", fam, sf_dir, fp) + knobs,
+            build,
+            _OVERLAP_MEMO_MAX_ROWS,
+        )
+        for fam, (build, knobs) in builds.items()
     }
 
 

@@ -78,7 +78,27 @@ PROBES = [
     # WARM path (memo hit + assignment + cap window); the cold lineage is
     # the r12 row
     "dedup_semantic_keep_mp2",
+    # round 14: the trained-PQ shortlist → broadcast exact rerank (stage-2
+    # cost must stay L-bounded across 100×) and the video family's three
+    # chained Arrow stages + per-(frame, band) equi-join
+    "emb_pq_rerank_topk",
+    "media_video_dhash_pairs",
 ]
+
+# Probes whose first execution per SF pays a session-memo build (the memo
+# keys include sf_dir, so each SF's first sample is genuinely cold): for
+# these the probe reports BOTH curves — cold (first sample) and warm
+# (best-of-rest) — per VERDICT r13 task 6 (the warm flatness was the r13
+# headline scale claim; the cold path deserves the same three-SF row).
+MEMO_PROBES = {
+    "dedup_semantic_keep",  # Lloyd train + p1 pair stage + closure build
+    "dedup_semantic_keep_mp2",  # mp2 pair stage + closure build (centroids
+    # already memoized by the p1 probe — cold here = the mp2-specific work,
+    # exactly what a fresh session replaying this order pays)
+    "emb_pq_rerank_topk",  # trained-PQ codebook build (emb_pq_topk earlier
+    # in the list uses the SEED codebook, not the memo)
+    "dedup_family_overlap",  # four under-valve pair-frame memos (r14)
+}
 
 
 def main() -> int:
@@ -95,13 +115,18 @@ def main() -> int:
         ).save()
         for name in PROBES:
             fn, _ = registry[name]
-            best = None
+            samples = []
             for _ in range(2):
                 t0 = time.monotonic()
                 fn(spark, sf).write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            out["probes"].setdefault(name, {})[sf.rsplit("/", 1)[-1]] = round(best, 3)
+                samples.append(dt)
+            key = sf.rsplit("/", 1)[-1]
+            out["probes"].setdefault(name, {})[key] = round(min(samples), 3)
+            if name in MEMO_PROBES:
+                # first sample per SF is the memo-cold execution (keys
+                # include sf_dir); min-of-rest is the warm steady state
+                out.setdefault("cold", {}).setdefault(name, {})[key] = round(samples[0], 3)
     print(json.dumps(out))
     return 0
 

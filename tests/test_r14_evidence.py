@@ -226,3 +226,21 @@ def test_lm_gate_planted_rejects_id_aliasing(spark, tmp_path):
     )
     with pytest.raises(SparkRuntimeException, match="LMP_TWIN_OFFSET"):
         lm_gated_quality_planted_query(spark, sf).collect()
+
+
+def test_family_overlap_pair_memo_hit_is_result_identical(spark):
+    """The overlap pair-frame session memo (VERDICT r13 task 3 optional):
+    a second ``dedup_family_overlap`` invocation replays the memoized
+    pair sets and must return BIT-IDENTICAL rows; the under-valve
+    families hold materialized memo entries while over-valve families
+    (simhash at sf0.1) would cache only the 'toobig' verdict."""
+    from block_crawler_spark.plans import embed_ops
+    from block_crawler_spark.plans.text_ops import family_overlap_query
+
+    first = sorted(map(tuple, family_overlap_query(spark, SF0).collect()))
+    keys = [k for k in embed_ops._CENTROID_MEMO if k and k[0] == "ovlpairs"]
+    assert len(keys) == 5, keys  # all five families took the memo path
+    materialized = [k for k in keys if embed_ops._CENTROID_MEMO[k] != "toobig"]
+    assert materialized, "at sf0.001 at least the tiny families must memoize"
+    second = sorted(map(tuple, family_overlap_query(spark, SF0).collect()))
+    assert first == second
