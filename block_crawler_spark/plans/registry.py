@@ -21,7 +21,10 @@ once per query.  Round 12 extends the same memo (and eviction policy) to
 the trained-PQ and trained-residual codebooks (`_trained_pq_codebook` /
 `_trained_residual_codebook`, keys "pqcb"/"respqcb") — the last
 per-invocation trainers; encode/ADC replay against bit-identical
-codewords on a hit.
+codewords on a hit.  Round 14 adds `dedup_family_overlap` to the eager
+set: its five pair frames go through the bounded-frame memo (keys
+"ovlpairs"), so construction runs the under-valve families' DAGs once
+per (documents fingerprint, knobs) per session.
 """
 
 from __future__ import annotations

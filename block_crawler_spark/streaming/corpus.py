@@ -54,9 +54,13 @@ band buckets instead of re-deriving bands from every admitted signature —
 previously the last per-batch unbounded scan on the ingest path.  The one
 remaining full-index consumer (the doc_id identity probe) reads a single
 pruned column — at 1 B admitted docs ~8 GB, a per-micro-batch read a
-1000-executor cluster absorbs.  On an object store the same layout maps
-onto transactional tables partitioned by ``ibucket``/``bbucket`` — nothing
-else changes.
+1000-executor cluster absorbs.  Round 14 adds a fourth gate on the same
+pattern: ``media_phash=True`` stores keep a ``root/phindex`` side table
+(the admitted docs' dHash band rows, ``pbucket``-partitioned, the 8-byte
+signature riding each row so Hamming verification needs no corpus fetch)
+and block perceptual near-dups the byte-exact fp can never catch.  On an
+object store the same layout maps onto transactional tables partitioned
+by ``ibucket``/``bbucket``/``pbucket`` — nothing else changes.
 
 Read set vs replay set are tracked separately: ``docs/_LIVE`` (atomic
 pointer file, same idiom as the silver store's ``_CURRENT``) lists the
@@ -133,6 +137,24 @@ class CorpusIngestStore:
     # never enters the seen set, so a later compliant duplicate can still
     # be admitted).
     gopher_rules: bool = False
+    # PERCEPTUAL media admission gate (round 14 — VERDICT r13 optional b:
+    # the streaming twin of the batch dHash families): when True, every
+    # document's content bytes are fingerprinted by the SAME Arrow-stage
+    # ``content_dhash`` the batch ``media_phash_near_dup_pairs`` family
+    # uses, and a doc whose 60-bit signature lands within
+    # ``phash_max_hamming`` of ANY admitted doc is blocked — the
+    # re-encode/level-shift near-dup class a byte-exact fp can never catch.
+    # Candidates come from the batch family's banding (4 × 15-bit band
+    # equi-join) against a durable band side table (``root/phindex``, the
+    # bindex idiom) whose rows CARRY the full 8-byte signature, so
+    # verification is one ``bit_count(xor)`` on the collision row — unlike
+    # the minhash gate, no corpus text fetch.  Degenerate all-zero
+    # signatures (flat content) are admitted but never emit band rows and
+    # never block — the batch family's no-evidence policy.  This store
+    # ingests text corpora, so the fingerprint runs over the UTF-8 bytes;
+    # a media table would point the same stage at its content column.
+    media_phash: bool = False
+    phash_max_hamming: int = 6
     # fp-bucket count for the index side table's partition layout (the
     # ``cbucket`` idiom from the silver store): each index dir is written
     # ``partitionBy(ibucket = pmod(xxhash64(fp), N))`` so the exact-dedup
@@ -319,6 +341,7 @@ class CorpusIngestStore:
             + ", fp string"
             + (", sig array<string>" if self.near_dup else "")
             + (", embedding array<float>" if self.semantic else "")
+            + (", dhash long" if self.media_phash else "")
         )
 
     def corpus(self) -> DataFrame:
@@ -356,6 +379,81 @@ class CorpusIngestStore:
 
     _BINDEX_COLS = ["doc_id", "band_index", "band_value"]
     _BINDEX_SCHEMA = "doc_id long, band_index int, band_value string"
+
+    # the phash band table carries the full 60-bit signature on every band
+    # row (8 bytes — cheaper than a verify-time corpus fetch by orders of
+    # magnitude), so the Hamming verification happens ON the collision row
+    _PHINDEX_COLS = ["doc_id", "band_index", "band_value", "dhash"]
+    _PHINDEX_SCHEMA = "doc_id long, band_index int, band_value long, dhash long"
+
+    def _phindex_root(self) -> str:
+        """Root of the perceptual band side table: one dir per live docs
+        dir, rows ``(doc_id, band_index, band_value, dhash)`` partitioned
+        by ``pbucket`` — the band analog of ``bindex`` for the dHash gate."""
+        return os.path.join(self.root, "phindex")
+
+    def _pbucket_expr(self):
+        """The phash band table's partition value — same pinned bucket count
+        and (band_index, band_value) key shape as ``bbucket``."""
+        return F.pmod(
+            F.xxhash64(F.col("band_index"), F.col("band_value")),
+            F.lit(self._effective_index_buckets()),
+        ).cast("int")
+
+    @staticmethod
+    def _phash_bands(sigs: DataFrame) -> DataFrame:
+        """(doc_id, dhash) → one row per (doc, band): the batch media
+        family's 4 × 15-bit banding (``media_ops.PHASH_BANDS`` over
+        ``multimodal.DHASH_BITS``), with all-zero signatures excluded —
+        they carry no locality evidence and would be the one hot band
+        bucket (the r13 exclusion, applied at the index boundary so
+        degenerate docs neither block nor get blocked)."""
+        from ..operators.multimodal import DHASH_BITS
+        from ..plans.media_ops import PHASH_BANDS
+
+        width = DHASH_BITS // PHASH_BANDS
+        mask = (1 << width) - 1
+        return sigs.filter(F.col("dhash") != 0).select(
+            "doc_id",
+            "dhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_index"),
+                            F.shiftright(F.col("dhash"), DHASH_BITS - (b + 1) * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_value"),
+                        )
+                        for b in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("bd"),
+        ).select("doc_id", "bd.band_index", "bd.band_value", "dhash")
+
+    def phash_index(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """The perceptual band side table: one row per (admitted doc, dHash
+        band), signature riding along.  ``buckets`` prunes committed dirs
+        to those ``pbucket=K`` partitions — the per-batch probe reads
+        O(batch band buckets / index_buckets) of the admitted band set.
+        Side-effect-free like :meth:`index`: uncovered or unreadable dirs
+        project lazily from docs (the stored ``dhash`` column is the
+        source of truth; no Arrow re-decode on the heal path)."""
+
+        def project(docs: DataFrame, bucket_list) -> DataFrame:
+            out = self._phash_bands(docs.select("doc_id", "dhash"))
+            if bucket_list is not None:
+                out = out.filter(self._pbucket_expr().isin(bucket_list))
+            return out.select(*self._PHINDEX_COLS)
+
+        return self._read_side_table(
+            self._phindex_root(),
+            self._PHINDEX_COLS,
+            self._PHINDEX_SCHEMA,
+            "pbucket",
+            buckets,
+            project,
+        )
     _VINDEX_COLS = ["doc_id", "cid", "v"]
     _VINDEX_SCHEMA = "doc_id long, cid long, v array<bigint>"
 
@@ -698,6 +796,15 @@ class CorpusIngestStore:
                 ),
                 "bbucket",
             )
+        if self.media_phash:
+            self._heal_side_table(
+                live,
+                self._phindex_root(),
+                lambda docs: self._phash_bands(docs.select("doc_id", "dhash")).withColumn(
+                    "pbucket", self._pbucket_expr()
+                ),
+                "pbucket",
+            )
         if self.semantic:
             # write path: durably pin the codebook and the vindex bucket
             # count before (re)projecting against them (reads never write —
@@ -921,6 +1028,14 @@ class CorpusIngestStore:
                 to_unpersist.append(fresh)
                 fresh = self._semantic_filter(fresh, small_batch=small)
                 cols.append("embedding")
+            if self.media_phash:
+                # after every other gate: a doc must also be PERCEPTUALLY
+                # fresh (no admitted doc within phash_max_hamming)
+                fresh = fresh.cache()
+                to_unpersist.append(fresh)
+                fresh, ph_staged = self._phash_filter(fresh, small_batch=small)
+                to_unpersist.extend(ph_staged)
+                cols.append("dhash")
             fresh.select(*cols).write.mode("overwrite").parquet(out)
         finally:
             for df in to_unpersist:
@@ -1027,6 +1142,72 @@ class CorpusIngestStore:
         drop_cross = verified.select(F.col("id_b").alias("doc_id")).distinct()
         sigs = sigs.join(drop_cross, "doc_id", "anti")
         return fresh.join(sigs.select("doc_id", "sig"), "doc_id"), staged
+
+    def _phash_filter(
+        self, fresh: DataFrame, small_batch: bool = True
+    ) -> tuple[DataFrame, list[DataFrame]]:
+        """Drop perceptual near-duplicates, first within the batch
+        (keep-lowest-id), then against every admitted document.  The
+        fingerprint is the REAL Arrow-stage ``content_dhash`` over the
+        document's UTF-8 bytes (content never leaves the stage; 24-byte
+        signature rows are all that moves).  Candidates come from the
+        batch family's 4 × 15-bit band equi-join — within the batch a
+        band self-join, cross-batch a probe of the admitted band table
+        with the scan pruned to the batch's band buckets (the bindex
+        idiom) and the batch side broadcast, so the admitted side is only
+        ever SCANNED.  Verification is exact ``bit_count(xor)`` ON the
+        collision row (the stored signature rides the band rows — no
+        corpus fetch, unlike the minhash gate).  The batch's band rows
+        are consumed twice (bucket-probe collect, then both collision
+        joins), so they are persisted for the batch.  Returns (survivors
+        with their ``dhash`` column, persisted frames for the caller to
+        unpersist after its write action)."""
+        from ..operators.multimodal import content_dhash
+
+        staged: list[DataFrame] = []
+        h = self.phash_max_hamming
+        sigs = content_dhash(
+            fresh.select(
+                F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("content")
+            )
+        ).select(F.col("media_id").alias("doc_id"), "dhash")
+        bands = self._phash_bands(sigs).cache()
+        staged.append(bands)
+        # within-batch: keep-lowest-id among verified band-collision pairs
+        a = bands.select(
+            F.col("doc_id").alias("id_a"), "band_index", "band_value", F.col("dhash").alias("ha")
+        )
+        b = bands.select(
+            F.col("doc_id").alias("id_b"), "band_index", "band_value", F.col("dhash").alias("hb")
+        )
+        drop_in = (
+            a.join(b, ["band_index", "band_value"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= h)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        sigs = sigs.join(drop_in, "doc_id", "anti")
+        surv_bands = bands.join(drop_in, "doc_id", "anti")
+        # the batch's band-bucket footprint drives static partition pruning
+        # of the admitted band table (the bbucket idiom)
+        pbuckets = sorted(
+            r["p"]
+            for r in surv_bands.select(self._pbucket_expr().alias("p")).distinct().collect()
+        )
+        probe = self._hint(
+            surv_bands.select("doc_id", "band_index", "band_value", F.col("dhash").alias("hb")),
+            small_batch,
+        )
+        drop_cross = (
+            self.phash_index(buckets=pbuckets)
+            .join(probe, ["band_index", "band_value"])
+            .filter(F.bit_count(F.col("dhash").bitwiseXOR(F.col("hb"))) <= h)
+            .select(probe["doc_id"].alias("doc_id"))
+            .distinct()
+        )
+        sigs = sigs.join(drop_cross, "doc_id", "anti")
+        return fresh.join(sigs.select("doc_id", "dhash"), "doc_id"), staged
 
     def _semantic_filter(self, fresh: DataFrame, small_batch: bool = True) -> DataFrame:
         """Drop semantic near-duplicates, first within the batch

@@ -92,9 +92,10 @@ PROBES = [
 # headline scale claim; the cold path deserves the same three-SF row).
 MEMO_PROBES = {
     "dedup_semantic_keep",  # Lloyd train + p1 pair stage + closure build
-    "dedup_semantic_keep_mp2",  # mp2 pair stage + closure build (centroids
-    # already memoized by the p1 probe — cold here = the mp2-specific work,
-    # exactly what a fresh session replaying this order pays)
+    "emb_balanced_sample_mp2",  # FIRST mp2 probe in list order, so its
+    # first sample pays the mp2 pair+closure build (centroids already
+    # memoized by the p1 probes — exactly what a fresh session replaying
+    # this order pays; dedup_semantic_keep_mp2 later is fully warm)
     "emb_pq_rerank_topk",  # trained-PQ codebook build (emb_pq_topk earlier
     # in the list uses the SEED codebook, not the memo)
     "dedup_family_overlap",  # four under-valve pair-frame memos (r14)

@@ -244,3 +244,63 @@ def test_family_overlap_pair_memo_hit_is_result_identical(spark):
     assert materialized, "at sf0.001 at least the tiny families must memoize"
     second = sorted(map(tuple, family_overlap_query(spark, SF0).collect()))
     assert first == second
+
+
+def test_corpus_phash_gate_blocks_perceptual_twins(spark, tmp_path):
+    """The streaming perceptual gate (VERDICT r13 optional b — the dHash
+    twin of the corpus store's minhash gate): (1) a brightness-shifted
+    re-encode of an admitted doc — different bytes, different fp, same
+    dHash — is BLOCKED cross-batch by the phindex band probe; (2) within
+    a batch the lowest doc_id of a perceptual twin set wins; (3)
+    unrelated content admits; (4) flat (all-zero-signature) docs admit
+    and never block each other — the no-evidence policy; (5) a replayed
+    batch id is a no-op.  The fp exact gate cannot catch (1): the twin's
+    text differs byte-for-byte."""
+    import numpy as np
+
+    from block_crawler_spark.streaming.corpus import CorpusIngestStore
+
+    rng = np.random.default_rng(11)
+
+    def doc(n=400):
+        return bytes(rng.integers(40, 120, n, dtype=np.uint8)).decode("ascii")
+
+    def bright(text, delta=3):
+        return bytes(b + delta for b in text.encode("ascii")).decode("ascii")
+
+    base_a, base_b, base_c = doc(), doc(), doc()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), media_phash=True)
+
+    def ingest(rows, bid):
+        store.ingest_batch(
+            spark.createDataFrame(
+                [(i, t, "en", "s", len(t)) for i, t in rows], schema
+            ),
+            bid,
+        )
+
+    # batch 0: A, a within-batch bright twin of A (higher id: dropped),
+    # an unrelated B, and a flat doc
+    ingest([(0, base_a), (5, bright(base_a)), (1, base_b), (2, "z" * 300)], 0)
+    ids0 = sorted(r["doc_id"] for r in store.corpus().collect())
+    assert ids0 == [0, 1, 2], ids0
+
+    # batch 1: a DIFFERENT bright twin of A (blocked cross-batch via the
+    # band probe — fp differs, bytes differ), unrelated C (admitted),
+    # another flat doc (admitted: zero signatures never block)
+    ingest([(10, bright(base_a, delta=5)), (11, base_c), (12, "q" * 250)], 1)
+    ids1 = sorted(r["doc_id"] for r in store.corpus().collect())
+    assert ids1 == [0, 1, 2, 11, 12], ids1
+
+    # stored dhash column: flat docs carry 0; A's signature is nonzero
+    rows = {r["doc_id"]: r["dhash"] for r in store.corpus().collect()}
+    assert rows[2] == 0 and rows[12] == 0 and rows[0] != 0
+
+    # replay of batch 1 is a no-op
+    ingest([(10, bright(base_a, delta=5)), (11, base_c), (12, "q" * 250)], 1)
+    assert sorted(r["doc_id"] for r in store.corpus().collect()) == ids1
+
+    # the durable side table mirrors the admitted non-degenerate docs
+    ph = store.phash_index().select("doc_id").distinct().collect()
+    assert sorted(r["doc_id"] for r in ph) == [0, 1, 11]
