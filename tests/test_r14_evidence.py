@@ -304,3 +304,9 @@ def test_corpus_phash_gate_blocks_perceptual_twins(spark, tmp_path):
     # the durable side table mirrors the admitted non-degenerate docs
     ph = store.phash_index().select("doc_id").distinct().collect()
     assert sorted(r["doc_id"] for r in ph) == [0, 1, 11]
+
+    # compaction folds docs and heals phindex from the stored dhash
+    # column; the gate still blocks a perceptual twin afterwards
+    assert store.compact() == 2
+    ingest([(20, bright(base_b, delta=2)), (21, doc())], 2)
+    assert sorted(r["doc_id"] for r in store.corpus().collect()) == ids1 + [21]
