@@ -150,6 +150,7 @@ HEADLINE = [
     "emb_pq_rerank_topk",
     "media_video_dhash_pairs",
     "doc_lm_gated_quality_planted",
+    "media_modality_overlap",
 ]
 
 # Session-memoized families (VERDICT r13 "What's wrong" #1 / task 3): for

@@ -86,6 +86,7 @@ ADJUDICATED = {
     ("dedup_semantic_threshold_sweep", "SinglePartitionWindow"): "cumulative window over the ≤11-row sqdist-decile histogram (dedup_threshold_sweep's cumsum class)",
     ("emb_centroid_outliers", _BNLJ): "Lloyd assignment: corpus × broadcast 16-row trained centroid table (the flag pass joins the ≤16-row driver-materialized cell stats by equi-key)",
     ("dedup_family_overlap", _BNLJ): "10-row combos × broadcast ≤2⁵-row mask histogram (literal-TRUE left join so an empty histogram still yields the matrix rows)",
+    ("media_modality_overlap", _BNLJ): "10-row combos × broadcast ≤2⁵-row mask histogram (the dedup_family_overlap tail, applied to the five media detectors' source-pair masks)",
     ("emb_cell_label_purity", _BNLJ): "Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table (dedup_semantic_cells' class)",
     ("emb_ivf_recall_audit", _BNLJ): "the brute TRUTH side: bounded 8-query sample × corpus — the exact search a recall audit pays on its query sample by construction (plus the IVF side's 64-row centroid broadcast)",
     ("emb_bitsign_knn_join", _BNLJ): "8-row broadcast query-code sample × the 16 B/vector codes scan — stage 1 of the batched two-stage sign search (floats touched only for the ≤|Q|·L rerank rows)",
