@@ -151,6 +151,7 @@ HEADLINE = [
     "media_video_dhash_pairs",
     "doc_lm_gated_quality_planted",
     "media_modality_overlap",
+    "emb_ivfpq_rerank_topk",
 ]
 
 # Session-memoized families (VERDICT r13 "What's wrong" #1 / task 3): for
@@ -175,7 +176,7 @@ MEMO_FAMILIES = {
         "dedup_semantic_keep_mp2",
         "emb_balanced_sample_mp2",
     ],
-    "pq_codebook": ["emb_pq_trained_topk", "emb_pq_rerank_topk"],
+    "pq_codebook": ["emb_pq_trained_topk", "emb_pq_rerank_topk", "emb_ivfpq_rerank_topk"],
     "residual_codebook": ["emb_ivfpq_residual_trained"],
     "kmeans_outliers": ["emb_centroid_outliers"],
     # r14: the four under-valve overlap pair-frame memos (simhash exceeds

@@ -2961,6 +2961,32 @@ QUERIES["emb_ivf_recall_audit"] = (ivf_recall_audit_query, _ivf_recall_audit_sql
 PQ_RERANK_SHORTLIST = 100  # the committed L — same as the bitsign/JL rerank stages
 
 
+def _exact_rerank_tail(emb: DataFrame, short: DataFrame) -> DataFrame:
+    """The shared stage-2 of the trained-PQ rerank queries: broadcast the
+    ≤Q·L-row (q_id, c_id) shortlist against the corpus micro vectors (the
+    float table is touched exactly once, streamed map-side with no
+    shuffle), re-score with exact int64 L2, and take the per-query
+    top-{PQ_TOPK} (WindowGroupLimit over ≤Q·L rows)."""
+    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
+    qv = vecs.filter(F.col("vec_id") < KNN_QUERY_IDS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        vecs.withColumnRenamed("vec_id", "c_id")
+        .join(F.broadcast(short), "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "c_id", int_sqdist(F.col("v"), F.col("qv")).alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "c_id", "dist", "rank")
+    )
+
+
 def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-PQ ADC shortlist → EXACT-RERANK top-k (round 14 — VERDICT
     r13 task 1): the operator form of the clustered-grid finding.  The
@@ -3005,24 +3031,7 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST).select(
         "q_id", "c_id"
     )
-    vecs = emb.select("vec_id", micro_fixed(F.col("embedding")).alias("v"))
-    qv = vecs.filter(F.col("vec_id") < KNN_QUERY_IDS).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    rer = (
-        vecs.withColumnRenamed("vec_id", "c_id")
-        .join(F.broadcast(short), "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .select("q_id", "c_id", int_sqdist(F.col("v"), F.col("qv")).alias("dist"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("q_id", "c_id", "dist", "rank")
-    )
+    return _exact_rerank_tail(emb, short)
 
 
 def _pq_rerank_sql() -> str:
@@ -3063,3 +3072,100 @@ WHERE rank <= {PQ_TOPK}
 
 
 QUERIES["emb_pq_rerank_topk"] = (pq_rerank_topk_query, _pq_rerank_sql())
+
+
+def ivfpq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC shortlist → EXACT rerank (round 14 — the production
+    composition of the quantization matrix: prune with IVF, score the
+    survivors on 16× codes, re-score only the top-L exactly; what a
+    10⁹-vector deployment actually runs, where the flat
+    ``emb_pq_rerank_topk`` shortlist still scans every code).  Stage 1 is
+    the UNCHANGED :func:`operators.pq.ivfpq_adc_topk` plan — {IVFPQ_CELLS}
+    seed cells, nprobe={IVFPQ_NPROBE}, the memoized TRAINED codebook (the
+    rerank rule's codebook — see ``emb_pq_rerank_topk``) — capped at
+    L=``PQ_RERANK_SHORTLIST``; stage 2 is the shared exact-rerank tail.
+
+    Honest recall contract: the rerank recovers ADC's ranking loss but
+    NOT the coarse quantizer's pruning loss — a true neighbor in an
+    unprobed cell is gone before the shortlist exists, so this query's
+    recall ceiling is the cell-pruning recall at the committed nprobe
+    (measured rows on both grid geometries in scripts/ann_recall.py
+    ``ivfpq_rerank``; the sf0.001 exactness + measured-recall pin is in
+    tests/test_r14_evidence.py).  Raising nprobe, not L, is the recall
+    dial once the rerank is in place.
+
+    Scale shape: stage 1 adds cell pruning to the adjudicated ADC plan
+    (candidates = probed-cell equi-join on the codes table, ~nprobe/cells
+    of the flat scan); stage 2 is the L-bounded broadcast rerank —
+    exact cost confined to Q·L rows at any corpus size."""
+    from ..operators.pq import ivfpq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+    cb = _trained_pq_codebook(spark, sf_dir, emb)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
+    short = ivfpq_adc_topk(
+        queries, emb, centroids, cb, codes, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST,
+        nprobe=IVFPQ_NPROBE,
+    ).select("q_id", "c_id")
+    return _exact_rerank_tail(emb, short)
+
+
+def _ivfpq_rerank_sql() -> str:
+    vecs, sub, enc, lut = _pq_base_ctes(f"cb{PQ_TRAIN_ITERS}")
+    train = ",\n".join(_pq_trained_cb_ctes(PQ_TRAIN_ITERS))
+    exact = _bitsign_exact_sql("cv.v", "qv.v")
+    return f"""
+WITH {vecs},
+{sub},
+{train},
+{enc},
+{lut},
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVFPQ_CELLS}),
+cscored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS sim
+  FROM embeddings e, cent c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM cscored
+),
+corpus_cells AS (SELECT vec_id AS c_id, cid AS centroid_id FROM cranked WHERE rn = 1),
+query_probes AS (
+  SELECT vec_id AS q_id, cid AS centroid_id FROM cranked
+  WHERE rn <= {IVFPQ_NPROBE} AND vec_id < {KNN_QUERY_IDS}
+),
+pairs AS (
+  SELECT q.q_id, c.c_id FROM query_probes q JOIN corpus_cells c USING (centroid_id)
+  WHERE q.q_id <> c.c_id
+),
+cand AS (
+  SELECT p.q_id, p.c_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM pairs p
+  JOIN enc e ON e.vec_id = p.c_id
+  JOIN lut l ON l.q_id = p.q_id AND l.m = e.m AND l.code = e.code
+  GROUP BY p.q_id, p.c_id
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS srank
+    FROM cand)
+  WHERE srank <= {PQ_RERANK_SHORTLIST}
+),
+rr AS (
+  SELECT s.q_id, s.c_id, {exact} AS dist
+  FROM short s
+  JOIN vecs cv ON cv.vec_id = s.c_id
+  JOIN vecs qv ON qv.vec_id = s.q_id
+)
+SELECT q_id, c_id, dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, c_id, dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rank
+  FROM rr)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+QUERIES["emb_ivfpq_rerank_topk"] = (ivfpq_rerank_topk_query, _ivfpq_rerank_sql())

@@ -247,6 +247,34 @@ def main() -> int:
             "bytes_frac": round(m / (4 * m * sub), 4),
         }
     adc_rank.unpersist()
+    # round 14: IVFADC shortlist → exact rerank (emb_ivfpq_rerank_topk's
+    # composition — prune, compress, rerank).  The rerank recovers ADC's
+    # ranking loss but NOT the coarse pruning loss, so these rows measure
+    # the cell-pruning ceiling at the committed nprobe and how fast L
+    # saturates toward it.
+    out["ivfpq_rerank"] = {}
+    ivfadc_rank = (
+        ivfpq_adc_topk(
+            queries, emb, cent, books["trained"], codes_by["trained"], m, sub,
+            L_MAX_PQ, nprobe=4,
+        )
+        .select("q_id", "c_id", F.col("rank").alias("srank"))
+        .cache()
+    )
+    for L in (25, 50, PQ_RERANK_SHORTLIST, L_MAX_PQ):
+        rer = (
+            ivfadc_rank.filter(F.col("srank") <= L)
+            .join(vm_pq, "c_id")
+            .join(qm, "q_id")
+            .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+        )
+        out["ivfpq_rerank"][f"L={L},nprobe=4"] = {
+            "recall_l2": recall_vs(rer, truth_l2),
+            "cost": round(L / n, 4),
+        }
+    ivfadc_rank.unpersist()
     for c in codes_by.values():
         c.unpersist()
 

@@ -51,6 +51,7 @@ ADJUDICATED = {
     ("emb_kmeans_stats", _BNLJ): "Lloyd assignment: corpus × broadcast k-row centroid table (k=4 by construction)",
     ("emb_ivf_trained_topk", _BNLJ): "Lloyd assignment + IVF cell scoring: corpus × broadcast 16-row trained centroid table",
     ("emb_ivfpq_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (the ADC scoring itself is an equi-join on the codes table)",
+    ("emb_ivfpq_rerank_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (stage-1 of the prune+compress+rerank composition; stage 2 is broadcast equi-joins)",
     ("emb_ivfpq_residual_topk", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (residual ADC scoring is an equi-join on the codes table)",
     ("emb_ivfpq_residual_trained", _BNLJ): "IVF cell assignment: corpus × broadcast 16-row centroid table (trained residual ADC scoring is an equi-join on the codes table)",
     ("doc_quality_budget_cut", _BNLJ): "1-row total-tokens broadcast onto the ≤101-bucket quality histogram (threshold compare)",

@@ -387,3 +387,59 @@ def test_modality_overlap_matches_independent_recompute(spark):
     assert not fams["phash"] and not fams["audio"]
     assert fams["image"] and fams["video"]
     assert got[("image", "video")][0] > 0
+
+
+def test_ivfpq_rerank_exactness_and_pruning_contract(spark):
+    """The IVFADC→rerank composition (round 14) at sf0.001: (1) every
+    emitted distance equals the exact brute int64-L2 distance (the rerank
+    is exact by construction); (2) every returned candidate lies in one
+    of its query's nprobe probed cells — the pruning contract that also
+    BOUNDS recall: a true neighbor in an unprobed cell is unreachable, so
+    (3) measured recall@5 is 0.925 (37/40 — the three misses live in
+    unprobed cells, verified), NOT 1.0 like the flat-shortlist
+    ``emb_pq_rerank_topk``.  Raising nprobe, not L, is the recall dial."""
+    from pyspark.sql import Window
+
+    from block_crawler_spark.operators.ann import int_sqdist, ivf_assign, micro_fixed
+    from block_crawler_spark.plans.embed_ops import (
+        IVFPQ_CELLS,
+        IVFPQ_NPROBE,
+        KNN_QUERY_IDS,
+        PQ_TOPK,
+        ivfpq_rerank_topk_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF0, "embeddings")
+    vm = emb.select(F.col("vec_id").alias("c_id"), micro_fixed(F.col("embedding")).alias("v"))
+    qm = vm.filter(F.col("c_id") < KNN_QUERY_IDS).select(
+        F.col("c_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    brute = {
+        (r.q_id, r.c_id): (r.d, r.rank)
+        for r in qm.crossJoin(vm)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", int_sqdist(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w))
+        .collect()
+    }
+    truth = {k for k, (_, rk) in brute.items() if rk <= PQ_TOPK}
+
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+    cell = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, centroids).collect()}
+    probes = {}
+    for r in ivf_assign(
+        emb.filter(F.col("vec_id") < KNN_QUERY_IDS), centroids, n_assign=IVFPQ_NPROBE
+    ).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+
+    got = {(r.q_id, r.c_id): r.dist for r in ivfpq_rerank_topk_query(spark, SF0).collect()}
+    for (q, c), dist in got.items():
+        assert dist == brute[(q, c)][0]  # exact rerank distances
+        assert cell[c] in probes[q], (q, c)  # pruning contract
+    hits = set(got) & truth
+    assert len(hits) / len(truth) == 0.925, len(hits)
+    # the misses are exactly the true neighbors living in unprobed cells
+    for q, c in truth - set(got):
+        assert cell[c] not in probes[q], (q, c)
