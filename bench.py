@@ -152,6 +152,7 @@ HEADLINE = [
     "doc_lm_gated_quality_planted",
     "media_modality_overlap",
     "emb_ivfpq_rerank_topk",
+    "media_stream_phash_admission_sim",
 ]
 
 # Session-memoized families (VERDICT r13 "What's wrong" #1 / task 3): for

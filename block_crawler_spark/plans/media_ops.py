@@ -1301,3 +1301,150 @@ QUERIES["media_modality_overlap"] = (
     media_modality_overlap_query,
     _media_modality_overlap_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming perceptual-gate admission sim (round 14) — the oracle-checked
+# relational twin of CorpusIngestStore(media_phash=True)
+# ---------------------------------------------------------------------------
+
+
+def media_stream_phash_admission_sim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked relational twin of the streaming corpus store's
+    PERCEPTUAL admission rule (round 14 —
+    ``streaming/corpus.py:_phash_filter``, whose end-to-end behavior is
+    pytest-pinned but not SQL-expressible as a stream; the dHash analog of
+    ``dedup_stream_admission_sim`` for the exact-fp gate).  The planted
+    transform corpus IS the streaming story: the source documents play the
+    admitted corpus, and the minted twins — brightness level-shift, sparse
+    noise, verbatim copy (:func:`_planted_transform_media`) — play an
+    incoming micro-batch of re-encodes, the near-dup class the byte-exact
+    fp gate can never catch.  The rule is replayed with the STORE'S OWN
+    banding code (``CorpusIngestStore._phash_bands`` — 4 × 15-bit bands,
+    all-zero signatures excluded, so degenerate docs neither block nor get
+    blocked) over the REAL Arrow-stage fingerprint
+    (:func:`operators.multimodal.content_dhash`): a batch doc sharing a
+    band with a LOWER-id batch doc at Hamming ≤ {PHASH_MAX_HAMMING} is
+    ``blocked_batch`` (the within-batch keep-lowest-id rule), a survivor
+    sharing a band with an admitted doc at Hamming ≤ {PHASH_MAX_HAMMING}
+    is ``blocked_seen`` (the phindex probe), the rest are ``admitted``
+    (``admitted_degenerate`` for all-zero signatures — the no-evidence
+    policy).  The output is per (twin_kind, verdict) doc counts — a
+    value-level hash of the admission semantics to hold next to the
+    streaming pytest evidence (``test_corpus_phash_gate_blocks_perceptual
+    _twins``).  The store stages the two probes (cross-batch runs on
+    within-batch survivors only, for cost); verdict PRECEDENCE here
+    assigns identical labels without the anti-join, since a
+    within-batch-dropped doc is ``blocked_batch`` either way.
+
+    Expected semantics on this corpus (pytest-pinned by independent
+    Python recompute): brightness and copy twins are Hamming 0 from their
+    source, so every one is blocked — ``blocked_batch`` when a lower-id
+    twin of the SAME source is in the batch (sources on the mod-overlap
+    lattice mint several twins), else ``blocked_seen``; the content hash
+    is fully selective on text bytes (zero cross-document links — the
+    modality-matrix finding), so ``admitted`` counts only noise twins
+    whose perturbation broke every band.
+
+    Scale shape: the gate's own shape — fingerprints in the Arrow stage
+    (content never shuffles; 24-byte signature rows), candidates via band
+    equi-joins (collision-bounded, never batch² or batch×admitted), exact
+    ``bit_count(xor)`` verify on the collision row, and a ≤(3 kinds ×
+    4 verdicts)-row output agg.  At store runtime the admitted side is
+    additionally partition-pruned to the batch's band buckets (the
+    phindex idiom) — a pure cost refinement invisible to semantics."""
+    from ..operators.multimodal import content_dhash
+    from ..streaming.corpus import CorpusIngestStore
+
+    media = _planted_transform_media(load_table(spark, sf_dir, "documents"))
+    sigs = content_dhash(media).select(F.col("media_id").alias("doc_id"), "dhash")
+    off = PHASH_TWIN_OFFSET
+    batch = sigs.filter(F.col("doc_id") >= off)
+    admitted = sigs.filter(F.col("doc_id") < off)
+    bb = CorpusIngestStore._phash_bands(batch)
+    ab = CorpusIngestStore._phash_bands(admitted)
+    h = PHASH_MAX_HAMMING
+    a = bb.select(
+        F.col("doc_id").alias("id_a"), "band_index", "band_value", F.col("dhash").alias("ha")
+    )
+    b = bb.select(
+        F.col("doc_id").alias("id_b"), "band_index", "band_value", F.col("dhash").alias("hb")
+    )
+    drop_in = (
+        a.join(b, ["band_index", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= h)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("in_batch_dup", F.lit(1))
+    )
+    drop_seen = (
+        bb.join(
+            ab.select("band_index", "band_value", F.col("dhash").alias("hs")),
+            ["band_index", "band_value"],
+        )
+        .filter(F.bit_count(F.col("dhash").bitwiseXOR(F.col("hs"))) <= h)
+        .select("doc_id")
+        .distinct()
+        .withColumn("seen_dup", F.lit(1))
+    )
+    kind = (
+        F.when(F.expr(f"doc_id div {off}") == 1, F.lit("bright"))
+        .when(F.expr(f"doc_id div {off}") == 2, F.lit("noise"))
+        .otherwise(F.lit("copy"))
+    )
+    verdict = (
+        F.when(F.col("dhash") == 0, F.lit("admitted_degenerate"))
+        .when(F.col("in_batch_dup").isNotNull(), F.lit("blocked_batch"))
+        .when(F.col("seen_dup").isNotNull(), F.lit("blocked_seen"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        batch.join(drop_in, "doc_id", "left")
+        .join(drop_seen, "doc_id", "left")
+        .select(kind.alias("twin_kind"), verdict.alias("verdict"))
+        .groupBy("twin_kind", "verdict")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _media_stream_phash_admission_sim_sql() -> str:
+    off = PHASH_TWIN_OFFSET
+    h = PHASH_MAX_HAMMING
+    return f"""
+WITH {_phash_ctes()},
+bs AS (SELECT media_id AS doc_id, dhash FROM sig WHERE media_id >= {off}),
+bband AS (
+  SELECT media_id AS doc_id, dhash, band_index, band_value FROM bands WHERE media_id >= {off}
+),
+aband AS (
+  SELECT media_id AS doc_id, dhash, band_index, band_value FROM bands WHERE media_id < {off}
+),
+drop_in AS (
+  SELECT DISTINCT b.doc_id FROM bband a JOIN bband b
+    ON a.band_index = b.band_index AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {h}
+),
+drop_seen AS (
+  SELECT DISTINCT s.doc_id FROM bband s JOIN aband t
+    ON s.band_index = t.band_index AND s.band_value = t.band_value
+  WHERE bit_count(xor(s.dhash, t.dhash)) <= {h}
+)
+SELECT CASE bs.doc_id // {off} WHEN 1 THEN 'bright' WHEN 2 THEN 'noise' ELSE 'copy' END
+         AS twin_kind,
+       CASE WHEN bs.dhash = 0 THEN 'admitted_degenerate'
+            WHEN i.doc_id IS NOT NULL THEN 'blocked_batch'
+            WHEN s.doc_id IS NOT NULL THEN 'blocked_seen'
+            ELSE 'admitted' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM bs
+LEFT JOIN drop_in i ON i.doc_id = bs.doc_id
+LEFT JOIN drop_seen s ON s.doc_id = bs.doc_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES["media_stream_phash_admission_sim"] = (
+    media_stream_phash_admission_sim_query,
+    _media_stream_phash_admission_sim_sql(),
+)

@@ -443,3 +443,98 @@ def test_ivfpq_rerank_exactness_and_pruning_contract(spark):
     # the misses are exactly the true neighbors living in unprobed cells
     for q, c in truth - set(got):
         assert cell[c] not in probes[q], (q, c)
+
+
+def test_stream_phash_admission_sim_matches_independent_recompute(spark):
+    """The streaming perceptual gate's relational twin
+    (media_stream_phash_admission_sim) against a FULL independent Python
+    recompute at sf0.001: re-derive the planted corpus (numpy byte
+    transforms), re-fingerprint with the reference dHash, re-band, and
+    replay the admission rule (within-batch keep-lowest-id, then the
+    admitted-corpus probe, Hamming <= PHASH_MAX_HAMMING, all-zero
+    signatures never banded) — cell-for-cell equality required.  Also
+    pins the gate finding: EVERY planted twin is blocked (no 'admitted'
+    verdict — brightness/copy are Hamming 0, all noise twins land within
+    the banded radius), and the store's default Hamming budget cannot
+    drift from the batch family's."""
+    import numpy as np
+    import pandas as pd
+    from test_r13_evidence import _dhash_ref
+
+    from block_crawler_spark.plans.media_ops import (
+        PHASH_BANDS,
+        PHASH_BRIGHT_DELTA,
+        PHASH_BRIGHT_MOD,
+        PHASH_EXACT_MOD,
+        PHASH_MAX_HAMMING,
+        PHASH_NOISE_EVERY,
+        PHASH_NOISE_MOD,
+        PHASH_NOISE_STRIDE,
+        PHASH_TWIN_OFFSET,
+        media_stream_phash_admission_sim_query,
+    )
+    from block_crawler_spark.operators.multimodal import DHASH_BITS
+    from block_crawler_spark.streaming.corpus import CorpusIngestStore
+
+    assert (
+        CorpusIngestStore.__dataclass_fields__["phash_max_hamming"].default
+        == PHASH_MAX_HAMMING
+    )
+
+    docs = pd.read_parquet(f"{SF0}/documents.parquet")
+    off = PHASH_TWIN_OFFSET
+    sig = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        arr = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        sig[did] = _dhash_ref(arr)
+        if did % PHASH_BRIGHT_MOD == 0:
+            sig[did + off] = _dhash_ref(np.minimum(arr + PHASH_BRIGHT_DELTA, 255))
+        if did % PHASH_NOISE_MOD == 0:
+            i = np.arange(len(arr), dtype=np.int64)
+            noise = (i * PHASH_NOISE_STRIDE + did) % PHASH_NOISE_EVERY == 0
+            sig[did + 2 * off] = _dhash_ref(np.minimum(arr + noise, 255))
+        if did % PHASH_EXACT_MOD == 0:
+            sig[did + 3 * off] = sig[did]
+
+    width = DHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+
+    def bands(h):
+        return {
+            (b, (h >> (DHASH_BITS - (b + 1) * width)) & mask) for b in range(PHASH_BANDS)
+        }
+
+    batch = sorted(i for i in sig if i >= off)
+    by_band = {}
+    for i in (i for i in sig if i < off):
+        if sig[i] != 0:
+            for bv in bands(sig[i]):
+                by_band.setdefault(bv, []).append(i)
+    cells = {}
+    for i in batch:
+        kind = ("bright", "noise", "copy")[i // off - 1]
+        if sig[i] == 0:
+            v = "admitted_degenerate"
+        else:
+            bb = bands(sig[i])
+            in_batch = any(
+                j < i and sig[j] != 0 and bands(sig[j]) & bb
+                and bin(sig[i] ^ sig[j]).count("1") <= PHASH_MAX_HAMMING
+                for j in batch
+            )
+            seen = any(
+                bin(sig[i] ^ sig[j]).count("1") <= PHASH_MAX_HAMMING
+                for bv in bb
+                for j in by_band.get(bv, ())
+            )
+            v = "blocked_batch" if in_batch else ("blocked_seen" if seen else "admitted")
+        cells[(kind, v)] = cells.get((kind, v), 0) + 1
+
+    got = {
+        (r["twin_kind"], r["verdict"]): r["n_docs"]
+        for r in media_stream_phash_admission_sim_query(spark, SF0).collect()
+    }
+    assert got == cells
+    assert not any(v == "admitted" for _, v in got)
+    assert sum(got.values()) == len(batch)
