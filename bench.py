@@ -153,6 +153,7 @@ HEADLINE = [
     "media_modality_overlap",
     "emb_ivfpq_rerank_topk",
     "media_stream_phash_admission_sim",
+    "dedup_stream_minhash_admission_sim",
 ]
 
 # Session-memoized families (VERDICT r13 "What's wrong" #1 / task 3): for

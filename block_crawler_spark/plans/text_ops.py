@@ -1852,6 +1852,158 @@ GROUP BY 1
 QUERIES["dedup_stream_admission_sim"] = (stream_admission_sim_query, ADMISSION_SIM_SQL)
 
 
+# The streaming store's near-dup gate verifies candidates at TRUE Jaccard
+# >= jaccard_threshold (default 0.5); the sim replays the same rule in
+# exact integer ppm (inter*1e6 DIV uni >= this) — equivalent for any doc
+# under 10^6 distinct shingles (the decimal(18,6) rounding edge), and the
+# drift guard pytest ties the two constants together.
+STORE_JACCARD_PPM = 500_000
+
+
+def stream_minhash_admission_sim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked relational twin of the streaming corpus store's
+    MINHASH near-dup admission rule (round 14 —
+    ``streaming/corpus.py:_near_dup_filter``; completes the admission-sim
+    set: exact-fp r8, perceptual dHash r14, and now the banded-Jaccard
+    gate between them).  The re-submission protocol is IDENTICAL to
+    ``dedup_stream_admission_sim`` — docs with ``doc_id % 5 == 4`` play
+    the micro-batch, ids ``% 25 == 24`` carrying the text of ``doc_id−5``
+    (another batch doc), ids ``% 10 == 9`` the text of ``doc_id−4`` (an
+    admitted doc), the rest their own — so the two sims are directly
+    comparable on the same input.  The rule is replayed with the STORE'S
+    OWN operators (:func:`operators.dedup.minhash_signatures` →
+    ``band_buckets``/``band_pairs`` LSH candidates → TRUE-shingle Jaccard
+    verify at the store's 0.5 threshold, in exact integer ppm): a batch
+    doc in a verified pair with a lower-id batch doc is ``blocked_batch``
+    (keep-lowest-id), a survivor verified against any admitted doc is
+    ``blocked_seen``, the rest are ``admitted``.
+
+    The pinned relationship (pytest, both theorems): identical fp ⇒
+    identical token stream ⇒ identical shingle set ⇒ Jaccard 1.0, so the
+    minhash gate's blocked set is a SUPERSET of the exact gate's on the
+    same protocol — and the surplus is exactly the corpus's intrinsic
+    near-dups (whitespace-normalized but not byte-identical twins) that
+    straddle the batch boundary at >= 0.5 true Jaccard: what the
+    near-dup gate exists to add over exact fp.  The store stages its
+    probes (cross-batch runs on within-batch survivors); verdict
+    PRECEDENCE here assigns identical labels without the anti-join.
+
+    Scale shape: the gate's own shape — banded candidates (band
+    equi-joins, never batch² or batch×admitted), exact verification only
+    on collision pairs, a 3-row verdict agg.  At store runtime the
+    admitted band table is additionally partition-pruned to the batch's
+    band buckets and read from STORED signatures (no re-shingling of the
+    corpus side) — cost refinements invisible to semantics, which is
+    what lets this sim re-derive both sides from the raw table."""
+    from ..operators.dedup import band_buckets, band_pairs, jaccard_pairs, minhash_signatures
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = F.expr(
+        "CASE WHEN doc_id % 25 = 24 THEN doc_id - 5 "
+        "WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END"
+    )
+    batch_docs = (
+        base.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", src.alias("src_id"))
+        .join(base.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select("doc_id", "text")
+    )
+    adm_docs = base.filter(F.col("doc_id") % 5 != 4)
+    # materialize=False: registry queries must leave the CacheManager
+    # empty (the store itself caches per micro-batch and unpersists)
+    bsig = minhash_signatures(batch_docs, materialize=False)
+    asig = minhash_signatures(adm_docs, materialize=False)
+    in_cand = band_pairs(band_buckets(bsig))
+    in_ver = (
+        jaccard_pairs(bsig, in_cand)
+        .filter(F.expr(f"inter * 1000000 div uni >= {STORE_JACCARD_PPM}"))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("in_batch_dup", F.lit(1))
+    )
+    cr_cand = band_pairs(band_buckets(asig), band_buckets(bsig))
+    sh_both = asig.select("doc_id", "shingles").unionByName(bsig.select("doc_id", "shingles"))
+    cr_ver = (
+        jaccard_pairs(sh_both, cr_cand)
+        .filter(F.expr(f"inter * 1000000 div uni >= {STORE_JACCARD_PPM}"))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("seen_dup", F.lit(1))
+    )
+    verdict = (
+        F.when(F.col("in_batch_dup").isNotNull(), F.lit("blocked_batch"))
+        .when(F.col("seen_dup").isNotNull(), F.lit("blocked_seen"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        batch_docs.join(in_ver, "doc_id", "left")
+        .join(cr_ver, "doc_id", "left")
+        .select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _minhash_admission_sim_sql() -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    sig_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES)
+    )
+    band_expr = " || ".join(f"sig[{BAND_SIZE}*b+{j + 1}]" for j in range(BAND_SIZE))
+    return f"""
+WITH roles AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 24 THEN doc_id - 5
+              WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END AS src_id,
+         doc_id % 5 = 4 AS is_batch
+  FROM documents
+), dtext AS (
+  SELECT r.doc_id, r.is_batch, s.text
+  FROM roles r JOIN documents s
+    ON s.doc_id = CASE WHEN r.is_batch THEN r.src_id ELSE r.doc_id END
+), tk AS (
+  SELECT doc_id, is_batch, string_split_regex(trim(lower(text)), '\\s+') AS t FROM dtext
+), sg AS (
+  SELECT doc_id, is_batch, sh, [{sig_list}] AS sig
+  FROM (SELECT doc_id, is_batch, {_shingle_sql_expr()} AS sh FROM tk)
+), bands AS (
+  SELECT doc_id, is_batch, b, {band_expr} AS bv
+  FROM sg, unnest(range({n_bands})) AS u(b)
+), in_ver AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM bands a JOIN bands b2
+          ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        WHERE a.is_batch AND b2.is_batch) c
+  JOIN sg x ON x.doc_id = c.id_a JOIN sg y ON y.doc_id = c.id_b
+  WHERE len(list_intersect(x.sh, y.sh)) * 1000000
+        // len(list_distinct(list_concat(x.sh, y.sh))) >= {STORE_JACCARD_PPM}
+), cr_ver AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv
+        WHERE NOT a.is_batch AND b2.is_batch) c
+  JOIN sg x ON x.doc_id = c.id_a JOIN sg y ON y.doc_id = c.id_b
+  WHERE len(list_intersect(x.sh, y.sh)) * 1000000
+        // len(list_distinct(list_concat(x.sh, y.sh))) >= {STORE_JACCARD_PPM}
+)
+SELECT CASE WHEN i.doc_id IS NOT NULL THEN 'blocked_batch'
+            WHEN s.doc_id IS NOT NULL THEN 'blocked_seen'
+            ELSE 'admitted' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id FROM sg WHERE is_batch) b
+LEFT JOIN in_ver i ON i.doc_id = b.doc_id
+LEFT JOIN cr_ver s ON s.doc_id = b.doc_id
+GROUP BY 1
+"""
+
+
+QUERIES["dedup_stream_minhash_admission_sim"] = (
+    stream_minhash_admission_sim_query,
+    _minhash_admission_sim_sql(),
+)
+
+
 def hapax_per_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary health per source: hapax legomena (tokens occurring
     exactly once WITHIN the source) as a share of the source's distinct

@@ -538,3 +538,70 @@ def test_stream_phash_admission_sim_matches_independent_recompute(spark):
     assert got == cells
     assert not any(v == "admitted" for _, v in got)
     assert sum(got.values()) == len(batch)
+
+
+def test_minhash_admission_sim_matches_the_real_store_and_exact_superset(spark, tmp_path):
+    """dedup_stream_minhash_admission_sim claims to be the relational twin
+    of the corpus store's NEAR-DUP gate on the exact sim's re-submission
+    protocol — prove it against the REAL store: feed
+    CorpusIngestStore(near_dup=True) the same admitted set + synthetic
+    batch; because identical fp ⇒ Jaccard 1.0, the minhash gate's blocked
+    set subsumes the exact gate's, so the store's (exact → near-dup)
+    composition must admit EXACTLY the sim's 'admitted' count.  Also pins
+    the superset theorem against dedup_stream_admission_sim's verdicts on
+    the same input (the surplus = intrinsic near-dups at >= 0.5 true
+    Jaccard), and the drift guards tying the sim's constants to the
+    store's threshold and the operators' signature layout."""
+    import inspect
+
+    from block_crawler_spark.operators.dedup import band_buckets, minhash_signatures
+    from block_crawler_spark.plans.text_ops import (
+        BAND_SIZE,
+        NUM_HASHES,
+        STORE_JACCARD_PPM,
+        stream_admission_sim_query,
+        stream_minhash_admission_sim_query,
+    )
+    from block_crawler_spark.sources.tables import load_table
+    from block_crawler_spark.streaming.corpus import CorpusIngestStore
+
+    assert (
+        int(CorpusIngestStore.__dataclass_fields__["jaccard_threshold"].default * 1_000_000)
+        == STORE_JACCARD_PPM
+    )
+    assert inspect.signature(minhash_signatures).parameters["num_hashes"].default == NUM_HASHES
+    assert inspect.signature(band_buckets).parameters["band_size"].default == BAND_SIZE
+
+    sim = {
+        r["verdict"]: r["n_docs"]
+        for r in stream_minhash_admission_sim_query(spark, SF0).collect()
+    }
+    exact = {
+        r["verdict"]: r["n_docs"] for r in stream_admission_sim_query(spark, SF0).collect()
+    }
+    # superset theorem: every exact-blocked doc is minhash-blocked too
+    assert sim["admitted"] <= exact["admitted"]
+    assert sim.get("blocked_batch", 0) >= exact.get("blocked_batch", 0)
+    assert sum(sim.values()) == sum(exact.values())
+    # non-vacuity: the near-dup gate adds blocks the exact gate misses
+    # (the corpus's intrinsic near-dups straddling the batch boundary)
+    assert sim["admitted"] < exact["admitted"]
+
+    docs = load_table(spark, SF0, "documents")
+    admitted0 = docs.filter(F.col("doc_id") % 5 != 4)
+    src = F.expr(
+        "CASE WHEN doc_id % 25 = 24 THEN doc_id - 5 "
+        "WHEN doc_id % 10 = 9 THEN doc_id - 4 ELSE doc_id END"
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "lang", "source", src.alias("src_id"))
+        .join(docs.select(F.col("doc_id").alias("src_id"), "text", "n_chars"), "src_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    assert sum(sim.values()) == batch.count()
+    store = CorpusIngestStore(spark, str(tmp_path / "corpus"), near_dup=True)
+    store.ingest_batch(admitted0, 0)
+    n0 = store.corpus().count()
+    store.ingest_batch(batch, 1)
+    assert store.corpus().count() - n0 == sim["admitted"], sim
