@@ -154,6 +154,7 @@ HEADLINE = [
     "emb_ivfpq_rerank_topk",
     "media_stream_phash_admission_sim",
     "dedup_stream_minhash_admission_sim",
+    "dedup_stream_semantic_admission_sim",
 ]
 
 # Session-memoized families (VERDICT r13 "What's wrong" #1 / task 3): for
@@ -184,6 +185,8 @@ MEMO_FAMILIES = {
     # r14: the four under-valve overlap pair-frame memos (simhash exceeds
     # the valve and stays live, so warm still pays its DAG)
     "overlap_pairs": ["dedup_family_overlap"],
+    # r14: the admission sim trains its own admitted-split codebook
+    "semantic_admsim": ["dedup_stream_semantic_admission_sim"],
 }
 
 

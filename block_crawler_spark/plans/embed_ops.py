@@ -1567,7 +1567,7 @@ def semantic_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized_semantic_pairs(spark, sf_dir, probes=1)
 
 
-def _kmeans_cte_chain_rt(iters: int) -> list[str]:
+def _kmeans_cte_chain_rt(iters: int, vecs_where: str = "") -> list[str]:
     """The unrolled Lloyd CTE list with a RUNTIME-derived cell count (the
     semantic family's K = min(max(8, N // TARGET), SEM_K_MAX), computed by
     the ``kp`` CTE from the same corpus the chain trains on — mirroring
@@ -1576,14 +1576,18 @@ def _kmeans_cte_chain_rt(iters: int) -> list[str]:
     iteration.  The argmin uses a struct-MIN (lexicographic, ties to the
     lowest cid — DuckDB and Spark agree) instead of the fixed chain's
     ``MIN(d*k+cid)`` packing, which needs a compile-time k and overflows
-    int64 once k × max-sqdist exceeds 2⁶³."""
+    int64 once k × max-sqdist exceeds 2⁶³.  ``vecs_where`` restricts the
+    TRAINING corpus (the ``vecs`` CTE) — the admission sim trains on the
+    admitted split only; default is the whole table (every existing
+    oracle unchanged)."""
     D, S = _KM_DIM, 1_000_000
     dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    where = f"\n  WHERE {vecs_where}" if vecs_where else ""
     parts = [
         f"""vecs AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{S}) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings{where}
 )""",
         f"kp AS (SELECT LEAST(GREATEST(8, COUNT(*) // {SEM_TARGET_CELL}), {SEM_K_MAX}) AS k FROM vecs)",
         """c0 AS (
@@ -3169,3 +3173,190 @@ WHERE rank <= {PQ_TOPK}
 
 
 QUERIES["emb_ivfpq_rerank_topk"] = (ivfpq_rerank_topk_query, _ivfpq_rerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC-gate admission sim (round 14) — completes the
+# admission-sim matrix: every gate of the streaming corpus store now has an
+# oracle-checked relational twin (exact fp r8, minhash + perceptual dHash
+# r14, and the semantic gate here)
+# ---------------------------------------------------------------------------
+
+
+def stream_semantic_admission_sim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked relational twin of the streaming corpus store's
+    SEMANTIC admission rule (round 14 —
+    ``streaming/corpus.py:_semantic_filter``; the last gate without one).
+    The re-submission protocol is the exact sim's, applied to the
+    embeddings table: vectors with ``vec_id % 5 == 4`` play the incoming
+    micro-batch, ids ``% 25 == 24`` carrying the EMBEDDING of
+    ``vec_id−5`` (another batch vector), ids ``% 10 == 9`` that of
+    ``vec_id−4`` (an admitted vector), the rest their own — identical
+    vectors are the exact-duplicate class (sqdist 0), and the corpus's
+    intrinsic semantic near-dups straddling the split are the class the
+    gate exists to add.  The codebook is what a store operator would pin:
+    Lloyd-trained ON THE ADMITTED CORPUS with the batch family's knobs
+    (``kmeans_lloyd_fixed``, K = ``_sem_k(|admitted|)``,
+    ``SEM_CELLS_ITERS`` iterations, memoized under a sim-scoped key).
+    The rule is replayed with the STORE'S OWN operators: batch vectors
+    probe their TWO nearest cells (``centroid_assign_top2`` — the r12
+    mp2-consistent upgrade), admitted memberships are top-1 (the default
+    ``vindex_probes=1`` layout), and every candidate is verified at exact
+    integer ``sqdist ≤ SEM_SQDIST_MAX`` before it blocks: a batch vector
+    verified against a LOWER-id batch vector sharing any probe cell is
+    ``blocked_batch`` (keep-lowest-id), a survivor verified against an
+    admitted member of either probe cell is ``blocked_seen``, the rest
+    are ``admitted``.  The store stages its probes (cross-batch runs on
+    within-batch survivors, the vindex scan is partition-pruned to the
+    batch's cell buckets); verdict PRECEDENCE here assigns identical
+    labels without the anti-join, and the pruning is a cost refinement
+    invisible to semantics — which is what lets the sim re-derive both
+    sides from the raw table.
+
+    The asymmetric-slip caveat carries over honestly: with top-1
+    admitted memberships, a straddler pair whose probe sets share no
+    cell is missed — the measured 0 % slip at the committed constants
+    (``scripts/semantic_gate_probe.py``, r13) is the operating
+    justification, and the sim reproduces the default layout, not an
+    idealized symmetric one.
+
+    Scale shape: the gate's own shape — one ≤K-row broadcast codebook
+    (two assignment passes, no N×K shuffle), cell equi-joins for
+    candidates (never batch² or batch×admitted), exact verification only
+    on collision pairs, a 3-row verdict agg."""
+    from ..operators.ann import (
+        centroid_assign,
+        centroid_assign_top2,
+        int_sqdist,
+        kmeans_lloyd_fixed,
+        micro_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    adm = emb.filter(F.col("vec_id") % 5 != 4)
+    src = F.expr(
+        "CASE WHEN vec_id % 25 = 24 THEN vec_id - 5 "
+        "WHEN vec_id % 10 = 9 THEN vec_id - 4 ELSE vec_id END"
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 5 == 4)
+        .select("vec_id", src.alias("src_id"))
+        .join(emb.select(F.col("vec_id").alias("src_id"), "embedding"), "src_id")
+        .select("vec_id", "embedding")
+    )
+    k = _sem_k(adm.count())
+    cents = _memoized_small_frame(
+        spark,
+        (sf_dir, _emb_fingerprint(sf_dir), k, SEM_CELLS_ITERS, "admsim"),
+        lambda: kmeans_lloyd_fixed(adm, k=k, iters=SEM_CELLS_ITERS)[1],
+    )
+    bvecs = batch.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    avecs = adm.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
+    basg = centroid_assign_top2(bvecs, cents).join(bvecs, "vid").select("vid", "cid", "v")
+    aasg = centroid_assign(avecs, cents).join(avecs, "vid").select("vid", "cid", "v")
+    dmax = SEM_SQDIST_MAX
+    a = basg.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
+    b = basg.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))
+    drop_in = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(int_sqdist(F.col("va"), F.col("vb")) <= dmax)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("in_batch_dup", F.lit(1))
+    )
+    drop_seen = (
+        basg.join(aasg.select("cid", F.col("v").alias("v_adm")), "cid")
+        .filter(int_sqdist(F.col("v"), F.col("v_adm")) <= dmax)
+        .select("vid")
+        .distinct()
+        .withColumn("seen_dup", F.lit(1))
+    )
+    verdict = (
+        F.when(F.col("in_batch_dup").isNotNull(), F.lit("blocked_batch"))
+        .when(F.col("seen_dup").isNotNull(), F.lit("blocked_seen"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        batch.select(F.col("vec_id").alias("vid"))
+        .join(drop_in, "vid", "left")
+        .join(drop_seen, "vid", "left")
+        .select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _semantic_admission_sim_sql() -> str:
+    D, S = _KM_DIM, 1_000_000
+    iters = SEM_CELLS_ITERS
+    dist = f"CAST(list_sum(list_transform(range({D}), i -> (v[i+1]-c[i+1])*(v[i+1]-c[i+1]))) AS BIGINT)"
+    pd_ab = f"list_sum(list_transform(range({D}), i -> (va.v[i+1]-vb.v[i+1])*(va.v[i+1]-vb.v[i+1])))"
+    pd_bm = f"list_sum(list_transform(range({D}), i -> (vb.v[i+1]-vm.v[i+1])*(vb.v[i+1]-vm.v[i+1])))"
+    parts = _kmeans_cte_chain_rt(iters, vecs_where="vec_id % 5 <> 4")
+    parts.append(
+        f"""allv AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{S}) AS BIGINT)) AS v
+  FROM embeddings
+)"""
+    )
+    parts.append(
+        """bsel AS (
+  SELECT vec_id AS vid,
+         CASE WHEN vec_id % 25 = 24 THEN vec_id - 5
+              WHEN vec_id % 10 = 9 THEN vec_id - 4 ELSE vec_id END AS src_id
+  FROM embeddings WHERE vec_id % 5 = 4
+)"""
+    )
+    parts.append("bvecs AS (SELECT b.vid, a.v FROM bsel b JOIN allv a ON a.vid = b.src_id)")
+    parts.append(
+        f"""af_adm AS (
+  SELECT vid, (MIN(struct_pack(d := d, cid := cid))).cid AS cid
+  FROM (SELECT vid, cid, {dist} AS d FROM vecs, c{iters}) GROUP BY vid
+)"""
+    )
+    parts.append(
+        f"""af_b AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, d, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM (SELECT vid, cid, {dist} AS d FROM (SELECT vid, v FROM bvecs), c{iters})
+  ) WHERE rn <= 2
+)"""
+    )
+    parts.append(
+        f"""in_ver AS (
+  SELECT DISTINCT p2.vid AS doc_id
+  FROM af_b p1 JOIN af_b p2 ON p1.cid = p2.cid AND p1.vid < p2.vid
+  JOIN bvecs va ON va.vid = p1.vid JOIN bvecs vb ON vb.vid = p2.vid
+  WHERE {pd_ab} <= {SEM_SQDIST_MAX}
+)"""
+    )
+    parts.append(
+        f"""cr_ver AS (
+  SELECT DISTINCT p.vid AS doc_id
+  FROM af_b p JOIN af_adm m ON p.cid = m.cid
+  JOIN bvecs vb ON vb.vid = p.vid JOIN vecs vm ON vm.vid = m.vid
+  WHERE {pd_bm} <= {SEM_SQDIST_MAX}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CASE WHEN i.doc_id IS NOT NULL THEN 'blocked_batch'
+            WHEN s.doc_id IS NOT NULL THEN 'blocked_seen'
+            ELSE 'admitted' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM bsel b
+LEFT JOIN in_ver i ON i.doc_id = b.vid
+LEFT JOIN cr_ver s ON s.doc_id = b.vid
+GROUP BY 1
+"""
+    )
+
+
+QUERIES["dedup_stream_semantic_admission_sim"] = (
+    stream_semantic_admission_sim_query,
+    _semantic_admission_sim_sql(),
+)

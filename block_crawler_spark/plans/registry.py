@@ -47,7 +47,7 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # additions + twelve changes + the r8-era tail; round 12 its ten
 # additions + twelve changes + the r9-era tail; round 13 its five
 # additions + nine memo-touched changes + the r8/r9 leftovers.  Round 14
-# fronts ``_FRONT``: FIRST the seven queries ADDED this round, then the
+# fronts ``_FRONT``: FIRST the eight queries ADDED this round, then the
 # four CHANGED (ADVICE r13 media hardening + the family_overlap pair
 # memo), then the LONGEST-UNSAMPLED rotation — the full 35-query r10-era
 # block (three rounds without a driver row, the oldest in the records)
@@ -62,6 +62,7 @@ _FRONT = (
     "emb_ivfpq_rerank_topk",
     "media_stream_phash_admission_sim",
     "dedup_stream_minhash_admission_sim",
+    "dedup_stream_semantic_admission_sim",
     # -- changed in r14: the media planted stages gained the twin-id
     #    aliasing guard and the audio family's sample scale dropped to the
     #    wrap-free 85 (ADVICE r13 — pair output invariant, code path not);
@@ -75,8 +76,8 @@ _FRONT = (
     #    CORRECTNESS_r* records: the 35-query r10-era block — minhash/
     #    simhash/containment dedup, PII/decontaminate/BPE/chunk/pack/
     #    mixture screens — last had a driver row three rounds ago), then
-    #    the first 4 of the r11-era block alphabetically.  11 added/changed
-    #    + 35 + 4 = exactly the driver's 50-sample prefix. --
+    #    the first 3 of the r11-era block alphabetically.  12 added/changed
+    #    + 35 + 3 = exactly the driver's 50-sample prefix. --
     "dedup_char_ngram_jaccard",
     "dedup_connected_components",
     "dedup_containment_pairs",
@@ -115,7 +116,6 @@ _FRONT = (
     "dedup_cluster_size_hist",
     "dedup_edit_distance_pairs",
     "dedup_minhash_est_error",
-    "dedup_pair_pagerank",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 

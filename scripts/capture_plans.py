@@ -89,6 +89,7 @@ ADJUDICATED = {
     ("dedup_family_overlap", _BNLJ): "10-row combos × broadcast ≤2⁵-row mask histogram (literal-TRUE left join so an empty histogram still yields the matrix rows)",
     ("media_modality_overlap", _BNLJ): "10-row combos × broadcast ≤2⁵-row mask histogram (the dedup_family_overlap tail, applied to the five media detectors' source-pair masks)",
     ("emb_cell_label_purity", _BNLJ): "Lloyd assignment: corpus × broadcast derived-K (≤SEM_K_MAX=4096-row) centroid table (dedup_semantic_cells' class)",
+    ("dedup_stream_semantic_admission_sim", _BNLJ): "top-2 (batch) + top-1 (admitted) assignment: both splits × the broadcast derived-K (≤SEM_K_MAX=4096-row) admitted-trained centroid table (dedup_semantic_cells_mp2's class; candidates themselves are cid equi-joins)",
     ("emb_ivf_recall_audit", _BNLJ): "the brute TRUTH side: bounded 8-query sample × corpus — the exact search a recall audit pays on its query sample by construction (plus the IVF side's 64-row centroid broadcast)",
     ("emb_bitsign_knn_join", _BNLJ): "8-row broadcast query-code sample × the 16 B/vector codes scan — stage 1 of the batched two-stage sign search (floats touched only for the ≤|Q|·L rerank rows)",
 }

@@ -605,3 +605,91 @@ def test_minhash_admission_sim_matches_the_real_store_and_exact_superset(spark, 
     n0 = store.corpus().count()
     store.ingest_batch(batch, 1)
     assert store.corpus().count() - n0 == sim["admitted"], sim
+
+
+def test_semantic_admission_sim_matches_independent_recompute(spark):
+    """The semantic gate's relational twin
+    (dedup_stream_semantic_admission_sim) against a FULL independent
+    Python recompute at sf0.001: re-derive the micro-fixed vectors, run
+    the Lloyd trainer from scratch in numpy (lowest-id seeds, struct-min
+    ties, floor-mean updates, empty cells dropped — the SQL chain's
+    arithmetic), re-assign admitted top-1 / batch top-2, and replay the
+    admission rule — cell-for-cell equality required.  Also pins that the
+    sim models the store's DEFAULT vindex layout (one membership per
+    admitted doc) and that all three verdicts are populated."""
+    import numpy as np
+    import pandas as pd
+
+    from block_crawler_spark.plans.embed_ops import (
+        SEM_CELLS_ITERS,
+        SEM_K_MAX,
+        SEM_SQDIST_MAX,
+        SEM_TARGET_CELL,
+        stream_semantic_admission_sim_query,
+    )
+    from block_crawler_spark.streaming.corpus import CorpusIngestStore
+
+    assert CorpusIngestStore.__dataclass_fields__["vindex_probes"].default == 1
+
+    emb = pd.read_parquet(f"{SF0}/embeddings.parquet").sort_values("vec_id")
+    vids = emb["vec_id"].to_numpy()
+    V = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1_000_000).astype(
+        np.int64
+    )
+    byid = {int(i): V[j] for j, i in enumerate(vids)}
+    adm_ids = sorted(i for i in byid if i % 5 != 4)
+    batch_ids = sorted(i for i in byid if i % 5 == 4)
+    bvec = {}
+    for i in batch_ids:
+        s = i - 5 if i % 25 == 24 else (i - 4 if i % 10 == 9 else i)
+        bvec[i] = byid[s]
+
+    A = np.stack([byid[i] for i in adm_ids])
+    k = min(max(8, len(adm_ids) // SEM_TARGET_CELL), SEM_K_MAX)
+    cents = [(c, A[c].astype(np.float64)) for c in range(k)]  # seeds: k lowest-id
+    for _ in range(SEM_CELLS_ITERS):
+        C = np.stack([c for _, c in cents])
+        d = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first min = lowest cid (cents cid-ordered)
+        nxt = []
+        for j, (cid, _) in enumerate(cents):
+            mem = A[assign == j]
+            if len(mem):
+                nxt.append((cid, np.floor(mem.sum(axis=0) / len(mem))))
+        cents = nxt
+    C = np.stack([c for _, c in cents]).astype(np.int64)
+    cids = [cid for cid, _ in cents]
+
+    def sqd(a, b):
+        x = (a - b).astype(np.int64)
+        return int((x * x).sum())
+
+    def probes(v, n):
+        d = ((C - v.astype(np.int64)) ** 2).sum(axis=1)
+        order = sorted(range(len(cids)), key=lambda j: (d[j], cids[j]))
+        return [cids[j] for j in order[:n]]
+
+    adm_cell = {}
+    for i in adm_ids:
+        adm_cell.setdefault(probes(byid[i], 1)[0], []).append(i)
+    bprobe = {i: set(probes(bvec[i], 2)) for i in batch_ids}
+    cells = {}
+    for i in batch_ids:
+        in_batch = any(
+            j < i and (bprobe[j] & bprobe[i]) and sqd(bvec[j], bvec[i]) <= SEM_SQDIST_MAX
+            for j in batch_ids
+        )
+        seen = any(
+            sqd(bvec[i], byid[m]) <= SEM_SQDIST_MAX
+            for c in bprobe[i]
+            for m in adm_cell.get(c, ())
+        )
+        v = "blocked_batch" if in_batch else ("blocked_seen" if seen else "admitted")
+        cells[v] = cells.get(v, 0) + 1
+
+    got = {
+        r["verdict"]: r["n_docs"]
+        for r in stream_semantic_admission_sim_query(spark, SF0).collect()
+    }
+    assert got == cells, (got, cells)
+    assert all(got.get(v, 0) > 0 for v in ("blocked_batch", "blocked_seen", "admitted"))
