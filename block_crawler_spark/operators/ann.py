@@ -191,6 +191,19 @@ def lsh_topk(
     )
 
 
+def _packed_array(df: DataFrame, key_col: str, val_col: str, out: str = "_cs") -> DataFrame:
+    """The BOUNDED ``df`` packed into ONE row holding a (key, val) struct
+    array sorted by key — the broadcastable literal form of a centroid /
+    codeword table.  Joining this 1-row frame with ``crossJoin`` keeps
+    argmin/arg-top-n fully map-side: no per-candidate row explosion, no
+    groupBy/window exchange downstream (r14 optimization — guide §2.4
+    "remove shuffles outright").  Only ever used for tables bounded by
+    construction (≤ K centroids / M·K codewords)."""
+    return df.agg(
+        F.array_sort(F.collect_list(F.struct(F.col(key_col), F.col(val_col)))).alias(out)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -201,19 +214,39 @@ def ivf_assign(
     """IVF coarse quantization: each vector → its ``n_assign`` nearest
     centroids' ids (1 for corpus indexing; nprobe for query-side multiprobe).
 
-    ``centroids`` is a small (centroid_id, vector) table — broadcast, scored
-    JVM-side, arg-top-n via one window partitioned by the vector id.  At
+    ``centroids`` is a small (centroid_id, vector) table, packed into a
+    1-row sorted struct array and broadcast; each vector scores every
+    centroid JVM-side inside ONE projection (``transform`` + comparator
+    ``array_sort`` + ``slice``), then explodes only its ``n_assign``
+    survivors.  r14 optimization (guide §2.4): the previous shape shuffled
+    the N×K scored cross frame through a per-vector window
+    (Exchange + Sort); arg-top-n is now entirely map-side — the same
+    ordering (sim desc, centroid_id asc; Spark's NaN-greatest total order
+    on doubles matches the window sort) so results are bit-identical.  At
     scale the centroid table comes from sampled k-means; here any
     deterministic seed set works (see ``plans.embed_ops`` which seeds with
     the first k corpus vectors).
     """
-    c = F.broadcast(centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")))
-    scored = vectors.crossJoin(c).withColumn("sim", cosine(F.col(vec_col), F.col("c_vec")))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec"))
+    carr = _packed_array(c, "centroid_id", "c_vec")
+    scored = F.transform(
+        F.col("_cs"),
+        lambda e: F.struct(
+            cosine(F.col(vec_col), e["c_vec"]).alias("sim"), e["centroid_id"].alias("centroid_id")
+        ),
+    )
+    by_sim_desc = lambda a, b: (
+        F.when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .when(a["centroid_id"] < b["centroid_id"], F.lit(-1))
+        .when(a["centroid_id"] > b["centroid_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    top = F.slice(F.array_sort(scored, by_sim_desc), 1, n_assign)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_assign)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+        vectors.crossJoin(F.broadcast(carr))
+        .select(F.col(id_col), F.col(vec_col), F.explode(top).alias("_t"))
+        .select(F.col(id_col), F.col(vec_col), F.col("_t.centroid_id").alias("centroid_id"))
     )
 
 
@@ -320,8 +353,14 @@ def kmeans_lloyd_fixed(
     cents = seeds.select((F.row_number().over(w) - 1).cast("long").alias("cid"), F.col("v").alias("c"))
 
     for _ in range(iters):
-        a = centroid_assign(vecs, cents)
-        per_dim = a.join(vecs, "vid").select("cid", F.posexplode("v").alias("pos", "val"))
+        # assignment carries v through the map-side argmin, so the update
+        # needs no join back to the corpus (r14: one exchange per iteration
+        # — the (cid, pos) partial agg — instead of three)
+        carr, scored = _cent_scores(cents)
+        a = vecs.crossJoin(F.broadcast(carr)).select(
+            F.array_min(scored)["cid"].alias("cid"), "v"
+        )
+        per_dim = a.select("cid", F.posexplode("v").alias("pos", "val"))
         upd = per_dim.groupBy("cid", "pos").agg(
             F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
         )
@@ -336,21 +375,37 @@ def kmeans_lloyd_fixed(
     return final_assign, cents
 
 
+def _cent_scores(cents: DataFrame):
+    """(1-row packed centroid frame, per-row scored-array column) — the
+    shared map-side scoring core of :func:`centroid_assign` /
+    :func:`centroid_assign_top2`: every (dist, cid) struct for the current
+    row's ``v`` computed inside one projection against the broadcast
+    ≤K-element array."""
+    carr = _packed_array(cents, "cid", "c")
+    scored = F.transform(
+        F.col("_cs"),
+        lambda e: F.struct(int_sqdist(F.col("v"), e["c"]).alias("dist"), e["cid"].alias("cid")),
+    )
+    return carr, scored
+
+
 def centroid_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """One-pass argmin assignment of a (vid, v) corpus to a BOUNDED
-    (cid, c) centroid table: scan + broadcast join + per-vid agg, no
-    iteration — the re-derivable half of :func:`kmeans_lloyd_fixed`, split
-    out (round 11) so memoized-centroid callers can skip retraining.
+    (cid, c) centroid table — fully MAP-SIDE (r14 optimization, guide
+    §2.4): the centroid table is packed into a 1-row sorted struct array,
+    broadcast, and each row takes ``array_min`` over its (dist, cid)
+    structs in one projection.  The previous shape broadcast-joined the
+    K-row table (K× row explosion) and re-aggregated per vid — an
+    Exchange this version simply does not have.
 
-    Argmin ties break to the lowest cid via struct-min: structs compare
-    lexicographically, so ``min((dist, cid))`` is exact for any dist
-    magnitude — unlike the earlier packed ``dist*k + cid`` int64 key,
-    which silently overflowed for large scale/dim/|x| (round-5 review)."""
-    d = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "dist", int_sqdist(F.col("v"), F.col("c"))
+    Argmin ties break to the lowest cid exactly as before: structs compare
+    lexicographically, so ``array_min`` over (dist, cid) equals the old
+    ``min(struct(dist, cid))`` — exact for any dist magnitude."""
+    carr, scored = _cent_scores(cents)
+    a = vecs.crossJoin(F.broadcast(carr)).select("vid", F.array_min(scored).alias("dc"))
+    return a.filter(F.col("dc").isNotNull()).select(
+        "vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist")
     )
-    a = d.groupBy("vid").agg(F.min(F.struct("dist", "cid")).alias("dc"))
-    return a.select("vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"))
 
 
 def centroid_assign_top2(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -359,30 +414,28 @@ def centroid_assign_top2(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     when the codebook has a single centroid), ties to the lowest cid (the
     lexicographic (dist, cid) order both engines share).
 
-    Scale-safe top-2 WITHOUT a window over the N×K cross frame (which
-    would shuffle N·K rows): the top-1 comes from
-    :func:`centroid_assign`'s struct-min; the SECOND is a re-score of the
-    corpus against the ≤K-row centroid broadcast carrying the top-1 (one
-    narrow N⋈N vid join), filtered strictly greater in (dist, cid) and
-    min-aggregated — two broadcast scans + two partial-agg shuffles, zero
-    exploded-frame exchanges.  Shared by the batch mp2 semantic family
-    (``plans.embed_ops``) and the streaming gate's batch-side probe
-    (``streaming.corpus``), so the two can never diverge on tie rules."""
-    a1 = centroid_assign(vecs, cents)
-    v2 = vecs.join(
-        a1.select("vid", F.col("cid").alias("cid1"), F.col("dist").alias("dist1")), "vid"
+    r14 optimization (guide §2.4): top-1 AND top-2 now come from the same
+    map-side scored array as :func:`centroid_assign` — ``array_min`` for
+    the first, ``array_min`` over the strictly-greater remainder for the
+    second, then an explode of the ≤2 non-null survivors.  The previous
+    shape paid two broadcast scans, a vid join, and two partial-agg
+    shuffles; this one has NO exchange at all.  Tie rules are unchanged
+    (strict struct > excludes exactly the chosen top-1).  Shared by the
+    batch mp2 semantic family (``plans.embed_ops``) and the streaming
+    gate's batch-side probe (``streaming.corpus``), so the two can never
+    diverge on tie rules."""
+    carr, scored = _cent_scores(cents)
+    j = (
+        vecs.crossJoin(F.broadcast(carr))
+        .select("vid", scored.alias("_sc"))
+        .select("vid", "_sc", F.array_min("_sc").alias("_b1"))
     )
-    d = v2.crossJoin(F.broadcast(cents)).withColumn("d2", int_sqdist(F.col("v"), F.col("c")))
-    second = (
-        d.filter(
-            F.struct(F.col("d2").alias("d"), F.col("cid").alias("c"))
-            > F.struct(F.col("dist1").alias("d"), F.col("cid1").alias("c"))
-        )
-        .groupBy("vid")
-        .agg(F.min(F.struct(F.col("d2").alias("dist"), F.col("cid"))).alias("mc"))
-        .select("vid", F.col("mc.cid").alias("cid"), F.col("mc.dist").alias("dist"))
+    second = F.array_min(F.filter(F.col("_sc"), lambda s: s > F.col("_b1")))
+    tops = F.filter(F.array(F.col("_b1"), second), lambda x: x.isNotNull())
+    return (
+        j.select("vid", F.explode(tops).alias("_t"))
+        .select("vid", F.col("_t.cid").alias("cid"), F.col("_t.dist").alias("dist"))
     )
-    return a1.select("vid", "cid", "dist").unionByName(second)
 
 
 def clustered_embeddings(

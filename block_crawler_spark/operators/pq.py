@@ -45,10 +45,117 @@ beyond-parity LLM-training-data pipeline the build plan calls for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ann import int_sqdist, micro_fixed
+
+
+# ---------------------------------------------------------------------------
+# r14 map-side core: the ≤M·K-row codebook packed into ONE broadcastable row
+# (array over m of the subspace's (code, cvec) list), so encode / LUT / ADC
+# are single projections — no K-fold row explosion, no groupBy exchange
+# (guide §2.3/2.4: shuffle fewer bytes, remove shuffles outright).  At scale
+# this removes the M× exploded corpus shuffle the old shape paid.
+# ---------------------------------------------------------------------------
+
+
+def _by_m(a, b) -> Column:
+    return (
+        F.when(a["m"] < b["m"], F.lit(-1)).when(a["m"] > b["m"], F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def _packed_cb(codebook: DataFrame) -> DataFrame:
+    """1-row frame ``_cb``: array over m (sorted) of (m, cw) where cw is the
+    subspace's (code, cvec) struct list sorted by code.  Bounded by
+    construction (≤ M·K entries)."""
+    gcb = codebook.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cw")
+    )
+    return gcb.agg(F.array_sort(F.collect_list(F.struct("m", "cw")), _by_m).alias("_cb"))
+
+
+def _codes_col(vec: Column, sub_dim: int) -> Column:
+    """Array over m of the argmin codeword id for ``vec``'s m-th subvector
+    — ties to the lowest code via the same lexicographic (d, code)
+    struct-min as the old grouped argmin.  Evaluated against ``_cb``."""
+    return F.transform(
+        F.col("_cb"),
+        lambda e: F.array_min(
+            F.transform(
+                e["cw"],
+                lambda c: F.struct(
+                    int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]).alias(
+                        "d"
+                    ),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
+
+
+def _luts_col(vec: Column, sub_dim: int) -> Column:
+    """Array over m of map(code → int64 sqdist(query subvector, codeword))
+    — the per-query ADC lookup table as ONE nested literal, evaluated
+    against ``_cb``.  A map (not a positional array) so codebooks with
+    dropped codewords (trained Lloyd) stay exact."""
+    return F.transform(
+        F.col("_cb"),
+        lambda e: F.map_from_entries(
+            F.transform(
+                e["cw"],
+                lambda c: F.struct(
+                    c["code"],
+                    int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]),
+                ),
+            )
+        ),
+    )
+
+
+def _adc_col(codes: Column, luts: Column, m: int) -> Column:
+    """sum over m of luts[m][codes[m]] — the ADC distance; int64-exact, so
+    addition order is irrelevant and the value equals the old join+sum."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(F.element_at(luts, i + 1), F.element_at(codes, i + 1)),
+    )
+
+
+def _codes_as_array(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Accept codes in either layout: (id, codes array) passes through;
+    legacy (id, m, code) rows regroup into the array form (one bounded
+    exchange — only the compatibility path pays it)."""
+    if "codes" in codes.columns:
+        return codes
+    return codes.groupBy(id_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]).alias(
+            "codes"
+        )
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (vec_id, codes array<long>) in ONE map-side projection
+    against the packed codebook broadcast — the r14 layout of
+    :func:`pq_encode` (same argmin, same tie rule, no exchange)."""
+    return (
+        emb.crossJoin(F.broadcast(_packed_cb(codebook)))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            _codes_col(micro_fixed(F.col(vec_col)), sub_dim).alias("codes"),
+        )
+    )
 
 
 def _subvectors(
@@ -120,19 +227,27 @@ def _lloyd_train_sub(sub: DataFrame, k: int, iters: int) -> DataFrame:
     cents = sub.filter(F.col("_id") < k).select(
         "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
     )
-    best = F.min(F.struct("d", "code")).alias("b")
     for _ in range(iters):
-        scored = sub.join(F.broadcast(cents), "m").select(
-            "_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+        # r14: per-subspace argmin map-side against the grouped codeword
+        # array (no K-fold join explosion, no (_id, m) re-agg) with sv
+        # carried through, so the update needs no join back — one bounded
+        # (m, code, pos) partial-agg exchange per iteration instead of three
+        gcb = cents.groupBy("m").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cw")
         )
-        a = (
-            scored.groupBy("_id", "m")
-            .agg(best)
-            .select("_id", "m", F.col("b.code").alias("code"))
+        a = sub.join(F.broadcast(gcb), "m").select(
+            "m",
+            F.array_min(
+                F.transform(
+                    F.col("cw"),
+                    lambda c: F.struct(
+                        int_sqdist(F.col("sv"), c["cvec"]).alias("d"), c["code"].alias("code")
+                    ),
+                )
+            )["code"].alias("code"),
+            "sv",
         )
-        per_dim = a.join(sub, ["_id", "m"]).select(
-            "m", "code", F.posexplode("sv").alias("pos", "val")
-        )
+        per_dim = a.select("m", "code", F.posexplode("sv").alias("pos", "val"))
         upd = per_dim.groupBy("m", "code", "pos").agg(
             F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
         )
@@ -152,16 +267,12 @@ def _lloyd_train_sub(sub: DataFrame, k: int, iters: int) -> DataFrame:
 
 def pq_encode(emb: DataFrame, codebook: DataFrame, m: int, sub_dim: int) -> DataFrame:
     """Corpus → codes (vec_id, m, code): per-subspace nearest codeword by
-    exact integer squared-L2, ties to the lowest code id."""
-    sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim)
-    scored = sub.join(F.broadcast(codebook), "m").select(
-        F.col("_id").alias("vec_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
-    )
-    best = F.min(F.struct("d", "code")).alias("b")
-    return (
-        scored.groupBy("vec_id", "m")
-        .agg(best)
-        .select("vec_id", "m", F.col("b.code").alias("code"))
+    exact integer squared-L2, ties to the lowest code id.  r14: one
+    map-side projection (:func:`pq_codes`) + posexplode — the old shape's
+    K-fold broadcast-join explosion and (vec_id, m) re-agg exchange are
+    gone; output rows are identical."""
+    return pq_codes(emb, codebook, m, sub_dim).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
     )
 
 
@@ -169,18 +280,25 @@ def pq_adc_topk(
     queries: DataFrame, codes: DataFrame, codebook: DataFrame, m: int, sub_dim: int, k: int
 ) -> DataFrame:
     """ADC top-k join: (q_id, c_id, adc_dist, rank) for each query, over
-    the codes table only — the corpus's float vectors are never read."""
-    q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
-    lut = q_sub.join(F.broadcast(codebook), "m").select(
-        F.col("_id").alias("q_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+    the codes table only — the corpus's float vectors are never read.
+
+    r14 shape (guide §2.3/2.4): the per-query LUT is computed map-side as
+    an array-of-maps literal (``_luts_col``) and broadcast as ≤|Q| rows;
+    each corpus row evaluates every query's ADC sum in one projection, so
+    the only exchange left is the per-query top-k window (whose rank
+    filter pushes a partial limit map-side).  The old shape shuffled the
+    (codes ⋈ LUT) M-fold frame through a (q_id, vec_id) hash agg.
+    ``codes`` may be the (vec_id, codes array) layout of :func:`pq_codes`
+    or the legacy (vec_id, m, code) rows."""
+    lutq = queries.crossJoin(F.broadcast(_packed_cb(codebook))).select(
+        F.col("vec_id").alias("q_id"),
+        _luts_col(micro_fixed(F.col("embedding")), sub_dim).alias("luts"),
     )
-    # the LUT is dense over (m, code) for every query, so the inner join
-    # contributes exactly M rows per (query, candidate) — the sum is total
     cand = (
-        codes.join(F.broadcast(lut), ["m", "code"])
+        _codes_as_array(codes)
+        .crossJoin(F.broadcast(lutq))
         .filter(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
+        .select("q_id", "vec_id", _adc_col(F.col("codes"), F.col("luts"), m).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return (
@@ -195,7 +313,7 @@ def ivfpq_adc_topk(
     corpus: DataFrame,
     centroids: DataFrame,
     codebook: DataFrame,
-    codes: DataFrame,
+    codes: DataFrame | None,
     m: int,
     sub_dim: int,
     k: int,
@@ -210,30 +328,50 @@ def ivfpq_adc_topk(
     either way the composition shape below is unchanged (the codes table
     would simply store residual codes per cell).
 
-    Scale shape: candidate pairs come from the (query-probe ⋈ corpus-cell)
-    equi-join on centroid_id — the corpus side is the CODES table keyed by
-    cell, never the float vectors; the per-query LUT (Q·M·K rows) and the
-    k-row centroid table broadcast.  Cost per query ≈ nprobe/n_cells of the
-    flat ADC scan, on top of ADC's ~16× byte compression.
+    Scale shape (r14): candidates come from ONE broadcast-hash equi-join on
+    centroid_id — the corpus side carries (cell, codes array) computed in a
+    single map-side pass (pass ``codes=None`` for this fused layout; a
+    pre-built :func:`pq_codes` array frame or legacy code rows also work),
+    the query side is the ≤Q·nprobe-row (cell, LUT) frame with the ADC
+    lookup table as an array-of-maps literal.  The float vectors never
+    join; the only exchange is the per-query top-k window.  Cost per query
+    ≈ nprobe/n_cells of the flat ADC scan, on top of ADC's ~16× byte
+    compression.
     """
     from .ann import ivf_assign
 
-    ca = ivf_assign(corpus, centroids).select(F.col("vec_id").alias("c_id"), "centroid_id")
-    qa = ivf_assign(queries, centroids, n_assign=nprobe).select(
-        F.col("vec_id").alias("q_id"), "centroid_id"
-    )
-    # cells are disjoint for the corpus, so nprobe probes produce no
-    # duplicate (q_id, c_id) pairs — no dedup needed
-    pairs = qa.join(ca, "centroid_id").filter(F.col("q_id") != F.col("c_id")).select("q_id", "c_id")
-    q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
-    lut = q_sub.join(F.broadcast(codebook), "m").select(
-        F.col("_id").alias("q_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+    pcb = _packed_cb(codebook)
+    ca = ivf_assign(corpus, centroids)
+    if codes is None:
+        # r14 fused corpus side: cell id and PQ codes in one map-side pass
+        # over the corpus — no join between the assignment and a separately
+        # encoded codes table
+        corpus_side = ca.crossJoin(F.broadcast(pcb)).select(
+            F.col("vec_id").alias("c_id"),
+            "centroid_id",
+            _codes_col(micro_fixed(F.col("embedding")), sub_dim).alias("codes"),
+        )
+    else:
+        corpus_side = ca.select(F.col("vec_id").alias("c_id"), "centroid_id").join(
+            _codes_as_array(codes).withColumnRenamed("vec_id", "c_id"), "c_id"
+        )
+    # query side: nprobe probed cells AND the per-query LUT in one map-side
+    # pass (the LUT is cell-independent in the no-residual layout); cells
+    # are disjoint for the corpus, so nprobe probes produce no duplicate
+    # (q_id, c_id) pairs — no dedup needed
+    qside = (
+        ivf_assign(queries, centroids, n_assign=nprobe)
+        .crossJoin(F.broadcast(pcb))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "centroid_id",
+            _luts_col(micro_fixed(F.col("embedding")), sub_dim).alias("luts"),
+        )
     )
     cand = (
-        pairs.join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
-        .join(F.broadcast(lut), ["q_id", "m", "code"])
-        .groupBy("q_id", "c_id")
-        .agg(F.sum("d").alias("adc_dist"))
+        corpus_side.join(F.broadcast(qside), "centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", _adc_col(F.col("codes"), F.col("luts"), m).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
     return (
@@ -244,19 +382,26 @@ def ivfpq_adc_topk(
 
 
 def _residual_sub_factory(centroids: DataFrame, m: int, sub_dim: int):
-    """Returns ``residual_sub(vectors, id_alias, n_assign)`` producing the
-    (id_alias, centroid_id, m, sv) per-(vector, assigned-cell) residual
-    subvector frame — cell id carried THROUGH the explode so the codes need
-    no join back to the assignment (the corpus residual lineage runs once,
-    not three times).  Shared by :func:`ivfpq_residual_topk` and
+    """Returns ``(residual_vec, residual_sub)``:
+
+    - ``residual_vec(vectors, id_alias, n_assign)`` → (id_alias,
+      centroid_id, rv) — the per-(vector, assigned-cell) residual vector
+      ``micro(v) − micro(centroid)``, computed entirely map-side (r14):
+      cell assignment via the map-side :func:`ann.ivf_assign` and the
+      centroid micro-vectors broadcast as ONE map literal
+      (centroid_id → cv), so no join touches the corpus.
+    - ``residual_sub(...)`` → the legacy (id_alias, centroid_id, m, sv)
+      exploded subvector frame (residual_vec + one narrow explode), used
+      by the bounded codebook-training inputs.
+
+    Shared by :func:`ivfpq_residual_topk` and
     :func:`ivfpq_residual_codebook` so the search and the standalone
     trainer can never residualize differently."""
     from .ann import ivf_assign
 
-    cmicro = centroids.select(
+    cmap = centroids.select(
         F.col("vec_id").alias("centroid_id"), micro_fixed(F.col("embedding")).alias("cv")
-    )
-    residual = F.zip_with("_mv", "cv", lambda a, b: a - b)
+    ).agg(F.map_from_entries(F.collect_list(F.struct("centroid_id", "cv"))).alias("_cm"))
     parts = F.array(
         *[
             F.struct(F.lit(i).alias("m"), F.slice("rv", i * sub_dim + 1, sub_dim).alias("sv"))
@@ -264,18 +409,25 @@ def _residual_sub_factory(centroids: DataFrame, m: int, sub_dim: int):
         ]
     )
 
-    def residual_sub(vectors: DataFrame, id_alias: str, n_assign: int) -> DataFrame:
+    def residual_vec(vectors: DataFrame, id_alias: str, n_assign: int) -> DataFrame:
         a = ivf_assign(vectors, centroids, n_assign=n_assign)
-        res = (
-            a.withColumn("_mv", micro_fixed(F.col("embedding")))
-            .join(F.broadcast(cmicro), "centroid_id")
-            .select(F.col("vec_id").alias(id_alias), "centroid_id", residual.alias("rv"))
+        return a.crossJoin(F.broadcast(cmap)).select(
+            F.col("vec_id").alias(id_alias),
+            "centroid_id",
+            F.zip_with(
+                micro_fixed(F.col("embedding")),
+                F.element_at(F.col("_cm"), F.col("centroid_id")),
+                lambda x, y: x - y,
+            ).alias("rv"),
         )
+
+    def residual_sub(vectors: DataFrame, id_alias: str, n_assign: int) -> DataFrame:
+        res = residual_vec(vectors, id_alias, n_assign)
         return res.select(id_alias, "centroid_id", F.explode(parts).alias("p")).select(
             id_alias, "centroid_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
         )
 
-    return residual_sub
+    return residual_vec, residual_sub
 
 
 def ivfpq_residual_codebook(
@@ -300,7 +452,7 @@ def ivfpq_residual_codebook(
             f"train_sample={train_sample} must be >= n_codewords={n_codewords}: "
             "the first n_codewords sampled residuals seed the codebook"
         )
-    residual_sub = _residual_sub_factory(centroids, m, sub_dim)
+    _residual_vec, residual_sub = _residual_sub_factory(centroids, m, sub_dim)
     sample_n = n_codewords if train_sample is None else train_sample
     tsub = residual_sub(corpus.filter(F.col("vec_id") < sample_n), "_id", 1).select(
         "_id", "m", "sv"
@@ -355,7 +507,7 @@ def ivfpq_residual_topk(
             "the first n_codewords sampled residuals seed the codebook"
         )
 
-    residual_sub = _residual_sub_factory(centroids, m, sub_dim)
+    residual_vec, residual_sub = _residual_sub_factory(centroids, m, sub_dim)
 
     if codebook is not None:
         # pre-trained residual codebook supplied by the caller (the plan
@@ -401,25 +553,25 @@ def ivfpq_residual_topk(
         cb = residual_sub(corpus.filter(F.col("vec_id") < n_codewords), "c_id", 1).select(
             "m", F.col("c_id").alias("code"), F.col("sv").alias("cvec")
         )
-    best = F.min(F.struct("d", "code")).alias("b")
+    # r14 map-side search (guide §2.3/2.4): residual codes and the
+    # per-(query, probed-cell) residual LUTs are each ONE projection
+    # against the packed codebook; candidates come from one broadcast-hash
+    # equi-join on centroid_id, and the only exchange is the top-k window.
+    pcb = _packed_cb(cb)
     codes = (
-        residual_sub(corpus, "c_id", 1)
-        .join(F.broadcast(cb), "m")
-        .select("c_id", "centroid_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d"))
-        .groupBy("c_id", "centroid_id", "m")
-        .agg(best)
-        .select("c_id", "centroid_id", "m", F.col("b.code").alias("code"))
+        residual_vec(corpus, "c_id", 1)
+        .crossJoin(F.broadcast(pcb))
+        .select("c_id", "centroid_id", _codes_col(F.col("rv"), sub_dim).alias("codes"))
     )
-
-    q_sub = residual_sub(queries, "q_id", nprobe)
-    lut = q_sub.join(F.broadcast(cb), "m").select(
-        "q_id", "centroid_id", "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+    qlut = (
+        residual_vec(queries, "q_id", nprobe)
+        .crossJoin(F.broadcast(pcb))
+        .select("q_id", "centroid_id", _luts_col(F.col("rv"), sub_dim).alias("luts"))
     )
     cand = (
-        codes.join(F.broadcast(lut), ["centroid_id", "m", "code"])
+        codes.join(F.broadcast(qlut), "centroid_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(F.sum("d").alias("adc_dist"))
+        .select("q_id", "c_id", _adc_col(F.col("codes"), F.col("luts"), m).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
     return (

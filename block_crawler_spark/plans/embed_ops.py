@@ -710,11 +710,11 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     codewords, mirroring the IVF nprobe finding.  Distances are exact int64 micro-space sums, so even the ADC
     distances — not just ranks — are hash-checked cross-engine
     (operators/pq.py)."""
-    from ..operators.pq import pq_adc_topk, pq_codebook, pq_encode
+    from ..operators.pq import pq_adc_topk, pq_codebook, pq_codes
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, PQ_M, PQ_K, PQ_SUB)
-    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    codes = pq_codes(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
@@ -800,11 +800,11 @@ def pq_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training is session-memoized (round 12, ``_trained_pq_codebook``) —
     bit-identical codebook, one grouped-Lloyd run per (sf_dir, data) per
     session."""
-    from ..operators.pq import pq_adc_topk, pq_encode
+    from ..operators.pq import pq_adc_topk, pq_codes
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _trained_pq_codebook(spark, sf_dir, emb)
-    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    codes = pq_codes(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
@@ -857,15 +857,14 @@ def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     16× byte compression — the standard two-level ANN layout at corpus
     scale (Jégou et al. §IV, no-residual variant; see
     ``operators.pq.ivfpq_adc_topk``)."""
-    from ..operators.pq import ivfpq_adc_topk, pq_codebook, pq_encode
+    from ..operators.pq import ivfpq_adc_topk, pq_codebook
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
     cb = pq_codebook(emb, PQ_M, PQ_K, PQ_SUB)
-    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return ivfpq_adc_topk(
-        queries, emb, centroids, cb, codes, PQ_M, PQ_SUB, PQ_TOPK, nprobe=IVFPQ_NPROBE
+        queries, emb, centroids, cb, None, PQ_M, PQ_SUB, PQ_TOPK, nprobe=IVFPQ_NPROBE
     )
 
 
@@ -1168,7 +1167,7 @@ def pq_balanced_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.424 unbalanced at identical cost — even this near-isotropic corpus
     has enough per-dim energy spread to reward balancing; skewed real
     embeddings pay more."""
-    from ..operators.pq import pq_adc_topk, pq_codebook, pq_encode
+    from ..operators.pq import pq_adc_topk, pq_codebook, pq_codes
 
     emb = load_table(spark, sf_dir, "embeddings")
     stats = dim_variance_query(spark, sf_dir).select("dim", "n", "sum_micro", "sumsq_micro").collect()
@@ -1184,7 +1183,7 @@ def pq_balanced_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.array(*[F.col("embedding")[p] for p in perm]).alias("embedding")
     )
     cb = pq_codebook(permuted, PQ_M, PQ_K, PQ_SUB)
-    codes = pq_encode(permuted, cb, PQ_M, PQ_SUB)
+    codes = pq_codes(permuted, cb, PQ_M, PQ_SUB)
     queries = permuted.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
@@ -3026,11 +3025,11 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — the two-stage ANN shape with the 16×-compressed codes
     as stage-1 memory footprint (16 B/vector vs the bitsign 8–16 B and
     the JL 128 B, but trained on the corpus rather than training-free)."""
-    from ..operators.pq import pq_adc_topk, pq_encode
+    from ..operators.pq import pq_adc_topk, pq_codes
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _trained_pq_codebook(spark, sf_dir, emb)
-    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
+    codes = pq_codes(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     short = pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST).select(
         "q_id", "c_id"
@@ -3102,15 +3101,14 @@ def ivfpq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidates = probed-cell equi-join on the codes table, ~nprobe/cells
     of the flat scan); stage 2 is the L-bounded broadcast rerank —
     exact cost confined to Q·L rows at any corpus size."""
-    from ..operators.pq import ivfpq_adc_topk, pq_encode
+    from ..operators.pq import ivfpq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVFPQ_CELLS)
     cb = _trained_pq_codebook(spark, sf_dir, emb)
-    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     short = ivfpq_adc_topk(
-        queries, emb, centroids, cb, codes, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST,
+        queries, emb, centroids, cb, None, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST,
         nprobe=IVFPQ_NPROBE,
     ).select("q_id", "c_id")
     return _exact_rerank_tail(emb, short)
