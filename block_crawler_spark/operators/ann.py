@@ -389,7 +389,7 @@ def _cent_scores(cents: DataFrame):
     return carr, scored
 
 
-def centroid_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def centroid_assign(vecs: DataFrame, cents: DataFrame, keep_v: bool = False) -> DataFrame:
     """One-pass argmin assignment of a (vid, v) corpus to a BOUNDED
     (cid, c) centroid table — fully MAP-SIDE (r14 optimization, guide
     §2.4): the centroid table is packed into a 1-row sorted struct array,
@@ -400,15 +400,20 @@ def centroid_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
     Argmin ties break to the lowest cid exactly as before: structs compare
     lexicographically, so ``array_min`` over (dist, cid) equals the old
-    ``min(struct(dist, cid))`` — exact for any dist magnitude."""
+    ``min(struct(dist, cid))`` — exact for any dist magnitude.
+
+    ``keep_v=True`` additionally carries the input vector through (free in
+    the map-side shape), so callers that need (cid, v) together skip the
+    N⋈N join back to the corpus the old shape forced on them."""
     carr, scored = _cent_scores(cents)
-    a = vecs.crossJoin(F.broadcast(carr)).select("vid", F.array_min(scored).alias("dc"))
+    extra = ["v"] if keep_v else []
+    a = vecs.crossJoin(F.broadcast(carr)).select("vid", F.array_min(scored).alias("dc"), *extra)
     return a.filter(F.col("dc").isNotNull()).select(
-        "vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist")
+        "vid", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"), *extra
     )
 
 
-def centroid_assign_top2(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def centroid_assign_top2(vecs: DataFrame, cents: DataFrame, keep_v: bool = False) -> DataFrame:
     """Multi-probe (p=2) assignment: every vector joined to its TWO
     nearest centroids — (vid, cid, dist) with ≤2 rows per vid (exactly 1
     when the codebook has a single centroid), ties to the lowest cid (the
@@ -425,16 +430,17 @@ def centroid_assign_top2(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     gate's batch-side probe (``streaming.corpus``), so the two can never
     diverge on tie rules."""
     carr, scored = _cent_scores(cents)
+    extra = ["v"] if keep_v else []
     j = (
         vecs.crossJoin(F.broadcast(carr))
-        .select("vid", scored.alias("_sc"))
-        .select("vid", "_sc", F.array_min("_sc").alias("_b1"))
+        .select("vid", scored.alias("_sc"), *extra)
+        .select("vid", "_sc", F.array_min("_sc").alias("_b1"), *extra)
     )
     second = F.array_min(F.filter(F.col("_sc"), lambda s: s > F.col("_b1")))
     tops = F.filter(F.array(F.col("_b1"), second), lambda x: x.isNotNull())
     return (
-        j.select("vid", F.explode(tops).alias("_t"))
-        .select("vid", F.col("_t.cid").alias("cid"), F.col("_t.dist").alias("dist"))
+        j.select("vid", F.explode(tops).alias("_t"), *extra)
+        .select("vid", F.col("_t.cid").alias("cid"), F.col("_t.dist").alias("dist"), *extra)
     )
 
 

@@ -277,7 +277,7 @@ def _emb_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
         return ("unstattable",)
 
 
-def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int):
+def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int, keep_v: bool = False):
     """Memoized :func:`kmeans_lloyd_fixed` over the embeddings table of
     ``sf_dir`` — same (assignments, centroids) contract, one training
     execution per (sf_dir, data fingerprint, k, iters) per session.  The
@@ -293,7 +293,7 @@ def _trained_kmeans(emb: DataFrame, sf_dir: str, k: int, iters: int):
         emb.sparkSession, key, lambda: kmeans_lloyd_fixed(emb, k=k, iters=iters)[1]
     )
     vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    return centroid_assign(vecs, cents), cents
+    return centroid_assign(vecs, cents, keep_v=keep_v), cents
 
 
 def _memoized_small_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -392,10 +392,10 @@ def _memoized_semantic_pairs(spark: SparkSession, sf_dir: str, probes: int = 1) 
         k = _sem_k(emb.count())
         vecs = emb.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
         if probes == 1:
-            assign, _ = _trained_kmeans(emb, sf_dir, k=k, iters=SEM_CELLS_ITERS)
+            assign, _ = _trained_kmeans(emb, sf_dir, k=k, iters=SEM_CELLS_ITERS, keep_v=True)
             return _semantic_pairs(assign, vecs)
         _, cents = _trained_kmeans(emb, sf_dir, k=k, iters=SEM_CELLS_ITERS)
-        pairs = _semantic_pairs(centroid_assign_top2(vecs, cents), vecs)
+        pairs = _semantic_pairs(centroid_assign_top2(vecs, cents, keep_v=True), vecs)
         # a pair meeting in both shared cells is emitted ONCE (struct-min
         # keeps the lexicographically-lowest diagnostic — both engines)
         return (
@@ -1451,8 +1451,9 @@ def _semantic_pairs(
     # cid, the same key the pair join below shuffles on anyway
     wg = Window.partitionBy("cid", "coarse")
     rk = F.row_number().over(wg.orderBy("dist", "vid")) - 1
+    acols = ["vid", "cid", "dist"] + (["v"] if "v" in assign.columns else [])
     mem = (
-        assign.select("vid", "cid", "dist")
+        assign.select(*acols)
         .join(counts, "cid")
         .withColumn("n_coarse", F.expr(f"(cell_pop + {split_max - 1}) DIV {split_max}"))
         .withColumn(
@@ -1467,8 +1468,12 @@ def _semantic_pairs(
         .withColumn("rk", rk.cast("long"))
         .withColumn("shard", F.expr("rk DIV ((coarse_pop + n_shards - 1) DIV n_shards)"))
         .drop("rk", "dist", "n_coarse", "coarse_pop")
-        .join(vecs, "vid")
     )
+    # r14: assignments produced with keep_v=True already carry the vector —
+    # skip the N⋈N join back to the corpus in that case (the map-side
+    # assignment makes carrying v free)
+    if "v" not in assign.columns:
+        mem = mem.join(vecs, "vid")
     a = mem.select(
         F.col("vid").alias("id_a"),
         "cid",
@@ -3250,8 +3255,8 @@ def stream_semantic_admission_sim_query(spark: SparkSession, sf_dir: str) -> Dat
     )
     bvecs = batch.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     avecs = adm.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    basg = centroid_assign_top2(bvecs, cents).join(bvecs, "vid").select("vid", "cid", "v")
-    aasg = centroid_assign(avecs, cents).join(avecs, "vid").select("vid", "cid", "v")
+    basg = centroid_assign_top2(bvecs, cents, keep_v=True).select("vid", "cid", "v")
+    aasg = centroid_assign(avecs, cents, keep_v=True).select("vid", "cid", "v")
     dmax = SEM_SQDIST_MAX
     a = basg.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
     b = basg.select(F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"))

@@ -1242,7 +1242,7 @@ class CorpusIngestStore:
 
         dmax = self._sqdist_max()
         vecs = fresh.select(F.col("doc_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-        asg = centroid_assign_top2(vecs, self._centroids()).join(vecs, "vid").select(
+        asg = centroid_assign_top2(vecs, self._centroids(), keep_v=True).select(
             "vid", "cid", "v"
         )
         # within-batch keep-lowest-id: a pair is a candidate when ANY of
