@@ -28,6 +28,27 @@ def get_spark(app_name: str = "block-crawler-spark", *, shuffle_partitions: int 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (optimization guide §2.2): size post-shuffle partitions by the
+        # advisory BYTE target rather than maximizing partition count — the
+        # production-recommended setting for AQE coalescing at any scale
+        # (fewer, larger reduce partitions; quadratic shuffle-block growth is
+        # §2.2's scale killer).  Both knobs are env-overridable for cluster
+        # tuning; the defaults below are the guide's batch-ETL numbers.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
+        # r14 (guide §3.1/§9): allow shuffled-hash joins when a build side
+        # fits per-partition — skips the sort phase of sort-merge; AQE's
+        # local-map threshold converts SMJ→SHJ at runtime when every
+        # post-shuffle partition is under the bound, so the OOM risk stays
+        # bounded by the same advisory size the coalescer targets.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
