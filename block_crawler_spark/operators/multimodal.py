@@ -238,6 +238,72 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 DHASH_GRID = 61  # 61 block means → 60 adjacent-difference bits (sign-bit-free)
 DHASH_BITS = DHASH_GRID - 1
 
+_WEIGHTS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _bit_weights(bits: int) -> np.ndarray:
+    """MSB-first bit weights as a python-int (object) array — shared by the
+    per-blob hash helpers; object dtype keeps the recomposition exact past
+    int64 for any future grid width."""
+    w = _WEIGHTS_CACHE.get(bits)
+    if w is None:
+        w = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64)).astype(object)
+        _WEIGHTS_CACHE[bits] = w
+    return w
+
+
+def dhash_blob(blob, grid: int = DHASH_GRID) -> tuple[int, int]:
+    """The per-blob core of :func:`content_dhash` — (n_bytes, dhash) for one
+    binary payload.  Factored out (r14) so fused Arrow stages (planted
+    transform + fingerprint in ONE pass, guide §4: hash inside the decode
+    stage instead of round-tripping blobs between two Python stages) share
+    EXACTLY this arithmetic with the standalone operator."""
+    arr = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return 0, 0
+    blk = (np.arange(n, dtype=np.int64) * grid) // n
+    s = np.bincount(blk, weights=arr, minlength=grid).astype(np.int64)
+    c = np.bincount(blk, minlength=grid).astype(np.int64)
+    b = (s[1:] * c[:-1] > s[:-1] * c[1:]).astype(object)
+    return n, int((b * _bit_weights(grid - 1)).sum())
+
+
+def image_dhash_blob(blob, width: int, grid: int = 8) -> tuple[int, int | None]:
+    """The per-image core of :func:`image_dhash` — (n_bytes, dhash or None
+    when the image lacks a grid×grid region).  Shared arithmetic contract
+    as :func:`dhash_blob`."""
+    arr = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
+    n, w = len(arr), int(width)
+    h_rows = n // w if w > 0 else 0
+    hu = h_rows - (h_rows % grid)
+    wu = w - (w % grid)
+    if hu < grid or wu < grid:
+        return n, None
+    img = arr[: hu * w].reshape(hu, w)[:, :wu].astype(np.int64)
+    blocks = img.reshape(grid, hu // grid, grid, wu // grid).sum(axis=(1, 3))
+    h = 0
+    for y in range(grid):
+        for x in range(grid - 1):
+            h = (h << 1) | int(blocks[y, x + 1] > blocks[y, x])
+    return n, h
+
+
+def audio_energy_dhash_blob(blob, grid: int) -> tuple[int, int]:
+    """The per-clip core of :func:`audio_energy_dhash` — (n_samples, dhash)
+    for one little-endian pcm16 payload (odd trailing byte dropped, the
+    r13 totality rule).  Shared arithmetic contract as :func:`dhash_blob`."""
+    raw = bytes(blob or b"")
+    s = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
+    n = len(s)
+    if n == 0:
+        return 0, 0
+    blk = (np.arange(n, dtype=np.int64) * grid) // n
+    e = np.bincount(blk, weights=s * s, minlength=grid).astype(np.int64)
+    c = np.bincount(blk, minlength=grid).astype(np.int64)
+    b = (e[1:] * c[:-1] > e[:-1] * c[1:]).astype(object)
+    return n, int((b * _bit_weights(grid - 1)).sum())
+
 DHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -300,28 +366,17 @@ def content_dhash(
     (the metadata-passthrough pattern — content itself is still consumed
     in-stage, never emitted).
     """
-    bits = grid - 1
     schema = StructType(
         DHASH_SCHEMA.fields + [content_df.schema[c] for c in extra_cols]
     )
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64)).astype(object)
         for pdf in batches:
             out_n, out_h = [], []
             for blob in pdf["content"]:
-                arr = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
-                n = len(arr)
-                if n == 0:
-                    out_n.append(0)
-                    out_h.append(0)
-                    continue
-                blk = (np.arange(n, dtype=np.int64) * grid) // n
-                s = np.bincount(blk, weights=arr, minlength=grid).astype(np.int64)
-                c = np.bincount(blk, minlength=grid).astype(np.int64)
-                b = (s[1:] * c[:-1] > s[:-1] * c[1:]).astype(object)
+                n, h = dhash_blob(blob, grid)
                 out_n.append(n)
-                out_h.append(int((b * weights).sum()))
+                out_h.append(h)
             out = {"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h}
             for c in extra_cols:
                 out[c] = pdf[c]
@@ -378,28 +433,14 @@ def image_dhash(
     passthrough pattern — round 14, so the video family's per-FRAME
     signatures keep their ``frame_index``; content itself is still
     consumed in-stage, never emitted)."""
-    bits_per_row = grid - 1
     schema = StructType(IMG_DHASH_SCHEMA.fields + [media.schema[c] for c in extra_cols])
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_n, out_h = [], []
             for blob, w in zip(pdf["content"], pdf["width"]):
-                arr = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
-                n, w = len(arr), int(w)
+                n, h = image_dhash_blob(blob, w, grid)
                 out_n.append(n)
-                h_rows = n // w if w > 0 else 0
-                hu = h_rows - (h_rows % grid)
-                wu = w - (w % grid)
-                if hu < grid or wu < grid:
-                    out_h.append(None)
-                    continue
-                img = arr[: hu * w].reshape(hu, w)[:, :wu].astype(np.int64)
-                blocks = img.reshape(grid, hu // grid, grid, wu // grid).sum(axis=(1, 3))
-                h = 0
-                for y in range(grid):
-                    for x in range(bits_per_row):
-                        h = (h << 1) | int(blocks[y, x + 1] > blocks[y, x])
                 out_h.append(h)
             out = {"media_id": pdf["media_id"], "n_bytes": out_n, "dhash": out_h}
             for c in extra_cols:
@@ -438,7 +479,6 @@ def audio_energy_dhash(media: DataFrame, grid: int = AUDIO_DHASH_GRID) -> DataFr
 
     Input: (media_id, content: binary — little-endian pcm16).  Output:
     (media_id, n_samples, dhash)."""
-    bits = grid - 1
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -448,26 +488,12 @@ def audio_energy_dhash(media: DataFrame, grid: int = AUDIO_DHASH_GRID) -> DataFr
     )
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64)).astype(object)
         for pdf in batches:
             out_n, out_h = [], []
             for blob in pdf["content"]:
-                raw = bytes(blob or b"")
-                # total on any payload (r13 review): a truncated pcm16 blob
-                # has an odd byte count — drop the dangling byte instead of
-                # letting frombuffer raise and fail the whole stage
-                s = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
-                n = len(s)
-                if n == 0:
-                    out_n.append(0)
-                    out_h.append(0)
-                    continue
-                blk = (np.arange(n, dtype=np.int64) * grid) // n
-                e = np.bincount(blk, weights=s * s, minlength=grid).astype(np.int64)
-                c = np.bincount(blk, minlength=grid).astype(np.int64)
-                b = (e[1:] * c[:-1] > e[:-1] * c[1:]).astype(object)
+                n, h = audio_energy_dhash_blob(blob, grid)
                 out_n.append(n)
-                out_h.append(int((b * weights).sum()))
+                out_h.append(h)
             yield pd.DataFrame({"media_id": pdf["media_id"], "n_samples": out_n, "dhash": out_h})
 
     return media.mapInPandas(hashes, schema)

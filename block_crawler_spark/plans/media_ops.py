@@ -248,30 +248,90 @@ def _planted_transform_media(docs: DataFrame) -> DataFrame:
     )
 
     def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             _check_twin_ids(pdf)
             ids: list[int] = []
             blobs: list[bytes] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                raw = (txt or "").encode("utf-8")
-                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                ids.append(did)
-                blobs.append(raw)
-                if did % PHASH_BRIGHT_MOD == 0:
-                    ids.append(did + PHASH_TWIN_OFFSET)
-                    blobs.append(np.minimum(arr + PHASH_BRIGHT_DELTA, 255).astype(np.uint8).tobytes())
-                if did % PHASH_NOISE_MOD == 0:
-                    i = np.arange(len(arr), dtype=np.int64)
-                    noise = (i * PHASH_NOISE_STRIDE + did) % PHASH_NOISE_EVERY == 0
-                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
-                    blobs.append(np.minimum(arr + noise, 255).astype(np.uint8).tobytes())
-                if did % PHASH_EXACT_MOD == 0:
-                    ids.append(did + 3 * PHASH_TWIN_OFFSET)
-                    blobs.append(raw)
+                for mid, blob in _phash_doc_blobs(int(did), txt):
+                    ids.append(mid)
+                    blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def _phash_doc_blobs(did: int, txt):
+    """One document's planted 1-D media rows — (media_id, blob) for the
+    source and each minted twin.  The ONE definition of the twin
+    transforms, shared by :func:`_planted_transform_media` (blob output)
+    and the fused signature stage :func:`_planted_phash_sigs`, so the two
+    can never drift."""
+    import numpy as np
+
+    raw = (txt or "").encode("utf-8")
+    arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    yield did, raw
+    if did % PHASH_BRIGHT_MOD == 0:
+        yield did + PHASH_TWIN_OFFSET, np.minimum(arr + PHASH_BRIGHT_DELTA, 255).astype(
+            np.uint8
+        ).tobytes()
+    if did % PHASH_NOISE_MOD == 0:
+        i = np.arange(len(arr), dtype=np.int64)
+        noise = (i * PHASH_NOISE_STRIDE + did) % PHASH_NOISE_EVERY == 0
+        yield did + 2 * PHASH_TWIN_OFFSET, np.minimum(arr + noise, 255).astype(np.uint8).tobytes()
+    if did % PHASH_EXACT_MOD == 0:
+        yield did + 3 * PHASH_TWIN_OFFSET, raw
+
+
+def _planted_phash_sigs(docs: DataFrame, with_digest: bool = False) -> DataFrame:
+    """Planted 1-D transform corpus AND its content dHash in ONE Arrow
+    stage (r14 — guide §4: the blobs previously crossed the JVM↔Python
+    boundary twice, once out of the transform stage and once into the
+    fingerprint stage; fingerprinting inside the transform stage means
+    content bytes never leave Python at all).  Twin transforms come from
+    :func:`_phash_doc_blobs` and the hash from
+    ``operators.multimodal.dhash_blob`` — the exact per-blob core of
+    ``content_dhash`` — so the output rows are identical to the old
+    two-stage chain.  ``with_digest=True`` additionally emits the
+    byte-exact detector's digest (md5 of the lowercase hex dump — the
+    same string ``F.md5(F.lower(F.hex(content)))`` produces) for the
+    agreement-matrix consumers.  Output: (media_id, n_bytes, dhash
+    [, digest])."""
+    import hashlib
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.multimodal import DHASH_GRID, dhash_blob
+
+    fields = [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+    if with_digest:
+        fields.append(StructField("digest", StringType(), False))
+    schema = StructType(fields)
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _check_twin_ids(pdf)
+            ids: list[int] = []
+            ns: list[int] = []
+            hs: list[int] = []
+            digs: list[str] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                for mid, blob in _phash_doc_blobs(int(did), txt):
+                    n, h = dhash_blob(blob, DHASH_GRID)
+                    ids.append(mid)
+                    ns.append(n)
+                    hs.append(h)
+                    if with_digest:
+                        digs.append(hashlib.md5(blob.hex().encode()).hexdigest())
+            out = {"media_id": ids, "n_bytes": ns, "dhash": hs}
+            if with_digest:
+                out["digest"] = digs
+            yield pd.DataFrame(out)
 
     return docs.select("doc_id", "text").mapInPandas(fan, schema)
 
@@ -308,11 +368,12 @@ def media_phash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated content), never media².  Output: (id_a, id_b, hamming),
     de-mirrored."""
     from ..operators.dedup import simhash_band_pairs
-    from ..operators.multimodal import DHASH_BITS, content_dhash
+    from ..operators.multimodal import DHASH_BITS
 
-    media = _planted_transform_media(load_table(spark, sf_dir, "documents"))
-    # cache: the band self-join reads the signature table twice; without it
-    # the Arrow transform+dHash stages run twice end-to-end (same pattern
+    # r14: planted transform + fingerprint fused into ONE Arrow stage
+    # (_planted_phash_sigs) — content bytes never cross the Python boundary
+    # twice.  cache: the band self-join reads the signature table twice;
+    # without it the fused Arrow stage runs twice end-to-end (same pattern
     # and same CacheManager note as simhash_pairs_query's sigs.cache() —
     # one 24-byte row per media, deduplicated across invocations by the
     # logical plan).  All-zero signatures are EXCLUDED from pairing (r13
@@ -321,7 +382,7 @@ def media_phash_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at Hamming 0 regardless of content, and at scale they all share the
     # band-value-0 buckets — the one hot bucket this family could have.
     sigs = (
-        content_dhash(media)
+        _planted_phash_sigs(load_table(spark, sf_dir, "documents"))
         .filter(F.col("dhash") != 0)
         .select("media_id", F.col("dhash").alias("simhash"))
         .cache()
@@ -429,13 +490,12 @@ def media_family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bit_or`` agg is pair-set-sized and everything downstream is ≤4
     rows."""
     from ..operators.dedup import simhash_band_pairs
-    from ..operators.multimodal import DHASH_BITS, content_dhash
+    from ..operators.multimodal import DHASH_BITS
 
-    media = _planted_transform_media(load_table(spark, sf_dir, "documents")).withColumn(
-        "digest", F.md5(F.lower(F.hex(F.col("content"))))
-    )
-    # one Arrow pass for both detectors (same cache note as the pair query)
-    sigs = content_dhash(media, extra_cols=("digest",)).cache()
+    # one FUSED Arrow pass for both detectors (r14 — the digest is computed
+    # next to the fingerprint inside the stage; same cache note as the pair
+    # query)
+    sigs = _planted_phash_sigs(load_table(spark, sf_dir, "documents"), with_digest=True).cache()
     # the perceptual side mirrors media_phash_near_dup_pairs exactly,
     # including its all-zero-signature exclusion (the exact side keeps
     # every row — digest equality needs no signature evidence)
@@ -548,36 +608,74 @@ def _planted_image_media(docs: DataFrame) -> DataFrame:
     grid = IMG_DHASH_GRID
 
     def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             _check_twin_ids(pdf)
             ids: list[int] = []
             widths: list[int] = []
             blobs: list[bytes] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                raw = (txt or "").encode("utf-8")
-                arr = np.frombuffer(raw, dtype=np.uint8)
-                ids.append(did)
-                widths.append(IMG_W)
-                blobs.append(raw)
-                h = len(arr) // IMG_W
-                hu = h - (h % grid)
-                if hu < grid:
-                    continue
-                img = arr[: hu * IMG_W].reshape(hu, IMG_W)
-                if did % IMG_UP_MOD == 0:
-                    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
-                    ids.append(did + PHASH_TWIN_OFFSET)
-                    widths.append(2 * IMG_W)
-                    blobs.append(up.tobytes())
-                if did % IMG_BRIGHT_MOD == 0:
-                    br = np.minimum(img.astype(np.int64) + IMG_BRIGHT_DELTA, 255)
-                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
-                    widths.append(IMG_W)
-                    blobs.append(br.astype(np.uint8).tobytes())
+                for mid, w, blob in _image_doc_blobs(int(did), txt, grid):
+                    ids.append(mid)
+                    widths.append(w)
+                    blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "width": widths, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def _image_doc_blobs(did: int, txt, grid: int):
+    """One document's planted raw-image rows — (media_id, width, blob) for
+    the source and each minted resolution/brightness twin (the ONE twin
+    definition, shared with the fused stage :func:`_planted_image_sigs`)."""
+    import numpy as np
+
+    raw = (txt or "").encode("utf-8")
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    yield did, IMG_W, raw
+    h = len(arr) // IMG_W
+    hu = h - (h % grid)
+    if hu < grid:
+        return
+    img = arr[: hu * IMG_W].reshape(hu, IMG_W)
+    if did % IMG_UP_MOD == 0:
+        up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        yield did + PHASH_TWIN_OFFSET, 2 * IMG_W, up.tobytes()
+    if did % IMG_BRIGHT_MOD == 0:
+        br = np.minimum(img.astype(np.int64) + IMG_BRIGHT_DELTA, 255)
+        yield did + 2 * PHASH_TWIN_OFFSET, IMG_W, br.astype(np.uint8).tobytes()
+
+
+def _planted_image_sigs(docs: DataFrame) -> DataFrame:
+    """Planted raw-image corpus AND its 2-D dHash in ONE Arrow stage (r14 —
+    the :func:`_planted_phash_sigs` fusion applied to the image family;
+    per-blob arithmetic is ``operators.multimodal.image_dhash_blob``, the
+    exact core of ``image_dhash``).  Output: (media_id, n_bytes, dhash
+    nullable — NULL for sub-grid images, as the standalone operator)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..operators.multimodal import IMG_DHASH_GRID, image_dhash_blob
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("dhash", LongType(), True),
+        ]
+    )
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _check_twin_ids(pdf)
+            ids: list[int] = []
+            ns: list[int] = []
+            hs: list[int | None] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                for mid, w, blob in _image_doc_blobs(int(did), txt, IMG_DHASH_GRID):
+                    n, h = image_dhash_blob(blob, w, IMG_DHASH_GRID)
+                    ids.append(mid)
+                    ns.append(n)
+                    hs.append(h)
+            yield pd.DataFrame({"media_id": ids, "n_bytes": ns, "dhash": hs})
 
     return docs.select("doc_id", "text").mapInPandas(fan, schema)
 
@@ -610,14 +708,14 @@ def media_image_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature rows are all that shuffles; band equi-join (4 × 14-bit
     bands), never media².  Output: (id_a, id_b, hamming)."""
     from ..operators.dedup import simhash_band_pairs
-    from ..operators.multimodal import IMG_DHASH_BITS, image_dhash
+    from ..operators.multimodal import IMG_DHASH_BITS
 
-    corpus = _planted_image_media(load_table(spark, sf_dir, "documents"))
+    # r14: planted transform + 2-D fingerprint fused into ONE Arrow stage.
     # NULL (sub-grid) and all-zero (flat — no block strictly exceeds its
     # predecessor) signatures are excluded: no evidence, and the zero
     # signature is the band-0 hot bucket at scale (r13 review)
     sigs = (
-        image_dhash(corpus)
+        _planted_image_sigs(load_table(spark, sf_dir, "documents"))
         .filter(F.col("dhash").isNotNull() & (F.col("dhash") != 0))
         .select("media_id", F.col("dhash").alias("simhash"))
         .cache()
@@ -740,25 +838,65 @@ def _planted_audio_media(docs: DataFrame) -> DataFrame:
     )
 
     def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             _check_twin_ids(pdf)
             ids: list[int] = []
             blobs: list[bytes] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                v = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8).astype(np.int64)
-                s = (v - AUDIO_SAMPLE_BIAS) * AUDIO_SAMPLE_SCALE
-                ids.append(did)
-                blobs.append(s.astype("<i2").tobytes())
-                if did % AUDIO_GAIN_MOD == 0:
-                    ids.append(did + PHASH_TWIN_OFFSET)
-                    blobs.append((s * AUDIO_GAIN).astype("<i2").tobytes())
-                if did % AUDIO_POL_MOD == 0:
-                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
-                    blobs.append((-s).astype("<i2").tobytes())
+                for mid, blob in _audio_doc_blobs(int(did), txt):
+                    ids.append(mid)
+                    blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def _audio_doc_blobs(did: int, txt):
+    """One document's planted pcm16 rows — (media_id, blob) for the source
+    and each minted gain/polarity twin (the ONE twin definition, shared
+    with the fused stage :func:`_planted_audio_sigs`)."""
+    import numpy as np
+
+    v = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    s = (v - AUDIO_SAMPLE_BIAS) * AUDIO_SAMPLE_SCALE
+    yield did, s.astype("<i2").tobytes()
+    if did % AUDIO_GAIN_MOD == 0:
+        yield did + PHASH_TWIN_OFFSET, (s * AUDIO_GAIN).astype("<i2").tobytes()
+    if did % AUDIO_POL_MOD == 0:
+        yield did + 2 * PHASH_TWIN_OFFSET, (-s).astype("<i2").tobytes()
+
+
+def _planted_audio_sigs(docs: DataFrame) -> DataFrame:
+    """Planted pcm16 corpus AND its energy-envelope dHash in ONE Arrow
+    stage (r14 — the :func:`_planted_phash_sigs` fusion applied to the
+    audio family; per-blob arithmetic is
+    ``operators.multimodal.audio_energy_dhash_blob``, the exact core of
+    ``audio_energy_dhash``).  Output: (media_id, n_samples, dhash)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..operators.multimodal import AUDIO_DHASH_GRID, audio_energy_dhash_blob
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("dhash", LongType(), False),
+        ]
+    )
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _check_twin_ids(pdf)
+            ids: list[int] = []
+            ns: list[int] = []
+            hs: list[int] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                for mid, blob in _audio_doc_blobs(int(did), txt):
+                    n, h = audio_energy_dhash_blob(blob, AUDIO_DHASH_GRID)
+                    ids.append(mid)
+                    ns.append(n)
+                    hs.append(h)
+            yield pd.DataFrame({"media_id": ids, "n_samples": ns, "dhash": hs})
 
     return docs.select("doc_id", "text").mapInPandas(fan, schema)
 
@@ -782,14 +920,14 @@ def media_audio_energy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; band equi-join (4 × 15-bit bands), never media².  Output:
     (id_a, id_b, hamming)."""
     from ..operators.dedup import simhash_band_pairs
-    from ..operators.multimodal import AUDIO_DHASH_GRID, audio_energy_dhash
+    from ..operators.multimodal import AUDIO_DHASH_GRID
 
-    corpus = _planted_audio_media(load_table(spark, sf_dir, "documents"))
-    # all-zero signatures (flat energy envelope — silence, constant tone)
-    # are excluded from pairing: no envelope evidence, and the zero
+    # r14: planted transform + energy fingerprint fused into ONE Arrow
+    # stage.  All-zero signatures (flat energy envelope — silence, constant
+    # tone) are excluded from pairing: no envelope evidence, and the zero
     # signature is the band-0 hot bucket at scale (r13 review)
     sigs = (
-        audio_energy_dhash(corpus)
+        _planted_audio_sigs(load_table(spark, sf_dir, "documents"))
         .filter(F.col("dhash") != 0)
         .select("media_id", F.col("dhash").alias("simhash"))
         .cache()
@@ -901,32 +1039,82 @@ def _planted_video_media(docs: DataFrame) -> DataFrame:
     fb = VIDEO_FRAME_BYTES
 
     def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             _check_twin_ids(pdf)
             ids: list[int] = []
             blobs: list[bytes] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                raw = (txt or "").encode("utf-8")
-                nf = len(raw) // fb
-                if nf == 0:
-                    continue
-                clip = np.frombuffer(raw[: nf * fb], dtype=np.uint8)
-                ids.append(did)
-                blobs.append(clip.tobytes())
-                if did % VIDEO_BRIGHT_MOD == 0:
-                    ids.append(did + PHASH_TWIN_OFFSET)
-                    blobs.append(
-                        np.minimum(clip.astype(np.int64) + VIDEO_BRIGHT_DELTA, 255)
-                        .astype(np.uint8)
-                        .tobytes()
-                    )
-                if did % VIDEO_REV_MOD == 0 and nf >= 2:
-                    ids.append(did + 2 * PHASH_TWIN_OFFSET)
-                    blobs.append(clip.reshape(nf, fb)[::-1].tobytes())
+                for mid, blob in _video_doc_blobs(int(did), txt):
+                    ids.append(mid)
+                    blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(fan, schema)
+
+
+def _video_doc_blobs(did: int, txt):
+    """One document's planted rawvideo rows — (media_id, clip_bytes) for
+    the source and each minted brightness/reversal twin (the ONE twin
+    definition, shared with the fused stage
+    :func:`_planted_video_frame_sigs`)."""
+    import numpy as np
+
+    fb = VIDEO_FRAME_BYTES
+    raw = (txt or "").encode("utf-8")
+    nf = len(raw) // fb
+    if nf == 0:
+        return
+    clip = np.frombuffer(raw[: nf * fb], dtype=np.uint8)
+    yield did, clip.tobytes()
+    if did % VIDEO_BRIGHT_MOD == 0:
+        yield did + PHASH_TWIN_OFFSET, np.minimum(
+            clip.astype(np.int64) + VIDEO_BRIGHT_DELTA, 255
+        ).astype(np.uint8).tobytes()
+    if did % VIDEO_REV_MOD == 0 and nf >= 2:
+        yield did + 2 * PHASH_TWIN_OFFSET, clip.reshape(nf, fb)[::-1].tobytes()
+
+
+def _planted_video_frame_sigs(docs: DataFrame) -> DataFrame:
+    """Planted clip corpus, frame sampling, AND per-frame 2-D dHash in ONE
+    Arrow stage (r14 — guide §4 applied to the video family's previous
+    THREE-stage Python chain: planted transform → ``sample_frames`` →
+    ``image_dhash``, with clip/frame bytes crossing the JVM↔Python
+    boundary between every pair).  Frame slicing replays the
+    ``sample_frames`` recipe on the rawvideo layout (every
+    ``FRAME_EVERY_N``-th {VIDEO_FRAME_BYTES}-byte frame) and per-frame
+    hashing is ``operators.multimodal.image_dhash_blob`` — the exact core
+    of ``image_dhash`` — so the rows equal the old chain's.  Output:
+    (media_id, frame_index, dhash nullable)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..operators.multimodal import IMG_DHASH_GRID, image_dhash_blob
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_index", IntegerType(), False),
+            StructField("dhash", LongType(), True),
+        ]
+    )
+    fb = VIDEO_FRAME_BYTES
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _check_twin_ids(pdf)
+            ids: list[int] = []
+            fis: list[int] = []
+            hs: list[int | None] = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                for mid, blob in _video_doc_blobs(int(did), txt):
+                    nf = len(blob) // fb
+                    for fi in range(0, nf, FRAME_EVERY_N):
+                        _n, h = image_dhash_blob(
+                            blob[fi * fb : (fi + 1) * fb], VIDEO_W, IMG_DHASH_GRID
+                        )
+                        ids.append(mid)
+                        fis.append(fi)
+                        hs.append(h)
+            yield pd.DataFrame({"media_id": ids, "frame_index": fis, "dhash": hs})
 
     return docs.select("doc_id", "text").mapInPandas(fan, schema)
 
@@ -963,38 +1151,16 @@ def media_video_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per temporal position, never clips²; the agreement agg is
     pair-frame-set-sized with two broadcast-sized nf joins.  Output:
     (id_a, id_b, matched_frames, nf_a, nf_b, agree_ppm)."""
-    from pyspark.sql.types import IntegerType
+    from ..operators.multimodal import IMG_DHASH_BITS
 
-    from ..operators.multimodal import IMG_DHASH_BITS, image_dhash, sample_frames
-
-    clips = _planted_video_media(load_table(spark, sf_dir, "documents"))
-    videos = clips.select(
-        "media_id",
-        F.lit("video").alias("kind"),
-        F.struct(
-            F.lit("rawvideo").alias("codec"),
-            F.lit(VIDEO_W).alias("width"),
-            F.lit(VIDEO_H).alias("height"),
-            F.lit(1).alias("channels"),
-            F.lit(None).cast(IntegerType()).alias("n_frames"),
-        ).alias("metadata"),
-        "content",
-    )
-    frames = sample_frames(videos, every_n=FRAME_EVERY_N)
-    # per-frame signatures; NULL impossible here (every sampled frame is a
-    # full grid-aligned {VIDEO_H}×{VIDEO_W} image) but all-zero (flat)
-    # frames are excluded from BOTH the numerator and the denominator —
-    # the shared no-evidence / hot-bucket policy (r13 review)
+    # r14: planted clips, frame sampling, and per-frame signatures fused
+    # into ONE Arrow stage (the old chain round-tripped clip and frame
+    # bytes through three Python stages).  NULL impossible here (every
+    # sampled frame is a full grid-aligned {VIDEO_H}×{VIDEO_W} image) but
+    # all-zero (flat) frames are excluded from BOTH the numerator and the
+    # denominator — the shared no-evidence / hot-bucket policy (r13 review)
     sigs = (
-        image_dhash(
-            frames.select(
-                "media_id",
-                "frame_index",
-                F.lit(VIDEO_W).alias("width"),
-                F.col("frame").alias("content"),
-            ),
-            extra_cols=("frame_index",),
-        )
+        _planted_video_frame_sigs(load_table(spark, sf_dir, "documents"))
         .filter(F.col("dhash").isNotNull() & (F.col("dhash") != 0))
         .select("media_id", "frame_index", "dhash")
         .cache()
@@ -1180,15 +1346,12 @@ def media_modality_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src_a, src_b), a ≤2⁵-row histogram, and the 10-row matrix from a
     broadcast literal-TRUE join of two bounded frames (the
     dedup_family_overlap tail, bounded by construction)."""
-    from ..operators.dedup import simhash_band_pairs
-    from ..operators.multimodal import DHASH_BITS, content_dhash
-
     # exact: the byte-exact digest pairs over the 1-D transform corpus
-    # (media_dup_family_overlap's exact side, same derivation)
-    media = _planted_transform_media(load_table(spark, sf_dir, "documents")).withColumn(
-        "digest", F.md5(F.lower(F.hex(F.col("content"))))
-    )
-    dig = media.select("media_id", "digest")
+    # (media_dup_family_overlap's exact side, same derivation — r14: the
+    # digest comes from the fused transform+digest Arrow stage)
+    dig = _planted_phash_sigs(
+        load_table(spark, sf_dir, "documents"), with_digest=True
+    ).select("media_id", "digest")
     a = dig.select(F.col("media_id").alias("id_a"), "digest")
     b = dig.select(F.col("media_id").alias("id_b"), "digest")
     exact = a.join(b, "digest").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
@@ -1353,11 +1516,12 @@ def media_stream_phash_admission_sim_query(spark: SparkSession, sf_dir: str) -> 
     4 verdicts)-row output agg.  At store runtime the admitted side is
     additionally partition-pruned to the batch's band buckets (the
     phindex idiom) — a pure cost refinement invisible to semantics."""
-    from ..operators.multimodal import content_dhash
     from ..streaming.corpus import CorpusIngestStore
 
-    media = _planted_transform_media(load_table(spark, sf_dir, "documents"))
-    sigs = content_dhash(media).select(F.col("media_id").alias("doc_id"), "dhash")
+    # r14: fused planted-transform + fingerprint stage (one Python pass)
+    sigs = _planted_phash_sigs(load_table(spark, sf_dir, "documents")).select(
+        F.col("media_id").alias("doc_id"), "dhash"
+    )
     off = PHASH_TWIN_OFFSET
     batch = sigs.filter(F.col("doc_id") >= off)
     admitted = sigs.filter(F.col("doc_id") < off)
