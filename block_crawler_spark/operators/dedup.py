@@ -256,17 +256,17 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
             .agg(F.min("nbr_comp").alias("nbr_min"))
             .select(F.col("src").alias("id"), "nbr_min")
         )
+        # r14: the moved? check rides the SAME checkpointed pass as the
+        # label update (``nbr_min < comp`` ⇔ the old "n.comp != o.comp"
+        # join test) — the old shape paid a second nxt⋈cur join-and-count
+        # job per round on top of the checkpoint job
         nxt = cur.join(nbr_min, "id", "left").select(
-            "id", F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp")
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+            (F.coalesce(F.col("nbr_min"), F.col("comp")) < F.col("comp")).alias("_moved"),
         ).localCheckpoint()
-        moved = (
-            nxt.alias("n")
-            .join(cur.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        return nxt, moved
+        moved = nxt.filter(F.col("_moved")).limit(1).count()
+        return nxt.select("id", "comp"), moved
 
     changed = 1
     for _ in range(max_iterations):

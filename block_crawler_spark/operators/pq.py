@@ -217,52 +217,80 @@ def pq_train_codebook(
     return _lloyd_train_sub(_subvectors(emb, "vec_id", "embedding", m, sub_dim), k, iters)
 
 
+_LLOYD_SUB_MAX_ROWS = 262_144  # runaway bound: samples are constants (≤ K·M or sample·M)
+
+
 def _lloyd_train_sub(sub: DataFrame, k: int, iters: int) -> DataFrame:
     """The grouped Lloyd loop over an ``(_id, m, sv)`` subvector frame —
     shared by :func:`pq_train_codebook` (raw subvectors) and the residual
     path of :func:`ivfpq_residual_topk` (residual subvectors; round 8).
     Seeds are ``_id < k``; returns the (m, code, cvec) codebook
-    driver-materialized (≤ M·K rows) with the loop cache released."""
-    sub = sub.cache()
-    cents = sub.filter(F.col("_id") < k).select(
-        "m", F.col("_id").alias("code"), F.col("sv").alias("cvec")
-    )
+    driver-materialized (≤ M·K rows).
+
+    r14 (guide §1.2): the training INPUT is bounded by construction — every
+    caller filters to a constant ``vec_id < sample`` set before exploding
+    into subvectors — so the iterations run DRIVER-SIDE over the collected
+    sample instead of as ~6 distributed stages per iteration over a few
+    thousand rows (the old engine loop spent ~11 s of pure stage-scheduling
+    latency training 256 vectors; the train-small/encode-everything shape
+    means the sample never grows with the corpus).  The arithmetic is the
+    exact integer scheme the engine loop ran and the SQL oracle replays:
+    micro fixed-pointing happened ENGINE-side before the collect, distances
+    are exact int64 squared-L2 (numpy int64 — no float path), argmin ties
+    to the lowest code (codes scanned ascending, strict-less keeps the
+    first), centroid update ``floor(sum / count)`` with the division in
+    IEEE double exactly as ``F.floor(F.sum / F.count)`` computes it, and a
+    codeword that loses all members drops out.  Bit-identical codebooks —
+    the trained-path oracle hashes still match."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    rows = sub.select("_id", "m", "sv").collect()
+    if len(rows) > _LLOYD_SUB_MAX_ROWS:
+        raise ValueError(
+            f"_lloyd_train_sub: {len(rows)} subvector rows exceed the bounded-sample "
+            f"contract ({_LLOYD_SUB_MAX_ROWS}) — train on a vec_id < sample subset"
+        )
+    by_m: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in rows:
+        by_m.setdefault(r["m"], []).append((r["_id"], np.asarray(r["sv"], dtype=np.int64)))
+    # seeds: the _id < k subvectors, per subspace
+    cb: dict[int, dict[int, np.ndarray]] = {
+        m: {vid: v for vid, v in vecs if vid < k} for m, vecs in by_m.items()
+    }
+    vmats = {m: np.stack([v for _vid, v in vecs]) for m, vecs in by_m.items()}
     for _ in range(iters):
-        # r14: per-subspace argmin map-side against the grouped codeword
-        # array (no K-fold join explosion, no (_id, m) re-agg) with sv
-        # carried through, so the update needs no join back — one bounded
-        # (m, code, pos) partial-agg exchange per iteration instead of three
-        gcb = cents.groupBy("m").agg(
-            F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cw")
-        )
-        a = sub.join(F.broadcast(gcb), "m").select(
-            "m",
-            F.array_min(
-                F.transform(
-                    F.col("cw"),
-                    lambda c: F.struct(
-                        int_sqdist(F.col("sv"), c["cvec"]).alias("d"), c["code"].alias("code")
-                    ),
-                )
-            )["code"].alias("code"),
-            "sv",
-        )
-        per_dim = a.select("m", "code", F.posexplode("sv").alias("pos", "val"))
-        upd = per_dim.groupBy("m", "code", "pos").agg(
-            F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
-        )
-        cents = upd.groupBy("m", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
-            ).alias("cvec")
-        )
-    # materialize the tiny (M·K rows) result through the driver and release
-    # the loop cache — a localCheckpoint would itself pin an RDD; a
-    # collect/recreate of ≤ M·K rows is bounded by construction and leaves
-    # the session with zero persisted state per invocation
-    cents = sub.sparkSession.createDataFrame(cents.collect(), cents.schema)
-    sub.unpersist()
-    return cents
+        nxt: dict[int, dict[int, np.ndarray]] = {m: {} for m in by_m}
+        for m, vmat in vmats.items():
+            codes = sorted(cb[m])  # ascending → np.argmin's first-min = lowest code
+            cmat = np.stack([cb[m][c] for c in codes])
+            diff = vmat[:, None, :] - cmat[None, :, :]  # int64 — exact
+            d = (diff * diff).sum(axis=2)
+            assign = d.argmin(axis=1)  # first occurrence of the min → lowest code id
+            counts = np.bincount(assign, minlength=len(codes))
+            sums = np.zeros((len(codes), vmat.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, vmat)
+            for ci in np.nonzero(counts)[0]:
+                # double division + floor, element-wise — exactly what
+                # F.floor(F.sum / F.count) computes; sums ≪ 2^53 so the
+                # double path is exact
+                nxt[m][codes[ci]] = np.floor(
+                    sums[ci].astype(np.float64) / float(counts[ci])
+                ).astype(np.int64)
+        cb = nxt
+    out = [
+        (int(m), int(code), [int(x) for x in c.tolist()])
+        for m in sorted(cb)
+        for code, c in sorted(cb[m].items())
+    ]
+    schema = StructType(
+        [
+            StructField("m", IntegerType(), False),
+            StructField("code", LongType(), False),
+            StructField("cvec", ArrayType(LongType(), False), False),
+        ]
+    )
+    return sub.sparkSession.createDataFrame(out, schema)
 
 
 def pq_encode(emb: DataFrame, codebook: DataFrame, m: int, sub_dim: int) -> DataFrame:

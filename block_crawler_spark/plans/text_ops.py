@@ -579,11 +579,23 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
         .otherwise(F.array(F.array_join("t", " ")))
         .alias("sh"),
     )
-    hashed = sh.select("doc_id", F.posexplode("sh").alias("pos", "s")).select(
-        "doc_id", "pos", F.md5("s").alias("hv")
+    # r14 (guide §2.4): the positional window min is computed INSIDE the
+    # per-doc array (slice + array_min per position) instead of exploding
+    # the shingle-hash table through a doc_id-partitioned window — the old
+    # shape shuffled and sorted every (doc, pos) row just to look W-1 rows
+    # ahead within its own document, then paid a second exchange for the
+    # row-level distinct.  array_distinct within the doc yields the same
+    # (doc_id, fp) row set (fps are doc-scoped), so the whole front is now
+    # map-side: tokenize → hash → slide → dedup → one narrow explode.
+    hv = F.expr("transform(sh, s -> md5(s))")
+    fps = F.expr(
+        f"array_distinct(transform(sequence(0, size(_hv)-1), "
+        f"i -> array_min(slice(_hv, i+1, {WINNOW_WINDOW}))))"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
-    return hashed.select("doc_id", F.min("hv").over(w).alias("fp")).distinct()
+    return (
+        sh.select("doc_id", hv.alias("_hv"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
 
 
 # the SQL twin of _winnow_fps: tk → sh → h → wmin → d (distinct (doc_id, fp))

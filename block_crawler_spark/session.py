@@ -39,6 +39,16 @@ def get_spark(app_name: str = "block-crawler-spark", *, shuffle_partitions: int 
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
         )
+        # floor on coalesced partition count: byte-sized targets alone would
+        # collapse CPU-dense-but-small-byte stages (keccak decode windows,
+        # sessionize) to ONE task; a small cpus-scaled floor keeps them
+        # parallel while tiny aggregate stages still coalesce hard.  At
+        # cluster scale the advisory size dominates (partitions ≫ floor),
+        # so this is a local-parallelism guard, not a tuned constant.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCED", str(max(2, int(cpus) // 8))),
+        )
         # r14 (guide §3.1/§9): allow shuffled-hash joins when a build side
         # fits per-partition — skips the sort phase of sort-merge; AQE's
         # local-map threshold converts SMJ→SHJ at runtime when every
