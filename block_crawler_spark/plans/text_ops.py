@@ -3072,6 +3072,21 @@ def _bigram_occurrences(docs: DataFrame, key_col: str) -> DataFrame:
     ).select(key_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
 
 
+def _bigram_freq_marg(occ: DataFrame) -> DataFrame:
+    """(prev, tok, n2, n1) — the bigram-vocabulary table with BOTH the pair
+    count and the prev-marginal in one subtree (round 14, guide §2.4):
+    n1 = sum(n2) over (partition by prev) is value-identical to the old
+    separate ``freq.groupBy(prev).agg(sum(n2))`` frame joined back on
+    prev, but as a window over the vocab-bounded freq table it shares
+    freq's lineage instead of re-deriving the corpus scan + tokenize +
+    explode + agg a second time — one corpus subtree per query instead of
+    two, for every bigram-LM consumer (surprisal, calibration, both LM
+    gates).  The window's exchange is on the vocab-bounded freq rows,
+    the same bytes the old marginal agg exchanged."""
+    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
+    return freq.withColumn("n1", F.sum("n2").over(Window.partitionBy("prev")))
+
+
 def _bigram_occ_sql(key_col: str, src: str = "documents") -> str:
     """The DuckDB twin of :func:`_bigram_occurrences` (tk + occ CTEs).
     ``src`` names the table/CTE to read (round 14: the planted LM-gate
@@ -3111,11 +3126,8 @@ def bigram_surprisal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     total."""
     docs = load_table(spark, sf_dir, "documents")
     occ = _bigram_occurrences(docs, "source")
-    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
-    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
     scored = (
-        occ.join(freq, ["prev", "tok"])
-        .join(marg, "prev")
+        occ.join(_bigram_freq_marg(occ), ["prev", "tok"])
         .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
     )
     return scored.groupBy("source").agg(
@@ -3173,11 +3185,8 @@ def bigram_quality_calibration_query(spark: SparkSession, sf_dir: str) -> DataFr
         "doc_id", F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile")
     )
     occ = _bigram_occurrences(docs, "doc_id")
-    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
-    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
     per_doc = (
-        occ.join(freq, ["prev", "tok"])
-        .join(marg, "prev")
+        occ.join(_bigram_freq_marg(occ), ["prev", "tok"])
         .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
         .groupBy("doc_id")
         .agg(F.expr("CAST(sum(bits) DIV count(*) AS BIGINT)").alias("band"))
@@ -3283,11 +3292,8 @@ def lm_gated_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile"),
     )
     occ = _bigram_occurrences(docs, "doc_id")
-    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
-    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
     per_doc = (
-        occ.join(freq, ["prev", "tok"])
-        .join(marg, "prev")
+        occ.join(_bigram_freq_marg(occ), ["prev", "tok"])
         .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
         .groupBy("doc_id")
         .agg(F.expr("CAST(sum(bits) DIV count(*) AS BIGINT)").alias("band"))
@@ -3433,11 +3439,8 @@ def lm_gated_quality_planted_query(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("CAST(quality_ppm DIV 100000 AS BIGINT)").alias("decile"),
     )
     occ = _bigram_occurrences(corpus, "doc_id")
-    freq = occ.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
-    marg = freq.groupBy("prev").agg(F.sum("n2").alias("n1"))
     per_doc = (
-        occ.join(freq, ["prev", "tok"])
-        .join(marg, "prev")
+        occ.join(_bigram_freq_marg(occ), ["prev", "tok"])
         .withColumn("bits", F.length(F.bin(F.expr("n1 DIV n2"))).cast("long"))
         .groupBy("doc_id")
         .agg(F.expr("CAST(sum(bits) DIV count(*) AS BIGINT)").alias("band"))
