@@ -16,8 +16,13 @@ demos but a working engine:
 
 All selection criteria are computed over the corpus and applied jointly as
 doc_id semi/anti-joins, so the composed plan is a single DAG: Catalyst sees
-every stage at once (scan reuse, pushdown through the joins), nothing is
-materialized between stages, and stage order cannot change the result.  At
+every stage at once (scan reuse, pushdown through the joins) and stage order
+cannot change the result.  Two narrow intermediates ARE materialized per
+invocation (r14, optimization guide §2.4/§3.3 — Catalyst has no cross-join
+common-subexpression elimination, so without them the scoring and shingle
+subtrees re-executed per consumer): the per-doc quality scores and, in the
+contamination report, the exploded shingle set — both localCheckpoints
+(ContextCleaner-collectable, recomputed fresh each invocation).  At
 100 TB each criterion is a doc_id-keyed semi-join (shuffle or broadcast as
 sizes dictate) and the expensive generators keep their documented scale
 shapes (banded LSH equi-join, benchmark-bounded shingle join).
@@ -77,6 +82,7 @@ def curated_doc_ids(
     sf_dir: str,
     quality_min: int | None = None,
     sampling: str = "stratified",
+    shn: DataFrame | None = None,
 ) -> DataFrame:
     """Survivor set (doc_id) after quality → exact dedup → near-dup →
     decontamination → sampling.  Exposed separately so callers can hang any
@@ -91,11 +97,28 @@ def curated_doc_ids(
 
     ``sampling``: ``"stratified"`` (fixed per-source rates — the
     oracle-checked registry configuration) or ``"mixture"`` (rates derived
-    from the token-budget mixture plan, ``doc_mixture_plan``)."""
+    from the token-budget mixture plan, ``doc_mixture_plan``).
+
+    ``shn``: optional prebuilt (doc_id, bench, s) shingle frame for the
+    decontamination stage (see :func:`text_ops._decon_from_shn`) —
+    ``pipeline_contamination`` passes the ONE materialized shingle pass
+    it already needs for its report columns (r14, guide §2.4: remove the
+    duplicated corpus-wide explode rather than shuffling it again)."""
+    from .text_ops import _budget_cut_from_scored, _decon_from_shn
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     scored = quality_ppm(spark, sf_dir)
     if quality_min is None:
-        cut = quality_budget_cut_query(spark, sf_dir).select("cut_ppm")
+        # r14 (guide §2.4/§5): ONE corpus scoring pass feeds both the
+        # data-driven cut and the quality filter.  Without the
+        # materialization point the scoring subtree ran three times per
+        # action (filter + the cut's histogram + the cut's old total
+        # scan); localCheckpoint — not cache() — per the repo's leak rule
+        # (ContextCleaner-collectable, CacheManager stays empty).  The
+        # frame is (doc_id + 6 int columns) per doc — the §8 "decide on
+        # small rows" proxy, disk-backed at cluster scale.
+        scored = scored.localCheckpoint(eager=False)
+        cut = _budget_cut_from_scored(scored).select("cut_ppm")
         good = (
             scored.crossJoin(F.broadcast(cut))
             .filter(F.col("quality_ppm") >= F.col("cut_ppm"))
@@ -108,7 +131,12 @@ def curated_doc_ids(
         .select(F.col("keep_id").alias("doc_id"))
     )
     near_drop = minhash_pairs_query(spark, sf_dir).select(F.col("id_b").alias("doc_id")).distinct()
-    clean = decontaminate_query(spark, sf_dir).filter(~F.col("contaminated")).select("doc_id")
+    clean_src = (
+        decontaminate_query(spark, sf_dir)
+        if shn is None
+        else _decon_from_shn(load_table(spark, sf_dir, "documents"), shn)
+    )
+    clean = clean_src.filter(~F.col("contaminated")).select("doc_id")
     if sampling == "stratified":
         sampled = stratified_sample_query(spark, sf_dir).select("doc_id")
     elif sampling == "mixture":
@@ -251,10 +279,19 @@ def pipeline_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", is_bench.alias("bench"), F.explode(shingles(F.col("text"))).alias("s")
     )
-    bench_sh = sh.filter(F.col("bench")).select(F.col("doc_id").alias("bench_id"), "s").distinct()
-    train_sh = sh.filter(~F.col("bench")).select(F.col("doc_id").alias("train_id"), "s").distinct()
+    # r14 (guide §2.4): ONE materialized shingle pass.  Before, the
+    # corpus-wide explode ran three times per action — once each for the
+    # bench/train report sides and once more inside the curated DAG's
+    # decontamination stage.  (doc_id, bench, s) distinct ≡ (doc_id, s)
+    # distinct (bench is a function of doc_id), so bench_sh/train_sh are
+    # unchanged, and the decon stage's DISTINCT/count_distinct semantics
+    # are insensitive to pre-deduplication (``_decon_from_shn``).
+    # localCheckpoint, not cache() — the repo's leak rule.
+    shn = sh.distinct().localCheckpoint(eager=False)
+    bench_sh = shn.filter(F.col("bench")).select(F.col("doc_id").alias("bench_id"), "s")
+    train_sh = shn.filter(~F.col("bench")).select(F.col("doc_id").alias("train_id"), "s")
     surv = (
-        curated_doc_ids(spark, sf_dir)
+        curated_doc_ids(spark, sf_dir, shn=shn)
         .withColumnRenamed("doc_id", "train_id")
         .withColumn("is_surv", F.lit(True))
     )

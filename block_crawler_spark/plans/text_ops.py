@@ -880,8 +880,19 @@ def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", is_bench.alias("bench"), F.explode(shingles(F.col("text"))).alias("s")
     )
-    bench_sh = sh.filter(F.col("bench")).select("s").distinct()
-    train_sh = sh.filter(~F.col("bench")).select("doc_id", "s")
+    return _decon_from_shn(docs, sh)
+
+
+def _decon_from_shn(docs: DataFrame, shn: DataFrame) -> DataFrame:
+    """Decontamination verdicts from a prebuilt shingle frame ``shn``
+    with columns (doc_id, bench, s) — duplicate (doc_id, s) rows are
+    allowed (everything downstream is DISTINCT/count_distinct, so a
+    caller may hand in a deduplicated frame it materialized for other
+    uses: ``pipeline_contamination`` shares ONE exploded-shingle pass
+    across its report columns and this stage, r14 guide §2.4)."""
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+    bench_sh = shn.filter(F.col("bench")).select("s").distinct()
+    train_sh = shn.filter(~F.col("bench")).select("doc_id", "s")
     shared = (
         train_sh.join(bench_sh, "s")
         .groupBy("doc_id")
@@ -1351,18 +1362,16 @@ QUERIES["dedup_containment_pairs"] = (containment_pairs_query, _containment_sql(
 QUALITY_BUDGET_DIV = 3  # keep the best third of tokens
 
 
-def quality_budget_cut_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budget-driven quality threshold selection: the quality_ppm cut that
-    keeps the highest-quality documents until a token budget (total/3) is
-    reached — the planning step between quality SCORING and quality
-    FILTERING (pick the cut from data, don't guess it).  One row out:
-    (cut_ppm, docs_kept, tokens_kept, budget_tok).
-
-    Scale shape: one scan → ≤101-bucket hash-agg (quality centi-buckets) →
-    a window cumsum over those ≤101 rows + a 1-row budget broadcast — the
-    corpus is never sorted, the selection happens on the bounded
-    histogram."""
-    scored = with_quality_ppm(load_table(spark, sf_dir, "documents"))
+def _budget_cut_from_scored(scored: DataFrame) -> DataFrame:
+    """Budget-cut selection over an already-scored frame (needs ``n_tok``
+    and ``quality_ppm`` columns).  Split out (r14, guide §2.4) so the
+    curation pipeline can feed ONE materialized scoring pass to both its
+    quality filter and this cut instead of re-running the corpus scoring
+    subtree; the total-token budget is folded into a window over the
+    ≤101-row histogram (``sum(tok) over ()`` ≡ the old separate
+    ``per.agg(sum(n_tok))`` subtree — same integer sum, grouped first),
+    so the SECOND corpus scan the old ``total`` aggregate paid is gone
+    (2 scans → 1; the bigram prev-marginal fold pattern)."""
     per = scored.select(
         F.col("n_tok").cast("long").alias("n_tok"),
         F.expr("CAST(quality_ppm DIV 10000 AS BIGINT)").alias("qb"),
@@ -1370,12 +1379,14 @@ def quality_budget_cut_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = per.groupBy("qb").agg(
         F.sum("n_tok").alias("tok"), F.count("*").cast("long").alias("n")
     )
-    total = per.agg(F.sum("n_tok").alias("tot"))
     w = Window.orderBy(F.col("qb").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = (
         hist.withColumn("cum_tok", F.sum("tok").over(w))
         .withColumn("cum_docs", F.sum("n").over(w))
-        .crossJoin(F.broadcast(total))
+        .withColumn("tot", F.sum("tok").over(wall))
         .withColumn("budget_tok", F.expr(f"CAST(tot DIV {QUALITY_BUDGET_DIV} AS BIGINT)"))
     )
     return (
@@ -1389,6 +1400,21 @@ def quality_budget_cut_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_tok",
         )
     )
+
+
+def quality_budget_cut_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven quality threshold selection: the quality_ppm cut that
+    keeps the highest-quality documents until a token budget (total/3) is
+    reached — the planning step between quality SCORING and quality
+    FILTERING (pick the cut from data, don't guess it).  One row out:
+    (cut_ppm, docs_kept, tokens_kept, budget_tok).
+
+    Scale shape: ONE scan → ≤101-bucket hash-agg (quality centi-buckets) →
+    window cumsum + window total over those ≤101 rows (r14: the budget
+    total is a window over the histogram, not a second corpus scan) — the
+    corpus is never sorted, the selection happens on the bounded
+    histogram."""
+    return _budget_cut_from_scored(with_quality_ppm(load_table(spark, sf_dir, "documents")))
 
 
 def _quality_budget_cut_sql() -> str:
