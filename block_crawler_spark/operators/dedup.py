@@ -449,26 +449,38 @@ def simhash_band_pairs(
         F.col("band.band_value").alias("band_value"),
     )
     a, b = e.alias("a"), e.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_index") == F.col("b.band_index"))
-            & (F.col("a.band_value") == F.col("b.band_value"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    joined = a.join(
+        b,
+        (F.col("a.band_index") == F.col("b.band_index"))
+        & (F.col("a.band_value") == F.col("b.band_value"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # A pair sharing several bands must appear once.  Instead of
+    # `.distinct()` over the candidate fire-hose (a full extra Exchange +
+    # Aggregate on the widest frame in the DAG), keep only the FIRST
+    # matching band: band k of the pair matches iff band k of
+    # sh_a XOR sh_b is zero, so "some earlier band matched" is a cheap
+    # shift/mask predicate evaluable inside the join's output projection.
+    # Emitting each pair at exactly its first matching band is
+    # set-identical to distinct (verified sym-diff 0 at sf0.1).
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+
+    def band_xor(k: int):
+        return F.shiftright(xor, bits - (k + 1) * width).bitwiseAND(F.lit(mask))
+
+    earlier_match = F.lit(False)
+    for k in range(bands - 1):
+        earlier_match = earlier_match | (
+            (F.lit(k) < F.col("a.band_index")) & (band_xor(k) == 0)
         )
+    ham = F.bit_count(xor)
+    return (
+        joined.filter(~earlier_match & (ham <= max_hamming))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col("a.simhash").alias("sh_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("b.simhash").alias("sh_b"),
+            ham.cast("long").alias("hamming"),
         )
-        .distinct()  # a pair sharing several bands appears once
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
