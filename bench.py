@@ -187,6 +187,15 @@ MEMO_FAMILIES = {
     "overlap_pairs": ["dedup_family_overlap"],
     # r14: the admission sim trains its own admitted-split codebook
     "semantic_admsim": ["dedup_stream_semantic_admission_sim"],
+    # r14: the minhash pair stage + transitive closure ride session memos
+    # shared by the closure/pagerank consumers (dedup_minhash_lsh_pairs
+    # itself stays live — it returns the pair frame verbatim); members in
+    # HEADLINE order so [0]'s first sample is the cold build
+    "minhash_closure": [
+        "dedup_cluster_size_hist",
+        "dedup_pair_pagerank",
+        "dedup_rate_by_source",
+    ],
 }
 
 

@@ -257,6 +257,43 @@ def test_family_overlap_pair_memo_hit_is_result_identical(spark):
     assert first == second
 
 
+def test_minhash_closure_memo_hit_is_result_identical(spark):
+    """The minhash pair/closure session memos (round 14 — the semantic
+    family's r13 pattern applied to the closure consumers): a cold build
+    and a warm memo hit return bit-identical rows for every consumer —
+    the closure assignment, the cluster-size histogram, the per-source
+    rate, and PageRank — and the warm pass actually hits the memo."""
+    from block_crawler_spark.plans import embed_ops
+    from block_crawler_spark.plans.text_ops import (
+        dedup_cc_query,
+        dedup_cluster_size_hist_query,
+        dedup_rate_by_source_query,
+        pair_pagerank_query,
+    )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for k in [k for k in embed_ops._CENTROID_MEMO if k[0] in ("mhpairs", "mhcomp")]:
+        del embed_ops._CENTROID_MEMO[k]
+    cold = {
+        "cc": snap(dedup_cc_query(spark, SF0)),
+        "hist": snap(dedup_cluster_size_hist_query(spark, SF0)),
+        "rate": snap(dedup_rate_by_source_query(spark, SF0)),
+        "pr": snap(pair_pagerank_query(spark, SF0)),
+    }
+    keys = {k[0] for k in embed_ops._CENTROID_MEMO}
+    assert {"mhpairs", "mhcomp"} <= keys, keys
+    warm = {
+        "cc": snap(dedup_cc_query(spark, SF0)),
+        "hist": snap(dedup_cluster_size_hist_query(spark, SF0)),
+        "rate": snap(dedup_rate_by_source_query(spark, SF0)),
+        "pr": snap(pair_pagerank_query(spark, SF0)),
+    }
+    assert cold == warm
+    assert any(r[2] for r in cold["cc"]), "sf0.001 must contain near-dup clusters"
+
+
 def test_corpus_phash_gate_blocks_perceptual_twins(spark, tmp_path):
     """The streaming perceptual gate (VERDICT r13 optional b — the dHash
     twin of the corpus store's minhash gate): (1) a brightness-shifted
