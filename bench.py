@@ -196,6 +196,9 @@ MEMO_FAMILIES = {
         "dedup_pair_pagerank",
         "dedup_rate_by_source",
     ],
+    # r14: the five modality pair frames ride session memos (standalone
+    # media pair queries stay live)
+    "modality_pairs": ["media_modality_overlap"],
 }
 
 

@@ -1314,6 +1314,27 @@ QUERIES["media_video_dhash_pairs"] = (media_video_dhash_query, _media_video_dhas
 
 _MODALITY_FAMILIES = ("exact", "phash", "image", "audio", "video")
 
+# Valve for the modality pair-frame memos — same bound and rationale as
+# text_ops._OVERLAP_MEMO_MAX_ROWS (each media family pairs 100–300 rows at
+# sf0.1; past the valve the live plan is returned, verdict cached).
+_MODALITY_MEMO_MAX_ROWS = 100_000
+
+
+def _memoized_modality_pairs(spark: SparkSession, sf_dir: str, fam: str, build, knobs: tuple) -> DataFrame:
+    """Session memo for ONE media family's (id_a, id_b) pair set (round 14
+    — the ``_overlap_pair_frames`` pattern applied to the modality matrix:
+    ``media_modality_overlap`` re-ran all five Arrow fingerprint DAGs per
+    invocation, 2.7 s warm at sf0.1).  Key = documents fingerprint + every
+    constant that shapes the family's planted corpus and banding, so a
+    data refresh or knob edit rebuilds (the oracle always recomputes from
+    current rows).  The STANDALONE media pair queries stay live — their
+    bench rows remain engine plans; the cold build cost is surfaced by
+    bench.py's memo_cold record (family ``modality_pairs``)."""
+    from .embed_ops import _emb_fingerprint, _memoized_bounded_frame
+
+    key = ("modpairs", fam, sf_dir, _emb_fingerprint(sf_dir, table="documents")) + knobs
+    return _memoized_bounded_frame(spark, key, build, _MODALITY_MEMO_MAX_ROWS)
+
 
 def media_modality_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-MODALITY agreement matrix (round 14 — VERDICT r13 optional a,
@@ -1349,18 +1370,49 @@ def media_modality_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact: the byte-exact digest pairs over the 1-D transform corpus
     # (media_dup_family_overlap's exact side, same derivation — r14: the
     # digest comes from the fused transform+digest Arrow stage)
-    dig = _planted_phash_sigs(
-        load_table(spark, sf_dir, "documents"), with_digest=True
-    ).select("media_id", "digest")
-    a = dig.select(F.col("media_id").alias("id_a"), "digest")
-    b = dig.select(F.col("media_id").alias("id_b"), "digest")
-    exact = a.join(b, "digest").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    def build_exact() -> DataFrame:
+        dig = _planted_phash_sigs(
+            load_table(spark, sf_dir, "documents"), with_digest=True
+        ).select("media_id", "digest")
+        a = dig.select(F.col("media_id").alias("id_a"), "digest")
+        b = dig.select(F.col("media_id").alias("id_b"), "digest")
+        return a.join(b, "digest").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+    from ..operators.multimodal import AUDIO_DHASH_GRID, DHASH_GRID, IMG_DHASH_GRID
+
+    # r14: each family's (id_a, id_b) set rides a session memo keyed on the
+    # documents fingerprint + that family's corpus/banding knobs — one
+    # fingerprint-DAG execution per family per session instead of five full
+    # Arrow passes per matrix invocation (the _overlap_pair_frames shape)
+    phash_knobs = (
+        PHASH_TWIN_OFFSET, PHASH_BRIGHT_MOD, PHASH_BRIGHT_DELTA, PHASH_NOISE_MOD,
+        PHASH_NOISE_STRIDE, PHASH_NOISE_EVERY, PHASH_EXACT_MOD, DHASH_GRID,
+    )
+    builds = {
+        "exact": (build_exact, phash_knobs),
+        "phash": (
+            lambda: media_phash_near_dup_query(spark, sf_dir).select("id_a", "id_b"),
+            phash_knobs + (PHASH_BANDS, PHASH_MAX_HAMMING),
+        ),
+        "image": (
+            lambda: media_image_dhash_query(spark, sf_dir).select("id_a", "id_b"),
+            (IMG_W, IMG_UP_MOD, IMG_BRIGHT_MOD, IMG_BRIGHT_DELTA, IMG_DHASH_GRID,
+             IMG_BANDS, IMG_MAX_HAMMING),
+        ),
+        "audio": (
+            lambda: media_audio_energy_query(spark, sf_dir).select("id_a", "id_b"),
+            (AUDIO_SAMPLE_BIAS, AUDIO_SAMPLE_SCALE, AUDIO_GAIN_MOD, AUDIO_GAIN,
+             AUDIO_POL_MOD, AUDIO_DHASH_GRID, AUDIO_BANDS, AUDIO_MAX_HAMMING),
+        ),
+        "video": (
+            lambda: media_video_dhash_query(spark, sf_dir).select("id_a", "id_b"),
+            (VIDEO_W, VIDEO_H, VIDEO_BRIGHT_MOD, VIDEO_BRIGHT_DELTA, VIDEO_REV_MOD,
+             VIDEO_FRAME_MAX_HAMMING, VIDEO_MIN_AGREE_PPM),
+        ),
+    }
     frames = {
-        "exact": exact,
-        "phash": media_phash_near_dup_query(spark, sf_dir).select("id_a", "id_b"),
-        "image": media_image_dhash_query(spark, sf_dir).select("id_a", "id_b"),
-        "audio": media_audio_energy_query(spark, sf_dir).select("id_a", "id_b"),
-        "video": media_video_dhash_query(spark, sf_dir).select("id_a", "id_b"),
+        fam: _memoized_modality_pairs(spark, sf_dir, fam, build, knobs)
+        for fam, (build, knobs) in builds.items()
     }
     off = PHASH_TWIN_OFFSET
     tagged = None

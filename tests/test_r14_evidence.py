@@ -294,6 +294,27 @@ def test_minhash_closure_memo_hit_is_result_identical(spark):
     assert any(r[2] for r in cold["cc"]), "sf0.001 must contain near-dup clusters"
 
 
+def test_modality_pair_memo_hit_is_result_identical(spark):
+    """The modality pair-frame session memos (round 14 — the overlap-pairs
+    pattern applied to the media matrix): a second
+    ``media_modality_overlap`` invocation replays the five memoized pair
+    sets and must return BIT-IDENTICAL rows; all five families take the
+    memo path and materialize at sf0.001."""
+    from block_crawler_spark.plans import embed_ops
+    from block_crawler_spark.plans.media_ops import media_modality_overlap_query
+
+    for k in [k for k in embed_ops._CENTROID_MEMO if k and k[0] == "modpairs"]:
+        del embed_ops._CENTROID_MEMO[k]
+    first = sorted(map(tuple, media_modality_overlap_query(spark, SF0).collect()))
+    keys = [
+        k for k in embed_ops._CENTROID_MEMO if k and k[0] == "modpairs" and k[2] == SF0
+    ]
+    assert len(keys) == 5, keys
+    assert all(embed_ops._CENTROID_MEMO[k] != "toobig" for k in keys)
+    second = sorted(map(tuple, media_modality_overlap_query(spark, SF0).collect()))
+    assert first == second
+
+
 def test_corpus_phash_gate_blocks_perceptual_twins(spark, tmp_path):
     """The streaming perceptual gate (VERDICT r13 optional b — the dHash
     twin of the corpus store's minhash gate): (1) a brightness-shifted
