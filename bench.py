@@ -199,6 +199,9 @@ MEMO_FAMILIES = {
     # r14: the five modality pair frames ride session memos (standalone
     # media pair queries stay live)
     "modality_pairs": ["media_modality_overlap"],
+    # r14: the OPQ-lite permutation's ≤dim-row moments frame rides a memo
+    # (emb_dim_variance itself stays live)
+    "dim_moments": ["emb_pq_balanced_topk"],
 }
 
 

