@@ -1570,10 +1570,14 @@ def media_stream_phash_admission_sim_query(spark: SparkSession, sf_dir: str) -> 
     phindex idiom) — a pure cost refinement invisible to semantics."""
     from ..streaming.corpus import CorpusIngestStore
 
-    # r14: fused planted-transform + fingerprint stage (one Python pass)
+    # r14: fused planted-transform + fingerprint stage (one Python pass) —
+    # cache()d: the batch/admitted splits, both band joins and the final
+    # verdict join otherwise re-run the Arrow pass ~5× per invocation
+    # (16-byte signature rows; same CacheManager note as
+    # media_phash_near_dup_query's sigs.cache())
     sigs = _planted_phash_sigs(load_table(spark, sf_dir, "documents")).select(
         F.col("media_id").alias("doc_id"), "dhash"
-    )
+    ).cache()
     off = PHASH_TWIN_OFFSET
     batch = sigs.filter(F.col("doc_id") >= off)
     admitted = sigs.filter(F.col("doc_id") < off)
