@@ -675,16 +675,22 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ONE key partitioning reused end-to-end (no window over the event
     stream, no per-user collect); output is 3 rows."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    # r14 (guide §1.2): s feeds both the v-chain and its own count branch,
+    # v feeds both the p-chain and its count — without a materialization
+    # point each branch re-ran the upstream filter+agg (events scanned 6×
+    # per invocation, measured 4.8 s vs 2.3 at sf0.1).  localCheckpoint —
+    # not cache() — so the per-user frames are ContextCleaner-collectable
+    # and nothing pins per invocation (the funnel_latency lat precedent).
     s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
         F.min("event_id").alias("s_id")
-    )
+    ).localCheckpoint()
     v = (
         e.filter(F.col("event_type") == "view")
         .join(s, "user_id")
         .filter(F.col("event_id") > F.col("s_id"))
         .groupBy("user_id")
         .agg(F.min("event_id").alias("v_id"))
-    )
+    ).localCheckpoint()
     p = (
         e.filter(F.col("event_type") == "purchase")
         .join(v, "user_id")
@@ -799,16 +805,20 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
     )
+    # r14 (guide §1.2): same re-execution fix as funnel_counts — s and v
+    # each feed two branches, and p fed TWO union arms; checkpoint the
+    # per-user frames and emit p's two transitions from ONE pass via
+    # explode (verified row-identical at sf0.1)
     s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
         F.min("ts_s").alias("s_ts")
-    )
+    ).localCheckpoint()
     v = (
         e.filter(F.col("event_type") == "view")
         .join(s, "user_id")
         .filter(F.col("ts_s") > F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts_s").alias("v_ts"), F.first("s_ts").alias("s_ts"))
-    )
+    ).localCheckpoint()
     p = (
         e.filter(F.col("event_type") == "purchase")
         .join(v, "user_id")
@@ -816,10 +826,23 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_s").alias("p_ts"), F.first("v_ts").alias("v_ts"), F.first("s_ts").alias("s_ts"))
     )
+    p_lat = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view>purchase").alias("transition"),
+                    (F.col("p_ts") - F.col("v_ts")).cast("long").alias("lat_s"),
+                ),
+                F.struct(
+                    F.lit("signup>purchase").alias("transition"),
+                    (F.col("p_ts") - F.col("s_ts")).cast("long").alias("lat_s"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.transition", "t.lat_s")
     lat = (
         v.select(F.lit("signup>view").alias("transition"), (F.col("v_ts") - F.col("s_ts")).cast("long").alias("lat_s"))
-        .unionByName(p.select(F.lit("view>purchase").alias("transition"), (F.col("p_ts") - F.col("v_ts")).cast("long").alias("lat_s")))
-        .unionByName(p.select(F.lit("signup>purchase").alias("transition"), (F.col("p_ts") - F.col("s_ts")).cast("long").alias("lat_s")))
+        .unionByName(p_lat)
     )
     # the rank selection scans its input three times (stats, buckets,
     # candidates); without a materialization point each scan would re-run
