@@ -1087,9 +1087,14 @@ def shard_mixing_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string")))
     shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS).alias("shard")
+    # r14 (guide §1.2): cell is BOUNDED (shards × sources keys) but was
+    # referenced six times below (grid ×2, full, per-shard, per-source,
+    # total) — each re-ran the corpus scan + md5 + agg.  localCheckpoint
+    # materializes the tiny frame once per invocation (1 scan instead of
+    # 6; ContextCleaner-collectable, nothing pinned).
     cell = docs.select(shard, "source").groupBy("shard", "source").agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint()
     grid = cell.select("shard").distinct().crossJoin(cell.select("source").distinct())
     full = grid.join(cell, ["shard", "source"], "left").withColumn(
         "n", F.coalesce(F.col("n"), F.lit(0))
