@@ -334,9 +334,16 @@ def _exact_rank_values(
     """
     B = _SELECT_BUCKETS
     labels = list(ranks)
+    # r14 (guide §1.2): stats is BOUNDED (one row per group) but feeds
+    # const, var_stats, the bucket-spec broadcast, the target explode and
+    # the final n join — without a materialization point each consumer
+    # re-ran the full input scan + agg (~6 scans per quantile query).
+    # localCheckpoint pins the tiny frame once per invocation; the
+    # corpus-sized `rows` below stays LIVE on purpose (recomputing two
+    # scans beats materializing a corpus-sized frame at 100 TB).
     stats = e.groupBy(group_col).agg(
         F.count("*").alias("n"), F.min(val).alias("lo"), F.max(val).alias("hi")
-    )
+    ).localCheckpoint()
     const = stats.filter(F.col("hi") == F.col("lo")).select(
         group_col, "n", *[F.col("lo").cast("long").alias(lb) for lb in labels]
     )
