@@ -192,9 +192,11 @@ MEMO_FAMILIES = {
     # itself stays live — it returns the pair frame verbatim); members in
     # HEADLINE order so [0]'s first sample is the cold build
     "minhash_closure": [
+        "doc_curation_pipeline",  # first memo consumer in HEADLINE order
         "dedup_cluster_size_hist",
         "dedup_pair_pagerank",
         "dedup_rate_by_source",
+        "pipeline_contamination",
     ],
     # r14: the five modality pair frames ride session memos (standalone
     # media pair queries stay live)
