@@ -3263,7 +3263,17 @@ def stream_semantic_admission_sim_query(spark: SparkSession, sf_dir: str) -> Dat
     )
     bvecs = batch.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
     avecs = adm.select(F.col("vec_id").alias("vid"), micro_fixed(F.col("embedding")).alias("v"))
-    basg = centroid_assign_top2(bvecs, cents, keep_v=True).select("vid", "cid", "v")
+    # r14 (guide §1.2): basg feeds both sides of the within-batch join AND
+    # the cross-batch probe — each re-ran the batch re-submission join +
+    # fixed-pointing + top-2 assignment.  localCheckpoint materializes the
+    # small (vid, cid, v) frame (~2 rows per batch vector) once per
+    # invocation; the admitted-side assignment is consumed once and stays
+    # live.
+    basg = (
+        centroid_assign_top2(bvecs, cents, keep_v=True)
+        .select("vid", "cid", "v")
+        .localCheckpoint()
+    )
     aasg = centroid_assign(avecs, cents, keep_v=True).select("vid", "cid", "v")
     dmax = SEM_SQDIST_MAX
     a = basg.select(F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"))
