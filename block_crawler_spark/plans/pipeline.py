@@ -104,9 +104,13 @@ def curated_doc_ids(
     ``pipeline_contamination`` passes the ONE materialized shingle pass
     it already needs for its report columns (r14, guide §2.4: remove the
     duplicated corpus-wide explode rather than shuffling it again)."""
-    from .text_ops import _budget_cut_from_scored, _decon_from_shn
+    from .text_ops import _budget_cut_from_scored, _decon_from_shn, stratified_keep_pred
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r14 (guide §2.1): carry `source` on the base frame so the stratified
+    # stage can run as a ROW-LOCAL filter below — the old shape paid a
+    # separate corpus scan + doc_id semi-join to apply a predicate that
+    # depends only on (doc_id, source).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     scored = quality_ppm(spark, sf_dir)
     if quality_min is None:
         # r14 (guide §2.4/§5): ONE corpus scoring pass feeds both the
@@ -144,19 +148,22 @@ def curated_doc_ids(
         else _decon_from_shn(load_table(spark, sf_dir, "documents"), shn)
     )
     clean = clean_src.filter(~F.col("contaminated")).select("doc_id")
-    if sampling == "stratified":
-        sampled = stratified_sample_query(spark, sf_dir).select("doc_id")
-    elif sampling == "mixture":
-        sampled = _mixture_sampled_ids(spark, sf_dir)
-    else:
-        raise ValueError(f"sampling must be 'stratified' or 'mixture', got {sampling!r}")
-    return (
+    chain = (
         docs.join(good, "doc_id", "semi")
         .join(exact_keep, "doc_id", "semi")
         .join(near_drop, "doc_id", "anti")
         .join(clean, "doc_id", "semi")
-        .join(sampled, "doc_id", "semi")
     )
+    if sampling == "stratified":
+        # row-local predicate over (doc_id, source) already on the base
+        # frame — identical sample to stratified_sample_query (shared
+        # column definitions), no extra scan or semi-join
+        chain = chain.filter(stratified_keep_pred())
+    elif sampling == "mixture":
+        chain = chain.join(_mixture_sampled_ids(spark, sf_dir), "doc_id", "semi")
+    else:
+        raise ValueError(f"sampling must be 'stratified' or 'mixture', got {sampling!r}")
+    return chain.select("doc_id")
 
 
 def packed_docs(

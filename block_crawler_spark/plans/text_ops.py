@@ -588,15 +588,11 @@ SELECT source, token, n, rank FROM (
 # ---------------------------------------------------------------------------
 
 
-def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-based stratified downsampling — rebalancing an over-represented
-    source mix is a standard training-corpus step, and Spark's ``sampleBy``
-    is seeded-random (unreproducible across engines/partitionings).  The
-    deterministic form keeps a document iff a uniform hash of its id falls
-    under its stratum's rate: same inputs → same sample, on any engine, at
-    any parallelism.  Per-source rates here derive from the source index
-    (20–77%); real pipelines pass a rate table.  Zero-shuffle row filter."""
-    docs = load_table(spark, sf_dir, "documents")
+def _stratified_rate_u() -> tuple:
+    """The ONE definition of the stratified sampler's (rate_pct, u)
+    column pair — shared by the registry query and the curation
+    pipeline's inlined keep-filter (r14) so the two can never derive
+    different samples."""
     idx = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
     rate = (F.lit(20) + (idx % 20) * 3).cast("long")
     u = (
@@ -607,6 +603,26 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
+    return rate, u
+
+
+def stratified_keep_pred():
+    """Row-local keep predicate of the stratified sampler (needs
+    ``doc_id`` and ``source`` columns in scope)."""
+    rate, u = _stratified_rate_u()
+    return u < rate
+
+
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based stratified downsampling — rebalancing an over-represented
+    source mix is a standard training-corpus step, and Spark's ``sampleBy``
+    is seeded-random (unreproducible across engines/partitionings).  The
+    deterministic form keeps a document iff a uniform hash of its id falls
+    under its stratum's rate: same inputs → same sample, on any engine, at
+    any parallelism.  Per-source rates here derive from the source index
+    (20–77%); real pipelines pass a rate table.  Zero-shuffle row filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate, u = _stratified_rate_u()
     return (
         docs.select("doc_id", "source", rate.alias("rate_pct"), u.alias("u"))
         .filter(F.col("u") < F.col("rate_pct"))
