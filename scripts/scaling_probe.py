@@ -99,6 +99,10 @@ MEMO_PROBES = {
     "emb_pq_rerank_topk",  # trained-PQ codebook build (emb_pq_topk earlier
     # in the list uses the SEED codebook, not the memo)
     "dedup_family_overlap",  # four under-valve pair-frame memos (r14)
+    "doc_curation_pipeline",  # FIRST minhash-pair memo consumer in list
+    # order (r14: the near-dup drop list rides _memoized_minhash_pairs) —
+    # its first sample per SF pays that build; dedup_pair_pagerank later
+    # in the list replays the memo warm
 }
 
 
