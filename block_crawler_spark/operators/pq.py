@@ -76,53 +76,99 @@ def _packed_cb(codebook: DataFrame) -> DataFrame:
     return gcb.agg(F.array_sort(F.collect_list(F.struct("m", "cw")), _by_m).alias("_cb"))
 
 
-def _codes_col(vec: Column, sub_dim: int) -> Column:
+def _codes_col(vec: Column, m: int, sub_dim: int) -> Column:
     """Array over m of the argmin codeword id for ``vec``'s m-th subvector
-    — ties to the lowest code via the same lexicographic (d, code)
-    struct-min as the old grouped argmin.  Evaluated against ``_cb``."""
+    — ties to the lowest code (``array_position`` returns the FIRST
+    occurrence of the min over the code-sorted ``cw`` list, exactly the
+    lexicographic (d, code) struct-min rule).  Evaluated against ``_cb``.
+
+    r15 (guide §1.2 per-task work; VERDICT r14 task 1): the r14 form
+    nested ``array_min`` over per-codeword (d, code) structs with
+    ``int_sqdist``'s zip_with+aggregate fold inside a dynamic transform —
+    every operation an interpreted HOF lambda with per-element
+    allocations.  The subspace loop and the squared-L2 terms are now
+    UNROLLED in plan-build Python (m and sub_dim are plan constants), so
+    per codeword the work is ``sub_dim`` flat subtract/multiply/add
+    expressions — no slice, no zip_with, no struct allocation.  Measured
+    on the emb_pq_topk shape: 6.4 → 1.8 s best-of-3 (scripts/r15_pq_ab.py;
+    row-identical on all 40 output rows).  ``vec`` must be a plain column
+    reference (callers hoist the micro-fixed vector into a prior select so
+    the fixed-pointing isn't re-inlined per access)."""
+
+    def make_dist(mi: int):
+        # single-arg lambda on purpose: F.transform passes the array INDEX
+        # to a second parameter, silently rebinding a defaulted arg
+        def dist(c: Column) -> Column:
+            s = None
+            for j in range(sub_dim):
+                d = F.element_at(vec, mi * sub_dim + j + 1) - F.element_at(c["cvec"], j + 1)
+                sq = d * d
+                s = sq if s is None else s + sq
+            return s
+
+        return dist
+
+    cols = []
+    for mi in range(m):
+        cw = F.element_at(F.col("_cb"), mi + 1)["cw"]
+        dists = F.transform(cw, make_dist(mi))
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        cols.append(F.element_at(cw, pos)["code"])
+    return F.array(*cols)
+
+
+def _luts_maps(vec: Column, sub_dim: int) -> Column:
+    """Step 1 of the positional LUT build: array over m of
+    (max_code, map(code → int64 sqdist(query subvector, codeword))).
+    Query-side only (≤ |Q|·nprobe rows), so the per-row cost of the map
+    build is irrelevant; the map keeps dropped-codeword (trained Lloyd)
+    codebooks exact."""
     return F.transform(
         F.col("_cb"),
-        lambda e: F.array_min(
-            F.transform(
-                e["cw"],
-                lambda c: F.struct(
-                    int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]).alias(
-                        "d"
+        lambda e: F.struct(
+            F.element_at(e["cw"], F.size(e["cw"]))["code"].alias("maxc"),
+            F.map_from_entries(
+                F.transform(
+                    e["cw"],
+                    lambda c: F.struct(
+                        c["code"],
+                        int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]),
                     ),
-                    c["code"].alias("code"),
-                ),
-            )
-        )["code"],
+                )
+            ).alias("mp"),
+        ),
     )
 
 
-def _luts_col(vec: Column, sub_dim: int) -> Column:
-    """Array over m of map(code → int64 sqdist(query subvector, codeword))
-    — the per-query ADC lookup table as ONE nested literal, evaluated
-    against ``_cb``.  A map (not a positional array) so codebooks with
-    dropped codewords (trained Lloyd) stay exact."""
+def _luts_pos(lm: Column) -> Column:
+    """Step 2: array over m of a POSITIONAL dist array (index = code + 1).
+    Dropped codewords leave nulls no emitted code ever touches (codes come
+    from the same codebook).  r15: the r14 ADC probed an array of MAPS —
+    ``element_at`` on a map is a linear key scan, O(K) per term per
+    candidate row; a positional array makes every ADC term O(1).  Callers
+    materialize ``_luts_maps`` in a prior select so the map isn't rebuilt
+    per index probe."""
     return F.transform(
-        F.col("_cb"),
-        lambda e: F.map_from_entries(
-            F.transform(
-                e["cw"],
-                lambda c: F.struct(
-                    c["code"],
-                    int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]),
-                ),
-            )
+        lm,
+        lambda e: F.transform(
+            F.sequence(F.lit(0).cast("long"), e["maxc"]), lambda i: F.element_at(e["mp"], i)
         ),
     )
 
 
 def _adc_col(codes: Column, luts: Column, m: int) -> Column:
     """sum over m of luts[m][codes[m]] — the ADC distance; int64-exact, so
-    addition order is irrelevant and the value equals the old join+sum."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc + F.element_at(F.element_at(luts, i + 1), F.element_at(codes, i + 1)),
-    )
+    addition order is irrelevant and the value equals the old join+sum.
+    r15: UNROLLED over the m plan constant into a flat chain of O(1)
+    positional array probes — the r14 form was an interpreted ``aggregate``
+    HOF over a ``sequence`` whose every step did an O(K) map scan."""
+    s = None
+    for mi in range(m):
+        term = F.element_at(
+            F.element_at(luts, mi + 1), (F.element_at(codes, mi + 1) + 1).cast("int")
+        )
+        s = term if s is None else s + term
+    return s
 
 
 def _codes_as_array(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -151,10 +197,11 @@ def pq_codes(
     :func:`pq_encode` (same argmin, same tie rule, no exchange)."""
     return (
         emb.crossJoin(F.broadcast(_packed_cb(codebook)))
-        .select(
-            F.col(id_col).alias("vec_id"),
-            _codes_col(micro_fixed(F.col(vec_col)), sub_dim).alias("codes"),
-        )
+        # hoist the micro-fixed vector into its own projection: the unrolled
+        # argmin references it element-wise and must not re-inline the
+        # fixed-point transform per access
+        .select(F.col(id_col).alias("vec_id"), micro_fixed(F.col(vec_col)).alias("_mv"), "_cb")
+        .select("vec_id", _codes_col(F.col("_mv"), m, sub_dim).alias("codes"))
     )
 
 
@@ -311,16 +358,21 @@ def pq_adc_topk(
     the codes table only — the corpus's float vectors are never read.
 
     r14 shape (guide §2.3/2.4): the per-query LUT is computed map-side as
-    an array-of-maps literal (``_luts_col``) and broadcast as ≤|Q| rows;
+    a positional-array literal (``_luts_maps``/``_luts_pos``) and broadcast
+    as ≤|Q| rows;
     each corpus row evaluates every query's ADC sum in one projection, so
     the only exchange left is the per-query top-k window (whose rank
     filter pushes a partial limit map-side).  The old shape shuffled the
     (codes ⋈ LUT) M-fold frame through a (q_id, vec_id) hash agg.
     ``codes`` may be the (vec_id, codes array) layout of :func:`pq_codes`
     or the legacy (vec_id, m, code) rows."""
-    lutq = queries.crossJoin(F.broadcast(_packed_cb(codebook))).select(
-        F.col("vec_id").alias("q_id"),
-        _luts_col(micro_fixed(F.col("embedding")), sub_dim).alias("luts"),
+    lutq = (
+        queries.crossJoin(F.broadcast(_packed_cb(codebook)))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            _luts_maps(micro_fixed(F.col("embedding")), sub_dim).alias("_lm"),
+        )
+        .select("q_id", _luts_pos(F.col("_lm")).alias("luts"))
     )
     cand = (
         _codes_as_array(codes)
@@ -374,10 +426,15 @@ def ivfpq_adc_topk(
         # r14 fused corpus side: cell id and PQ codes in one map-side pass
         # over the corpus — no join between the assignment and a separately
         # encoded codes table
-        corpus_side = ca.crossJoin(F.broadcast(pcb)).select(
-            F.col("vec_id").alias("c_id"),
-            "centroid_id",
-            _codes_col(micro_fixed(F.col("embedding")), sub_dim).alias("codes"),
+        corpus_side = (
+            ca.crossJoin(F.broadcast(pcb))
+            .select(
+                F.col("vec_id").alias("c_id"),
+                "centroid_id",
+                micro_fixed(F.col("embedding")).alias("_mv"),
+                "_cb",
+            )
+            .select("c_id", "centroid_id", _codes_col(F.col("_mv"), m, sub_dim).alias("codes"))
         )
     else:
         corpus_side = ca.select(F.col("vec_id").alias("c_id"), "centroid_id").join(
@@ -393,8 +450,9 @@ def ivfpq_adc_topk(
         .select(
             F.col("vec_id").alias("q_id"),
             "centroid_id",
-            _luts_col(micro_fixed(F.col("embedding")), sub_dim).alias("luts"),
+            _luts_maps(micro_fixed(F.col("embedding")), sub_dim).alias("_lm"),
         )
+        .select("q_id", "centroid_id", _luts_pos(F.col("_lm")).alias("luts"))
     )
     cand = (
         corpus_side.join(F.broadcast(qside), "centroid_id")
@@ -589,12 +647,13 @@ def ivfpq_residual_topk(
     codes = (
         residual_vec(corpus, "c_id", 1)
         .crossJoin(F.broadcast(pcb))
-        .select("c_id", "centroid_id", _codes_col(F.col("rv"), sub_dim).alias("codes"))
+        .select("c_id", "centroid_id", _codes_col(F.col("rv"), m, sub_dim).alias("codes"))
     )
     qlut = (
         residual_vec(queries, "q_id", nprobe)
         .crossJoin(F.broadcast(pcb))
-        .select("q_id", "centroid_id", _luts_col(F.col("rv"), sub_dim).alias("luts"))
+        .select("q_id", "centroid_id", _luts_maps(F.col("rv"), sub_dim).alias("_lm"))
+        .select("q_id", "centroid_id", _luts_pos(F.col("_lm")).alias("luts"))
     )
     cand = (
         codes.join(F.broadcast(qlut), "centroid_id")
