@@ -327,13 +327,18 @@ def main() -> None:
     cold_extra = round(
         sum(v["first_member_cold"] - v["first_member_warm"] for v in memo_cold.values()), 3
     )
-    # Telemetry (including the PER-QUERY timings dict) goes on its own
-    # earlier line and a sidecar file: the driver captures a bounded tail of
-    # stdout, and a long final line truncates its own HEAD — r5's combined
-    # line did (BENCH_r05 parsed:null), and by r8 the queries dict alone had
-    # regrown the final line past the capture (BENCH_r08 parsed:null, ADVICE
-    # r8).  The FINAL line is therefore a compact constant-size object —
-    # {metric, value, unit, sf, n_queries} — that survives any registry size.
+    # Telemetry goes to the sidecar file; stdout carries only two compact
+    # lines.  History: the driver captures a bounded TAIL of stdout, and a
+    # long final line truncates its own HEAD (BENCH_r05/r08 parsed:null);
+    # r9-r14 printed the full telemetry dict (samples + per-query load
+    # averages, ~10 KB by r14) on the second-to-last line, which grew past
+    # the capture window and left PERF_r14 with per_query:{} and 47 phantom
+    # drops (VERDICT r14 "What's wrong" #3 / task 2).  r15: `samples` and
+    # `load_avg_per_query` live ONLY in bench_telemetry.json; the
+    # second-to-last stdout line is a compact 2-dp {"queries":{name:sec}}
+    # dict (~3 KB at 127 queries, no spaces) so the driver's tail keeps
+    # per-query visibility, and the FINAL line stays a compact
+    # constant-size object that survives any registry size.
     telemetry = {
         "queries": timings,
         "samples": query_samples,
@@ -346,7 +351,12 @@ def main() -> None:
             json.dump(telemetry, f)
     except OSError:
         pass
-    print(json.dumps(telemetry))
+    print(
+        json.dumps(
+            {"queries": {k: round(v, 2) for k, v in timings.items()}},
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
@@ -359,7 +369,8 @@ def main() -> None:
                 # builds at their first-sample cost; detail in telemetry)
                 "memo_cold_extra_sec": cold_extra,
                 "value_cold": round(total + cold_extra, 3),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

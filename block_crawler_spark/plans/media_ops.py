@@ -1419,6 +1419,11 @@ def media_modality_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, fam in enumerate(_MODALITY_FAMILIES):
         sa = F.col("id_a") % off
         sb = F.col("id_b") % off
+        # r15 (guide §2.1, VERDICT r14 task 5): no per-family .distinct() —
+        # duplicate (src_a, src_b) rows within a family set the SAME bit, and
+        # bit_or is idempotent, so the mask aggregate below already dedups;
+        # the five distincts were five extra Exchange+HashAggregate pairs of
+        # pure scheduling overhead on tiny local frames.
         t = (
             frames[fam]
             .select(
@@ -1426,7 +1431,6 @@ def media_modality_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest(sa, sb).cast("long").alias("src_b"),
             )
             .filter(F.col("src_a") != F.col("src_b"))
-            .distinct()
             .withColumn("m", F.lit(1 << i).cast("long"))
         )
         tagged = t if tagged is None else tagged.unionByName(t)
