@@ -235,8 +235,15 @@ def ivf_assign(
             cosine(F.col(vec_col), e["c_vec"]).alias("sim"), e["centroid_id"].alias("centroid_id")
         ),
     )
+    # NaN (zero-norm vector or centroid) ranks FIRST, mirroring the old
+    # window sort (Spark treats NaN as greatest, so sim DESC put it first);
+    # without the explicit branches both a<b and a>b are false for NaN and
+    # the comparator would fall through to centroid_id — an inconsistent
+    # (implementation-defined) ordering (ADVICE r14).
     by_sim_desc = lambda a, b: (
-        F.when(a["sim"] > b["sim"], F.lit(-1))
+        F.when(F.isnan(a["sim"]) & ~F.isnan(b["sim"]), F.lit(-1))
+        .when(~F.isnan(a["sim"]) & F.isnan(b["sim"]), F.lit(1))
+        .when(a["sim"] > b["sim"], F.lit(-1))
         .when(a["sim"] < b["sim"], F.lit(1))
         .when(a["centroid_id"] < b["centroid_id"], F.lit(-1))
         .when(a["centroid_id"] > b["centroid_id"], F.lit(1))

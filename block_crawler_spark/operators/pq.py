@@ -311,9 +311,17 @@ def _lloyd_train_sub(sub: DataFrame, k: int, iters: int) -> DataFrame:
         for m, vmat in vmats.items():
             codes = sorted(cb[m])  # ascending → np.argmin's first-min = lowest code
             cmat = np.stack([cb[m][c] for c in codes])
-            diff = vmat[:, None, :] - cmat[None, :, :]  # int64 — exact
-            d = (diff * diff).sum(axis=2)
-            assign = d.argmin(axis=1)  # first occurrence of the min → lowest code id
+            # chunk the distance/argmin over vmat rows (ADVICE r14): the
+            # full N×K×sub_dim int64 diff tensor near the row bound with
+            # K=256 is multi-GB of transient driver memory; per-chunk peak
+            # is O(chunk·K·sub_dim) with identical argmin results.
+            chunk = 8192
+            assign = np.empty(vmat.shape[0], dtype=np.int64)
+            for lo in range(0, vmat.shape[0], chunk):
+                part = vmat[lo : lo + chunk]
+                diff = part[:, None, :] - cmat[None, :, :]  # int64 — exact
+                d = (diff * diff).sum(axis=2)
+                assign[lo : lo + chunk] = d.argmin(axis=1)  # first min → lowest code
             counts = np.bincount(assign, minlength=len(codes))
             sums = np.zeros((len(codes), vmat.shape[1]), dtype=np.int64)
             np.add.at(sums, assign, vmat)
