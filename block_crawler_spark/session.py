@@ -53,8 +53,16 @@ def get_spark(app_name: str = "block-crawler-spark", *, shuffle_partitions: int 
         # fits per-partition — skips the sort phase of sort-merge; AQE's
         # local-map threshold converts SMJ→SHJ at runtime when every
         # post-shuffle partition is under the bound, so the OOM risk stays
-        # bounded by the same advisory size the coalescer targets.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # bounded by the same advisory size the coalescer targets.  The
+        # STATIC (non-AQE) SHJ selection is separately bounded by
+        # canBuildLocalHashMap (build side < autoBroadcastJoinThreshold ×
+        # shuffle partitions, from plan stats); r15 (ADVICE r14): the flag
+        # is env-overridable so a cluster whose stats under-estimate build
+        # sides can restore sort-merge's spill path without a code change.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"),
