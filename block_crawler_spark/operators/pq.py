@@ -76,99 +76,53 @@ def _packed_cb(codebook: DataFrame) -> DataFrame:
     return gcb.agg(F.array_sort(F.collect_list(F.struct("m", "cw")), _by_m).alias("_cb"))
 
 
-def _codes_col(vec: Column, m: int, sub_dim: int) -> Column:
+def _codes_col(vec: Column, sub_dim: int) -> Column:
     """Array over m of the argmin codeword id for ``vec``'s m-th subvector
-    — ties to the lowest code (``array_position`` returns the FIRST
-    occurrence of the min over the code-sorted ``cw`` list, exactly the
-    lexicographic (d, code) struct-min rule).  Evaluated against ``_cb``.
-
-    r15 (guide §1.2 per-task work; VERDICT r14 task 1): the r14 form
-    nested ``array_min`` over per-codeword (d, code) structs with
-    ``int_sqdist``'s zip_with+aggregate fold inside a dynamic transform —
-    every operation an interpreted HOF lambda with per-element
-    allocations.  The subspace loop and the squared-L2 terms are now
-    UNROLLED in plan-build Python (m and sub_dim are plan constants), so
-    per codeword the work is ``sub_dim`` flat subtract/multiply/add
-    expressions — no slice, no zip_with, no struct allocation.  Measured
-    on the emb_pq_topk shape: 6.4 → 1.8 s best-of-3 (scripts/r15_pq_ab.py;
-    row-identical on all 40 output rows).  ``vec`` must be a plain column
-    reference (callers hoist the micro-fixed vector into a prior select so
-    the fixed-pointing isn't re-inlined per access)."""
-
-    def make_dist(mi: int):
-        # single-arg lambda on purpose: F.transform passes the array INDEX
-        # to a second parameter, silently rebinding a defaulted arg
-        def dist(c: Column) -> Column:
-            s = None
-            for j in range(sub_dim):
-                d = F.element_at(vec, mi * sub_dim + j + 1) - F.element_at(c["cvec"], j + 1)
-                sq = d * d
-                s = sq if s is None else s + sq
-            return s
-
-        return dist
-
-    cols = []
-    for mi in range(m):
-        cw = F.element_at(F.col("_cb"), mi + 1)["cw"]
-        dists = F.transform(cw, make_dist(mi))
-        pos = F.array_position(dists, F.array_min(dists)).cast("int")
-        cols.append(F.element_at(cw, pos)["code"])
-    return F.array(*cols)
-
-
-def _luts_maps(vec: Column, sub_dim: int) -> Column:
-    """Step 1 of the positional LUT build: array over m of
-    (max_code, map(code → int64 sqdist(query subvector, codeword))).
-    Query-side only (≤ |Q|·nprobe rows), so the per-row cost of the map
-    build is irrelevant; the map keeps dropped-codeword (trained Lloyd)
-    codebooks exact."""
+    — ties to the lowest code via the same lexicographic (d, code)
+    struct-min as the old grouped argmin.  Evaluated against ``_cb``."""
     return F.transform(
         F.col("_cb"),
-        lambda e: F.struct(
-            F.element_at(e["cw"], F.size(e["cw"]))["code"].alias("maxc"),
-            F.map_from_entries(
-                F.transform(
-                    e["cw"],
-                    lambda c: F.struct(
-                        c["code"],
-                        int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]),
+        lambda e: F.array_min(
+            F.transform(
+                e["cw"],
+                lambda c: F.struct(
+                    int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]).alias(
+                        "d"
                     ),
-                )
-            ).alias("mp"),
-        ),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"],
     )
 
 
-def _luts_pos(lm: Column) -> Column:
-    """Step 2: array over m of a POSITIONAL dist array (index = code + 1).
-    Dropped codewords leave nulls no emitted code ever touches (codes come
-    from the same codebook).  r15: the r14 ADC probed an array of MAPS —
-    ``element_at`` on a map is a linear key scan, O(K) per term per
-    candidate row; a positional array makes every ADC term O(1).  Callers
-    materialize ``_luts_maps`` in a prior select so the map isn't rebuilt
-    per index probe."""
+def _luts_col(vec: Column, sub_dim: int) -> Column:
+    """Array over m of map(code → int64 sqdist(query subvector, codeword))
+    — the per-query ADC lookup table as ONE nested literal, evaluated
+    against ``_cb``.  A map (not a positional array) so codebooks with
+    dropped codewords (trained Lloyd) stay exact."""
     return F.transform(
-        lm,
-        lambda e: F.transform(
-            F.sequence(F.lit(0).cast("long"), e["maxc"]), lambda i: F.element_at(e["mp"], i)
+        F.col("_cb"),
+        lambda e: F.map_from_entries(
+            F.transform(
+                e["cw"],
+                lambda c: F.struct(
+                    c["code"],
+                    int_sqdist(F.slice(vec, e["m"] * sub_dim + 1, sub_dim), c["cvec"]),
+                ),
+            )
         ),
     )
 
 
 def _adc_col(codes: Column, luts: Column, m: int) -> Column:
     """sum over m of luts[m][codes[m]] — the ADC distance; int64-exact, so
-    addition order is irrelevant and the value equals the old join+sum.
-    r15: UNROLLED over the m plan constant into a flat chain of O(1)
-    positional array probes — the r14 form was an interpreted ``aggregate``
-    HOF over a ``sequence`` whose every step did an O(K) map scan."""
-    s = None
-    for mi in range(m):
-        term = F.element_at(
-            F.element_at(luts, mi + 1), (F.element_at(codes, mi + 1) + 1).cast("int")
-        )
-        s = term if s is None else s + term
-    return s
+    addition order is irrelevant and the value equals the old join+sum."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(F.element_at(luts, i + 1), F.element_at(codes, i + 1)),
+    )
 
 
 def _codes_as_array(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -197,11 +151,10 @@ def pq_codes(
     :func:`pq_encode` (same argmin, same tie rule, no exchange)."""
     return (
         emb.crossJoin(F.broadcast(_packed_cb(codebook)))
-        # hoist the micro-fixed vector into its own projection: the unrolled
-        # argmin references it element-wise and must not re-inline the
-        # fixed-point transform per access
-        .select(F.col(id_col).alias("vec_id"), micro_fixed(F.col(vec_col)).alias("_mv"), "_cb")
-        .select("vec_id", _codes_col(F.col("_mv"), m, sub_dim).alias("codes"))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            _codes_col(micro_fixed(F.col(vec_col)), sub_dim).alias("codes"),
+        )
     )
 
 
@@ -348,14 +301,37 @@ def _lloyd_train_sub(sub: DataFrame, k: int, iters: int) -> DataFrame:
     return sub.sparkSession.createDataFrame(out, schema)
 
 
+def _codes_as_rows(codes: DataFrame) -> DataFrame:
+    """Accept codes in either layout: legacy (vec_id, m, code) rows pass
+    through; the (vec_id, codes array) layout explodes back to rows."""
+    if "codes" not in codes.columns:
+        return codes
+    return codes.select("vec_id", F.posexplode("codes").alias("m", "code"))
+
+
 def pq_encode(emb: DataFrame, codebook: DataFrame, m: int, sub_dim: int) -> DataFrame:
     """Corpus → codes (vec_id, m, code): per-subspace nearest codeword by
-    exact integer squared-L2, ties to the lowest code id.  r14: one
-    map-side projection (:func:`pq_codes`) + posexplode — the old shape's
-    K-fold broadcast-join explosion and (vec_id, m) re-agg exchange are
-    gone; output rows are identical."""
-    return pq_codes(emb, codebook, m, sub_dim).select(
-        "vec_id", F.posexplode("codes").alias("m", "code")
+    exact integer squared-L2, ties to the lowest code id.
+
+    r15 (VERDICT r14 task 1): RESTORED to the r13 broadcast-join +
+    grouped-argmin shape.  The r14 packed-codebook projection removed this
+    exchange but evaluated interpreted higher-order-function lambdas per
+    corpus row, and two r15 interleaved bench-context A/Bs
+    (scripts/r15_pqfam_bench.py, r13 vs r14 worktrees) measured the join
+    shape faster at 8 cores (family sum 20.1-20.8 s vs 27.2-28.4 s) and
+    within noise at 32 (22.6 vs 21.4) — whole-stage codegen over simple
+    expressions beats interpreted HOF trees on the CPU-bound path.  The
+    RESIDUAL search keeps the r14 map-side shape, which won at both core
+    counts (same probe)."""
+    sub = _subvectors(emb, "vec_id", "embedding", m, sub_dim)
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        F.col("_id").alias("vec_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
+    )
+    best = F.min(F.struct("d", "code")).alias("b")
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(best)
+        .select("vec_id", "m", F.col("b.code").alias("code"))
     )
 
 
@@ -365,28 +341,20 @@ def pq_adc_topk(
     """ADC top-k join: (q_id, c_id, adc_dist, rank) for each query, over
     the codes table only — the corpus's float vectors are never read.
 
-    r14 shape (guide §2.3/2.4): the per-query LUT is computed map-side as
-    a positional-array literal (``_luts_maps``/``_luts_pos``) and broadcast
-    as ≤|Q| rows;
-    each corpus row evaluates every query's ADC sum in one projection, so
-    the only exchange left is the per-query top-k window (whose rank
-    filter pushes a partial limit map-side).  The old shape shuffled the
-    (codes ⋈ LUT) M-fold frame through a (q_id, vec_id) hash agg.
-    ``codes`` may be the (vec_id, codes array) layout of :func:`pq_codes`
-    or the legacy (vec_id, m, code) rows."""
-    lutq = (
-        queries.crossJoin(F.broadcast(_packed_cb(codebook)))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            _luts_maps(micro_fixed(F.col("embedding")), sub_dim).alias("_lm"),
-        )
-        .select("q_id", _luts_pos(F.col("_lm")).alias("luts"))
+    r15: RESTORED to the r13 shape (see :func:`pq_encode` — same
+    measurement): LUT = queries × codebook broadcast (Q·M·K rows); the
+    dense (m, code) inner join contributes exactly M rows per
+    (query, candidate), so the (q_id, vec_id) sum-agg is total.  ``codes``
+    may be legacy (vec_id, m, code) rows or the array layout."""
+    q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
+    lut = q_sub.join(F.broadcast(codebook), "m").select(
+        F.col("_id").alias("q_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
     )
     cand = (
-        _codes_as_array(codes)
-        .crossJoin(F.broadcast(lutq))
+        _codes_as_rows(codes).join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _adc_col(F.col("codes"), F.col("luts"), m).alias("adc_dist"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return (
@@ -416,56 +384,34 @@ def ivfpq_adc_topk(
     either way the composition shape below is unchanged (the codes table
     would simply store residual codes per cell).
 
-    Scale shape (r14): candidates come from ONE broadcast-hash equi-join on
-    centroid_id — the corpus side carries (cell, codes array) computed in a
-    single map-side pass (pass ``codes=None`` for this fused layout; a
-    pre-built :func:`pq_codes` array frame or legacy code rows also work),
-    the query side is the ≤Q·nprobe-row (cell, LUT) frame with the ADC
-    lookup table as an array-of-maps literal.  The float vectors never
-    join; the only exchange is the per-query top-k window.  Cost per query
+    Scale shape (r15 — the r13 join shape restored, see :func:`pq_encode`
+    for the measurement): candidate pairs come from the (query-probe ⋈
+    corpus-cell) equi-join on centroid_id — the corpus side is the CODES
+    table keyed by cell, never the float vectors; the per-query LUT
+    (Q·M·K rows) and the k-row centroid table broadcast.  Cost per query
     ≈ nprobe/n_cells of the flat ADC scan, on top of ADC's ~16× byte
-    compression.
+    compression.  ``codes=None`` encodes the corpus via :func:`pq_encode`;
+    a pre-built code table (rows or array layout) also works.
     """
     from .ann import ivf_assign
 
-    pcb = _packed_cb(codebook)
-    ca = ivf_assign(corpus, centroids)
-    if codes is None:
-        # r14 fused corpus side: cell id and PQ codes in one map-side pass
-        # over the corpus — no join between the assignment and a separately
-        # encoded codes table
-        corpus_side = (
-            ca.crossJoin(F.broadcast(pcb))
-            .select(
-                F.col("vec_id").alias("c_id"),
-                "centroid_id",
-                micro_fixed(F.col("embedding")).alias("_mv"),
-                "_cb",
-            )
-            .select("c_id", "centroid_id", _codes_col(F.col("_mv"), m, sub_dim).alias("codes"))
-        )
-    else:
-        corpus_side = ca.select(F.col("vec_id").alias("c_id"), "centroid_id").join(
-            _codes_as_array(codes).withColumnRenamed("vec_id", "c_id"), "c_id"
-        )
-    # query side: nprobe probed cells AND the per-query LUT in one map-side
-    # pass (the LUT is cell-independent in the no-residual layout); cells
-    # are disjoint for the corpus, so nprobe probes produce no duplicate
-    # (q_id, c_id) pairs — no dedup needed
-    qside = (
-        ivf_assign(queries, centroids, n_assign=nprobe)
-        .crossJoin(F.broadcast(pcb))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "centroid_id",
-            _luts_maps(micro_fixed(F.col("embedding")), sub_dim).alias("_lm"),
-        )
-        .select("q_id", "centroid_id", _luts_pos(F.col("_lm")).alias("luts"))
+    ca = ivf_assign(corpus, centroids).select(F.col("vec_id").alias("c_id"), "centroid_id")
+    qa = ivf_assign(queries, centroids, n_assign=nprobe).select(
+        F.col("vec_id").alias("q_id"), "centroid_id"
+    )
+    # cells are disjoint for the corpus, so nprobe probes produce no
+    # duplicate (q_id, c_id) pairs — no dedup needed
+    pairs = qa.join(ca, "centroid_id").filter(F.col("q_id") != F.col("c_id")).select("q_id", "c_id")
+    code_rows = _codes_as_rows(pq_encode(corpus, codebook, m, sub_dim) if codes is None else codes)
+    q_sub = _subvectors(queries, "vec_id", "embedding", m, sub_dim)
+    lut = q_sub.join(F.broadcast(codebook), "m").select(
+        F.col("_id").alias("q_id"), "m", "code", int_sqdist(F.col("sv"), F.col("cvec")).alias("d")
     )
     cand = (
-        corpus_side.join(F.broadcast(qside), "centroid_id")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", _adc_col(F.col("codes"), F.col("luts"), m).alias("adc_dist"))
+        pairs.join(code_rows.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
     return (
@@ -655,13 +601,12 @@ def ivfpq_residual_topk(
     codes = (
         residual_vec(corpus, "c_id", 1)
         .crossJoin(F.broadcast(pcb))
-        .select("c_id", "centroid_id", _codes_col(F.col("rv"), m, sub_dim).alias("codes"))
+        .select("c_id", "centroid_id", _codes_col(F.col("rv"), sub_dim).alias("codes"))
     )
     qlut = (
         residual_vec(queries, "q_id", nprobe)
         .crossJoin(F.broadcast(pcb))
-        .select("q_id", "centroid_id", _luts_maps(F.col("rv"), sub_dim).alias("_lm"))
-        .select("q_id", "centroid_id", _luts_pos(F.col("_lm")).alias("luts"))
+        .select("q_id", "centroid_id", _luts_col(F.col("rv"), sub_dim).alias("luts"))
     )
     cand = (
         codes.join(F.broadcast(qlut), "centroid_id")

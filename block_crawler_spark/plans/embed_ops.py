@@ -710,11 +710,11 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     codewords, mirroring the IVF nprobe finding.  Distances are exact int64 micro-space sums, so even the ADC
     distances — not just ranks — are hash-checked cross-engine
     (operators/pq.py)."""
-    from ..operators.pq import pq_adc_topk, pq_codebook, pq_codes
+    from ..operators.pq import pq_adc_topk, pq_codebook, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, PQ_M, PQ_K, PQ_SUB)
-    codes = pq_codes(emb, cb, PQ_M, PQ_SUB)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
@@ -800,11 +800,11 @@ def pq_trained_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training is session-memoized (round 12, ``_trained_pq_codebook``) —
     bit-identical codebook, one grouped-Lloyd run per (sf_dir, data) per
     session."""
-    from ..operators.pq import pq_adc_topk, pq_codes
+    from ..operators.pq import pq_adc_topk, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _trained_pq_codebook(spark, sf_dir, emb)
-    codes = pq_codes(emb, cb, PQ_M, PQ_SUB)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
@@ -1167,7 +1167,7 @@ def pq_balanced_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.424 unbalanced at identical cost — even this near-isotropic corpus
     has enough per-dim energy spread to reward balancing; skewed real
     embeddings pay more."""
-    from ..operators.pq import pq_adc_topk, pq_codebook, pq_codes
+    from ..operators.pq import pq_adc_topk, pq_codebook, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
     # r14: the ≤dim-row moments frame rides the session memo (structural
@@ -1191,7 +1191,7 @@ def pq_balanced_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.array(*[F.col("embedding")[p] for p in perm]).alias("embedding")
     )
     cb = pq_codebook(permuted, PQ_M, PQ_K, PQ_SUB)
-    codes = pq_codes(permuted, cb, PQ_M, PQ_SUB)
+    codes = pq_encode(permuted, cb, PQ_M, PQ_SUB)
     queries = permuted.filter(F.col("vec_id") < KNN_QUERY_IDS)
     return pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_TOPK)
 
@@ -3038,11 +3038,11 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — the two-stage ANN shape with the 16×-compressed codes
     as stage-1 memory footprint (16 B/vector vs the bitsign 8–16 B and
     the JL 128 B, but trained on the corpus rather than training-free)."""
-    from ..operators.pq import pq_adc_topk, pq_codes
+    from ..operators.pq import pq_adc_topk, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _trained_pq_codebook(spark, sf_dir, emb)
-    codes = pq_codes(emb, cb, PQ_M, PQ_SUB)
+    codes = pq_encode(emb, cb, PQ_M, PQ_SUB)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_IDS)
     short = pq_adc_topk(queries, codes, cb, PQ_M, PQ_SUB, PQ_RERANK_SHORTLIST).select(
         "q_id", "c_id"
