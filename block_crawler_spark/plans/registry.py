@@ -51,71 +51,74 @@ from . import embed_ops, events_ops, media_ops, nft_ops, pack_ops, pipeline, tex
 # four CHANGED (ADVICE r13 media hardening + the family_overlap pair
 # memo), then the LONGEST-UNSAMPLED rotation — the full 35-query r10-era
 # block (three rounds without a driver row, the oldest in the records)
-# and the first 5 of the r11-era block.  The judge's independent
-# full-registry oracle re-run is the backstop covering the rest.
+# and the first 5 of the r11-era block.  Round 15 (an optimization round,
+# no additions): the 19 queries whose operator code CHANGED, then the
+# longest-unsampled rotation — the remaining 30-query r11-era block plus
+# the first r12-era query.  The judge's independent full-registry oracle
+# re-run is the backstop covering the rest.
 _FRONT = (
-    # -- added in r14 --
+    # -- CHANGED in r15 (every query whose operator code moved this round
+    #    must sit in the driver's 50-sample prefix, ADVICE r6 rule):
+    #    PQ hybrid shapes (pq.py: r13 join shapes for encode/flat-ADC/IVFPQ,
+    #    r14 map-side kept for the residual pair; callers moved to
+    #    pq_encode), ann.ivf_assign NaN-explicit comparator (all IVF
+    #    consumers), fold group keys hash-prefixed (folds.py), the
+    #    family-overlap mask-histogram restructure, and the modality
+    #    matrix's dropped per-family distincts --
+    "emb_pq_topk",
+    "emb_pq_trained_topk",
+    "emb_pq_balanced_topk",
+    "emb_ivfpq_topk",
+    "emb_ivfpq_residual_topk",
+    "emb_ivfpq_residual_trained",
     "emb_pq_rerank_topk",
-    "media_video_dhash_pairs",
-    "doc_lm_gated_quality_planted",
-    "media_modality_overlap",
     "emb_ivfpq_rerank_topk",
-    "media_stream_phash_admission_sim",
-    "dedup_stream_minhash_admission_sim",
-    "dedup_stream_semantic_admission_sim",
-    # -- changed in r14: the media planted stages gained the twin-id
-    #    aliasing guard and the audio family's sample scale dropped to the
-    #    wrap-free 85 (ADVICE r13 — pair output invariant, code path not);
-    #    dedup_family_overlap's five pair frames are session-memoized
-    #    behind the shared valve --
-    "media_phash_near_dup_pairs",
-    "media_image_dhash_pairs",
-    "media_audio_energy_pairs",
+    "emb_ivf_topk",
+    "emb_ivf_trained_topk",
+    "emb_ivfsq_topk",
+    "emb_ivf_cell_balance",
+    "emb_ivf_recall_audit",
+    "nft_token_state_from_lineitem",
+    "nft_owners_from_lineitem",
+    "nft_1155_balances_from_events",
+    "evt_token_state_fold",
     "dedup_family_overlap",
-    # -- longest-unsampled rotation (VERDICT r13 task 2; computed from the
-    #    CORRECTNESS_r* records: the 35-query r10-era block — minhash/
-    #    simhash/containment dedup, PII/decontaminate/BPE/chunk/pack/
-    #    mixture screens — last had a driver row three rounds ago), then
-    #    the first 3 of the r11-era block alphabetically.  12 added/changed
-    #    + 35 + 3 = exactly the driver's 50-sample prefix. --
-    "dedup_char_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_containment_pairs",
-    "dedup_exact",
-    "dedup_minhash_keep",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_threshold_sweep",
-    "doc_bpe_pair_freqs",
-    "doc_bpe_token_stats",
-    "doc_chunk_dup_stats",
-    "doc_chunk_stats",
-    "doc_contamination_by_bench",
-    "doc_decontaminate",
-    "doc_kmv_distinct",
-    "doc_lang_id",
-    "doc_mixture_plan",
-    "doc_pack_sequences",
-    "doc_pack_sequences_bpe",
-    "doc_pii_stats",
-    "doc_quality_hist_by_source",
-    "doc_quality_ppm",
-    "doc_repetition_ppm",
-    "doc_shuffle_shards",
-    "doc_source_overlap",
-    "doc_stratified_sample",
-    "doc_token_fertility",
-    "doc_token_stats",
-    "doc_top_tokens",
-    "doc_zipf_bucket_hist",
-    "emb_label_dim_sums",
-    "emb_norm_stats",
-    "emb_prefix_topk",
-    "emb_rp_topk",
-    "dedup_cluster_size_hist",
-    "dedup_edit_distance_pairs",
-    "dedup_minhash_est_error",
+    "media_modality_overlap",
+    # -- longest-unsampled rotation (computed from the CORRECTNESS_r*
+    #    records: the r11-era block below last had a driver row four
+    #    rounds ago), then the first of the r12-era block alphabetically.
+    #    19 changed + 30 + 1 = exactly the driver's 50-sample prefix. --
+    "dedup_pair_pagerank",
+    "dedup_rate_by_source",
+    "dedup_stream_admission_sim",
+    "doc_curation_pipeline",
+    "doc_gopher_rules",
+    "doc_hapax_per_source",
+    "doc_intradoc_dup_stats",
+    "doc_lang_confusion",
+    "doc_ngram_novelty",
+    "doc_pack_attention_waste",
+    "doc_pack_fill_stats",
+    "doc_pack_sorted_fill_stats",
+    "doc_quality_budget_cut",
+    "doc_shard_mixing_audit",
+    "doc_tfidf_top_terms",
+    "doc_token_cms_estimates",
+    "doc_token_concentration",
+    "doc_unigram_surprisal",
+    "emb_dim_variance",
+    "emb_power_topdim",
+    "emb_rp_rerank_topk",
+    "emb_sq_topk",
+    "evt_cube_type_day",
+    "evt_funnel_counts",
+    "evt_funnel_latency",
+    "evt_key_skew_topk",
+    "evt_markov_transitions",
+    "evt_retention_cohorts",
+    "evt_window_sliding",
+    "pipeline_contamination",
+    "agg_rollup_region_nation",
 )
 _MODULES = (tpch, events_ops, nft_ops, tx_ops, embed_ops, text_ops, pack_ops, pipeline, media_ops)
 
