@@ -3804,53 +3804,24 @@ def family_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≤2⁵ rows, and the 10-row matrix comes from a broadcast join of two
     bounded frames — nothing downstream of the mask agg is corpus-sized."""
     frames = _overlap_pair_frames(spark, sf_dir)
-    # r15 (guide §2.1, VERDICT r14 task 6): the r14 shape unioned all five
-    # families and hash-aggregated bit_or over (id_a, id_b) — but the pairs
-    # are UNIQUE within each family, so the 1.08 M-row live simhash arm hit
-    # the exchange with zero map-side collapse (every row shuffled, every
-    # row final-aggregated).  New shape: the four BOUNDED families (memoized
-    # local frames) collapse to a tiny mask frame first; the simhash
-    # fire-hose then broadcast-joins it MAP-SIDE, and the histogram is
-    # aggregated by the ≤2⁴-value small-mask key — the only exchange the
-    # 1.08 M rows feed now carries ≤17 partially-aggregated rows per task.
-    # Small-only pairs are recovered by per-mask subtraction (matched ⊆
-    # small), which is exact on counts; pair sets are unique per family
-    # (first-matching-band emission for simhash, DISTINCT memo frames for
-    # the rest), so counts equal the r14 per-pair bit_or histogram.
-    sim_i = _OVERLAP_FAMILIES.index("simhash")
-    small_tagged = None
+    # r15 NEGATIVE RESULT (VERDICT r14 task 6, recorded in
+    # OPTIMIZATION_r15.md): a restructure that kept the 1.08 M-row live
+    # simhash arm out of this pair-key exchange (broadcast-join the four
+    # bounded families' mask frame onto the simhash pairs map-side, then
+    # aggregate by the ≤2⁴-value small-mask and recover small-only masks by
+    # subtraction) was implemented, oracle-verified at sf0.01 AND sf0.1,
+    # and then MEASURED SLOWER in interleaved bench-context A/Bs (min-of-5
+    # rounds: 3.77 s vs this shape's 3.03 s at c32) — the broadcast build,
+    # the checkpoint job boundary, and the extra tail joins cost more
+    # locally than the zero-collapse exchange they removed.  At a scale
+    # where the simhash arm's pair count makes this exchange the
+    # bottleneck, that shape (commit 5df646c) is the one to revive.
+    tagged = None
     for i, fam in enumerate(_OVERLAP_FAMILIES):
-        if i == sim_i:
-            continue
         t = frames[fam].withColumn("m", F.lit(1 << i).cast("long"))
-        small_tagged = t if small_tagged is None else small_tagged.unionByName(t)
-    small = small_tagged.groupBy("id_a", "id_b").agg(F.expr("bit_or(m)").alias("smask"))
-    # broadcast is safe by construction while the four families sit under
-    # the 100k memo valve (local frames, ≤ a few MB); a cluster deployment
-    # past the valve flips this to a plain join and lets AQE pick.
-    step1 = frames["simhash"].join(F.broadcast(small), ["id_a", "id_b"], "left")
-    # ≤ 2⁴ + 1 rows (distinct small-masks + null) — materialize once so the
-    # two consumers below don't re-execute the simhash DAG
-    hist_by_sm = (
-        step1.groupBy("smask").agg(F.count("*").cast("long").alias("cnt")).localCheckpoint()
-    )
-    sim_bit = F.lit(1 << sim_i).cast("long")
-    hist_sim = hist_by_sm.select(
-        (F.coalesce(F.col("smask"), F.lit(0).cast("long")).bitwiseOR(sim_bit)).alias("mask"),
-        "cnt",
-    )
-    matched = hist_by_sm.filter(F.col("smask").isNotNull()).select(
-        F.col("smask").alias("mask"), F.col("cnt").alias("mcnt")
-    )
-    small_hist = small.groupBy(F.col("smask").alias("mask")).agg(
-        F.count("*").cast("long").alias("scnt")
-    )
-    small_only = (
-        small_hist.join(F.broadcast(matched), "mask", "left")
-        .select("mask", (F.col("scnt") - F.coalesce(F.col("mcnt"), F.lit(0))).alias("cnt"))
-        .filter(F.col("cnt") > 0)
-    )
-    hist = hist_sim.unionByName(small_only)
+        tagged = t if tagged is None else tagged.unionByName(t)
+    masks = tagged.groupBy("id_a", "id_b").agg(F.expr("bit_or(m)").alias("mask"))
+    hist = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
     combos = spark.createDataFrame(
         [
             (_OVERLAP_FAMILIES[a], 1 << a, _OVERLAP_FAMILIES[b], 1 << b)

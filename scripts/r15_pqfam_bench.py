@@ -1,4 +1,6 @@
-"""Bench-context timing of the 8 registry PQ-family queries.
+"""Bench-context timing of a registry query list (default: PQ family).
+
+Set PQFAM_QUERIES=a,b,c to probe any subset.
 
 Replicates bench.py's methodology (one session, load_all warm-up, noop
 sink, best-of-3 per query) for ONLY the PQ family, so the r14 vs r15
@@ -20,16 +22,12 @@ import time
 
 # NOTE: no sys.path.insert here — PYTHONPATH decides which checkout runs.
 
-FAM = [
-    "emb_pq_topk",
-    "emb_pq_trained_topk",
-    "emb_pq_balanced_topk",
-    "emb_ivfpq_topk",
-    "emb_ivfpq_residual_topk",
-    "emb_ivfpq_residual_trained",
-    "emb_pq_rerank_topk",
+FAM = os.environ.get(
+    "PQFAM_QUERIES",
+    "emb_pq_topk,emb_pq_trained_topk,emb_pq_balanced_topk,emb_ivfpq_topk,"
+    "emb_ivfpq_residual_topk,emb_ivfpq_residual_trained,emb_pq_rerank_topk,"
     "emb_ivfpq_rerank_topk",
-]
+).split(",")
 
 
 def main() -> None:
